@@ -1,0 +1,78 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query executes its full physical plan into the noop sink (no driver
+collect — measures engine throughput, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mergermetrics_lakehouse_pipeline_spark import registry
+from mergermetrics_lakehouse_pipeline_spark.session import get_spark
+
+#: Headline set: the flagship star join + one per operator family.
+HEADLINE = [
+    "star_join_denorm",
+    "fact_monthly_rollup",
+    "kpi_dashboard",
+    "scan_project_filter",
+    "join_inner_enrich",
+    "join_semi_months",
+    "dedupe_keyed_first",
+    "window_top1_latest",
+    "window_topn_rank",
+    "window_running_frame",
+    "topk_global",
+    "union_by_name",
+    "multiformat_dates",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # Warm the JVM/codegen once with the cheapest query so timings measure
+    # steady-state execution.
+    run_query(qs["topk_global"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        run_query(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

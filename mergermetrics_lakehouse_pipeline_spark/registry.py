@@ -1,0 +1,926 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query over
+the driver testdata, each paired with an ANSI-SQL DuckDB oracle.
+
+Design rules (driver contract, __spark_entry__.py):
+
+- Column names are aliased identically in the Spark plan and the oracle
+  SQL — the driver sorts columns by name before hashing.
+- Numeric determinism: SUM over doubles is order-dependent, and Spark /
+  DuckDB will not add partitions in the same order. Every money/quantity
+  aggregate therefore casts to an exact DECIMAL before SUM (associative,
+  exact) and back to DOUBLE for the result schema. AVG is computed as
+  exact-decimal SUM / COUNT (one deterministic double division).
+- Every result set is deterministic: top-k and keep-first-per-key always
+  carry full tie-breaker orderings.
+
+Each query cites the SURVEY §2 row(s) it covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.cleaning import (
+    dedupe_by_keys,
+    normalize_text,
+    parse_date_multi,
+    standardize_values,
+    surrogate_key,
+)
+from .functions.dates import build_dim_date
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver testdata parquet table (S1/S7 analogue)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` restored to a timestamp.
+
+    The parquet stores TIMESTAMP(NANOS); Spark reads it as long nanos
+    (session config spark.sql.legacy.parquet.nanosAsLong), converted here
+    to a microsecond timestamp — matching what DuckDB sees natively.
+    """
+    e = T(spark, sf_dir, "events")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return e
+
+
+def iso_date(col: F.Column | str, alias: str) -> F.Column:
+    """Date rendered as an ISO yyyy-MM-dd string.
+
+    Output discipline: DATE values cross the Spark->pandas boundary as
+    ``datetime.date`` but DuckDB->pandas as midnight datetime64, which
+    breaks value hashing; ISO strings compare identically everywhere.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd").alias(alias)
+
+
+def sql_iso_date(expr: str, alias: str) -> str:
+    return f"strftime(CAST({expr} AS DATE), '%Y-%m-%d') AS {alias}"
+
+
+def dsum(col: F.Column | str, alias: str, scale: int = 2) -> F.Column:
+    """Exact decimal SUM exposed as double (order-insensitive determinism)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def REVENUE() -> F.Column:
+    """Per-row discounted revenue, cast to exact decimal before any SUM."""
+    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+SQL_REVENUE = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))"
+
+
+@dataclass
+class Q:
+    """One registry entry: Spark query + optional DuckDB oracle SQL."""
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: list[str] = field(default_factory=list)
+
+
+QUERIES: list[Q] = []
+
+
+def register(name: str, oracle: str | None, tags: list[str] | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES.append(Q(name, fn, oracle, tags or []))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / predicates  (SURVEY §2.1 S1/S7, §2.2 P1-P11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_project_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 25
+    """,
+    tags=["S1", "P1", "P6", "P9"],
+)
+def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate; both must push down to the parquet scan
+    (PushedFilters / 2-col ReadSchema). Parity: SURVEY §2.2 P1/P9."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") < 25)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        iso_date("l_shipdate", "ship_date"),
+    )
+
+
+@register(
+    "case_when_groups",
+    """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'expedite'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+                ELSE 'relaxed' END AS priority_class,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders GROUP BY 1
+    """,
+    tags=["P12", "A1", "A4"],
+)
+def q_case_when_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-branch CASE (parity: market/division mapping,
+    1_customer_data_processing.py:233-240) + hash agg."""
+    o = T(spark, sf_dir, "orders")
+    cls = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "standard")
+        .otherwise("relaxed")
+    )
+    return (
+        o.groupBy(cls.alias("priority_class"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_value"))
+    )
+
+
+@register(
+    "isin_rlike_filter",
+    r"""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+      AND regexp_matches(c_name, '[0-9]$')
+      AND c_acctbal IS NOT NULL
+    """,
+    tags=["P7", "P10", "P11"],
+)
+def q_isin_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set membership + regex predicate + null check (parity: isin city
+    allowlist 1_customer_data_processing.py:130; rlike id validation
+    1_full_load_fact.py:104)."""
+    c = T(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        & F.col("c_name").rlike("[0-9]$")
+        & F.col("c_acctbal").isNotNull()
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "cast_rename_derive",
+    """
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) AS user_key,
+           ROUND(COALESCE(value, 0.0), 2) AS value_clean,
+           event_type AS kind
+    FROM events WHERE event_type <> 'error'
+    """,
+    tags=["P3", "P4", "P5", "P6", "P13"],
+)
+def q_cast_rename_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast-to-string join-key discipline (parity:
+    1_customer_data_processing.py:215), rename, coalesce fallback, drop."""
+    e = events_table(spark, sf_dir)
+    return (
+        e.filter(F.col("event_type") != "error")
+        .withColumn("user_key", F.col("user_id").cast("string"))
+        .withColumn("value_clean", F.round(F.coalesce(F.col("value"), F.lit(0.0)), 2))
+        .withColumnRenamed("event_type", "kind")
+        .select("event_id", "user_key", "value_clean", "kind")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins  (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_enrich",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+           l.l_quantity AS qty, p.p_retailprice AS retail_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size > 40
+    """,
+    tags=["J2"],
+)
+def q_join_inner_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK enrichment inner join; dim side explicitly broadcast (parity:
+    orders x products, 1_full_load_fact.py:148-149)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        F.col("l_quantity").alias("qty"),
+        F.col("p_retailprice").alias("retail_price"),
+    )
+
+
+@register(
+    "join_left_coalesce",
+    """
+    SELECT c.c_custkey, COALESCE(n.n_name, 'UNKNOWN') AS nation_name
+    FROM customer c LEFT JOIN nation n
+      ON c.c_nationkey = n.n_nationkey AND n.n_regionkey < 3
+    """,
+    tags=["J1", "P13"],
+)
+def q_join_left_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join against a tiny lookup + coalesce repair (parity: city-fix
+    rule table join, 1_customer_data_processing.py:203-210)."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return c.join(
+        F.broadcast(n),
+        (c.c_nationkey == n.n_nationkey) & (n.n_regionkey < 3),
+        "left",
+    ).select(
+        "c_custkey", F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation_name")
+    )
+
+
+@register(
+    "join_semi_months",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice AS total_price
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_returnflag = 'R'
+        AND date_trunc('month', l.l_shipdate) = date_trunc('month', o.o_orderdate)
+    )
+    """,
+    tags=["J3"],
+)
+def q_join_semi_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-key join used as a month filter — the reference's
+    affected-month restriction (2_incremental_load_fact.py:258-263) done
+    right: left_semi instead of inner+distinct."""
+    o = T(spark, sf_dir, "orders")
+    months = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.date_trunc("month", "l_shipdate").alias("m"))
+        .distinct()
+    )
+    return o.join(
+        F.broadcast(months), F.date_trunc("month", o.o_orderdate) == months.m, "left_semi"
+    ).select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("total_price"))
+
+
+@register(
+    "join_anti_orphans",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=["J-anti"],
+)
+def q_join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — the engine's MERGE fallback and the README:257-266
+    join-coverage checks are built on this."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "star_join_denorm",
+    f"""
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS order_month,
+           r.r_name AS region_name, n.n_name AS nation_name,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_lines,
+           {sql_dsum("l.l_quantity", "sold_quantity")},
+           {sql_dsum(SQL_REVENUE, "total_amount", 4)}
+    FROM lineitem l
+    LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=["J4", "A1", "EP3"],
+)
+def q_star_join_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star LEFT JOIN + derived amount — the reference's denormalized
+    BI view (denormalise_table_query_fmcg.txt:36-49) on the testdata star.
+    Dim sides broadcast; one shuffle total (the final group-by)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy(
+            iso_date(F.date_trunc("month", "o_orderdate"), "order_month"),
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_quantity", "sold_quantity"),
+            dsum(REVENUE(), "total_amount", 4),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations  (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fact_monthly_rollup",
+    f"""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
+           l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum(SQL_REVENUE, "sum_disc_price", 4)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+    tags=["A1"],
+)
+def q_fact_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core daily->monthly fact rollup (parity:
+    1_full_load_fact.py:214-227) — TPC-H Q1-shaped. Partial aggregation is
+    map-side automatic; one shuffle on the group keys."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            iso_date(F.date_trunc("month", "l_shipdate"), "month_start"),
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(REVENUE(), "sum_disc_price", 4),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_having_dupes",
+    """
+    SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+    """,
+    tags=["A2"],
+)
+def q_agg_having_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy/count/filter — duplicate-detection shape (parity:
+    1_customer_data_processing.py:69)."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(F.count("*").alias("n")).filter(F.col("n") > 12)
+
+
+@register(
+    "agg_minmax_global",
+    """
+    SELECT strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date,
+           COUNT(*) AS n_rows
+    FROM orders
+    """,
+    tags=["A3", "A4"],
+)
+def q_agg_minmax_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max/count date-range sanity check (parity:
+    1_full_load_fact.py:136-139)."""
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        iso_date(F.min("o_orderdate"), "min_date"),
+        iso_date(F.max("o_orderdate"), "max_date"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "distinct_projection",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+    tags=["A5"],
+)
+def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection dedup (parity: select('city').distinct(),
+    1_customer_data_processing.py:97)."""
+    return T(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "dedupe_keyed_first",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=["A6", "W1"],
+)
+def q_dedupe_keyed_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed dedup (engine's dropDuplicates replacement;
+    parity: 1_customer_data_processing.py:77, 1_full_load_fact.py:128)."""
+    o = T(spark, sf_dir, "orders")
+    first = dedupe_by_keys(o, ["o_custkey"], order_by=["o_orderdate", "o_orderkey"])
+    return first.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        iso_date("o_orderdate", "first_orderdate"),
+    )
+
+
+@register(
+    "kpi_dashboard",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           {sql_dsum(SQL_REVENUE, "revenue", 4)},
+           {sql_dsum("l.l_quantity", "quantity")},
+           COUNT(DISTINCT o.o_custkey) AS unique_customers,
+           ROUND(CAST(SUM({SQL_REVENUE}) AS DOUBLE) / SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 4) AS avg_selling_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=["A7"],
+)
+def q_kpi_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard KPI pack: revenue, quantity, unique customers, ASP
+    (parity: README.md:196-200). countDistinct is exact here; the engine
+    also exposes approx_count_distinct for 100TB dashboards."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    rev = F.sum(REVENUE())
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            rev.cast("double").alias("revenue"),
+            qty.cast("double").alias("quantity"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.round(rev.cast("double") / qty, 4).alias("avg_selling_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows  (SURVEY §2.5)  /  Sorts & top-k (§2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_top1_latest",
+    """
+    SELECT p_brand, p_partkey AS top_partkey, p_retailprice AS top_price
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) WHERE rn = 1
+    """,
+    tags=["W1", "O2"],
+)
+def q_window_top1_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group argmax via row_number (parity: latest non-zero price
+    per product/year, 3_pricing_data_processing.py:218-236) with the
+    deterministic tie-breaker the reference lacks (SURVEY §7 risk list)."""
+    p = T(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("p_partkey").alias("top_partkey"),
+            F.col("p_retailprice").alias("top_price"),
+        )
+    )
+
+
+@register(
+    "window_topn_rank",
+    f"""
+    SELECT * FROM (
+      SELECT c_mktsegment AS segment, o_custkey,
+             {sql_dsum("o_totalprice", "customer_value")},
+             RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC,
+                                   o_custkey) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment, o_custkey
+    ) WHERE rnk <= 5
+    """,
+    tags=["W2", "O4"],
+)
+def q_window_topn_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (parity: 'Top 5 products by revenue',
+    README.md:204-208) — rank over an aggregate."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("cv"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("cv").desc(), F.col("o_custkey"))
+    return (
+        agg.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "segment",
+            "o_custkey",
+            F.col("cv").cast("double").alias("customer_value"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "window_lag_trend",
+    f"""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
+             SUM({SQL_REVENUE}) AS rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT month_start,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(LAG(rev) OVER (ORDER BY month_start) AS DOUBLE) AS prev_revenue,
+           ROUND(CAST(rev - LAG(rev) OVER (ORDER BY month_start) AS DOUBLE)
+                 / CAST(LAG(rev) OVER (ORDER BY month_start) AS DOUBLE), 6) AS mom_growth
+    FROM monthly
+    """,
+    tags=["W-lag", "O1"],
+)
+def q_window_lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly trend with lag-based growth (parity: 'monthly trend'
+    dashboard, README.md:199). Single-partition window over ~80 month rows:
+    fine at any scale because it runs AFTER aggregation."""
+    li = T(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        iso_date(F.date_trunc("month", "l_shipdate"), "month_start")
+    ).agg(F.sum(REVENUE()).alias("rev"))
+    w = Window.orderBy("month_start")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month_start",
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round((F.col("rev") - prev).cast("double") / prev.cast("double"), 6).alias(
+            "mom_growth"
+        ),
+    )
+
+
+@register(
+    "window_running_frame",
+    f"""
+    WITH monthly AS (
+      SELECT o_custkey, strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, month_start,
+           CAST(spend AS DOUBLE) AS spend,
+           CAST(SUM(spend) OVER (PARTITION BY o_custkey ORDER BY month_start
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cumulative_spend
+    FROM monthly
+    """,
+    tags=["W-frame"],
+)
+def q_window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit rowsBetween frame (engine extra beyond the reference's
+    ranking-only windows, SURVEY §2.5)."""
+    o = T(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_custkey",
+        iso_date(F.date_trunc("month", "o_orderdate"), "month_start"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("month_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "o_custkey",
+        "month_start",
+        F.col("spend").cast("double").alias("spend"),
+        F.sum("spend").over(w).cast("double").alias("cumulative_spend"),
+    )
+
+
+@register(
+    "topk_global",
+    """
+    SELECT o_orderkey, o_totalprice AS total_price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=["O4", "P14"],
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject (no
+    full sort at scale). Tie-broken for determinism."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7) — engine extras the MERGE fallback needs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_by_name",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 300000
+    UNION
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=["SET"],
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + distinct — building block of the non-Delta MERGE
+    rewrite (SURVEY §2.7)."""
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 300000).select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs",
+    r"""
+    SELECT p_partkey,
+           upper(trim(p_name)) AS name_norm,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS type_suffix,
+           concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+           regexp_replace(p_type, '(?i)anodized', 'ANODIZED') AS type_fixed
+    FROM part WHERE p_size BETWEEN 10 AND 20
+    """,
+    tags=["F-str"],
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trim/upper/regexp_replace/regexp_extract/concat_ws pack (parity:
+    SURVEY §2.8 string table; initcap is covered by pipeline unit tests
+    since DuckDB lacks it)."""
+    p = T(spark, sf_dir, "part")
+    return p.filter(F.col("p_size").between(10, 20)).select(
+        "p_partkey",
+        F.upper(F.trim(F.col("p_name"))).alias("name_norm"),
+        F.regexp_extract(F.col("p_type"), r"([A-Z]+)$", 1).alias("type_suffix"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.regexp_replace(F.col("p_type"), r"(?i)anodized", "ANODIZED").alias(
+            "type_fixed"
+        ),
+    )
+
+
+@register(
+    "sha2_surrogate_key",
+    """
+    SELECT p_partkey, sha256(p_name) AS product_code FROM part
+    """,
+    tags=["F-sha2"],
+)
+def q_sha2_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sha2-256 surrogate key (parity:
+    2_products_data_processing.py:177-182)."""
+    p = T(spark, sf_dir, "part")
+    return p.select("p_partkey", surrogate_key("p_name").alias("product_code"))
+
+
+@register(
+    "map_lookup_standardize",
+    """
+    SELECT r_regionkey,
+           CASE r_name WHEN 'AMERICA' THEN 'Americas'
+                       WHEN 'EUROPE' THEN 'EMEA'
+                       WHEN 'AFRICA' THEN 'EMEA'
+                       ELSE r_name END AS region_std
+    FROM region
+    """,
+    tags=["F-map"],
+)
+def q_map_lookup_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-map value standardization (parity: city-spelling map,
+    1_customer_data_processing.py:104-137). Oracle is the equivalent CASE."""
+    r = T(spark, sf_dir, "region")
+    std = standardize_values(
+        "r_name", {"AMERICA": "Americas", "EUROPE": "EMEA", "AFRICA": "EMEA"}
+    )
+    return r.select("r_regionkey", std.alias("region_std"))
+
+
+@register(
+    "multiformat_dates",
+    """
+    WITH formatted AS (
+      SELECT o_orderkey,
+             CASE CAST(o_orderkey % 4 AS INTEGER)
+               WHEN 0 THEN strftime(o_orderdate, '%d-%m-%Y')
+               WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+               WHEN 2 THEN strftime(o_orderdate, '%A, %B %d, %Y')
+               ELSE strftime(o_orderdate, '%Y/%m/%d')
+             END AS raw_date,
+             strftime(o_orderdate, '%Y-%m-%d') AS true_date
+      FROM orders
+    )
+    SELECT o_orderkey, raw_date,
+           strftime(CASE CAST(o_orderkey % 4 AS INTEGER)
+             WHEN 0 THEN strptime(raw_date, '%d-%m-%Y')::DATE
+             WHEN 1 THEN strptime(raw_date, '%d/%m/%Y')::DATE
+             WHEN 2 THEN strptime(regexp_replace(raw_date, '^[A-Za-z]+,\\s*', ''), '%B %d, %Y')::DATE
+             ELSE strptime(raw_date, '%Y/%m/%d')::DATE
+           END, '%Y-%m-%d') AS parsed_date,
+           true_date
+    FROM formatted
+    """,
+    tags=["F-date", "P11"],
+)
+def q_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format tolerant date parsing round-trip (parity: the 4-format
+    order-date parser incl. weekday-prefix strip, 1_full_load_fact.py:111-125).
+    Dates are formatted 4 ways keyed on o_orderkey%4, then re-parsed with
+    the engine's ordered try_to_date coalesce; parsed_date must equal
+    true_date for every row."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    raw = (
+        F.when(d.isNull(), F.lit(None))
+        .when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "dd-MM-yyyy"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format(d, "dd/MM/yyyy"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format(d, "EEEE, MMMM dd, yyyy"))
+        .otherwise(F.date_format(d, "yyyy/MM/dd"))
+    )
+    from .functions.cleaning import strip_weekday_prefix
+
+    base = o.select(
+        "o_orderkey", raw.alias("raw_date"), iso_date(d, "true_date")
+    )
+    parsed = parse_date_multi(
+        strip_weekday_prefix("raw_date"),
+        ["dd-MM-yyyy", "dd/MM/yyyy", "MMMM dd, yyyy", "yyyy/MM/dd"],
+    )
+    return base.select(
+        "o_orderkey", "raw_date", iso_date(parsed, "parsed_date"), "true_date"
+    )
+
+
+@register(
+    "month_spine_dim_date",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2025-12-01',
+                                    INTERVAL 1 MONTH))::DATE AS d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS month_start_date,
+           CAST(strftime(d, '%Y%m') AS BIGINT) AS date_key,
+           CAST(year(d) AS BIGINT) AS year,
+           monthname(d) AS month_name,
+           strftime(d, '%b') AS month_short_name,
+           'Q' || CAST(quarter(d) AS VARCHAR) AS quarter,
+           CAST(year(d) AS VARCHAR) || '-Q' ||
+             CAST(quarter(d) AS VARCHAR) AS year_quarter
+    FROM spine
+    """,
+    tags=["F-seq", "S-dimdate"],
+)
+def q_month_spine_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_date generation: sequence(interval 1 month) + explode + derived
+    columns (parity: dim_date_table_creation.py:17-46)."""
+    df = build_dim_date(spark)
+    return df.select(
+        iso_date("month_start_date", "month_start_date"),
+        F.col("date_key").cast("long").alias("date_key"),
+        F.col("year").cast("long").alias("year"),
+        "month_name",
+        "month_short_name",
+        "quarter",
+        "year_quarter",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping extras (SURVEY §2.4 note: cube/rollup for dashboard slicing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_hierarchy",
+    f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           {sql_dsum("c.c_acctbal", "total_balance")},
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=["A-rollup"],
+)
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region->nation hierarchy (engine extra per SURVEY
+    §2.4: dashboards slice market x channel x division)."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(dsum("c_acctbal", "total_balance"), F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "pivot_status_matrix",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           {sql_dsum("CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice END", "F")},
+           {sql_dsum("CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice END", "O")},
+           {sql_dsum("CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice END", "P")}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=["A-pivot"],
+)
+def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT on order status (engine extra; oracle is the equivalent
+    CASE-sum matrix)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.fn for q in QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}
