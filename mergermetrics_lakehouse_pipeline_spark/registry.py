@@ -918,6 +918,145 @@ def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MERGE / upsert semantics (SURVEY §2.3 J5-J7) and incremental recompute
+# (§2.9) — exercised through the engine's operators with SQL twins.
+# ---------------------------------------------------------------------------
+
+_MERGE_CUTOFF = "2000-01-01"
+_MERGE_CTES = f"""
+    WITH t AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_MERGE_CUTOFF}' GROUP BY 1
+    ), s AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_MERGE_CUTOFF}' GROUP BY 1
+    )
+"""
+
+
+def _merge_target_source(spark: SparkSession, sf_dir: str):
+    o = T(spark, sf_dir, "orders")
+    cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
+    mk = lambda df: df.groupBy("o_custkey").agg(dsum("o_totalprice", "spend"))  # noqa: E731
+    return (
+        mk(o.filter(F.col("o_orderdate") < cutoff)),
+        mk(o.filter(F.col("o_orderdate") >= cutoff)),
+    )
+
+
+@register(
+    "merge_upsert_all",
+    _MERGE_CTES
+    + """
+    SELECT COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+           COALESCE(s.spend, t.spend) AS spend
+    FROM t FULL JOIN s ON t.o_custkey = s.o_custkey
+    """,
+    tags=["J5"],
+)
+def q_merge_upsert_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE update-all/insert-all semantics (parity: DeltaTable.merge
+    whenMatchedUpdateAll/whenNotMatchedInsertAll,
+    1_customer_data_processing.py:311-318) via the engine's pure-DataFrame
+    rewrite."""
+    from .operators.merge import merge_dataframes
+
+    target, source = _merge_target_source(spark, sf_dir)
+    return merge_dataframes(target, source, ["o_custkey"])
+
+
+@register(
+    "merge_insert_only",
+    _MERGE_CTES
+    + """
+    SELECT t.o_custkey, t.spend FROM t
+    UNION ALL
+    SELECT s.o_custkey, s.spend FROM s
+    WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_custkey = s.o_custkey)
+    """,
+    tags=["J7"],
+)
+def q_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE insert-only (idempotent append-dedupe; parity:
+    whenNotMatchedInsertAll-only, 1_full_load_fact.py:182-186)."""
+    from .operators.merge import merge_dataframes
+
+    target, source = _merge_target_source(spark, sf_dir)
+    return merge_dataframes(target, source, ["o_custkey"], insert_only=True)
+
+
+@register(
+    "merge_upsert_mapped",
+    _MERGE_CTES
+    + """
+    SELECT COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+           COALESCE(s.spend, t.spend) AS spend,
+           CASE WHEN t.o_custkey IS NOT NULL THEN 'existing' ELSE 'new' END AS status
+    FROM t FULL JOIN s ON t.o_custkey = s.o_custkey
+    """,
+    tags=["J6"],
+)
+def q_merge_upsert_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with explicit update/insert column maps (parity:
+    whenMatchedUpdate(set)/whenNotMatchedInsert(values),
+    2_products_data_processing.py:245-263): updates touch only ``spend``,
+    inserts stamp ``status='new'`` — matched rows keep their target
+    status."""
+    from .operators.merge import merge_dataframes
+
+    target, source = _merge_target_source(spark, sf_dir)
+    target = target.withColumn("status", F.lit("existing"))
+    return merge_dataframes(
+        target,
+        source,
+        ["o_custkey"],
+        update_set={"spend": F.col("s.spend")},
+        insert_values={
+            "o_custkey": F.col("s.o_custkey"),
+            "spend": F.col("s.spend"),
+            "status": F.lit("new"),
+        },
+    )
+
+
+@register(
+    "incremental_month_recompute",
+    f"""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS month_start,
+           l_returnflag,
+           {sql_dsum("l_quantity", "sum_qty")},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE date_trunc('month', l_shipdate) IN (
+      SELECT DISTINCT date_trunc('month', l_shipdate)
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+    )
+    GROUP BY 1, 2
+    """,
+    tags=["§2.9"],
+)
+def q_incremental_month_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affected-month recompute: a late batch arrives (rows shipped from
+    2001-06-01), the engine rebuilds exactly the touched months from the
+    full daily store (parity: 2_incremental_load_fact.py:246-291)."""
+    from .operators.incremental import recompute_affected_periods
+
+    li = T(spark, sf_dir, "lineitem")
+    batch = li.filter(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"))
+    return recompute_affected_periods(
+        li,
+        batch,
+        lambda df: F.date_trunc("month", df["l_shipdate"]),
+        lambda df: df.groupBy(
+            iso_date(F.date_trunc("month", "l_shipdate"), "month_start"),
+            "l_returnflag",
+        ).agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows")),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.fn for q in QUERIES}
 

@@ -1,0 +1,80 @@
+"""Catalog / DDL helpers (SURVEY §2.1 S3-S12, S15).
+
+Thin wrappers so the pipelines read as declaratively as the reference's
+notebooks while staying portable between Delta (cluster) and parquet
+``saveAsTable`` (this container).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import delta_available
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """S15: gate create-vs-merge (parity: spark.catalog.tableExists,
+    1_full_load_fact.py:155)."""
+    return spark.catalog.tableExists(name)
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    *,
+    partition_by: list[str] | None = None,
+    merge_schema: bool = False,
+    enable_cdf: bool = True,
+) -> None:
+    """S3/S4/S5/S6: table sink.
+
+    Delta path: CDF property + mergeSchema exactly as the reference sets
+    them on every write (e.g. 1_customer_data_processing.py:50-53).
+    Parquet fallback: same API minus table properties.
+
+    ``partition_by`` is the engine's scale upgrade: the reference's gold
+    fact is unpartitioned (it hand-rolls month pruning); we partition by
+    the period column so incremental recompute prunes physically.
+    """
+    fmt = "delta" if delta_available() else "parquet"
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if merge_schema:
+        writer = writer.option("mergeSchema", "true")
+    if enable_cdf and fmt == "delta":
+        writer = writer.option("delta.enableChangeDataFeed", "true")
+    writer.saveAsTable(name)
+
+
+def create_view(spark: SparkSession, name: str, select_sql: str) -> None:
+    """S9: CREATE OR REPLACE VIEW (parity: denormalise_table_query_fmcg.txt:1)."""
+    spark.sql(f"CREATE OR REPLACE VIEW {name} AS {select_sql}")
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """S10: staging cleanup (parity: 2_incremental_load_fact.py:300-306)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def copy_into(
+    spark: SparkSession,
+    table: str,
+    source_path: str,
+    select_exprs: list[str],
+    *,
+    file_format: str = "csv",
+    header: bool = True,
+) -> None:
+    """S12: bulk SQL load (parity: COPY INTO,
+    incremental_data_parent_company_query.txt:1-11).
+
+    Delta exposes COPY INTO natively; the engine's portable equivalent is
+    read -> cast/select -> append, which preserves the idempotent-append
+    intent when callers pair it with operators.merge.insert_only.
+    """
+    reader = spark.read.option("header", header)
+    src = reader.format(file_format).load(source_path).selectExpr(*select_exprs)
+    fmt = "delta" if delta_available() else "parquet"
+    src.write.format(fmt).mode("append").saveAsTable(table)
