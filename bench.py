@@ -36,6 +36,14 @@ HEADLINE = [
     "topk_global",
     "union_by_name",
     "multiformat_dates",
+    "merge_upsert_all",
+    "incremental_month_recompute",
+    "docs_text_stats",
+    "docs_minhash_lsh_pairs",
+    "docs_exact_dedup",
+    "emb_cosine_topk",
+    "emb_neardup_pairs",
+    "media_extract_features",
 ]
 
 

@@ -1,0 +1,137 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure JVM-side Column expressions (no Python UDFs): language ID
+(stopword-hit heuristic), quality scoring, token counting, document
+fingerprinting, word shingling. Each is designed to be mirrored exactly
+in ANSI SQL so the DuckDB oracle can verify it.
+
+These extend the reference's surface (BASELINE.json north-star: text
+analysis over the ``documents`` table); there is no reference site to
+cite — semantics are the standard corpus-hygiene measures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small distinctive stopword lists per language for the heuristic
+#: language classifier. Order matters: ties resolve by this precedence.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "las", "una"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+}
+
+#: Punctuation class shared by quality metrics (kept regex-portable
+#: between Spark (Java regex) and DuckDB (RE2)).
+PUNCT_CLASS = r"[.,;:!?()\[\]{}\"'-]"
+
+#: Word-ish tokenization for the BPE-style count: word chars or a single
+#: non-space symbol — approximates subword segmentation cheaply.
+BPEISH_PATTERN = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    c = _col(col)
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpeish_token_count(col: Column | str) -> Column:
+    """Subword-ish token count: words plus individual symbols."""
+    return F.regexp_count(_col(col), F.lit(BPEISH_PATTERN))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_col(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = _col(col)
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(c, F.lit(PUNCT_CLASS)) / F.length(c)
+    )
+
+
+def stopword_hits(col: Column | str, stopwords: list[str]) -> Column:
+    """Number of tokens that are in ``stopwords`` (with repetition)."""
+    stoplist = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stoplist, t)))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Stopword tokens / all tokens (0 for empty text)."""
+    sw = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_hits(col, sw) / n)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic for corpus filtering.
+
+    mean of three signals: length band (50..5000 chars), moderate
+    punctuation (<15%), presence of common-word glue (stopword ratio in
+    10..60%). Deterministic arithmetic, mirrored 1:1 in the SQL oracle.
+    """
+    c = _col(col)
+    len_ok = ((F.length(c) >= 50) & (F.length(c) <= 5000)).cast("double")
+    punct_ok = (punct_ratio(c) < 0.15).cast("double")
+    sw = stopword_ratio(c)
+    glue_ok = ((sw >= 0.10) & (sw <= 0.60)).cast("double")
+    return F.round((len_ok + punct_ok + glue_ok) / 3.0, 4)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: CJK script check, else argmax of per-language
+    stopword hits (precedence order of LANG_STOPWORDS on ties; 'und' when
+    no list scores a hit)."""
+    c = _col(col)
+    scores = {lang: stopword_hits(c, sw) for lang, sw in LANG_STOPWORDS.items()}
+    s_en, s_es, s_de, s_fr = (scores[lang] for lang in ("en", "es", "de", "fr"))
+    return (
+        F.when(c.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when((s_en == 0) & (s_es == 0) & (s_de == 0) & (s_fr == 0), F.lit("und"))
+        .when((s_en >= s_es) & (s_en >= s_de) & (s_en >= s_fr), F.lit("en"))
+        .when((s_es >= s_de) & (s_es >= s_fr), F.lit("es"))
+        .when(s_de >= s_fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint: sha256 over the sorted distinct
+    token set — stable under word order and repetition (near-dup grouping
+    key for bag-of-words-identical documents)."""
+    return F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))), 256
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (array<string>); fewer than n words ->
+    one shingle of the whole text."""
+    toks = tokens(col)
+    k = F.size(toks)
+    joined = F.concat_ws(" ", toks)
+    return F.when(k < n, F.array(joined)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )

@@ -1,0 +1,223 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **Brute-force cosine top-k** (the correctness baseline): broadcast the
+  query vectors, JVM-side dot product via ``zip_with`` + ``aggregate``,
+  top-k per query via window rank. Exact; cost O(|queries| x |corpus|) —
+  fine when |queries| is small, which is the typical "find neighbors of
+  these N items" shape.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures via
+  a deterministic Arrow-batched pandas UDF (numpy, fixed seed), candidate
+  generation by signature-prefix bucket join, exact re-rank inside
+  buckets only. Sub-linear candidate sets at 100 TB; recall is tunable
+  with (n_planes, n_tables).
+
+Vectors are widened float->double before any arithmetic so results are
+reproducible across engines (the oracle computes in double too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two numeric arrays (double math)."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank) — excludes the
+    self-pair; deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("sim"), 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold (id_a < id_b).
+
+    Without ``bucket_col`` this is an all-pairs comparison — use only on
+    bounded corpora or pre-bucketed inputs (pass e.g. an LSH signature or
+    a label/category column to restrict comparisons within buckets, which
+    is the 100 TB-safe shape).
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("bucket"))
+    v = corpus.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if bucket_col:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH signatures via an Arrow-batched pandas UDF.
+
+    Signature = bit string of sign(v . H_j) for ``n_planes`` fixed random
+    hyperplanes (numpy default_rng(seed) — deterministic across runs and
+    executors). This is the vectorized-Python path of the engine: one
+    matmul per Arrow batch, not per row.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+    # no type hints: string-ified annotations (future import) break
+    # pandas_udf's signature inspection; returnType is explicit instead
+    @pandas_udf("string")
+    def sig(vecs):
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes) >= 0  # (batch, n_planes)
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return df.select(
+        F.col(id_col).alias("vec_id_sig"), F.col(vec_col).alias("vec")
+    ).withColumn("signature", sig(F.col("vec")))
+
+
+def ann_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 12,
+    prefix_bits: int = 4,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: OR-amplified multi-table hyperplane LSH.
+
+    A candidate is any corpus vector sharing the first ``prefix_bits`` of
+    the signature with the query in ANY of ``n_tables`` independent plane
+    sets (recall ~= 1-(1-p)^T); candidates are deduped then exactly
+    re-ranked by cosine. Candidate volume per query ~= n_tables *
+    |corpus| / 2^prefix_bits — tune both for the recall/cost point.
+    Recall < 1 by design; brute-force ``cosine_topk`` is the baseline for
+    measuring it."""
+
+    def bucketed(df: DataFrame, out_id: str, out_vec: str, table: int) -> DataFrame:
+        return hyperplane_signatures(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            n_planes=n_planes,
+            seed=seed + table,
+        ).select(
+            F.col("vec_id_sig").alias(out_id),
+            F.col("vec").alias(out_vec),
+            F.concat(
+                F.lit(f"{table}|"), F.substring("signature", 1, prefix_bits)
+            ).alias("bucket"),
+        )
+
+    candidates = None
+    for t in range(n_tables):
+        sig_c = bucketed(corpus, "neighbor_id", "c_vec", t)
+        sig_q = bucketed(queries, "query_id", "q_vec", t)
+        cand = (
+            sig_c.join(F.broadcast(sig_q.drop("q_vec")), "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "c_vec")
+        )
+        candidates = cand if candidates is None else candidates.unionByName(cand)
+
+    uniq = candidates.dropDuplicates(["query_id", "neighbor_id"])
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = uniq.join(F.broadcast(q_vecs), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("sim"), 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -1058,8 +1058,15 @@ def q_incremental_month_recompute(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {q.name: q.fn for q in QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {q.name: q.oracle for q in QUERIES if q.oracle is not None}
+
+
+def _load_extensions() -> None:
+    """Import sibling registry modules so their @register calls run."""
+    from . import registry_llm  # noqa: F401

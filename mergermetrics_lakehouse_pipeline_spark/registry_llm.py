@@ -1,0 +1,390 @@
+"""Registry entries for the LLM-training-data operators (BASELINE.json
+north-star: dedup, similarity search, text analysis, multimodal) over the
+``documents`` and ``embeddings`` testdata tables.
+
+The DuckDB oracles mirror each operator's exact arithmetic — including a
+full MinHash+LSH pipeline in SQL (hash = md5 hex string, minimum taken
+lexicographically, which equals numeric minimum over fixed-width hex and
+ports across engines). Operators whose kernels are engine-specific
+(SimHash via xxhash64, hyperplane-LSH via a pandas UDF) register without
+an oracle and are covered by property tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as tx
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .registry import T, register
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (kept in lockstep with functions/text.py)
+# ---------------------------------------------------------------------------
+
+SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+SQL_TC = f"CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({SQL_TOKS}) END"
+SQL_PUNCT_N = "len(regexp_extract_all(text, '[.,;:!?()\\[\\]{}\"''-]'))"
+SQL_BPE = "len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]'))"
+
+
+def _sql_stop_hits(words: list[str]) -> str:
+    lst = ", ".join(f"''{w}''" for w in words).replace("''", "'")
+    return f"len(list_filter({SQL_TOKS}, x -> list_contains([{lst}], x)))"
+
+
+SQL_SW_EN = _sql_stop_hits(tx.LANG_STOPWORDS["en"])
+
+#: distinct word shingles (n=3) — mirrors functions.text.word_shingles
+SQL_SHINGLES = f"""
+  CASE WHEN len({SQL_TOKS}) < 3 THEN [array_to_string({SQL_TOKS}, ' ')]
+       ELSE list_distinct(list_transform(
+              generate_series(1, len({SQL_TOKS}) - 2),
+              i -> array_to_string(({SQL_TOKS})[i:i+2], ' ')))
+  END
+"""
+
+_NUM_HASHES, _BANDS, _ROWS = 12, 4, 3
+
+
+def _sql_minhash_lsh_cte() -> str:
+    """CTEs doc -> shingles -> 12 minhashes -> 4 band keys."""
+    sig_cols = ",\n    ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}|' || x)), 'min') AS h{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5('{b}|' || {cat}) AS band_key FROM sig".format(
+            b=b,
+            cat=" || '|' || ".join(f"h{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {SQL_SHINGLES} AS s FROM documents
+    ), sig AS (
+      SELECT doc_id, {sig_cols} FROM sh
+    ), bands AS (
+{band_rows}
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_text_stats",
+    f"""
+    SELECT doc_id,
+           {SQL_TC} AS n_tokens,
+           {SQL_BPE} AS n_bpeish_tokens,
+           ROUND(CASE WHEN len(text) = 0 THEN 0.0 ELSE {SQL_PUNCT_N} / len(text) END, 6) AS punct_ratio,
+           ROUND(CASE WHEN {SQL_TC} = 0 THEN 0.0 ELSE {SQL_SW_EN} / {SQL_TC} END, 6) AS stopword_ratio,
+           ROUND((CAST(len(text) BETWEEN 50 AND 5000 AS DOUBLE)
+                + CAST((CASE WHEN len(text) = 0 THEN 0.0 ELSE {SQL_PUNCT_N} / len(text) END) < 0.15 AS DOUBLE)
+                + CAST((CASE WHEN {SQL_TC} = 0 THEN 0.0 ELSE {SQL_SW_EN} / {SQL_TC} END) BETWEEN 0.10 AND 0.60 AS DOUBLE)
+                 ) / 3.0, 4) AS quality
+    FROM documents
+    """,
+    tags=["LLM-text"],
+)
+def q_docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), punctuation ratio,
+    stopword ratio, composite quality score — corpus-hygiene statistics,
+    all JVM expressions."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.bpeish_token_count("text").alias("n_bpeish_tokens"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "docs_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_true,
+             {_sql_stop_hits(tx.LANG_STOPWORDS["en"])} AS s_en,
+             {_sql_stop_hits(tx.LANG_STOPWORDS["es"])} AS s_es,
+             {_sql_stop_hits(tx.LANG_STOPWORDS["de"])} AS s_de,
+             {_sql_stop_hits(tx.LANG_STOPWORDS["fr"])} AS s_fr,
+             regexp_matches(text, '[一-鿿]') AS has_cjk
+      FROM documents
+    )
+    SELECT doc_id, lang_true,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+    tags=["LLM-text"],
+)
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID with CJK script detection."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        tx.lang_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "docs_fingerprint",
+    f"""
+    SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct({SQL_TOKS})), ' ')) AS fp
+    FROM documents
+    """,
+    tags=["LLM-text"],
+)
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words document fingerprint: sha256 of the sorted distinct
+    token set — word-order- and repetition-invariant dedup key."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_exact_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')) AS content_key,
+           COUNT(*) AS n_members,
+           MIN(doc_id) AS canonical_id
+    FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    tags=["LLM-dedup"],
+)
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash-groupBy) dedup. The corpus is salted with re-keyed
+    copies of every 5th document so duplicate groups exist to find."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return dd.exact_duplicate_groups(d.unionByName(dup), "text", "doc_id")
+
+
+@register(
+    "docs_minhash_lsh_pairs",
+    _sql_minhash_lsh_cte()
+    + """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    tags=["LLM-dedup"],
+)
+def q_docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates: 3-word shingles -> 12
+    md5-minhashes -> 4 bands -> bucket self-join. The SQL oracle runs the
+    identical pipeline, so banding/hashing semantics are verified, not
+    just row counts."""
+    d = T(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+
+
+@register(
+    "docs_ngram_jaccard",
+    f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=["LLM-dedup"],
+)
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity on a deterministic pair set
+    (adjacent doc ids) — the confirm kernel used downstream of LSH."""
+    d = T(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a")).join(
+        d.select(F.col("doc_id").alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 1,
+    )
+    return dd.ngram_jaccard_pairs(d, pairs, "text", "doc_id", shingle_n=3)
+
+
+@register("docs_simhash_neardup", None, tags=["LLM-dedup", "rows-only"])
+def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming distance <= 6 on 32-bit keys).
+    xxhash64-based — Spark-specific, so no SQL oracle; property tests
+    cover invariance (tests/test_llm_operators.py)."""
+    d = T(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", dd.simhash32("text").alias("sh"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dd.hamming32(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a})) * "
+    "sqrt(list_inner_product({b}, {b})))"
+)
+
+
+@register(
+    "emb_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id,
+                  {_COS.format(a="q.v", b="c.v")} AS sim
+           FROM q, c WHERE q.query_id <> c.neighbor_id
+         )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    tags=["LLM-sim"],
+)
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exact-ANN
+    baseline. Query side broadcast; dot product fully JVM-side
+    (zip_with + aggregate in double)."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "emb_neardup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS.format(a="a.v", b="b.v")}, 6) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS.format(a="a.v", b="b.v")} >= 0.30
+    """,
+    tags=["LLM-dedup", "LLM-sim"],
+)
+def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by label so the
+    pair space stays bounded (the 100 TB-safe shape: compare only within
+    buckets)."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(e, threshold=0.30, bucket_col="label")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary payload + typed metadata; decode stubbed)
+# ---------------------------------------------------------------------------
+
+_SQL_MEDIA = """
+      SELECT doc_id AS media_id,
+             (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+             CAST(n_chars % 1000 + 1 AS INTEGER) AS width,
+             CAST(n_chars % 800 + 1 AS INTEGER) AS height,
+             CAST(n_chars * 10 AS BIGINT) AS duration_ms
+      FROM documents
+"""
+
+
+@register(
+    "media_resize_plan",
+    f"""
+    WITH media AS ({_SQL_MEDIA})
+    SELECT media_id, media_type, width, height,
+           CAST(ROUND(width * s) AS INTEGER) AS target_width,
+           CAST(ROUND(height * s) AS INTEGER) AS target_height
+    FROM (SELECT *, CASE WHEN greatest(width, height) <= 512 THEN 1.0
+                         ELSE 512 / CAST(greatest(width, height) AS DOUBLE)
+                    END AS s
+          FROM media)
+    """,
+    tags=["LLM-multimodal"],
+)
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan over media metadata (no pixels
+    touched — metadata-only math, prunable at scan)."""
+    from .operators.multimodal import resize_metadata, synthesize_media_from_documents
+
+    media = synthesize_media_from_documents(T(spark, sf_dir, "documents"))
+    return resize_metadata(media, max_side=512).select(
+        "media_id", "media_type", "width", "height", "target_width", "target_height"
+    )
+
+
+@register(
+    "media_frame_offsets",
+    f"""
+    WITH media AS ({_SQL_MEDIA})
+    SELECT media_id,
+           unnest(generate_series(0, duration_ms - 1, 1000)) AS frame_offset_ms
+    FROM media WHERE media_type = 'video'
+    """,
+    tags=["LLM-multimodal"],
+)
+def q_media_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video rows: sequence+explode of sample
+    timestamps (one row per frame to extract; distributed, driver-free)."""
+    from .operators.multimodal import (
+        sample_frame_offsets,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(T(spark, sf_dir, "documents"))
+    return sample_frame_offsets(media, every_ms=1000)
+
+
+@register("media_extract_features", None, tags=["LLM-multimodal", "rows-only"])
+def q_media_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode/feature-extract over binary
+    payloads (decode kernel STUBBED deterministically — no codec libs in
+    this container; the Spark plumbing is real). Rows-only check."""
+    from .operators.multimodal import extract_features, synthesize_media_from_documents
+
+    media = synthesize_media_from_documents(T(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+@register("emb_ann_topk", None, tags=["LLM-sim", "rows-only"])
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (Arrow pandas-UDF signatures +
+    bucket-restricted exact re-rank). Approximate by design — recall vs
+    the brute-force baseline is asserted in tests, not an equality
+    oracle."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.ann_cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_planes=12, prefix_bits=4
+    )

@@ -1,0 +1,93 @@
+"""Property tests for the LLM-data operators whose kernels are
+engine-specific (no SQL oracle): SimHash, hyperplane-LSH ANN — plus
+behavioral invariants for the oracle-checked dedup/similarity family."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mergermetrics_lakehouse_pipeline_spark.operators import dedup as dd
+from mergermetrics_lakehouse_pipeline_spark.operators import similarity as sim
+from mergermetrics_lakehouse_pipeline_spark.functions import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+            (4, "completely different text about spark query engines"),
+            (5, "el rapido zorro marron salta sobre el perro que duerme y la casa"),
+            (6, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_simhash_invariants(spark, docs):
+    keyed = {r.doc_id: r.sh for r in docs.select("doc_id", dd.simhash32("text").alias("sh")).collect()}
+    assert keyed[1] == keyed[2]  # identical text -> identical key
+    h_near = docs.select(
+        dd.hamming32(F.lit(keyed[1]).cast("bigint"), F.lit(keyed[3]).cast("bigint")).alias("h")
+    ).first().h
+    h_far = docs.select(
+        dd.hamming32(F.lit(keyed[1]).cast("bigint"), F.lit(keyed[4]).cast("bigint")).alias("h")
+    ).first().h
+    assert h_near < h_far  # near-dup is closer than unrelated text
+    assert 0 <= keyed[1] < 2**32
+
+
+def test_minhash_identical_docs_always_candidates(docs):
+    pairs = dd.minhash_lsh_candidates(docs.filter(F.col("doc_id") <= 4), "text", "doc_id")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs share every band
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = dd.exact_dedup(docs, "text", "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 1 in ids and 2 not in ids  # canonical (min) id survives
+
+
+def test_jaccard_bounds_and_self_similarity(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"])
+    out = {(r.id_a, r.id_b): r.jaccard for r in dd.ngram_jaccard_pairs(docs, pairs, "text", "doc_id").collect()}
+    assert out[(1, 2)] == 1.0  # identical
+    assert 0.0 < out[(1, 3)] < 1.0  # near dup strictly between
+    assert out[(1, 4)] == 0.0  # disjoint
+
+
+def test_ann_recall_against_brute_force(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(e, queries, k=5)
+    approx = sim.ann_cosine_topk(
+        e, queries, k=5, n_planes=12, prefix_bits=2, n_tables=4
+    )
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # OR-amplification over 4 tables of 2-bit buckets: measured ~0.84 on
+    # this corpus; assert well above random-candidate levels
+    assert recall >= 0.6, f"ANN recall {recall:.2f} suspiciously low"
+    assert all(r.rank <= 5 for r in approx.collect())
+
+
+def test_hyperplane_signature_deterministic(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    s1 = {r.vec_id_sig: r.signature for r in sim.hyperplane_signatures(e).collect()}
+    s2 = {r.vec_id_sig: r.signature for r in sim.hyperplane_signatures(e).collect()}
+    assert s1 == s2  # fixed seed -> stable across runs
+    assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in s1.values())
+
+
+def test_quality_score_discriminates(spark):
+    good = "the quick brown fox is running in the park and it is a fine day " * 3
+    bad = "!!! ??? ... ;;; ::: !!!"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["doc_id", "text"])
+    out = {r.doc_id: r.q for r in df.select("doc_id", tx.quality_score("text").alias("q")).collect()}
+    assert out[1] > out[2]
+    assert 0.0 <= out[2] <= out[1] <= 1.0
