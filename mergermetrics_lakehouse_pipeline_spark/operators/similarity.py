@@ -54,17 +54,25 @@ def cosine_topk(
     self-pair; deterministic tie-break on neighbor id.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
     )
+    # norms are computed once per row on each join side (the join is a
+    # plan barrier, so Catalyst can't re-inline them per pair); per-pair
+    # cost is a single dot product. dot/(q_n*c_n) is bit-identical to
+    # cosine(q_vec, c_vec).
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -97,7 +105,11 @@ def embedding_neardup_pairs(
     a label/category column to restrict comparisons within buckets, which
     is the 100 TB-safe shape).
     """
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("n"),
+    ]
     if bucket_col:
         cols.append(F.col(bucket_col).alias("bucket"))
     v = corpus.select(*cols)
@@ -105,12 +117,16 @@ def embedding_neardup_pairs(
     cond = F.col("a.id") < F.col("b.id")
     if bucket_col:
         cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    # per-side norms + single per-pair dot (see cosine_topk note);
+    # dot/(n_a*n_b) is bit-identical to cosine(a.vec, b.vec)
     return (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.n") * F.col("b.n")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -203,12 +219,14 @@ def ann_cosine_topk(
 
     uniq = candidates.dropDuplicates(["query_id", "neighbor_id"])
     q_vecs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
     )
     scored = uniq.join(F.broadcast(q_vecs), "query_id").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * norm(F.col("c_vec")))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
