@@ -44,6 +44,8 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_neardup_pairs",
     "media_extract_features",
+    "events_tumbling_window",
+    "events_sessionization",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Event-stream operators: windowed aggregation, sessionization, JSON
+property extraction.
+
+The reference has no streaming surface (SURVEY §2.9 — its "incremental"
+load is batch-over-new-files), but a complete engine needs event-time
+analytics: these are pure DataFrame→DataFrame transformations, shared
+verbatim between the batch registry queries (DuckDB-oracle-checked) and
+the Structured Streaming jobs in ``streaming/`` (stream-batch parity is
+asserted in tests/test_streaming.py).
+
+Scale notes: tumbling/hopping aggregation is one shuffle with map-side
+partial aggregation; hopping multiplies rows by windows-per-event
+*before* the partial agg, which is the standard cost. Sessionization is
+one shuffle on user_id (the session assignment is two window functions
+over the same partitioning — Spark evaluates them in a single sort) and
+holds only per-user history, so it scales with the largest single user,
+not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: event-time column expected by every operator here
+TS = "ts"
+
+
+def _win_start(alias: str = "window_start") -> F.Column:
+    return F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(alias)
+
+
+def tumbling_counts(df: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Per (tumbling window, event_type): event count and exact-decimal
+    value sum. Epoch-aligned windows (Spark ``F.window`` default), so the
+    window start equals ``date_trunc`` in any engine."""
+    return (
+        df.groupBy(F.window(TS, window), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(_win_start(), "event_type", "n_events", "total_value")
+    )
+
+
+def hopping_counts(
+    df: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Per (hopping window, event_type) counts — each event contributes to
+    window/slide overlapping windows."""
+    return (
+        df.groupBy(F.window(TS, window, slide), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(_win_start(), "event_type", "n_events")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when a user is idle for
+    more than ``gap_minutes``.
+
+    Classic two-pass window formulation (lag -> boundary flag -> running
+    sum = session number), then one aggregation per (user, session).
+    Deterministic ordering: (ts, event_id) breaks same-timestamp ties.
+    """
+    order = [F.col(TS), F.col(id_col)]
+    by_user = Window.partitionBy(user_col).orderBy(*order)
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros(F.col(TS))).over(by_user)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col(TS)) - prev_us > gap_us), 1
+    ).otherwise(0)
+    sess = df.withColumn(
+        "session_no",
+        F.sum(is_new).over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(user_col, "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min(TS), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (
+            (F.max(F.unix_micros(F.col(TS))) - F.min(F.unix_micros(F.col(TS))))
+            / F.lit(1_000_000.0)
+        ).alias("duration_s"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+def extract_props(df: DataFrame, key: str = "k") -> DataFrame:
+    """Typed extraction from the JSON ``props`` payload (scalar path
+    lookup stays JVM-side via ``get_json_object``)."""
+    return df.withColumn(
+        f"prop_{key}",
+        F.get_json_object(F.col("props"), f"$.{key}").cast("int"),
+    )
+
+
+def props_rollup(df: DataFrame, key: str = "k") -> DataFrame:
+    """Aggregate the extracted JSON property per event_type."""
+    return (
+        extract_props(df, key)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(f"prop_{key}").alias(f"sum_{key}"),
+            F.min(f"prop_{key}").alias(f"min_{key}"),
+            F.max(f"prop_{key}").alias(f"max_{key}"),
+        )
+    )

@@ -198,12 +198,16 @@ def _merge_table(
         insert_values=insert_values,
         insert_only=insert_only_flag,
     )
-    # Non-Delta overwrite-in-place: materialize before truncating the source
-    # table we are reading from (same technique the reference uses for its
-    # staging tables, 2_incremental_load_fact.py:82-86).
-    merged.cache()
-    merged.count()
-    merged.write.mode("overwrite").format("parquet").saveAsTable(f"{table_name}__merge_tmp")
-    merged.unpersist()
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    spark.sql(f"ALTER TABLE {table_name}__merge_tmp RENAME TO {table_name}")
+    # Non-Delta overwrite-in-place: materialize the merge result to a
+    # staging table *on disk*, then overwrite the target from that fresh
+    # scan (same staging technique as the reference,
+    # 2_incremental_load_fact.py:82-86). Unlike cache()+overwrite, the
+    # target truncation can never trigger a recompute that reads the
+    # truncated target; unlike DROP+RENAME, no window where the table
+    # location exists without catalog metadata.
+    tmp = f"{table_name}__merge_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    merged.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.table(tmp).write.mode("overwrite").format("parquet").saveAsTable(table_name)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.catalog.refreshTable(table_name)

@@ -48,7 +48,9 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = T(spark, sf_dir, "events")
     if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: `/` is double math, which is not exact above
+        # 2^53 — epoch-nanos is ~1.7e18, so float division drifts by ±1us
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return e
 
 
@@ -1069,4 +1071,4 @@ def oracle_sql() -> dict[str, str]:
 
 def _load_extensions() -> None:
     """Import sibling registry modules so their @register calls run."""
-    from . import registry_llm  # noqa: F401
+    from . import registry_events, registry_llm  # noqa: F401

@@ -1,0 +1,105 @@
+"""Registry entries for event-time analytics over the ``events`` table:
+tumbling/hopping windows, gap sessionization, JSON property extraction.
+
+These are the batch twins of the Structured Streaming jobs in
+``streaming/jobs.py`` — both call the same ``operators/events.py``
+transformations, so the DuckDB oracle checks here also pin the streaming
+semantics (stream-batch parity is asserted in tests/test_streaming.py).
+
+Oracle notes: Spark ``F.window`` windows are epoch-aligned, so tumbling
+starts equal ``time_bucket`` in DuckDB; a 1h/30min hopping window
+assigns each event to exactly the buckets ``b`` and ``b - 30min`` where
+``b = time_bucket(30min, ts)``, expressed as a 2-offset cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import events as ev
+from .registry import events_table, register
+
+_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_tumbling_window",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=["events", "window-agg", "streaming-twin"],
+)
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time aggregation (the batch twin of
+    streaming_tumbling_counts)."""
+    return ev.tumbling_counts(events_table(spark, sf_dir), "1 hour")
+
+
+@register(
+    "events_hopping_window",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                      - off.n * INTERVAL '30 minutes', '{_TS_FMT}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS n) off
+    GROUP BY 1, 2
+    """,
+    tags=["events", "window-agg"],
+)
+def q_events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1h window sliding every 30min — each event lands in two
+    windows."""
+    return ev.hopping_counts(events_table(spark, sf_dir), "1 hour", "30 minutes")
+
+
+@register(
+    "events_sessionization",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '{_TS_FMT}') AS session_start,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY 1, 2
+    """,
+    tags=["events", "sessionization"],
+)
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (idle > 30 min starts a new session) — the
+    lag/cumsum two-window formulation."""
+    return ev.sessionize(events_table(spark, sf_dir), gap_minutes=30)
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY 1
+    """,
+    tags=["events", "json"],
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON payload extraction (get_json_object) + per-type rollup."""
+    return ev.props_rollup(events_table(spark, sf_dir), "k")

@@ -1,0 +1,10 @@
+"""Structured Streaming layer (file-source streams, watermarked windows,
+foreachBatch MERGE) — see jobs.py."""
+
+from .jobs import (  # noqa: F401
+    EVENTS_RAW_SCHEMA,
+    foreach_batch_upsert,
+    read_events_stream,
+    run_available_now,
+    streaming_tumbling_counts,
+)

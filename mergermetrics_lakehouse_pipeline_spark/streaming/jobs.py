@@ -1,0 +1,124 @@
+"""Structured Streaming jobs.
+
+The reference's "incremental" path is batch-over-new-files with manual
+staging + affected-month recompute (SURVEY §2.9,
+``2_incremental_load_fact.py:51-306``). This module provides the
+idiomatic streaming upgrade the survey recommends: a file-source stream
+with ``Trigger.AvailableNow`` semantics (process everything that has
+landed, then stop — deterministic like the batch job, restartable via
+checkpoint), event-time windowed aggregation with a watermark, and a
+``foreachBatch`` upsert that reuses the batch merge operator, so the
+exactly-once table maintenance logic is written once.
+
+Every aggregation here delegates to ``operators/events.py`` — the same
+code path the DuckDB-oracle-checked batch queries run. Tests assert
+stream-batch parity on the driver testdata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import events as ev
+from ..operators.merge import upsert_all
+
+#: events.parquet physical schema under spark.sql.legacy.parquet.nanosAsLong
+#: (the file stores TIMESTAMP(NANOS); see registry.events_table)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over events parquet (nanos ts -> timestamp).
+
+    ``maxFilesPerTrigger`` bounds per-microbatch work — on a real landing
+    zone that is the backpressure knob; tests use it to force multiple
+    micro-batches from a single directory.
+    """
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+    # `div`, not `/`: double division is inexact for epoch-nanos magnitudes
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — late events beyond the
+    watermark are dropped; state for closed windows is evicted (the knob
+    that keeps state bounded on an unbounded stream)."""
+    return ev.tumbling_counts(stream.withWatermark(ev.TS, watermark), window)
+
+
+def run_available_now(
+    result: DataFrame,
+    *,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into an
+    in-memory sink and return the materialized result table."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = result.sparkSession
+    return spark.table(query_name)
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    *,
+    target_table: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    timeout_s: int = 120,
+) -> None:
+    """Stream -> (optional per-batch transform) -> MERGE into a table.
+
+    The streaming twin of the reference's staging-table MERGE
+    (``2_incremental_load_fact.py:218-225``): each micro-batch is upserted
+    on ``keys`` via the batch merge operator, so re-delivered rows update
+    in place and the sink stays idempotent under replays (checkpoint +
+    deterministic MERGE = effectively exactly-once table maintenance).
+    """
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+        upsert_all(target_table, batch, keys)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    # micro-batches run in a cloned session; drop the caller session's
+    # stale file-listing cache for the rewritten table
+    stream.sparkSession.catalog.refreshTable(target_table)

@@ -14,8 +14,12 @@ SF001 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("pytest", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    # ephemeral warehouse: a crashed run must not leave managed-table
+    # directories behind for the next session's in-memory catalog to trip
+    # over (LOCATION_ALREADY_EXISTS on saveAsTable)
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark("pytest", shuffle_partitions=8, warehouse_dir=str(wh))
     yield s
 
 

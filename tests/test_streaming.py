@@ -1,0 +1,91 @@
+"""Structured Streaming: stream-batch parity and foreachBatch MERGE.
+
+The streaming jobs reuse the batch transformations in operators/events.py
+(which are DuckDB-oracle-checked via the registry), so these tests only
+need to prove the *streaming* machinery: file-source micro-batching,
+watermarked windowed state, AvailableNow termination, and idempotent
+foreachBatch upserts."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mergermetrics_lakehouse_pipeline_spark.operators import events as ev
+from mergermetrics_lakehouse_pipeline_spark.registry import events_table
+from mergermetrics_lakehouse_pipeline_spark.streaming import (
+    foreach_batch_upsert,
+    read_events_stream,
+    run_available_now,
+    streaming_tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """File streams need a *directory* source: re-land the events table as
+    4 parquet files (raw long-nanos ts, like the source file)."""
+    d = tmp_path_factory.mktemp("events_landing")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    return str(d)
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_stream_batch_parity_tumbling(spark, tmp_path, events_dir):
+    """AvailableNow streaming aggregation == batch aggregation on the
+    same files (complete mode, so the watermark drops nothing)."""
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    result = run_available_now(
+        streaming_tumbling_counts(stream, window="1 hour", watermark="2 hours"),
+        query_name="t_stream_parity",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = ev.tumbling_counts(events_table(spark, SF_DIR), "1 hour")
+    assert _rows(result, "window_start", "event_type") == _rows(
+        batch, "window_start", "event_type"
+    )
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path, events_dir):
+    """Micro-batched foreachBatch MERGE lands every event exactly once;
+    replaying the same stream from a fresh checkpoint changes nothing."""
+    spark.sql("DROP TABLE IF EXISTS t_stream_sink")
+    events = events_table(spark, SF_DIR)
+    seed = events.filter(F.col("event_id") < 0)  # empty, right schema
+    seed.write.mode("overwrite").format("parquet").saveAsTable("t_stream_sink")
+
+    def run(ckpt: pathlib.Path):
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        foreach_batch_upsert(
+            stream,
+            target_table="t_stream_sink",
+            keys=["event_id"],
+            checkpoint_dir=str(ckpt),
+        )
+
+    run(tmp_path / "c1")
+    n_expected = events.count()
+    assert spark.table("t_stream_sink").count() == n_expected
+    # replay the whole stream: MERGE keys make it a no-op
+    run(tmp_path / "c2")
+    sink = spark.table("t_stream_sink")
+    assert sink.count() == n_expected
+    assert sink.select(F.count_distinct("event_id")).first()[0] == n_expected
+
+
+def test_watermark_present_in_plan(spark, tmp_path, events_dir):
+    """The windowed aggregation carries an event-time watermark (bounded
+    state on unbounded input)."""
+    stream = read_events_stream(spark, events_dir)
+    agg = streaming_tumbling_counts(stream, watermark="2 hours")
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
