@@ -896,6 +896,87 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_segment_priority",
+    f"""
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o.o_totalprice", "total_price")}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+    """,
+    tags=["A-cube"],
+)
+def q_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over segment x priority (engine extra per SURVEY §2.4 —
+    dashboards slice market x channel x division in one pass)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@register(
+    "grouping_sets_mix",
+    f"""
+    SELECT r.r_name AS region_name, c.c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           {sql_dsum("c.c_acctbal", "total_balance")}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
+    """,
+    tags=["A-groupingsets", "S11"],
+)
+def q_grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface + temp views (S11): two
+    independent one-dimensional slices plus the grand total in one
+    aggregation pass."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    T(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    T(spark, sf_dir, "region").createOrReplaceTempView("gs_region")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name, c.c_mktsegment AS segment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        FROM gs_customer c
+        JOIN gs_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN gs_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
+        """
+    )
+
+
+@register(
+    "set_intersect_except",
+    """
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+    UNION ALL
+    SELECT o_custkey, 'f_only' AS bucket FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+    """,
+    tags=["SET"],
+)
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (SURVEY §2.7 engine extras) —
+    customers with both finished and open orders vs finished-only."""
+    o = T(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f.intersect(op).withColumn("bucket", F.lit("both"))
+    f_only = f.exceptAll(op).withColumn("bucket", F.lit("f_only"))
+    return both.unionByName(f_only)
+
+
+@register(
     "pivot_status_matrix",
     f"""
     SELECT c.c_mktsegment AS segment,
