@@ -1,0 +1,98 @@
+"""As-of (temporal) join: for each left row, the most recent right row
+at or before the left row's event time, per key.
+
+Spark has no built-in as-of join, and the naive formulation —
+``left JOIN right ON key AND r_ts <= l_ts`` then argmax — is a range
+join whose intermediate blows up as |left| x |matching right rows|.
+This operator uses the union-and-window formulation instead, the shape
+that survives 100 TB:
+
+1. tag both sides and union them on (key, ts),
+2. one window sorted by (ts, side-tag) per key carries the latest right
+   row forward onto every left row (``last_value(..., ignoreNulls)``),
+3. filter back to left rows.
+
+Cost: ONE shuffle on the key (the window partition), state = one right
+row per key held in the running frame — no quadratic intermediate, no
+range-join planning. Skewed keys degrade to a sort within the hot
+partition, not a cross product.
+
+Tolerance semantics: ``allowed_lateness`` optionally drops matches older
+than a horizon (NULL match instead), like pandas ``merge_asof``'s
+``tolerance``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, enriched with ``right_cols``
+    from the latest ``right`` row with ``right_ts <= left_ts`` (ties:
+    right row at exactly left_ts wins), NULLs when no prior right row.
+
+    ``on`` is the equi-key; ``right_cols`` are carried from the matched
+    right row. With ``tolerance_seconds``, matches older than the horizon
+    return NULLs instead.
+    """
+    if set(right_cols) & set(left.columns):
+        raise ValueError("right_cols must not collide with left column names")
+    l_types, r_types = dict(left.dtypes), dict(right.dtypes)
+    l_rest = [c for c in left.columns if c != on]
+    lhs_full = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(r_types[c]).alias(c) for c in right_cols],
+        *[F.col(c) for c in l_rest],
+    )
+    rhs_full = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in right_cols],
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in l_rest],
+    )
+    unioned = lhs_full.unionByName(rhs_full)
+
+    # right rows (side=0) sort before left rows (side=1) at equal ts, so a
+    # right row stamped exactly at left_ts is visible to that left row
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+        .over(w)
+        .alias(f"__m_{c}")
+        for c in right_cols
+    ]
+    match_ts = (
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__m_ts")
+    )
+    result = unioned.select("*", *carried, match_ts).filter(F.col("__side") == 1)
+
+    in_tolerance = F.lit(True)
+    if tolerance_seconds is not None:
+        in_tolerance = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m_ts"))
+        ) <= tolerance_seconds * 1_000_000
+
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.when(in_tolerance, F.col(f"__m_{c}")).alias(c) for c in right_cols
+    ]
+    return result.select(*out_cols)

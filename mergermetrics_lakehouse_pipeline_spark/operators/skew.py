@@ -1,0 +1,69 @@
+"""Skew mitigation: salted joins.
+
+When one join key carries a disproportionate share of rows (hot
+customers, null-ish sentinel keys), a shuffle join sends the whole hot
+key to one reducer. AQE's skew-join splitting
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.py) handles the
+sort-merge case at runtime; explicit salting is the plan-level tool for
+when AQE can't help — shuffle-hash joins, aggregation-free pipelines, or
+when the skewed side must stay partitioned for a later stage.
+
+Mechanics: the big (skewed) side gets a uniform random salt in
+``[0, salt)``; the other side is replicated ``salt`` times; the join key
+becomes ``(key, salt)``, spreading each hot key over ``salt`` reducers.
+Replication multiplies the small side's shuffle volume by ``salt`` —
+pick the smallest salt that flattens the hot partitions (the result is
+identical for any salt, so correctness never depends on the knob; the
+DuckDB oracle for the registry query is the *plain* join).
+
+Salting a plain groupBy-SUM is deliberately NOT provided: hash
+aggregation already combines map-side, so each reducer receives at most
+one partial row per key per mapper — salting buys nothing there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    *,
+    salt: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the skewed side salted and ``other`` replicated.
+
+    Supported ``how``: inner, left (the skewed side is the left/probe
+    side). Output columns = skewed's then other's non-key columns, like a
+    plain ``skewed.join(other, on, how)``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted = skewed.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+    replicated = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out_cols = [F.col(c) for c in skewed.columns] + [
+        F.col(c) for c in other.columns if c not in keys
+    ]
+    return salted.join(replicated, keys + ["__salt"], how).select(*out_cols)
+
+
+def top_frequency_keys(df: DataFrame, key: Column | str, n: int = 10) -> DataFrame:
+    """Diagnostic: the ``n`` heaviest keys and their row share — the input
+    to deciding whether a join needs salting at all."""
+    c = F.col(key) if isinstance(key, str) else key
+    total = df.count()
+    return (
+        df.groupBy(c.alias("key"))
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(float(total)), 6))
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(n)
+    )

@@ -1140,6 +1140,82 @@ def q_incremental_month_recompute(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "asof_join_latest_order",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events),
+         r AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+                      strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS last_order_date,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS last_order_value
+               FROM orders GROUP BY 1, 2, 3)
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           r.last_order_date, r.last_order_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ots
+    """,
+    tags=["asof-join", "custom-operator"],
+)
+def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union+window formulation, operators/asof.py): each
+    event enriched with the customer's latest order at or before the
+    event. Right side pre-reduced to unique (key, ts) so the match is
+    deterministic; oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    ev = events_table(spark, sf_dir).select("event_id", "user_id", "ts")
+    o = T(spark, sf_dir, "orders")
+    r = (
+        o.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+            iso_date("o_orderdate", "last_order_date"),
+        )
+        .agg(dsum("o_totalprice", "last_order_value"))
+    )
+    joined = asof_join(
+        ev,
+        r,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ots",
+        right_cols=["last_order_date", "last_order_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "last_order_date",
+        "last_order_value",
+    )
+
+
+@register(
+    "skew_salted_join",
+    f"""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lines,
+           {sql_dsum("l.l_quantity", "sum_qty")}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=["skew", "custom-operator"],
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): the skewed probe side gets a
+    random salt, the build side is replicated — same result as the plain
+    join for any salt, which is exactly what the oracle checks."""
+    from .operators.skew import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, on="o_orderkey", how="inner", salt=8)
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_lines"), dsum("l_quantity", "sum_qty")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
     return {q.name: q.fn for q in QUERIES}
