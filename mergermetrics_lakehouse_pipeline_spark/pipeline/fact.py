@@ -104,6 +104,62 @@ def monthly_rollup(daily: DataFrame) -> DataFrame:
     )
 
 
+def incremental_fact_cycle_partitioned(
+    spark,
+    *,
+    daily_table: str,
+    monthly_table: str,
+    batch_clean_daily: DataFrame,
+) -> list:
+    """One incremental cycle against MONTH-PARTITIONED stored tables —
+    the physical counterpart of ``incremental_fact_load``.
+
+    Both tables must be partitioned by ``month_start`` (daily) / ``date``
+    (monthly), e.g. via ``sources.catalog.write_table(partition_by=...)``.
+    The cycle's read AND write cost is proportional to the months the
+    batch touches, never to table size:
+
+    1. collect the batch's distinct months (tiny, driver-side literal),
+    2. read ONLY those partitions of the daily fact (static partition
+       pruning — `.isin(months)` on the partition column reaches the scan
+       as a PartitionFilter),
+    3. insert-only MERGE the batch in, stage the result, dynamically
+       overwrite just those daily partitions,
+    4. re-aggregate those months from the post-write daily table and
+       dynamically overwrite the matching monthly partitions.
+
+    Returns the affected month list (for observability/tests).
+    """
+    from ..sources.catalog import drop_table, overwrite_partitions
+
+    batch = batch_clean_daily.withColumn("month_start", F.trunc("date", "MM"))
+    months = [r[0] for r in batch.select("month_start").distinct().collect()]
+
+    daily_cols = spark.table(daily_table).columns
+    affected_daily = spark.table(daily_table).filter(
+        F.col("month_start").isin(months)
+    )
+    merged_daily = merge_dataframes(
+        affected_daily, batch.select(*daily_cols), DAILY_KEYS, insert_only=True
+    ).select(*daily_cols)
+
+    # stage before overwriting partitions we just read (no read-own-truncation)
+    staging = f"{daily_table}__incr_staging"
+    drop_table(spark, staging)
+    merged_daily.write.format("parquet").saveAsTable(staging)
+    overwrite_partitions(spark.table(staging).select(*daily_cols), daily_table)
+    drop_table(spark, staging)
+    spark.catalog.refreshTable(daily_table)
+
+    monthly_cols = spark.table(monthly_table).columns
+    recomputed = monthly_rollup(
+        spark.table(daily_table).filter(F.col("month_start").isin(months))
+    )
+    overwrite_partitions(recomputed.select(*monthly_cols), monthly_table)
+    spark.catalog.refreshTable(monthly_table)
+    return months
+
+
 def incremental_fact_load(
     daily_store: DataFrame,
     monthly_store: DataFrame,

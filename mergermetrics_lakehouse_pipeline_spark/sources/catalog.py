@@ -48,6 +48,29 @@ def write_table(
     writer.saveAsTable(name)
 
 
+def overwrite_partitions(df: DataFrame, name: str) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving every other partition's files untouched.
+
+    This is the physical half of the affected-month recompute (SURVEY §4
+    partition-pruning row): the reference rewrites whole tables / MERGEs
+    across the full fact; a partitioned table + dynamic overwrite bounds
+    the write to the months in the batch. Delta's equivalent is
+    ``replaceWhere``; for parquet tables Spark's dynamic
+    partitionOverwriteMode does the same partition-scoped commit.
+
+    ``df``'s column order must match the table schema (``insertInto`` is
+    positional, partition columns last).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").insertInto(name)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def create_view(spark: SparkSession, name: str, select_sql: str) -> None:
     """S9: CREATE OR REPLACE VIEW (parity: denormalise_table_query_fmcg.txt:1)."""
     spark.sql(f"CREATE OR REPLACE VIEW {name} AS {select_sql}")
