@@ -167,6 +167,113 @@ def hyperplane_signatures(
     ).withColumn("signature", sig(F.col("vec")))
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids,  # numpy (k, dim), unit-normalized rows
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its ``nprobe``
+    nearest centroids (by cosine) via one Arrow-batched matmul per batch.
+
+    Output: (vec_id, vec, centroid_id) — one row per (vector, probed
+    cell). The centroid matrix is tiny (k x dim) and ships inside the UDF
+    closure, i.e. a broadcast."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def cells(vecs):
+        m = np.vstack(vecs.to_numpy()).astype("float64")
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ C.T  # (batch, k)
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .withColumn("centroid_id", F.explode(cells(F.col("vec"))))
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse centroids: the k lowest-id corpus vectors
+    (stable across runs/partitionings — a seeded k-means refinement can
+    replace this without changing the search path)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    return np.array([r.v for r in rows], dtype="float64")
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed into ``n_cells`` inverted
+    lists (each vector in exactly one cell); each query probes its
+    ``nprobe`` nearest cells and exact-reranks only those candidates.
+
+    Candidate volume per query ~= |corpus| * nprobe / n_cells. Recall is
+    tuned by nprobe (= n_cells -> exact); measured against brute-force
+    ``cosine_topk`` in tests."""
+    cents = deterministic_centroids(corpus, k=n_cells, id_col=id_col, vec_col=vec_col)
+    c_assign = ivf_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        "centroid_id",
+    )
+    q_assign = ivf_assign(
+        queries, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "centroid_id")
+
+    cand = (
+        c_assign.join(F.broadcast(q_assign), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (norm(F.col("q_vec")) * norm(F.col("c_vec")))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("sim"), 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
 def ann_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -388,3 +388,28 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_cosine_topk(
         e, e.filter(F.col("vec_id") < 10), k=5, n_planes=12, prefix_bits=4
     )
+
+
+@register("emb_ivf_topk", None, tags=["LLM-sim", "rows-only"])
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic coarse centroids, one-cell
+    inverted lists, nprobe-cell search + exact re-rank. Approximate by
+    design — recall vs brute force is asserted in tests."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.ivf_cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
+    )
+
+
+@register("kpi_approx_sketches", None, tags=["A7", "rows-only", "sketch"])
+def q_kpi_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based dashboard KPIs (the 100 TB shape of A7's
+    count-distinct): HyperLogLog++ distinct orders/parts and t-digest
+    price quantiles per return flag. Approximate by design (rows-only);
+    the exact twins live in kpi_dashboard."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q50_q95"),
+    )

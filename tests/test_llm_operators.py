@@ -91,3 +91,28 @@ def test_quality_score_discriminates(spark):
     out = {r.doc_id: r.q for r in df.select("doc_id", tx.quality_score("text").alias("q")).collect()}
     assert out[1] > out[2]
     assert 0.0 <= out[2] <= out[1] <= 1.0
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4/16 cells recovers most brute-force neighbors;
+    nprobe=n_cells is exact."""
+    from mergermetrics_lakehouse_pipeline_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_cosine_topk(e, q, k=5, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_cosine_topk(e, q, k=5, n_cells=16, nprobe=16).collect()
+    }
+    assert full == exact
