@@ -1141,6 +1141,33 @@ def q_incremental_month_recompute(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "qualified_select_null_probe",
+    """
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+    WHERE s.s_name IS NULL
+    ORDER BY e.event_id
+    LIMIT 100
+    """,
+    tags=["P2", "P8", "O3"],
+)
+def q_qualified_select_null_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qualified star-select after a join (P2: ``select(df["*"], ...)``),
+    isNull inspection filter (P8), deterministic limit (O3): events whose
+    user id has no supplier row (non-empty at every SF)."""
+    e = events_table(spark, sf_dir)
+    s = T(spark, sf_dir, "supplier")
+    joined = e.join(F.broadcast(s), e.user_id == s.s_suppkey, "left")
+    return (
+        joined.select(e["*"], s["s_name"])
+        .filter(F.col("s_name").isNull())
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+@register(
     "asof_join_latest_order",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events),

@@ -1,0 +1,79 @@
+"""Catalog/DDL surface (SURVEY §2.1 S3-S12, S15): write modes, existence
+gate, views, COPY INTO equivalent, medallion bootstrap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mergermetrics_lakehouse_pipeline_spark.session import (
+    BRONZE,
+    GOLD,
+    SILVER,
+    ensure_medallion_schemas,
+)
+from mergermetrics_lakehouse_pipeline_spark.sources.catalog import (
+    copy_into,
+    create_view,
+    drop_table,
+    table_exists,
+    write_table,
+)
+
+
+def test_medallion_schemas(spark):
+    ensure_medallion_schemas(spark)
+    dbs = {r.namespace for r in spark.sql("SHOW DATABASES").collect()}
+    assert {BRONZE, SILVER, GOLD} <= dbs
+
+
+def test_write_modes_and_existence_gate(spark):
+    drop_table(spark, "t_ddl_x")
+    assert not table_exists(spark, "t_ddl_x")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    write_table(df, "t_ddl_x")  # S3 overwrite
+    assert table_exists(spark, "t_ddl_x")  # S15 gate
+    write_table(df, "t_ddl_x", mode="append")  # S4 append accumulates
+    assert spark.table("t_ddl_x").count() == 10
+    write_table(df, "t_ddl_x")  # overwrite resets
+    assert spark.table("t_ddl_x").count() == 5
+    # S5 schema evolution on append (mergeSchema no-ops on parquet, but the
+    # widened frame must land)
+    widened = df.withColumn("extra", F.lit("x"))
+    write_table(widened, "t_ddl_x", mode="overwrite", merge_schema=True)
+    assert "extra" in spark.table("t_ddl_x").columns
+    drop_table(spark, "t_ddl_x")  # S10
+    assert not table_exists(spark, "t_ddl_x")
+
+
+def test_create_view_over_table(spark):
+    write_table(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"), "t_ddl_base"
+    )
+    create_view(spark, "v_ddl", "SELECT k, v * 2 AS v2 FROM t_ddl_base")  # S9
+    got = {r.k: r.v2 for r in spark.table("v_ddl").collect()}
+    assert got == {1: 20.0, 2: 40.0}
+    # CREATE OR REPLACE redefines in place
+    create_view(spark, "v_ddl", "SELECT k FROM t_ddl_base WHERE k = 1")
+    assert spark.table("v_ddl").columns == ["k"]
+    spark.sql("DROP VIEW v_ddl")
+    drop_table(spark, "t_ddl_base")
+
+
+def test_copy_into_equivalent(spark, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.csv").write_text("date,qty\n2025-01-01,3\n2025-01-02,4\n")
+    drop_table(spark, "t_ddl_copy")
+    write_table(
+        spark.createDataFrame([], "date date, qty bigint"), "t_ddl_copy"
+    )
+    copy_into(  # S12: read -> cast/select -> append
+        spark,
+        "t_ddl_copy",
+        str(src),
+        ["CAST(date AS DATE) AS date", "CAST(qty AS BIGINT) AS qty"],
+    )
+    out = spark.table("t_ddl_copy")
+    assert out.count() == 2
+    assert dict(out.dtypes) == {"date": "date", "qty": "bigint"}
+    drop_table(spark, "t_ddl_copy")
