@@ -1,0 +1,81 @@
+"""Physical-plan invariants: the scale properties the engine promises
+(pushdown, broadcast dims, bounded shuffles, codegen) asserted against
+the executed plans, so a regression that silently de-optimizes a query
+fails CI rather than just running slower."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mergermetrics_lakehouse_pipeline_spark import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    registry._load_extensions()
+    q = next(x for x in registry.QUERIES if x.name == name)
+    df = q.fn(spark, sf_dir)
+    df.collect()  # finalize AQE so the plan is the one that actually ran
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE renders "== Final Plan ==" then "== Initial Plan ==": keep the final
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_scan_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_project_filter")
+    assert "PushedFilters: [" in plan
+    # quantity/date predicates reach the parquet reader, not just a Filter
+    pushed = plan.split("PushedFilters:")[1][:200]
+    assert "l_quantity" in pushed and "l_shipdate" in pushed
+    # column pruning: only the 4 needed columns are read
+    read_schema = plan.split("ReadSchema:")[1][:300]
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "star_join_denorm")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    # exactly one shuffle: the final aggregation
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semi_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_semi_months")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_rollup_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fact_monthly_rollup")
+    # map-side combine before the one exchange
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_whole_stage_codegen_everywhere_hot(spark, sf_dir):
+    # codegen stages render as "*(n)" in the executed-plan string
+    for name in ("star_join_denorm", "fact_monthly_rollup", "scan_project_filter"):
+        plan = _plan(spark, sf_dir, name)
+        assert "*(" in plan, name
+
+
+def test_minhash_no_self_join(spark, sf_dir):
+    """The LSH pipeline must stay aggregation-shaped: no join operator,
+    exactly the signature + bucket + distinct shuffles."""
+    plan = _plan(spark, sf_dir, "docs_minhash_lsh_pairs")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_partitioned_table_prunes(spark, tmp_path):
+    df = (
+        spark.range(100)
+        .withColumn("m", (F.col("id") % 4).cast("int"))
+        .withColumn("v", F.col("id") * 2)
+    )
+    df.write.partitionBy("m").mode("overwrite").parquet(str(tmp_path / "t"))
+    scan = spark.read.parquet(str(tmp_path / "t")).filter(F.col("m") == 2)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "(m" in plan.split("PartitionFilters:")[1][:120]
