@@ -79,3 +79,29 @@ def test_partitioned_table_prunes(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "(m" in plan.split("PartitionFilters:")[1][:120]
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Pre-bucketed tables co-locate the join: with broadcast disabled,
+    the bucket-aligned SortMergeJoin needs NO Exchange on either side —
+    the write-time shuffle is amortized across every later join."""
+    spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+    a = spark.range(10_000).withColumn("va", F.col("id") * 2)
+    b = spark.range(10_000).withColumn("vb", F.col("id") * 3)
+    a.write.bucketBy(8, "id").sortBy("id").saveAsTable("t_bkt_a")
+    b.write.bucketBy(8, "id").sortBy("id").saveAsTable("t_bkt_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "id")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
