@@ -46,6 +46,9 @@ HEADLINE = [
     "media_extract_features",
     "events_tumbling_window",
     "events_sessionization",
+    "asof_join_latest_order",
+    "skew_salted_join",
+    "cube_segment_priority",
 ]
 
 
