@@ -413,3 +413,58 @@ def q_kpi_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q50_q95"),
     )
+
+
+_SQL_QUALITY = f"""ROUND((CAST(len(text) BETWEEN 50 AND 5000 AS DOUBLE)
+                + CAST((CASE WHEN len(text) = 0 THEN 0.0 ELSE {SQL_PUNCT_N} / len(text) END) < 0.15 AS DOUBLE)
+                + CAST((CASE WHEN {SQL_TC} = 0 THEN 0.0 ELSE {SQL_SW_EN} / {SQL_TC} END) BETWEEN 0.10 AND 0.60 AS DOUBLE)
+                 ) / 3.0, 4)"""
+
+_SQL_LANG_PRED = f"""CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      WHEN {_sql_stop_hits(tx.LANG_STOPWORDS["en"])} = 0 AND {_sql_stop_hits(tx.LANG_STOPWORDS["es"])} = 0
+           AND {_sql_stop_hits(tx.LANG_STOPWORDS["de"])} = 0 AND {_sql_stop_hits(tx.LANG_STOPWORDS["fr"])} = 0 THEN 'und'
+      WHEN {_sql_stop_hits(tx.LANG_STOPWORDS["en"])} >= {_sql_stop_hits(tx.LANG_STOPWORDS["es"])}
+           AND {_sql_stop_hits(tx.LANG_STOPWORDS["en"])} >= {_sql_stop_hits(tx.LANG_STOPWORDS["de"])}
+           AND {_sql_stop_hits(tx.LANG_STOPWORDS["en"])} >= {_sql_stop_hits(tx.LANG_STOPWORDS["fr"])} THEN 'en'
+      WHEN {_sql_stop_hits(tx.LANG_STOPWORDS["es"])} >= {_sql_stop_hits(tx.LANG_STOPWORDS["de"])}
+           AND {_sql_stop_hits(tx.LANG_STOPWORDS["es"])} >= {_sql_stop_hits(tx.LANG_STOPWORDS["fr"])} THEN 'es'
+      WHEN {_sql_stop_hits(tx.LANG_STOPWORDS["de"])} >= {_sql_stop_hits(tx.LANG_STOPWORDS["fr"])} THEN 'de'
+      ELSE 'fr' END"""
+
+
+@register(
+    "docs_clean_corpus",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             {SQL_TC} AS n_tokens,
+             {_SQL_QUALITY} AS quality,
+             {_SQL_LANG_PRED} AS lang_pred
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = lang
+    ), ranked AS (
+      SELECT doc_id, n_tokens, quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string({SQL_TOKS}, ' '))
+               ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT doc_id, n_tokens, quality FROM ranked WHERE rn = 1
+    """,
+    tags=["LLM-text", "LLM-dedup", "pipeline-composition"],
+)
+def q_docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data hygiene pipeline in one plan: quality
+    gate -> language-consistency gate -> exact dedup keep-first. Shows
+    the operators compose lazily (one job, no intermediate writes)."""
+    d = T(spark, sf_dir, "documents")
+    kept = d.filter(
+        (tx.quality_score("text") >= 0.5) & (tx.lang_id("text") == F.col("lang"))
+    )
+    deduped = dd.exact_dedup(kept, "text", "doc_id")
+    return deduped.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.quality_score("text").alias("quality"),
+    )

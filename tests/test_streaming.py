@@ -89,3 +89,65 @@ def test_watermark_present_in_plan(spark, tmp_path, events_dir):
     stream = read_events_stream(spark, events_dir)
     agg = streaming_tumbling_counts(stream, watermark="2 hours")
     assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions match the
+    batch sessionizer minus each user's trailing (still-open) session;
+    a later landing closes those via persisted state."""
+    from mergermetrics_lakehouse_pipeline_spark.streaming.stateful import streaming_sessionize
+
+    from pyspark.sql import Window
+
+    landing, out_dir = tmp_path / "landing", str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    events = events_table(spark, SF_DIR).select("user_id", "event_id", "ts", "value")
+    events.coalesce(1).write.mode("overwrite").parquet(str(landing))
+    schema = spark.read.parquet(str(landing)).schema
+
+    def run_stream():
+        # parquet sink: supports checkpoint recovery (memory sink doesn't)
+        stream = spark.readStream.schema(schema).parquet(str(landing))
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    def key_set(df, start_col):
+        return {
+            (r.user_id, r.n_events, round(r.total_value, 2), r.start_s)
+            for r in df.withColumn("start_s", start_col).collect()
+        }
+
+    batch = ev.sessionize(events, gap_minutes=30)
+    batch_start_s = F.unix_timestamp(
+        F.to_timestamp("session_start", "yyyy-MM-dd HH:mm:ss")
+    )
+    stream_start_s = (F.col("start_us") / 1_000_000).cast("long")
+    w_last = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.col("session_no").desc())
+    )
+
+    act1 = key_set(run_stream(), stream_start_s)
+    exp1 = key_set(batch.withColumn("rn", w_last).filter(F.col("rn") > 1), batch_start_s)
+    assert act1 == exp1  # all sessions closed by an in-stream gap
+
+    # land strictly-later events: one per user, far in the future —
+    # persisted state closes every still-open session
+    later = events.groupBy("user_id").agg(F.max("ts").alias("ts")).select(
+        "user_id",
+        (F.lit(10_000_000) + F.col("user_id")).alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    later.coalesce(1).write.mode("append").parquet(str(landing))
+    act_all = key_set(run_stream(), stream_start_s)
+    exp_all = key_set(batch, batch_start_s)
+    assert act_all == exp_all
