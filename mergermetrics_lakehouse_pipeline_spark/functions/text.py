@@ -135,3 +135,38 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
             )
         )
     )
+
+
+def winnow_fingerprints(df, text_col: str, id_col: str, *, k: int = 8, w: int = 4):
+    """Winnowing fingerprints (rolling-hash dedup, MOSS-style): hash every
+    k-char gram of the whitespace-normalized text, keep the minimum hash
+    of each w-length sliding window — any k+w-1 char substring match
+    between two documents is guaranteed to share a selected fingerprint.
+
+    Scalable formulation: explode gram positions to rows, hash with a
+    flat md5 projection (whole-stage codegen), sliding-window MIN via a
+    frame window partitioned by doc_id, then distinct — no interpreted
+    higher-order functions; shuffles only on doc_id. Output: one row per
+    (doc_id, fp). Documents shorter than k chars produce no rows.
+    """
+    from pyspark.sql import Window
+
+    grams = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.concat_ws(" ", tokens(F.col(text_col))).alias("__t"),
+        )
+        .filter(F.length("__t") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("pos"),
+            F.col("__t"),
+        )
+        .select("doc_id", "pos", F.md5(F.expr(f"substring(__t, pos, {k})")).alias("h"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .select("doc_id", "fp")
+        .distinct()
+    )

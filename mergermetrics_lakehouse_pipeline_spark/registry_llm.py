@@ -468,3 +468,29 @@ def q_docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count("text").alias("n_tokens"),
         tx.quality_score("text").alias("quality"),
     )
+
+
+@register(
+    "docs_winnow_fingerprints",
+    f"""
+    WITH t AS (
+      SELECT doc_id, array_to_string({SQL_TOKS}, ' ') AS tt FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos, md5(substr(tt, i, 8)) AS h
+      FROM t, UNNEST(generate_series(1, len(tt) - 7)) AS u(i)
+      WHERE len(tt) >= 8
+    ), w AS (
+      SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id, fp FROM w
+    """,
+    tags=["LLM-text", "LLM-dedup", "rolling-hash"],
+)
+def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) fingerprints: k=8 char grams, window w=4
+    minimum selection — any 11-char substring match between documents
+    shares a fingerprint. Exploded/window formulation, fully codegen."""
+    d = T(spark, sf_dir, "documents")
+    return tx.winnow_fingerprints(d, "text", "doc_id", k=8, w=4)

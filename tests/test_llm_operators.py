@@ -116,3 +116,27 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         for r in sim.ivf_cosine_topk(e, q, k=5, n_cells=16, nprobe=16).collect()
     }
     assert full == exact
+
+
+def test_winnow_guarantee(spark):
+    """Winnowing guarantee: documents sharing a >= k+w-1 char substring
+    share at least one selected fingerprint; disjoint docs share none."""
+    from mergermetrics_lakehouse_pipeline_spark.functions.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} delta epsilon zeta"),
+            (3, "completely different words only here"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(df, "text", "doc_id", k=8, w=4)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
