@@ -494,3 +494,33 @@ def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares a fingerprint. Exploded/window formulation, fully codegen."""
     d = T(spark, sf_dir, "documents")
     return tx.winnow_fingerprints(d, "text", "doc_id", k=8, w=4)
+
+
+@register(
+    "docs_neardup_confirmed",
+    _sql_minhash_lsh_cte()
+    + f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), shs AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents)
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(x.s, y.s))
+                 / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+    FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id
+    WHERE len(list_intersect(x.s, y.s))
+          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+    """,
+    tags=["LLM-dedup", "pipeline-composition"],
+)
+def q_docs_neardup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline in one plan: MinHash-LSH candidate
+    generation -> exact n-gram Jaccard confirmation at 0.5 — candidates
+    bound the quadratic confirm step, the confirm kills LSH false
+    positives."""
+    d = T(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+    return dd.ngram_jaccard_pairs(d, cand, "text", "doc_id", shingle_n=3, threshold=0.5)
