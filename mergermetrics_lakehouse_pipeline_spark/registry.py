@@ -1141,6 +1141,55 @@ def q_incremental_month_recompute(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "window_ntile_percentrank",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+           ROUND(percent_rank() OVER w, 6) AS balance_prank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=["W2", "A-analytic"],
+)
+def q_window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ntile quartiles + percent_rank) per segment —
+    deterministic via (acctbal, custkey) ordering."""
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("balance_prank"),
+    )
+
+
+@register(
+    "array_agg_sorted",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           list(o_orderkey ORDER BY o_orderkey) AS order_keys
+    FROM orders WHERE o_totalprice > 400000
+    GROUP BY 1
+    """,
+    tags=["A-collect", "F-array"],
+)
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: per-customer sorted order-key list
+    (collect_list is unordered by contract -> sort_array pins it)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        )
+    )
+
+
+@register(
     "qualified_select_null_probe",
     """
     SELECT e.event_id, e.user_id, e.event_type
