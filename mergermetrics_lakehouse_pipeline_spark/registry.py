@@ -1141,6 +1141,35 @@ def q_incremental_month_recompute(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "join_null_safe_eq",
+    """
+    WITH l AS (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL
+                                     ELSE event_type END AS et FROM events),
+         r AS (SELECT DISTINCT CASE WHEN event_type = 'error' THEN NULL
+                                    ELSE event_type END AS et FROM events)
+    SELECT COALESCE(l.et, '<null>') AS et, COUNT(*) AS n
+    FROM l JOIN r ON l.et IS NOT DISTINCT FROM r.et
+    GROUP BY 1
+    """,
+    tags=["J-nullsafe"],
+)
+def q_join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics plain equi-joins silently drop."""
+    e = events_table(spark, sf_dir)
+    et = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    l = e.select("event_id", et.alias("et"))
+    r = l.select("et").distinct().withColumnRenamed("et", "r_et")
+    return (
+        l.join(r, l.et.eqNullSafe(F.col("r_et")))
+        .groupBy(F.coalesce("et", F.lit("<null>")).alias("et"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "window_ntile_percentrank",
     """
     SELECT c_custkey, c_mktsegment,
