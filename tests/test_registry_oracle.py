@@ -14,6 +14,8 @@ from check_correctness import compare, duck_connect  # noqa: E402
 
 from mergermetrics_lakehouse_pipeline_spark import registry  # noqa: E402
 
+registry._load_extensions()  # parametrize over ALL registries, not just core
+
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
