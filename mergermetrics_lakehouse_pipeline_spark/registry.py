@@ -1198,7 +1198,7 @@ def q_window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey,
            COUNT(*) AS n_orders,
-           list(o_orderkey ORDER BY o_orderkey) AS order_keys
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
     FROM orders WHERE o_totalprice > 400000
     GROUP BY 1
     """,
@@ -1206,14 +1206,18 @@ def q_window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: per-customer sorted order-key list
-    (collect_list is unordered by contract -> sort_array pins it)."""
+    (collect_list is unordered by contract -> sort_array pins it). The
+    array crosses the oracle boundary as a joined string: pandas
+    renderings of list columns differ between engines."""
     o = T(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_totalprice") > 400000)
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")), ","
+            ).alias("order_keys"),
         )
     )
 
