@@ -178,28 +178,42 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash32(col: Column | str) -> Column:
-    """32-bit SimHash over whitespace tokens.
+def simhash_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash per document over whitespace tokens (occurrence-
+    weighted): bit_j = sign of sum over tokens of +-1 by bit j of the
+    token hash; packed into a bigint. Near-dups share most bits (compare
+    via Hamming distance).
 
-    bit_j = sign of sum over tokens of (+1 if bit j of xxhash64(token)
-    else -1); packed into a bigint. Near-dups share most bits (compare
-    via Hamming distance). JVM-only expressions; no SQL oracle (xxhash64
-    is Spark-specific) — verified by property tests instead.
+    Token hash = first 60 bits of md5 (``conv(hex,16,10)``) — portable
+    to the SQL oracle, unlike xxhash64. Aggregation formulation (explode
+    tokens -> flat bit-vote projection -> groupBy 32 sums -> pack): fully
+    whole-stage-codegen; sibling higher-order ``aggregate`` lambdas over
+    a shared token expression are both interpreted-slow and unsafe under
+    CollapseProject inlining (see minhash_lsh_candidates note).
+    Output: (doc_id, sh).
     """
-    toks = tokens(col)
-
-    def vote(j: int):
-        def step(acc, t):
-            bit = F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1))
-            return acc + F.when(bit == 1, 1).otherwise(-1)
-
-        return step
-
-    bit_votes = [F.aggregate(toks, F.lit(0), vote(j)) for j in range(32)]
-    out = F.lit(0).cast("bigint")
-    for j, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
-    return out
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("t")
+    )
+    hashed = toked.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    votes = hashed.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{j}")
+            for j in range(32)
+        ],
+    ).groupBy("doc_id").agg(*[F.sum(f"b{j}").alias(f"v{j}") for j in range(32)])
+    packed = F.lit(0).cast("bigint")
+    for j in range(32):
+        packed = packed + F.when(
+            F.col(f"v{j}") > 0, F.lit(2**j).cast("bigint")
+        ).otherwise(F.lit(0))
+    return votes.select("doc_id", packed.alias("sh"))
 
 
 def hamming32(a: Column, b: Column) -> Column:

@@ -230,13 +230,42 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, pairs, "text", "doc_id", shingle_n=3)
 
 
-@register("docs_simhash_neardup", None, tags=["LLM-dedup", "rows-only"])
+_SQL_SIMHASH_VOTES = ",\n             ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(32)
+)
+_SQL_SIMHASH_PACK = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(32)
+)
+
+
+@register(
+    "docs_simhash_neardup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents
+    ), hashed AS (
+      SELECT doc_id, CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, {_SQL_SIMHASH_VOTES}
+      FROM hashed GROUP BY 1
+    ), keys AS (
+      SELECT doc_id, {_SQL_SIMHASH_PACK} AS sh FROM votes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM keys a JOIN keys b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 6
+    """,
+    tags=["LLM-dedup"],
+)
 def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming distance <= 6 on 32-bit keys).
-    xxhash64-based — Spark-specific, so no SQL oracle; property tests
-    cover invariance (tests/test_llm_operators.py)."""
+    md5-derived bits, so the full key computation + Hamming filter is
+    mirrored in the SQL oracle."""
     d = T(spark, sf_dir, "documents")
-    keyed = d.select("doc_id", dd.simhash32("text").alias("sh"))
+    keyed = dd.simhash_keys(d, "text", "doc_id")
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))

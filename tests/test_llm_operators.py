@@ -28,7 +28,7 @@ def docs(spark):
 
 
 def test_simhash_invariants(spark, docs):
-    keyed = {r.doc_id: r.sh for r in docs.select("doc_id", dd.simhash32("text").alias("sh")).collect()}
+    keyed = {r.doc_id: r.sh for r in dd.simhash_keys(docs, "text", "doc_id").collect()}
     assert keyed[1] == keyed[2]  # identical text -> identical key
     h_near = docs.select(
         dd.hamming32(F.lit(keyed[1]).cast("bigint"), F.lit(keyed[3]).cast("bigint")).alias("h")
