@@ -2,12 +2,13 @@
 north-star: dedup, similarity search, text analysis, multimodal) over the
 ``documents`` and ``embeddings`` testdata tables.
 
-The DuckDB oracles mirror each operator's exact arithmetic — including a
-full MinHash+LSH pipeline in SQL (hash = md5 hex string, minimum taken
-lexicographically, which equals numeric minimum over fixed-width hex and
-ports across engines). Operators whose kernels are engine-specific
-(SimHash via xxhash64, hyperplane-LSH via a pandas UDF) register without
-an oracle and are covered by property tests instead.
+The DuckDB oracles mirror each operator's exact arithmetic — including
+full MinHash+LSH and SimHash pipelines in SQL (hashes derived from md5,
+which ports across engines: lexicographic MIN over fixed-width hex for
+MinHash, hex-prefix-to-bigint bits for SimHash). Only the genuinely
+approximate (hyperplane-LSH / IVF ANN, sketches) or stubbed (media
+decode) operators register without an oracle; those are covered by
+recall/property tests instead.
 """
 
 from __future__ import annotations
