@@ -46,6 +46,18 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session config spark.sql.legacy.parquet.nanosAsLong), converted here
     to a microsecond timestamp — matching what DuckDB sees natively.
     """
+    # defensive: the driver may run queries() in its own session without
+    # the engine's session.py configs — the nanos TIMESTAMP would then
+    # fail the vectorized reader, and non-UTC tz would shift formatted
+    # event times. Both are runtime-settable.
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static-conf session: session.py already set it
     e = T(spark, sf_dir, "events")
     if dict(e.dtypes).get("ts") == "bigint":
         # integer division: `/` is double math, which is not exact above
