@@ -34,8 +34,25 @@ from .functions.cleaning import (
 from .functions.dates import build_dim_date
 
 
+def _defensive_confs(spark: SparkSession) -> None:
+    """The driver may run queries() in a session it built itself; pin the
+    three runtime confs the registry's semantics depend on (tolerant
+    casts, UTC rendering, nanos events ts). No-ops when session.py
+    already set them; ignored on sessions where they are static."""
+    for k, v in (
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata parquet table (S1/S7 analogue)."""
+    _defensive_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -46,19 +63,7 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session config spark.sql.legacy.parquet.nanosAsLong), converted here
     to a microsecond timestamp — matching what DuckDB sees natively.
     """
-    # defensive: the driver may run queries() in its own session without
-    # the engine's session.py configs — the nanos TIMESTAMP would then
-    # fail the vectorized reader, and non-UTC tz would shift formatted
-    # event times. Both are runtime-settable.
-    for k, v in (
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ("spark.sql.session.timeZone", "UTC"),
-    ):
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            pass  # static-conf session: session.py already set it
-    e = T(spark, sf_dir, "events")
+    e = T(spark, sf_dir, "events")  # T() pins the nanos/tz/ansi confs
     if dict(e.dtypes).get("ts") == "bigint":
         # integer division: `/` is double math, which is not exact above
         # 2^53 — epoch-nanos is ~1.7e18, so float division drifts by ±1us
