@@ -1158,6 +1158,38 @@ def q_incremental_month_recompute(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "custdist_two_level_agg",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+    tags=["J4", "A-twolevel"],
+)
+def q_custdist_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT JOIN with
+    a compound ON condition (the filter must stay in the join, not WHERE,
+    to keep order-less customers), then aggregate-of-aggregate."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
     "join_null_safe_eq",
     """
     WITH l AS (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL
