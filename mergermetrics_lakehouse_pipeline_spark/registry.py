@@ -1158,6 +1158,65 @@ def q_incremental_month_recompute(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "join_compound_year_key",
+    f"""
+    WITH yearly_price AS (
+      SELECT p_brand, CAST(YEAR(o.o_orderdate) AS INT) AS yr,
+             {sql_dsum("l.l_extendedprice", "brand_year_rev")}
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p   ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+           CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+           y.brand_year_rev
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p   ON l.l_partkey = p.p_partkey
+    LEFT JOIN yearly_price y
+      ON p.p_brand = y.p_brand AND YEAR(o.o_orderdate) = y.yr
+    WHERE l.l_quantity >= 49
+    """,
+    tags=["J4", "compound-key"],
+)
+def q_join_compound_year_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN on a compound key with a derived expression side
+    (``YEAR(date) = year``) — the exact shape of the reference's
+    dim_gross_price join (denormalise_table_query_fmcg.txt:47-49)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    p = T(spark, sf_dir, "part")
+    enriched = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    yearly = (
+        enriched.groupBy(
+            F.col("p_brand").alias("yp_brand"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(dsum("l_extendedprice", "brand_year_rev"))
+    )
+    return (
+        enriched.filter(F.col("l_quantity") >= 49)
+        .join(
+            F.broadcast(yearly),
+            (F.col("p_brand") == F.col("yp_brand"))
+            & (F.year("o_orderdate") == F.col("yr")),
+            "left",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_brand",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "brand_year_rev",
+        )
+    )
+
+
+@register(
     "custdist_two_level_agg",
     """
     SELECT c_count, COUNT(*) AS custdist
