@@ -156,3 +156,19 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
         (F.col("n_chars") % 800 + 1).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
     )
+
+
+def payload_dedup_groups(media: DataFrame, *, id_col: str = "media_id") -> DataFrame:
+    """Exact duplicate groups over the opaque binary payload: md5 of the
+    raw bytes (no decode needed — byte-identical media dedups regardless
+    of type). One shuffle on the 128-bit key; the payload bytes
+    themselves never shuffle."""
+    return (
+        media.select(F.md5(F.col("content")).alias("payload_key"), F.col(id_col))
+        .groupBy("payload_key")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

@@ -554,3 +554,33 @@ def q_docs_neardup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
     )
     return dd.ngram_jaccard_pairs(d, cand, "text", "doc_id", shingle_n=3, threshold=0.5)
+
+
+@register(
+    "media_payload_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT md5(text) AS payload_key, COUNT(*) AS n_members,
+           MIN(media_id) AS canonical_id
+    FROM m GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    tags=["LLM-multimodal", "LLM-dedup"],
+)
+def q_media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over opaque binary payloads (md5 of raw bytes — works
+    for any media type without decoding). Corpus salted with re-keyed
+    copies of every 4th item so duplicate groups exist."""
+    from .operators.multimodal import (
+        payload_dedup_groups,
+        synthesize_media_from_documents,
+    )
+
+    media = synthesize_media_from_documents(T(spark, sf_dir, "documents"))
+    dup = media.filter(F.col("media_id") % 4 == 0).withColumn(
+        "media_id", F.col("media_id") + 1000000
+    )
+    return payload_dedup_groups(media.unionByName(dup))
