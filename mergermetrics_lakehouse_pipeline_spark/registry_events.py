@@ -103,3 +103,43 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON payload extraction (get_json_object) + per-type rollup."""
     return ev.props_rollup(events_table(spark, sf_dir), "k")
+
+
+@register(
+    "events_window_topk_types",
+    f"""
+    WITH agg AS (
+      SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '{_TS_FMT}') AS window_start,
+             event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, total_value, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                     ORDER BY total_value DESC, event_type) AS INT) AS rnk
+      FROM agg)
+    WHERE rnk <= 2
+    """,
+    tags=["events", "window-agg", "W2"],
+)
+def q_events_window_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types by value per 6h event-time window: windowed
+    aggregation composed with a ranking window (deterministic tie-break
+    on event_type)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    agg = (
+        events_table(spark, sf_dir)
+        .groupBy(F.window(ev.TS, "6 hours"), "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "total_value",
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("total_value").desc(), F.col("event_type")
+    )
+    return agg.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 2)
