@@ -1433,16 +1433,104 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Explicit driver-facing registration order. The correctness harness
+#: verifies entries in dict order with a bounded window (round 1: exactly
+#: the first 50), so the queries whose §2 / LLM-pipeline coverage is
+#: unique come first; redundant breadth variants (their §2 rows are
+#: already covered by an earlier query) follow after this list in plain
+#: registration order. Keep every name here present in QUERIES — the
+#: ordering asserts on drift.
+DRIVER_PRIORITY: list[str] = [
+    # core scans / projections / predicates
+    "scan_project_filter",
+    "case_when_groups",
+    "isin_rlike_filter",
+    "cast_rename_derive",
+    # joins
+    "join_inner_enrich",
+    "join_left_coalesce",
+    "join_semi_months",
+    "join_anti_orphans",
+    "star_join_denorm",
+    # aggregation
+    "fact_monthly_rollup",
+    "agg_having_dupes",
+    "agg_minmax_global",
+    "distinct_projection",
+    "dedupe_keyed_first",
+    "kpi_dashboard",
+    # windows / ordering
+    "window_top1_latest",
+    "window_topn_rank",
+    "window_lag_trend",
+    "topk_global",
+    # set ops / scalar functions
+    "union_by_name",
+    "string_funcs",
+    # merge / incremental
+    "merge_upsert_all",
+    "merge_insert_only",
+    "merge_upsert_mapped",
+    "incremental_month_recompute",
+    "qualified_select_null_probe",
+    # custom operators
+    "asof_join_latest_order",
+    # events (streaming-shaped batch)
+    "events_tumbling_window",
+    "events_sessionization",
+    # LLM-pipeline: text analysis
+    "docs_text_stats",
+    "docs_lang_id",
+    "docs_fingerprint",
+    # LLM-pipeline: dedup
+    "docs_exact_dedup",
+    "docs_minhash_lsh_pairs",
+    "docs_ngram_jaccard",
+    "docs_simhash_neardup",
+    "docs_winnow_fingerprints",
+    "docs_neardup_confirmed",
+    "docs_clean_corpus",
+    # LLM-pipeline: similarity
+    "emb_cosine_topk",
+    "emb_neardup_pairs",
+    # LLM-pipeline: multimodal
+    "media_resize_plan",
+    "media_frame_offsets",
+    "media_payload_dedup",
+    # sink / DDL round-trips (hard signal for S3/S4/S5/S9/S11/S15, S12/S14)
+    "sink_modes_roundtrip",
+    "copy_into_roundtrip",
+    # rows-only (approximate / stubbed by design — weaker driver check)
+    "emb_ann_topk",
+    "emb_ivf_topk",
+    "media_extract_features",
+    "kpi_approx_sketches",
+]
+
+
+def _ordered() -> list[Q]:
+    """QUERIES reordered: DRIVER_PRIORITY first, the rest in registration
+    order. Fails loudly if a priority name stops existing."""
+    by_name = {q.name: q for q in QUERIES}
+    missing = [n for n in DRIVER_PRIORITY if n not in by_name]
+    if missing:
+        raise RuntimeError(f"DRIVER_PRIORITY names not registered: {missing}")
+    prioritized = set(DRIVER_PRIORITY)
+    head = [by_name[n] for n in DRIVER_PRIORITY]
+    tail = [q for q in QUERIES if q.name not in prioritized]
+    return head + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extensions()
-    return {q.name: q.fn for q in QUERIES}
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_extensions()
-    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 def _load_extensions() -> None:
     """Import sibling registry modules so their @register calls run."""
-    from . import registry_events, registry_llm  # noqa: F401
+    from . import registry_events, registry_llm, registry_sinks  # noqa: F401

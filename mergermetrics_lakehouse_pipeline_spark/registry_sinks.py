@@ -1,0 +1,149 @@
+"""Driver-facing round-trip queries for the side-effect operators.
+
+The sink/DDL surface (SURVEY §2.1 S3-S15) is exercised by pytest, but a
+pytest-only check is a weaker signal than the driver's oracle gate. These
+queries run a real write -> catalog -> read-back cycle inside a scratch
+location and return a DataFrame whose values are derivable from the input
+tables alone, so the standard DuckDB oracle can verify the round trip:
+if any write mode, view definition, or CSV load corrupts rows, the final
+aggregate hash diverges.
+
+Parity targets: table sinks and modes (1_customer_data_processing.py:50-53,
+253-257), CREATE VIEW (denormalise_table_query_fmcg.txt:1), COPY INTO
+(incremental_data_parent_company_query.txt:1-11), landing->processed
+archival (1_full_load_fact.py:72-78).
+
+Each call uses a uuid-unique table/view name and a fresh temp directory,
+so concurrent or repeated driver invocations never collide.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import T, register
+from .sources.catalog import copy_into, create_view, table_exists, write_table
+from .sources.csv import archive_landing_files
+
+
+@register(
+    "sink_modes_roundtrip",
+    """
+    WITH per_region AS (
+      SELECT n_regionkey,
+             COUNT(*) AS n_nations,
+             CAST(SUM(len(n_name)) AS BIGINT) AS sum_name_len
+      FROM nation GROUP BY 1
+    ), ms AS (
+      SELECT COUNT(*) AS merged_rows,
+             COUNT(CASE WHEN n_nationkey % 2 = 1 THEN 1 END) AS merged_with_region
+      FROM nation
+    )
+    SELECT per_region.*, ms.* FROM per_region CROSS JOIN ms
+    """,
+    tags=["S3", "S4", "S5", "S9", "S11", "S15", "roundtrip"],
+)
+def q_sink_modes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write -> read-back over the table-sink surface in one query:
+    overwrite (S3) + append (S4) into an external parquet table, read
+    through a CREATE VIEW aggregate (S9), plus a mergeSchema read (S5) of
+    a narrow+wide parquet pair surfaced via a temp view (S11); tableExists
+    gates the create (S15). The oracle recomputes both halves from the
+    pristine ``nation`` table, so a row lost or mangled by any write mode
+    flips the hash."""
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="mm_sink_rt_")
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+    tbl = f"rt_sink_{tag}"
+    assert not table_exists(spark, tbl)
+    write_table(
+        nation.filter(F.col("n_nationkey") < 13), tbl, "overwrite", path=f"{root}/tbl"
+    )
+    assert table_exists(spark, tbl)
+    write_table(nation.filter(F.col("n_nationkey") >= 13), tbl, "append")
+
+    # parquet mergeSchema semantics: a narrow batch (no n_regionkey) and a
+    # wide batch land separately; the merged scan fills the gap with NULLs.
+    nation.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey", "n_name"
+    ).write.parquet(f"{root}/ms/narrow")
+    nation.filter(F.col("n_nationkey") % 2 == 1).write.parquet(f"{root}/ms/wide")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/ms/narrow", f"{root}/ms/wide"
+    )
+
+    view = f"rt_view_{tag}"
+    create_view(
+        spark,
+        view,
+        f"SELECT n_regionkey, COUNT(*) AS n_nations, "
+        f"CAST(SUM(length(n_name)) AS BIGINT) AS sum_name_len "
+        f"FROM {tbl} GROUP BY n_regionkey",
+    )
+    per_region = spark.table(view)
+
+    ms_view = f"rt_ms_{tag}"
+    merged.createOrReplaceTempView(ms_view)
+    ms = spark.sql(
+        f"SELECT COUNT(*) AS merged_rows, "
+        f"COUNT(n_regionkey) AS merged_with_region FROM {ms_view}"
+    )
+    return per_region.crossJoin(ms)
+
+
+@register(
+    "copy_into_roundtrip",
+    """
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM supplier GROUP BY 1
+    """,
+    tags=["S12", "S14", "S1", "roundtrip"],
+)
+def q_copy_into_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO round-trip: supplier -> landing CSV files -> typed bulk
+    load (read+cast+append, S12) into an external table -> landing files
+    archived to processed/ (S14) -> read-back aggregate. The oracle
+    recomputes from the pristine ``supplier`` table, so a row dropped or
+    re-typed anywhere in the CSV->cast->append cycle flips the hash."""
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="mm_copy_rt_")
+    landing, processed = f"{root}/landing", f"{root}/processed"
+    cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    supplier = T(spark, sf_dir, "supplier").select(*cols)
+    supplier.write.option("header", True).csv(landing)
+
+    tbl = f"rt_copy_{tag}"
+    write_table(supplier.limit(0), tbl, "overwrite", path=f"{root}/tbl")
+    copy_into(
+        spark,
+        tbl,
+        landing,
+        [
+            "CAST(s_suppkey AS BIGINT) AS s_suppkey",
+            "s_name",
+            "CAST(s_nationkey AS INT) AS s_nationkey",
+            "CAST(s_acctbal AS DOUBLE) AS s_acctbal",
+        ],
+        file_format="csv",
+        header=True,
+    )
+    moved = archive_landing_files(landing, processed)
+    assert moved, "landing dir unexpectedly empty after CSV write"
+
+    return (
+        spark.table(tbl)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )

@@ -26,6 +26,7 @@ def write_table(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     enable_cdf: bool = True,
+    path: str | None = None,
 ) -> None:
     """S3/S4/S5/S6: table sink.
 
@@ -36,11 +37,17 @@ def write_table(
     ``partition_by`` is the engine's scale upgrade: the reference's gold
     fact is unpartitioned (it hand-rolls month pruning); we partition by
     the period column so incremental recompute prunes physically.
+
+    ``path`` makes the table external at that location (first write only —
+    the catalog remembers it for appends), so callers can sink to scratch
+    storage without touching the session warehouse dir.
     """
     fmt = "delta" if delta_available() else "parquet"
     writer = df.write.format(fmt).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if path is not None:
+        writer = writer.option("path", path)
     if merge_schema:
         writer = writer.option("mergeSchema", "true")
     if enable_cdf and fmt == "delta":
