@@ -73,26 +73,31 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
-        .over(w)
-        .alias(f"__m_{c}")
-        for c in right_cols
-    ]
-    match_ts = (
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("__m_ts")
-    )
-    result = unioned.select("*", *carried, match_ts).filter(F.col("__side") == 1)
+    # ONE struct per right row, not per-column lasts: a per-column
+    # last(ignorenulls) would back-fill a NULL payload value from an OLDER
+    # right row, blending columns of different rows — true as-of semantics
+    # (pandas merge_asof, DuckDB ASOF JOIN) return the matched row's
+    # values, NULLs included. The struct is non-NULL whenever the row
+    # exists, so ignorenulls only skips non-right rows.
+    matched = F.last(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(
+                F.col("__ts").alias("__rts"),
+                *[F.col(c) for c in right_cols],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    result = unioned.select("*", matched.alias("__m")).filter(F.col("__side") == 1)
 
     in_tolerance = F.lit(True)
     if tolerance_seconds is not None:
         in_tolerance = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m_ts"))
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
         ) <= tolerance_seconds * 1_000_000
 
     out_cols = [F.col(c) for c in left.columns] + [
-        F.when(in_tolerance, F.col(f"__m_{c}")).alias(c) for c in right_cols
+        F.when(in_tolerance, F.col(f"__m.{c}")).alias(c) for c in right_cols
     ]
     return result.select(*out_cols)

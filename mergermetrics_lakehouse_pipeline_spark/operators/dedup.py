@@ -219,3 +219,73 @@ def simhash_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def hamming32(a: Column, b: Column) -> Column:
     """Hamming distance between two 32-bit simhash keys."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 6,
+    key_bits: int = 32,
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose SimHash keys differ in at most
+    ``max_hamming`` bits — WITHOUT the all-pairs self-join.
+
+    Pigeonhole banding: split the key into ``max_hamming + 1`` contiguous
+    bit chunks; two keys within Hamming distance d must agree exactly on
+    at least one chunk (d bit flips can dirty at most d of the d+1
+    chunks). So candidates are generated by chunk-value equality and then
+    confirmed with the exact ``hamming32`` distance — identical result
+    set to the quadratic join, but the pair space is bounded by bucket
+    co-membership instead of n².
+
+    Formulated aggregation-side like ``minhash_lsh_candidates`` (explode
+    chunks -> groupBy(chunk, value) -> sorted collect_set + in-bucket
+    combination expansion): a bucket self-join would recompute the whole
+    simhash plan on both sides, the aggregation computes it once.
+
+    Scale note: chunk width is key_bits/(d+1) (~5 bits here), so bucket
+    sizes are n/2^width per chunk — fine for near-dup thresholds on
+    corpora where near-identical docs are rare. At larger n, widen the
+    key (simhash_keys generalizes to 60 bits via the same md5-derived
+    ``h``) so each chunk carries more bits; the plan shape is unchanged.
+    """
+    keyed = simhash_keys(df, text_col, id_col)  # (doc_id, sh)
+    n_chunks = max_hamming + 1
+    base, extra = divmod(key_bits, n_chunks)
+    chunks, start = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < extra else 0)
+        chunks.append(
+            F.shiftright("sh", start).bitwiseAND(F.lit((1 << width) - 1)).cast("long")
+        )
+        start += width
+    exploded = keyed.select(
+        "doc_id", "sh", F.posexplode(F.array(*chunks)).alias("chunk", "cv")
+    )
+    buckets = (
+        exploded.groupBy("chunk", "cv")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    # all (i < j) combinations within a bucket, generated array-side
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms")) - i - 1),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    hamming32(x["sh"], y["sh"]).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

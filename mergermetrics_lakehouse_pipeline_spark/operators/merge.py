@@ -138,12 +138,20 @@ def _delta_merge(
     m = dt.alias("t").merge(source.alias("s"), cond)
     if insert_only_flag:
         m = m.whenNotMatchedInsertAll()
-    elif update_set or insert_values:
-        m = m.whenMatchedUpdate(set=dict(update_set or {})).whenNotMatchedInsert(
-            values=dict(insert_values or {})
-        )
     else:
-        m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        # mirror merge_dataframes' resolved() defaults: a missing map means
+        # "all source columns", never an empty set/values dict (which Delta
+        # rejects or turns into insert-nothing)
+        m = (
+            m.whenMatchedUpdate(set=dict(update_set))
+            if update_set
+            else m.whenMatchedUpdateAll()
+        )
+        m = (
+            m.whenNotMatchedInsert(values=dict(insert_values))
+            if insert_values
+            else m.whenNotMatchedInsertAll()
+        )
     m.execute()
 
 

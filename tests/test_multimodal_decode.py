@@ -1,0 +1,179 @@
+"""Multimodal decode kernels: the REAL stdlib decoders (WAV via ``wave``,
+gray8 PNG via zlib inflate + de-filter) exercised end-to-end through the
+Arrow mapInPandas plumbing, plus stub-fallback determinism and strict
+mode. Payloads are generated in-test so expected values are exact."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import pytest
+
+from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+    FEATURE_DIM,
+    _fake_decode,
+    extract_features,
+)
+
+
+def make_wav(n_frames: int = 8000, rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM: a deterministic ramp so segment means are known."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", (i * 7) % 16384) for i in range(n_frames)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png_gray8(width: int, height: int) -> bytes:
+    """Non-interlaced 8-bit grayscale PNG with mixed scanline filters
+    (None/Sub/Up) so the de-filter paths are all exercised."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b""
+    prev = [0] * width
+    for y in range(height):
+        pixels = [(x + y * 3) % 256 for x in range(width)]
+        ftype = y % 3
+        if ftype == 0:
+            body = bytes(pixels)
+        elif ftype == 1:  # Sub: delta vs left neighbor
+            body = bytes(
+                [(pixels[x] - (pixels[x - 1] if x else 0)) & 0xFF for x in range(width)]
+            )
+        else:  # Up: delta vs previous scanline
+            body = bytes([(pixels[x] - prev[x]) & 0xFF for x in range(width)])
+        raw += bytes([ftype]) + body
+        prev = pixels
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+
+
+def test_wav_decodes_for_real(spark):
+    df = _media_df(spark, [(1, "audio", make_wav(n_frames=8000, rate=8000))])
+    [row] = extract_features(df).collect()
+    assert row.decoder == "wav"
+    assert row.dec_duration_ms == 1000  # 8000 frames @ 8 kHz
+    assert len(row.feature) == FEATURE_DIM
+    # ramp amplitudes: every segment mean is positive and bounded
+    assert all(0.0 < f < 0.5 for f in row.feature)
+
+
+def test_png_decodes_for_real(spark):
+    df = _media_df(spark, [(2, "image", make_png_gray8(64, 48))])
+    [row] = extract_features(df).collect()
+    assert row.decoder == "png"
+    assert (row.dec_width, row.dec_height) == (64, 48)
+    # exact expected features: mean intensity per 16-way pixel split
+    pixels = [
+        ((x + y * 3) % 256) / 255.0 for y in range(48) for x in range(64)
+    ]
+    n = len(pixels)
+    expected = [
+        sum(pixels[i * n // 16 : (i + 1) * n // 16])
+        / len(pixels[i * n // 16 : (i + 1) * n // 16])
+        for i in range(16)
+    ]
+    for got, want in zip(row.feature, expected):
+        assert abs(got - want) < 1e-6
+
+
+def test_unknown_format_uses_deterministic_stub(spark):
+    payload = b"not a media file"
+    df = _media_df(spark, [(3, "video", payload)])
+    [row] = extract_features(df).collect()
+    assert row.decoder == "stub"
+    assert row.dec_width is None and row.dec_duration_ms is None
+    for got, want in zip(row.feature, _fake_decode(payload)):
+        assert abs(got - want) < 1e-6
+
+
+def test_corrupt_png_falls_back_to_stub(spark):
+    # valid magic, truncated body -> decoder error -> stub, not task failure
+    payload = b"\x89PNG\r\n\x1a\n" + b"\x00" * 10
+    df = _media_df(spark, [(4, "image", payload)])
+    [row] = extract_features(df).collect()
+    assert row.decoder == "stub"
+
+
+def test_strict_mode_fails_on_stub_fallback(spark):
+    df = _media_df(spark, [(5, "video", b"not a media file")])
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(df, strict=True).collect()
+
+
+def test_wav_container_expression_is_valid_wav(spark):
+    """The pure-JVM RIFF wrapper produces bytes the stdlib wave module
+    parses — so the registry's media query exercises the REAL decoder."""
+    from pyspark.sql import functions as F
+
+    from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+        wav_container,
+    )
+
+    df = spark.createDataFrame([("abcdef12",)], "txt string").select(
+        wav_container(F.encode("txt", "UTF-8")).alias("content")
+    )
+    payload = bytes(df.collect()[0].content)
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        assert w.getnchannels() == 1
+        assert w.getframerate() == 8000
+        assert w.getsampwidth() == 2
+        assert w.getnframes() == 4  # 8 bytes of PCM @ 2 bytes/frame
+        assert w.readframes(4) == b"abcdef12"
+
+
+def test_synthesized_audio_rows_really_decode(spark, sf_dir):
+    from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+        synthesize_decodable_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = synthesize_decodable_media(docs)
+    rows = extract_features(media).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.media_type, set()).add(r.decoder)
+    assert by_type["audio"] == {"wav"}  # every audio row really decoded
+    assert by_type["image"] == {"stub"}  # no PNG codec for these payloads
+    assert by_type["video"] == {"stub"}
+    audio = [r for r in rows if r.media_type == "audio"]
+    assert all(r.dec_duration_ms is not None and r.dec_duration_ms >= 0 for r in audio)
+
+
+def test_mixed_batch_routes_per_row(spark):
+    rows = [
+        (10, "audio", make_wav(n_frames=800, rate=8000)),
+        (11, "image", make_png_gray8(8, 8)),
+        (12, "video", b"opaque-mp4-ish-bytes"),
+    ]
+    got = {
+        r.media_id: r.decoder for r in extract_features(_media_df(spark, rows)).collect()
+    }
+    assert got == {10: "wav", 11: "png", 12: "stub"}

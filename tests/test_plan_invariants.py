@@ -68,6 +68,14 @@ def test_minhash_no_self_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 3
 
 
+def test_simhash_no_self_join(spark, sf_dir):
+    """Pigeonhole-banded SimHash pairs must stay aggregation-shaped: no
+    join (the old formulation was an O(n²) BroadcastNestedLoopJoin)."""
+    plan = _plan(spark, sf_dir, "docs_simhash_neardup")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partitioned_table_prunes(spark, tmp_path):
     df = (
         spark.range(100)

@@ -49,11 +49,18 @@ EXTRAS = [
     ("LLM dedup",
      "`docs_exact_dedup`, `docs_minhash_lsh_pairs`, `docs_ngram_jaccard`, `docs_simhash_neardup`, "
      "`docs_winnow_fingerprints`, `emb_neardup_pairs`"),
-    ("LLM similarity", "`emb_cosine_topk`, `emb_ann_topk` (hyperplane LSH), `emb_ivf_topk` (IVF)"),
+    ("LLM similarity",
+     "`emb_cosine_topk` (exact baseline), `emb_ann_topk` (hyperplane LSH, "
+     "measured recall@5 = 0.70 vs brute force at sf0.01), `emb_ivf_topk` "
+     "(IVF, measured recall@5 = 0.92 at nprobe/n_cells = 4/16; "
+     "nprobe=n_cells is exact)"),
     ("LLM text analysis",
      "`docs_text_stats`, `docs_lang_id`, `docs_fingerprint`, `docs_clean_corpus` (composed pipeline)"),
     ("LLM multimodal", "`media_resize_plan`, `media_frame_offsets`, `media_extract_features`"),
     ("Sketch KPIs", "`kpi_approx_sketches`"),
+    ("Sink/DDL round-trips (driver-checkable side effects)",
+     "`sink_modes_roundtrip` (overwrite+append+mergeSchema+view+tableExists), "
+     "`copy_into_roundtrip` (CSV landing -> COPY INTO -> archive -> read-back)"),
     ("Property tests (tolerance/invariants)", "tests/test_property_cleaning.py (hypothesis)"),
 ]
 
