@@ -112,6 +112,29 @@ def lang_id(col: Column | str) -> Column:
     )
 
 
+#: PII patterns, deliberately RE2-safe (no backrefs/lookaround) so the
+#: identical pattern string runs on Spark (Java regex) and DuckDB (RE2).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"(?:\+?\d{1,2}[- ])?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails then phone numbers with typed placeholders — the
+    training-data hygiene pass that must run before any text ships to a
+    corpus. Pure JVM regexp_replace (global), no UDF."""
+    c = _col(col)
+    scrubbed = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PHONE_PATTERN, "<PHONE>")
+
+
+def email_count(col: Column | str) -> Column:
+    return F.regexp_count(_col(col), F.lit(EMAIL_PATTERN))
+
+
+def phone_count(col: Column | str) -> Column:
+    return F.regexp_count(_col(col), F.lit(PHONE_PATTERN))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic content fingerprint: sha256 over the sorted distinct
     token set — stable under word order and repetition (near-dup grouping

@@ -221,6 +221,67 @@ def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a pair graph: every node labeled with the
+    MIN node id reachable through ``edges`` — the cluster formation step
+    that turns near-dup PAIRS into dedup GROUPS (keep one doc per
+    cluster).
+
+    Pregel-style min-label propagation: each iteration joins current
+    labels across edges and keeps the per-node minimum; converged when no
+    label changes. Iterations needed = graph diameter (<= log n for the
+    star-ish clusters near-dup graphs form), each one shuffle on the node
+    id — the standard large-graph CC shape (GraphX/GraphFrames do the
+    same); no driver-side adjacency, only an O(1) convergence count per
+    round. ``localCheckpoint`` truncates the growing lineage so the plan
+    does not re-execute from scratch each round.
+
+    Output: (``id_col``, cluster_id) for every node, singletons included.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label")).count()
+        labels = updated.select(
+            "node", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iters")
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str,

@@ -1478,30 +1478,38 @@ DRIVER_PRIORITY: list[str] = [
     # events (streaming-shaped batch)
     "events_tumbling_window",
     "events_sessionization",
-    # LLM-pipeline: text analysis
+    # LLM-pipeline: text analysis + hygiene
     "docs_text_stats",
     "docs_lang_id",
     "docs_fingerprint",
+    "docs_pii_scrub",
+    "docs_repetition_stats",
+    "docs_train_test_split",
+    "docs_benchmark_contamination",
     # LLM-pipeline: dedup
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
-    "docs_ngram_jaccard",
     "docs_simhash_neardup",
     "docs_winnow_fingerprints",
     "docs_neardup_confirmed",
+    "docs_dedup_clusters",
     "docs_clean_corpus",
     # LLM-pipeline: similarity
     "emb_cosine_topk",
     "emb_neardup_pairs",
     # LLM-pipeline: multimodal
     "media_resize_plan",
-    "media_frame_offsets",
     "media_payload_dedup",
     # sink / DDL round-trips (hard signal for S3/S4/S5/S9/S11/S15, S12/S14)
     "sink_modes_roundtrip",
     "copy_into_roundtrip",
-    # rows-only (approximate / stubbed by design — weaker driver check)
+    # ANN representative (rows-only by design — recall documented)
     "emb_ann_topk",
+    # next tier: kernels re-verified by composed in-window queries
+    # (docs_ngram_jaccard inside docs_neardup_confirmed/dedup_clusters;
+    # media_frame_offsets beside media_resize_plan) or rows-only twins
+    "docs_ngram_jaccard",
+    "media_frame_offsets",
     "emb_ivf_topk",
     "media_extract_features",
     "kpi_approx_sketches",

@@ -561,6 +561,253 @@ def q_docs_neardup_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(d, cand, "text", "doc_id", shingle_n=3, threshold=0.5)
 
 
+# ---------------------------------------------------------------------------
+# training-data hygiene: PII, repetition, splits, contamination, clusters
+# ---------------------------------------------------------------------------
+
+_SQL_PII_SALT = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || doc_id
+                       || '@example.com or +1 555-123-4567 now'
+                  ELSE text END AS t
+      FROM documents
+"""
+
+
+@register(
+    "docs_pii_scrub",
+    """
+    WITH s AS (""" + _SQL_PII_SALT + """)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '""" + tx.EMAIL_PATTERN + """')) AS n_emails,
+           len(regexp_extract_all(t, '""" + tx.PHONE_PATTERN + """')) AS n_phones,
+           sha256(regexp_replace(regexp_replace(t, '""" + tx.EMAIL_PATTERN + """', '<EMAIL>', 'g'),
+                                 '""" + tx.PHONE_PATTERN + """', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM s
+    """,
+    tags=["LLM-text", "pii"],
+)
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails/phones replaced with typed placeholders
+    (global regexp_replace, RE2-safe patterns shared verbatim with the
+    oracle). The corpus is salted with synthetic contact lines on every
+    7th doc so redactions actually fire; output counts + a sha256 of the
+    scrubbed text so a single unredacted byte flips the hash."""
+    d = T(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-123-4567 now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return salted.select(
+        "doc_id",
+        tx.email_count("t").alias("n_emails"),
+        tx.phone_count("t").alias("n_phones"),
+        F.sha2(tx.scrub_pii("t"), 256).alias("scrubbed_fp"),
+    )
+
+
+#: tokenization that yields an EMPTY list for blank text on both engines
+#: (Spark tokens() does; plain regexp_split_to_array gives [''])
+_SQL_TOKS_E = (
+    "CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    f"ELSE {SQL_TOKS} END"
+)
+
+
+@register(
+    "docs_repetition_stats",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS_E}) AS t FROM documents
+    ), freq AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_freq
+      FROM freq GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_distinct, 0) AS n_distinct,
+           ROUND(COALESCE(a.n_distinct / a.n_tokens, 0.0), 6) AS distinct_ratio,
+           ROUND(COALESCE(a.top_freq / a.n_tokens, 0.0), 6) AS top_token_share,
+           CAST(COALESCE(a.top_freq / a.n_tokens > 0.2
+                         OR a.n_distinct / a.n_tokens < 0.3, FALSE) AS INTEGER
+           ) AS is_repetitive
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    tags=["LLM-text", "quality"],
+)
+def q_docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher-style): distinct-token ratio
+    and top-token share per document, with a repetitiveness flag.
+    Explode -> two-level aggregate, fully JVM; map-side partial counts
+    shrink the exploded rows before the one doc_id shuffle."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tx.tokens("text")).alias("t"))
+    freq = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    agg = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_freq"),
+    )
+    dr = F.col("n_distinct") / F.col("n_tokens")
+    ts = F.col("top_freq") / F.col("n_tokens")
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.round(F.coalesce(dr, F.lit(0.0)), 6).alias("distinct_ratio"),
+            F.round(F.coalesce(ts, F.lit(0.0)), 6).alias("top_token_share"),
+            F.coalesce((ts > 0.2) | (dr < 0.3), F.lit(False))
+            .cast("int")
+            .alias("is_repetitive"),
+        )
+    )
+
+
+@register(
+    "docs_train_test_split",
+    """
+    SELECT doc_id,
+           CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+             % 100 AS bucket,
+           CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                     % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=["LLM-text", "sampling"],
+)
+def q_docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (90/10): bucket = first
+    16 bits of md5(doc_id) mod 100. Stable under re-runs, re-partitioning
+    and corpus growth — the property a random() split lacks — and needs
+    no shuffle at all (pure projection)."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
+@register(
+    "docs_benchmark_contamination",
+    f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents),
+    b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+    c AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_hits
+      FROM c JOIN b ON c.g = b.g GROUP BY 1
+    )
+    SELECT sh.doc_id, len(sh.s) AS n_shingles,
+           COALESCE(h.n_hits, 0) AS n_contaminated,
+           ROUND(COALESCE(h.n_hits, 0) / len(sh.s), 6) AS contamination
+    FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id
+    WHERE sh.doc_id % 97 <> 0
+    """,
+    tags=["LLM-text", "contamination"],
+)
+def q_docs_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training doc's
+    3-word shingles that appear in a held-out 'benchmark' set (every 97th
+    doc stands in for the eval suite). The benchmark shingle set is tiny
+    by construction -> broadcast join; the corpus side never self-joins."""
+    d = T(spark, sf_dir, "documents")
+    sh = d.select("doc_id", tx.word_shingles("text", 3).alias("s"))
+    bench_g = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.select("doc_id", F.explode("s").alias("g"))
+        .join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id", F.size("s").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+@register(
+    "docs_dedup_clusters",
+    _sql_minhash_lsh_cte().replace("WITH", "WITH RECURSIVE", 1)
+    + f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), shs AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents),
+    conf AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id
+      WHERE len(list_intersect(x.s, y.s))
+            / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS es, id_b AS ed FROM conf
+      UNION ALL
+      SELECT id_b, id_a FROM conf
+    ), walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.ed, w.lbl FROM walk w JOIN edges e ON e.es = w.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
+    """,
+    tags=["LLM-dedup", "pipeline-composition"],
+)
+def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup endgame in one query: MinHash-LSH candidates ->
+    exact Jaccard confirm (>= 0.5) -> connected components, labeling
+    every document with the MIN doc id reachable through confirmed
+    near-dup pairs (keep cluster_id == doc_id rows to dedup the corpus).
+    Spark side runs Pregel-style min-label propagation to fixpoint; the
+    oracle computes the same fixpoint with a recursive CTE."""
+    d = T(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+    conf = dd.ngram_jaccard_pairs(
+        d, cand, "text", "doc_id", shingle_n=3, threshold=0.5
+    )
+    return dd.connected_components(
+        d.select("doc_id"), conf.select("id_a", "id_b"), id_col="doc_id"
+    )
+
+
 @register(
     "media_payload_dedup",
     """

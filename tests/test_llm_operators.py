@@ -118,6 +118,59 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert full == exact
 
 
+def test_connected_components_labels_min_reachable(spark):
+    # components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {5,6}; {7} singleton
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_handles_chain_diameter(spark):
+    # a 20-node path graph needs multiple propagation rounds
+    nodes = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], ["id_a", "id_b"]
+    )
+    got = dd.connected_components(nodes, edges).collect()
+    assert all(r.cluster_id == 0 for r in got) and len(got) == 20
+
+
+def test_scrub_pii_redacts_and_preserves(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "call +1 555-123-4567 or 555-987-6543 now"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", tx.scrub_pii("text").alias("s")).collect()
+    }
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "call <PHONE> or <PHONE> now"
+    assert out[3] == "nothing sensitive here"
+
+
+def test_train_test_split_is_stable_and_90_10(spark, sf_dir):
+    from mergermetrics_lakehouse_pipeline_spark.registry_llm import (
+        q_docs_train_test_split,
+    )
+
+    a = q_docs_train_test_split(spark, sf_dir).collect()
+    b = q_docs_train_test_split(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    frac_train = sum(r.split == "train" for r in a) / len(a)
+    assert 0.8 < frac_train < 0.97  # hash-split hovers near 0.9
+
+
 def test_winnow_guarantee(spark):
     """Winnowing guarantee: documents sharing a >= k+w-1 char substring
     share at least one selected fingerprint; disjoint docs share none."""

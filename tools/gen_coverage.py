@@ -56,6 +56,12 @@ EXTRAS = [
      "nprobe=n_cells is exact)"),
     ("LLM text analysis",
      "`docs_text_stats`, `docs_lang_id`, `docs_fingerprint`, `docs_clean_corpus` (composed pipeline)"),
+    ("LLM corpus hygiene (extension set)",
+     "`docs_pii_scrub` (regex redaction + scrub hash), `docs_repetition_stats` "
+     "(Gopher-style distinct/top-token ratios), `docs_train_test_split` "
+     "(deterministic hash split), `docs_benchmark_contamination` (shingle "
+     "overlap vs held-out set), `docs_dedup_clusters` (LSH candidates -> "
+     "Jaccard confirm -> connected components, recursive-CTE oracle)"),
     ("LLM multimodal", "`media_resize_plan`, `media_frame_offsets`, `media_extract_features`"),
     ("Sketch KPIs", "`kpi_approx_sketches`"),
     ("Sink/DDL round-trips (driver-checkable side effects)",
