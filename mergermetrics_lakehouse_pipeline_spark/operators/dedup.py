@@ -251,6 +251,10 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
+    # materialize the edge list ONCE: it is re-joined every round, and its
+    # upstream plan (e.g. a whole LSH+confirm pipeline) must not re-execute
+    # per iteration
+    sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -261,6 +265,8 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # one materialization per round: the convergence count and the next
+        # labels both read the checkpointed result, not a recomputed plan
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -270,11 +276,10 @@ def connected_components(
                 ),
                 "label",
             )
+            .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("new_label") < F.col("label")).count()
-        labels = updated.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
+        labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     else:
