@@ -1,0 +1,194 @@
+"""Corpus-preparation operators a training-data pipeline runs after
+cleaning/dedup: context-window chunking, per-document keyword (rarity)
+terms, corpus-LM familiarity scoring, and deterministic per-group
+rebalancing downsample.
+
+Reference parity: the reference (a Databricks lakehouse ETL,
+consolidated_pipeline/*.py) has no corpus ops — these extend the engine
+toward the LLM-training-data surface the way SURVEY.md §7 prescribes:
+pure DataFrame compositions (explode / groupBy / window / filter), no
+Python UDFs, every intermediate shuffle keyed on something with bounded
+cardinality per group.
+
+Numeric discipline (oracle parity): every score is either integer
+arithmetic (exact) or a fixed left-to-right chain of IEEE-double
+divisions identical in Spark and DuckDB, rounded to 6 places at the
+end. No transcendental functions (ln/exp differ in final ulps across
+libm implementations), no order-dependent double summation — the only
+SUMs are over BIGINTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+
+
+def _hash_bucket(col: Column, *, salt: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 16 bits of
+    md5(salt|key) mod buckets. Stable under re-runs and repartitioning
+    (unlike rand()), portable to the SQL oracle."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), col.cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows (context-length
+    fitting for model training): chunk ``c`` covers tokens
+    ``[c*stride, c*stride + chunk_size)``; the last chunk may be shorter.
+    Zero-token documents produce no chunks.
+
+    Scale: one narrow projection + explode — no shuffle, no UDF; output
+    rows ~ n_tokens/stride per doc, bounded per input row, so the explode
+    cannot blow up a partition. At 100 TB this runs entirely map-side.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tx.tokens(text_col)
+    n = F.size("toks")
+    # integer ceil((n - size) / stride); guarded CASE keeps operands
+    # positive (Spark `div` truncates toward zero, DuckDB `//` floors —
+    # they only agree on non-negative operands)
+    last_chunk = F.when(n <= chunk_size, F.lit(0)).otherwise(
+        ((n - chunk_size + stride - 1) / stride).cast("bigint")
+    )
+    start = F.col("chunk_id") * stride + 1
+    return (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            id_col,
+            "toks",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), last_chunk)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(F.slice("toks", start, F.lit(chunk_size)), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_size), n - F.col("chunk_id") * stride).alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )
+
+
+def top_rarity_terms(
+    df: DataFrame, text_col: str, id_col: str, *, k: int = 3
+) -> DataFrame:
+    """Top-k most informative terms per document, scored by
+    ``tf * N / df`` — the raw-inverse-document-frequency tf-idf variant,
+    chosen over the log variant so the score is a single exact
+    integer-product-then-one-division (bit-identical across engines).
+    Ties break on the term string ascending.
+
+    Scale: two hash aggregations (doc×term, then term) and one shuffle
+    join keyed on term; the join input is the term-frequency table
+    (|doc×distinct-term|), not the raw token stream. The corpus size N
+    joins in as a broadcast 1-row aggregate, never a driver collect.
+    The per-doc window partitions on the id — no global sort.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tx.tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(score, 6).alias("score"),
+            "rnk",
+        )
+    )
+
+
+def unigram_familiarity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Score each document by the mean corpus-frequency of its tokens —
+    the cheapest possible 'train a unigram LM on the corpus, score every
+    doc with it' quality signal (natural prose scores high, gibberish
+    and boilerplate-with-rare-symbols score low).
+
+    familiarity(d) = (1/n_d) * Σ_{t∈d} tf_t(d) · cnt(t) / total_tokens
+    computed as exact BIGINT sums with two trailing double divisions in
+    fixed order, so Spark and the SQL oracle agree bit-for-bit.
+
+    Scale: the token stream collapses to (doc, term, tf) before any
+    join; the corpus model is a second aggregation OF THE TF TABLE (one
+    extra shuffle on term, input already deduped per doc). The hot
+    `term` join inherits AQE skew splitting for head words.
+    """
+    tok = df.select(F.col(id_col), F.explode(tx.tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = tf.agg(F.sum("tf").alias("total_tokens"))
+    per_doc = (
+        tf.join(model, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("cnt")).alias("sum_w"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.col("sum_w") / F.col("total_tokens") / F.col("n_tokens"), 6
+        ).alias("familiarity"),
+    )
+
+
+def rebalance_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    rates: dict[str, int],
+    default_rate: int = 100,
+    salt: str = "rebal",
+) -> DataFrame:
+    """Deterministic per-group downsample: keep a row iff its hash bucket
+    (md5-based, seeded by ``salt``) falls below the group's keep-rate
+    percentage. The standard move for rebalancing over-represented
+    languages/sources in a training mix — reproducible (same corpus →
+    same sample, regardless of partitioning or cluster size), and a pure
+    narrow filter: zero shuffles at any scale.
+    """
+    rate = F.lit(default_rate)
+    for key, pct in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == key, F.lit(pct)).otherwise(rate)
+    bucket = _hash_bucket(F.col(id_col), salt=salt)
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn("keep_rate", rate)
+        .filter(F.col("bucket") < F.col("keep_rate"))
+        .select(id_col, group_col, "bucket", "keep_rate")
+    )

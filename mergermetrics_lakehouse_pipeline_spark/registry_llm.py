@@ -836,3 +836,150 @@ def q_media_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("media_id") + 1000000
     )
     return payload_dedup_groups(media.unionByName(dup))
+
+
+# ---------------------------------------------------------------------------
+# corpus preparation: chunking, keyword terms, LM familiarity, rebalancing
+# ---------------------------------------------------------------------------
+
+#: tokens with the engine's empty-text semantics (empty -> empty list,
+#: where regexp_split_to_array alone would yield [''])
+SQL_TOKS_SAFE = (
+    f"CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[] ELSE {SQL_TOKS} END"
+)
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@register(
+    "docs_chunk_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKS_SAFE} AS toks FROM documents
+      WHERE len(trim(text)) > 0
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CASE WHEN len(toks) <= {_CHUNK} THEN 0
+                    ELSE (len(toks) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}
+               END)) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id*{_STRIDE}+1 : chunk_id*{_STRIDE}+{_CHUNK}], ' ')
+             AS chunk_text,
+           LEAST({_CHUNK}, len(toks) - chunk_id*{_STRIDE}) AS n_chunk_tokens
+    FROM c
+    """,
+    tags=["LLM-text", "corpus"],
+)
+def q_docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: overlapping 64-token windows at stride 48
+    (16-token overlap), the standard pre-training doc -> sample step.
+    Pure explode — map-side only, no shuffle (see
+    operators/corpus.py:chunk_tokens)."""
+    from .operators import corpus as cp
+
+    return cp.chunk_tokens(
+        T(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        chunk_size=_CHUNK,
+        stride=_STRIDE,
+    )
+
+
+@register(
+    "docs_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS_SAFE}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    r AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             ROUND(tf.tf * n.n_docs / dfq.df, 6) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * n.n_docs / dfq.df DESC,
+                                         tf.term ASC) AS rnk
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
+    """,
+    tags=["LLM-text", "corpus"],
+)
+def q_docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 informative terms per doc by tf * N/df (raw-idf tf-idf
+    variant — exact integer product + one division, so the score is
+    bit-identical across engines; ties break on the term string). See
+    operators/corpus.py:top_rarity_terms for the 100 TB shape."""
+    from .operators import corpus as cp
+
+    return cp.top_rarity_terms(T(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+
+
+@register(
+    "docs_unigram_familiarity",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS_SAFE}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), model AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens FROM tf),
+    pd AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf * model.cnt) AS BIGINT) AS sum_w,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
+      FROM tf JOIN model USING (term) GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(sum_w / tot.total_tokens / n_tokens, 6) AS familiarity
+    FROM pd CROSS JOIN tot
+    """,
+    tags=["LLM-text", "corpus", "quality"],
+)
+def q_docs_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM corpus scoring: mean corpus-frequency of each doc's
+    tokens (high = natural prose, low = gibberish/rare-symbol soup) —
+    the cheapest 'train an LM on the corpus, score docs with it'
+    quality gate. Exact BIGINT sums + two ordered double divisions
+    (operators/corpus.py:unigram_familiarity)."""
+    from .operators import corpus as cp
+
+    return cp.unigram_familiarity(T(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "docs_rebalance_sample",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', substr(md5('rebal|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 100 AS bucket,
+             CASE WHEN lang = 'en' THEN 45 ELSE 100 END AS keep_rate
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket, keep_rate FROM s WHERE bucket < keep_rate
+    """,
+    tags=["LLM-text", "sampling"],
+)
+def q_docs_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing downsample: English (~43% of the corpus)
+    keeps a 45% hash-sample, every other language keeps 100% —
+    deterministic under re-runs/repartitioning, zero shuffles
+    (operators/corpus.py:rebalance_sample; seeded independently of
+    docs_train_test_split so the two samples are uncorrelated)."""
+    from .operators import corpus as cp
+
+    return cp.rebalance_sample(
+        T(spark, sf_dir, "documents"),
+        "lang",
+        "doc_id",
+        rates={"en": 45},
+        default_rate=100,
+    )

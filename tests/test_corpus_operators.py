@@ -1,0 +1,90 @@
+"""Unit semantics for operators/corpus.py (chunking, keyword terms,
+unigram familiarity, rebalancing) on hand-computable literal inputs —
+the registry oracles cover the full-table parity, these pin the edge
+cases the oracle tables may not contain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mergermetrics_lakehouse_pipeline_spark.operators import corpus as cp
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    d = _docs(spark, [(1, "a b c d e f g h i j")])  # 10 tokens
+    out = cp.chunk_tokens(d, "text", "doc_id", chunk_size=4, stride=3)
+    got = {r.chunk_id: (r.chunk_text, r.n_chunk_tokens) for r in out.collect()}
+    # ceil((10-4)/3) = 2 -> chunks 0..2; last covers tokens 7..10
+    assert got == {
+        0: ("a b c d", 4),
+        1: ("d e f g", 4),
+        2: ("g h i j", 4),
+    }
+
+
+def test_chunk_tokens_short_and_empty_docs(spark):
+    d = _docs(spark, [(1, "x y"), (2, "   "), (3, "")])
+    out = cp.chunk_tokens(d, "text", "doc_id", chunk_size=4, stride=3).collect()
+    # short doc -> exactly one (shorter) chunk; empty docs -> no chunks
+    assert len(out) == 1
+    assert out[0].doc_id == 1 and out[0].chunk_text == "x y"
+    assert out[0].n_chunk_tokens == 2
+
+
+def test_chunk_tokens_stride_boundary(spark):
+    # n exactly size + k*stride: last window is full-size, no phantom chunk
+    d = _docs(spark, [(1, " ".join(f"t{i}" for i in range(7)))])  # 7 = 4 + 3
+    out = cp.chunk_tokens(d, "text", "doc_id", chunk_size=4, stride=3)
+    rows = sorted(out.collect(), key=lambda r: r.chunk_id)
+    assert [r.n_chunk_tokens for r in rows] == [4, 4]
+
+
+def test_top_rarity_terms_ranking_and_ties(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "rare common common"),
+            (2, "common common common"),
+            (3, "unique common zz"),
+        ],
+    )
+    out = cp.top_rarity_terms(d, "text", "doc_id", k=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.rnk, r.term, r.score))
+    # doc 1: rare tf=1 df=1 -> 3.0 beats common tf=2 df=3 -> 2.0
+    assert [t for _, t, _ in sorted(by_doc[1])] == ["rare", "common"]
+    assert sorted(by_doc[1])[0][2] == 3.0
+    # doc 3: unique and zz both score 1*3/1 = 3.0; the tie breaks on the
+    # term string ascending -> 'unique' < 'zz'
+    assert [t for _, t, _ in sorted(by_doc[3])] == ["unique", "zz"]
+
+
+def test_unigram_familiarity_hand_computed(spark):
+    d = _docs(spark, [(1, "a a b"), (2, "b c")])
+    out = {r.doc_id: r for r in cp.unigram_familiarity(d, "text", "doc_id").collect()}
+    # corpus: a->2, b->2, c->1, total=5
+    # doc1: (2*2 + 1*2) / 5 / 3 = 6/15 = 0.4 ; doc2: (2+1)/5/2 = 0.3
+    assert out[1].n_tokens == 3 and abs(out[1].familiarity - 0.4) < 1e-9
+    assert out[2].n_tokens == 2 and abs(out[2].familiarity - 0.3) < 1e-9
+
+
+def test_rebalance_sample_deterministic_and_rate_bounded(spark):
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out1 = cp.rebalance_sample(d, "lang", "doc_id", rates={"en": 40})
+    out2 = cp.rebalance_sample(d.repartition(13), "lang", "doc_id", rates={"en": 40})
+    ids1 = sorted(r.doc_id for r in out1.collect())
+    ids2 = sorted(r.doc_id for r in out2.collect())
+    assert ids1 == ids2  # partitioning-independent
+    kept = out1.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in kept}
+    assert by_lang["de"] == 200  # default rate keeps everything
+    assert 50 <= by_lang["en"] <= 110  # ~40% of 200, hash-binomial slack
+    assert out1.filter(F.col("bucket") >= F.col("keep_rate")).count() == 0

@@ -113,3 +113,22 @@ def test_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_corpus_chunk_and_rebalance_are_map_side_only(spark, sf_dir):
+    """Chunking and hash-rebalancing are pure narrow transforms: any
+    Exchange appearing in their plans is a scale regression (at 100 TB
+    an accidental shuffle here moves the whole token stream)."""
+    for name in ("docs_chunk_windows", "docs_rebalance_sample"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name
+
+
+def test_top_terms_scalar_joins_are_broadcast(spark, sf_dir):
+    """The corpus-size/total-token scalar joins in the term-scoring ops
+    must be 1-row broadcasts, never a shuffled join."""
+    for name in ("docs_top_terms", "docs_unigram_familiarity"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name

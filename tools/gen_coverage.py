@@ -62,6 +62,12 @@ EXTRAS = [
      "(deterministic hash split), `docs_benchmark_contamination` (shingle "
      "overlap vs held-out set), `docs_dedup_clusters` (LSH candidates -> "
      "Jaccard confirm -> connected components, recursive-CTE oracle)"),
+    ("LLM corpus preparation (extension set)",
+     "`docs_chunk_windows` (overlapping token windows, zero-shuffle), "
+     "`docs_top_terms` (tf·N/df keyword terms, exact cross-engine arithmetic), "
+     "`docs_unigram_familiarity` (corpus-unigram-LM quality score, exact "
+     "BIGINT sums), `docs_rebalance_sample` (per-language deterministic "
+     "hash downsample, zero-shuffle)"),
     ("LLM multimodal", "`media_resize_plan`, `media_frame_offsets`, `media_extract_features`"),
     ("Sketch KPIs", "`kpi_approx_sketches`"),
     ("Sink/DDL round-trips (driver-checkable side effects)",
