@@ -983,3 +983,118 @@ def q_docs_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"en": 45},
         default_rate=100,
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus analytics: exact quantiles, histogram, quality-gate funnel
+# ---------------------------------------------------------------------------
+
+_QPS = (25, 50, 75, 95)
+
+
+@register(
+    "docs_length_quantiles",
+    f"""
+    WITH r AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang, MAX(n) AS n_docs,
+           {", ".join(
+             f"MAX(CASE WHEN rn = CAST(CEIL(0.{p}*n) AS BIGINT) THEN n_chars END) AS p{p}"
+             for p in _QPS)}
+    FROM r GROUP BY lang
+    """,
+    tags=["LLM-text", "analytics"],
+)
+def q_docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles (p25/50/75/95 of doc length) computed
+    distributively: rank-within-group window + conditional aggregation —
+    the scalable alternative to percentile_approx when exactness matters
+    (one shuffle on the group key; the sort is per-group, never global).
+    Discrete 'lower' quantile (value at rank ceil(p*n)); p*n is always
+    an exact multiple of 1/20, i.e. >= 0.05 away from any non-integer
+    boundary, so Spark's double and DuckDB's decimal arithmetic pick the
+    same rank for any n up to ~1e15."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    wn = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_docs")] + [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(p / 100.0) * F.col("n")), F.col("n_chars"))
+        ).alias(f"p{p}")
+        for p in _QPS
+    ]
+    return r.groupBy("lang").agg(*aggs)
+
+
+@register(
+    "docs_length_histogram",
+    """
+    SELECT lang,
+           LEAST(19, n_chars // 100) AS bucket,
+           CAST(LEAST(19, n_chars // 100) * 100 AS BIGINT) AS lo_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+    tags=["LLM-text", "analytics"],
+)
+def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram per language: fixed 100-char buckets with a
+    19+ overflow bucket, via integer division (exact in both engines —
+    no width_bucket float edges). Single partial-aggregated shuffle."""
+    d = T(spark, sf_dir, "documents")
+    bucket = F.least(F.lit(19), F.expr("n_chars DIV 100"))
+    return d.groupBy(
+        "lang",
+        bucket.alias("bucket"),
+        (bucket * 100).cast("bigint").alias("lo_chars"),
+    ).agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "docs_quality_funnel",
+    f"""
+    WITH c AS (
+      SELECT len(text) BETWEEN 50 AND 5000 AS len_ok,
+             (CASE WHEN len(text) = 0 THEN 0.0 ELSE {SQL_PUNCT_N} / len(text) END) < 0.15 AS punct_ok,
+             (CASE WHEN {SQL_TC} = 0 THEN 0.0 ELSE {SQL_SW_EN} / {SQL_TC} END) BETWEEN 0.10 AND 0.60 AS glue_ok
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(SUM(CASE WHEN len_ok AND punct_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN len_ok AND punct_ok AND glue_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+    FROM c
+    """,
+    tags=["LLM-text", "analytics", "quality"],
+)
+def q_docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hygiene-gate funnel: how many docs survive each successive
+    cleaning gate (length band -> +punctuation -> +stopword glue) — the
+    observability query every corpus pipeline runs before/after a
+    filter change. One full-corpus pass, conditional sums, no shuffle
+    beyond the single global aggregate."""
+    d = T(spark, sf_dir, "documents")
+    len_ok = (F.length("text") >= 50) & (F.length("text") <= 5000)
+    punct_ok = tx.punct_ratio("text") < 0.15
+    sw = tx.stopword_ratio("text")
+    glue_ok = (sw >= 0.10) & (sw <= 0.60)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return d.agg(
+        F.count("*").alias("n_total"),
+        one(len_ok).alias("n_len_ok"),
+        one(len_ok & punct_ok).alias("n_clean"),
+        one(len_ok & punct_ok & glue_ok).alias("n_quality"),
+    )
