@@ -1098,3 +1098,41 @@ def q_docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(len_ok & punct_ok).alias("n_clean"),
         one(len_ok & punct_ok & glue_ok).alias("n_quality"),
     )
+
+
+@register(
+    "emb_dedup_clusters",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a="a.v", b="b.v")} >= 0.30
+    ), edges AS (
+      SELECT id_a AS es, id_b AS ed FROM p
+      UNION ALL
+      SELECT id_b, id_a FROM p
+    ), walk(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT g.ed, w.lbl FROM walk w JOIN edges g ON g.es = w.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
+    """,
+    tags=["LLM-dedup", "LLM-sim", "pipeline-composition"],
+)
+def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup endgame: label-bucketed cosine pairs
+    (>= 0.30) -> connected components, labeling every vector with the
+    MIN vec_id reachable through near-dup edges (keep cluster_id ==
+    vec_id rows to dedup an embedding corpus). Same Pregel-style
+    min-label propagation as docs_dedup_clusters, same recursive-CTE
+    oracle — proving the component operator composes across modalities."""
+    from .operators import dedup as dd
+
+    e = T(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_neardup_pairs(e, threshold=0.30, bucket_col="label")
+    return dd.connected_components(
+        e.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
+    )

@@ -48,7 +48,8 @@ EXTRAS = [
     ("Plan invariants (pushdown/broadcast/shuffle-count/codegen)", "tests/test_plan_invariants.py"),
     ("LLM dedup",
      "`docs_exact_dedup`, `docs_minhash_lsh_pairs`, `docs_ngram_jaccard`, `docs_simhash_neardup`, "
-     "`docs_winnow_fingerprints`, `emb_neardup_pairs`"),
+     "`docs_winnow_fingerprints`, `emb_neardup_pairs`, `emb_dedup_clusters` "
+     "(cosine pairs -> connected components, recursive-CTE oracle)"),
     ("LLM similarity",
      "`emb_cosine_topk` (exact baseline), `emb_ann_topk` (hyperplane LSH, "
      "measured recall@5 = 0.70 vs brute force at sf0.01), `emb_ivf_topk` "
