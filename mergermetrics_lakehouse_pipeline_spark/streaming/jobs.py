@@ -66,6 +66,26 @@ def streaming_tumbling_counts(
     return ev.tumbling_counts(stream.withWatermark(ev.TS, watermark), window)
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once ingest dedup for at-least-once sources:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each key
+    and drops re-deliveries that land within the watermark horizon.
+    Unlike plain ``dropDuplicates`` on a stream (whose key state grows
+    forever), the watermark EVICTS state for keys older than the horizon
+    — the property that keeps a 100 TB/day ingest's dedup state bounded
+    by (horizon × arrival rate), not by corpus lifetime. Emits in append
+    mode immediately (first-seen rows don't wait for the window close).
+    """
+    return stream.withWatermark(ev.TS, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def run_available_now(
     result: DataFrame,
     *,

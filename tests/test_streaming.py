@@ -151,3 +151,30 @@ def test_stateful_sessionization(spark, tmp_path):
     act_all = key_set(run_stream(), stream_start_s)
     exp_all = key_set(batch, batch_start_s)
     assert act_all == exp_all
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path, events_dir):
+    """dropDuplicatesWithinWatermark: the same files landed twice (an
+    at-least-once redelivery) produce each event exactly once, matching
+    batch dropDuplicates on the key."""
+    from mergermetrics_lakehouse_pipeline_spark.streaming import streaming_dedup
+
+    # land every file a second time: full-row duplicates, new filenames
+    dup_dir = tmp_path / "dup_landing"
+    src = spark.read.parquet(events_dir)
+    src.write.mode("overwrite").parquet(str(dup_dir))
+    src.write.mode("append").parquet(str(dup_dir))
+    assert spark.read.parquet(str(dup_dir)).count() == 2 * src.count()
+
+    stream = read_events_stream(spark, str(dup_dir))
+    result = run_available_now(
+        streaming_dedup(stream, keys=("event_id",), watermark="2 hours"),
+        query_name="t_stream_dedup",
+        checkpoint_dir=str(tmp_path / "ckpt_dedup"),
+        output_mode="append",
+    )
+    batch = events_table(spark, SF_DIR)
+    assert result.count() == batch.select("event_id").distinct().count()
+    assert _rows(result.select("event_id", "event_type", "value"), "event_id") == _rows(
+        batch.select("event_id", "event_type", "value"), "event_id"
+    )

@@ -41,7 +41,8 @@ EXTRAS = [
     ("Streaming (engine extension)",
      "`events_tumbling_window`, `events_hopping_window`, `events_sessionization`, "
      "`events_json_props`; streaming/jobs.py + streaming/stateful.py "
-     "(tests/test_streaming.py: parity, idempotent foreachBatch MERGE, applyInPandasWithState)"),
+     "(tests/test_streaming.py: parity, idempotent foreachBatch MERGE, "
+     "applyInPandasWithState, dropDuplicatesWithinWatermark ingest dedup)"),
     ("As-of join (extension)", "`asof_join_latest_order` (operators/asof.py)"),
     ("Skew salting (extension)", "`skew_salted_join` (operators/skew.py)"),
     ("Bucketed co-located joins", "tests/test_plan_invariants.py::test_bucketed_join_no_shuffle"),
