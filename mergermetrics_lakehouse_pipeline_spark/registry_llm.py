@@ -1010,28 +1010,38 @@ _QPS = (25, 50, 75, 95)
     tags=["LLM-text", "analytics"],
 )
 def q_docs_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT per-group quantiles (p25/50/75/95 of doc length) computed
-    distributively: rank-within-group window + conditional aggregation —
-    the scalable alternative to percentile_approx when exactness matters
-    (one shuffle on the group key; the sort is per-group, never global).
-    Discrete 'lower' quantile (value at rank ceil(p*n)); p*n is always
-    an exact multiple of 1/20, i.e. >= 0.05 away from any non-integer
-    boundary, so Spark's double and DuckDB's decimal arithmetic pick the
-    same rank for any n up to ~1e15."""
+    """EXACT per-group quantiles (p25/50/75/95 of doc length), computed
+    by counting, not sorting rows: groupBy (lang, n_chars) with partial
+    aggregation collapses the corpus to its distinct values FIRST, the
+    cumulative-count window then runs over |distinct lengths| rows per
+    group — so low-cardinality groups (5 languages) never funnel the
+    full corpus through 5 sort partitions the way a rank-per-row window
+    would. Quantile p = smallest value whose cumulative count reaches
+    rank ceil(p*n) — identical to the value at that rank.
+
+    The oracle deliberately uses the OTHER formulation (per-row rank
+    window) so the two engines cross-check independent algorithms.
+    p*n is always a multiple of 1/20, i.e. >= 0.05 from any non-integer
+    boundary, so double vs decimal arithmetic picks the same rank."""
     from pyspark.sql import Window
 
     d = T(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars")
+    counts = d.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     wn = Window.partitionBy("lang")
-    r = d.select(
+    r = counts.select(
         "lang",
         "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
     )
     aggs = [F.max("n").alias("n_docs")] + [
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(p / 100.0) * F.col("n")), F.col("n_chars"))
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(p / 100.0) * F.col("n")), F.col("n_chars")
+            )
         ).alias(f"p{p}")
         for p in _QPS
     ]

@@ -71,10 +71,11 @@ EXTRAS = [
      "BIGINT sums), `docs_rebalance_sample` (per-language deterministic "
      "hash downsample, zero-shuffle)"),
     ("LLM corpus analytics (extension set)",
-     "`docs_length_quantiles` (EXACT per-group p25/50/75/95 via rank "
-     "window + conditional agg — the scalable percentile_approx "
-     "alternative), `docs_length_histogram` (integer-bucket histogram), "
-     "`docs_quality_funnel` (per-gate survival counts)"),
+     "`docs_length_quantiles` (EXACT per-group p25/50/75/95 via "
+     "count-collapse + cumulative window over distinct values — scales "
+     "with value cardinality, not row count; oracle uses the independent "
+     "rank-window formulation), `docs_length_histogram` (integer-bucket "
+     "histogram), `docs_quality_funnel` (per-gate survival counts)"),
     ("LLM multimodal", "`media_resize_plan`, `media_frame_offsets`, `media_extract_features`"),
     ("Sketch KPIs", "`kpi_approx_sketches`"),
     ("Sink/DDL round-trips (driver-checkable side effects)",
