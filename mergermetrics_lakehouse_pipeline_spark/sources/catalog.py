@@ -108,3 +108,72 @@ def copy_into(
     src = reader.format(file_format).load(source_path).selectExpr(*select_exprs)
     fmt = "delta" if delta_available() else "parquet"
     src.write.format(fmt).mode("append").saveAsTable(table)
+
+
+def table_file_stats(spark: SparkSession, name: str) -> dict:
+    """Data-file census for a table: count + total bytes (parquet files
+    only, ignoring _SUCCESS/commit metadata). The observability half of
+    compaction — a lakehouse job alerts on file count / mean size drift
+    long before listing slowness hurts queries."""
+    import pathlib
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    root = pathlib.Path(loc.removeprefix("file:"))
+    files = [p for p in root.rglob("*.parquet") if p.is_file()]
+    total = sum(p.stat().st_size for p in files)
+    return {"n_files": len(files), "total_bytes": total, "location": str(root)}
+
+
+def compact_table(
+    spark: SparkSession,
+    name: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction (the parquet-table analogue of Delta
+    OPTIMIZE; the reference's streaming-ingest tables accrete a file per
+    micro-batch and Databricks compacts them out-of-band — an engine
+    replacing that needs the maintenance op in-band).
+
+    Rewrites the table's data into ceil(total_bytes / target) files —
+    sized from the table's REAL on-disk footprint, not a row guess. For
+    partitioned tables pass ``partition_by``: each partition is rewritten
+    via dynamic partition overwrite, preserving partition pruning, and
+    repartitioning on the partition columns keeps one writer per
+    partition (no tiny per-task files re-appearing).
+
+    Returns before/after file stats so maintenance jobs can log the win.
+    Not atomic on plain parquet (an overwrite drops-then-writes) — run in
+    a maintenance window; on Delta the same rewrite is a transactional
+    no-op for readers.
+    """
+    from pyspark.sql import functions as F
+
+    before = table_file_stats(spark, name)
+    df = spark.table(name)
+    n_files = max(1, -(-before["total_bytes"] // target_file_bytes))
+    if partition_by:
+        # one writer per partition value -> exactly one output file per
+        # partition; dynamic overwrite touches only present partitions
+        compacted = df.repartition(*[F.col(c) for c in partition_by])
+        overwrite_partitions(compacted, name)
+    else:
+        # a table can't be overwritten from its own live scan — stage the
+        # compacted layout on disk first (same staging technique as the
+        # merge fallback, operators/merge.py), then rewrite from the
+        # staged scan. repartition (not coalesce) so the rewrite keeps
+        # upstream read parallelism.
+        tmp = f"{name}__compact_stage"
+        df.repartition(n_files).write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(tmp)
+        spark.table(tmp).write.mode("overwrite").format("parquet").saveAsTable(name)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.catalog.refreshTable(name)
+    after = table_file_stats(spark, name)
+    return {"before": before, "after": after}

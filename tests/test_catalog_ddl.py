@@ -77,3 +77,52 @@ def test_copy_into_equivalent(spark, tmp_path):
     assert out.count() == 2
     assert dict(out.dtypes) == {"date": "date", "qty": "bigint"}
     drop_table(spark, "t_ddl_copy")
+
+
+def test_compact_table_unpartitioned(spark):
+    from mergermetrics_lakehouse_pipeline_spark.sources.catalog import (
+        compact_table,
+        table_file_stats,
+    )
+
+    drop_table(spark, "t_compact")
+    # fragment: 40 tiny files for ~4k rows
+    spark.range(4000).withColumn("v", F.col("id") * 2).repartition(40).write.format(
+        "parquet"
+    ).saveAsTable("t_compact")
+    before = table_file_stats(spark, "t_compact")
+    assert before["n_files"] == 40
+    stats = compact_table(spark, "t_compact", target_file_bytes=64 * 1024 * 1024)
+    assert stats["after"]["n_files"] < before["n_files"]
+    assert spark.table("t_compact").count() == 4000
+    assert spark.table("t_compact").agg(F.sum("v")).collect()[0][0] == 2 * sum(
+        range(4000)
+    )
+    drop_table(spark, "t_compact")
+
+
+def test_compact_table_partitioned_preserves_layout(spark):
+    from mergermetrics_lakehouse_pipeline_spark.sources.catalog import (
+        compact_table,
+        table_file_stats,
+    )
+
+    drop_table(spark, "t_compact_p")
+    df = (
+        spark.range(3000)
+        .withColumn("v", F.col("id") % 7)
+        .withColumn("pt", (F.col("id") % 3).cast("string"))
+    )
+    write_table(df.repartition(30), "t_compact_p", partition_by=["pt"])
+    before = table_file_stats(spark, "t_compact_p")
+    assert before["n_files"] > 3  # fragmented within partitions
+    compact_table(spark, "t_compact_p", partition_by=["pt"])
+    after = table_file_stats(spark, "t_compact_p")
+    assert after["n_files"] == 3  # one file per partition value
+    # partition pruning still works after the rewrite
+    pruned = spark.table("t_compact_p").filter(F.col("pt") == "1")
+    assert pruned.count() == 1000
+    explained = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in explained
+    assert spark.table("t_compact_p").count() == 3000
+    drop_table(spark, "t_compact_p")

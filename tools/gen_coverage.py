@@ -78,6 +78,10 @@ EXTRAS = [
      "histogram), `docs_quality_funnel` (per-gate survival counts)"),
     ("LLM multimodal", "`media_resize_plan`, `media_frame_offsets`, `media_extract_features`"),
     ("Sketch KPIs", "`kpi_approx_sketches`"),
+    ("Table maintenance (lakehouse ops)",
+     "sources/catalog.py compact_table (small-file compaction, the parquet "
+     "OPTIMIZE analogue; partitioned variant keeps pruning) + "
+     "table_file_stats (file census); tests/test_catalog_ddl.py"),
     ("Sink/DDL round-trips (driver-checkable side effects)",
      "`sink_modes_roundtrip` (overwrite+append+mergeSchema+view+tableExists), "
      "`copy_into_roundtrip` (CSV landing -> COPY INTO -> archive -> read-back)"),
