@@ -1146,3 +1146,41 @@ def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(
         e.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
     )
+
+
+@register(
+    "docs_bigram_counts",
+    f"""
+    WITH tok AS (
+      SELECT {SQL_TOKS_SAFE} AS t FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS bigram
+      FROM tok WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY 1 HAVING COUNT(*) >= 5
+    """,
+    tags=["LLM-text", "corpus"],
+)
+def q_docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram count table (the raw material for n-gram LM
+    scoring, repetition filters, and collocation mining), thresholded at
+    n >= 5 to bound output. Explode is bounded per doc (n_tokens - 1
+    rows); the groupBy partial-aggregates map-side so the shuffle
+    carries (bigram, partial_count), not the token stream."""
+    d = T(spark, sf_dir, "documents")
+    t = tx.tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(" ", F.slice("t", i, F.lit(2))),
+    )
+    return (
+        d.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )

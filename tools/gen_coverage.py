@@ -69,7 +69,8 @@ EXTRAS = [
      "`docs_top_terms` (tf·N/df keyword terms, exact cross-engine arithmetic), "
      "`docs_unigram_familiarity` (corpus-unigram-LM quality score, exact "
      "BIGINT sums), `docs_rebalance_sample` (per-language deterministic "
-     "hash downsample, zero-shuffle)"),
+     "hash downsample, zero-shuffle), `docs_bigram_counts` (corpus n-gram "
+     "count table, map-side partial agg)"),
     ("LLM corpus analytics (extension set)",
      "`docs_length_quantiles` (EXACT per-group p25/50/75/95 via "
      "count-collapse + cumulative window over distinct values — scales "
