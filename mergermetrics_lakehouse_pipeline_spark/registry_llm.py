@@ -1184,3 +1184,38 @@ def q_docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@register(
+    "docs_stratified_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, rk FROM r WHERE rk <= 5
+    """,
+    tags=["LLM-text", "sampling"],
+)
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-k sample: exactly 5 docs per source, chosen by
+    hash order (md5-keyed row_number) — deterministic under re-runs and
+    repartitioning, unlike rand()-based sampleBy which is neither exact
+    per stratum nor partitioning-stable. The eval-set construction
+    primitive. Catalyst plans the rk filter as a PARTIAL WindowGroupLimit
+    below the exchange (plan-asserted), so map tasks ship at most k rows
+    per stratum each — the shuffle carries O(k x strata x tasks), not
+    the corpus."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(order_key, "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )

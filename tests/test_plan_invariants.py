@@ -132,3 +132,12 @@ def test_top_terms_scalar_joins_are_broadcast(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_stratified_sample_rank_limit_pushdown(spark, sf_dir):
+    """Catalyst must plan the rk <= 5 filter as a PARTIAL WindowGroupLimit
+    below the stratum exchange — map tasks then ship at most 5 rows per
+    stratum each instead of the whole corpus sorting inside 20 groups."""
+    plan = _plan(spark, sf_dir, "docs_stratified_sample")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("Exchange hashpartitioning")[-1]

@@ -70,7 +70,9 @@ EXTRAS = [
      "`docs_unigram_familiarity` (corpus-unigram-LM quality score, exact "
      "BIGINT sums), `docs_rebalance_sample` (per-language deterministic "
      "hash downsample, zero-shuffle), `docs_bigram_counts` (corpus n-gram "
-     "count table, map-side partial agg)"),
+     "count table, map-side partial agg), `docs_stratified_sample` (exact "
+     "k per stratum by hash order; partial WindowGroupLimit below the "
+     "exchange, plan-asserted)"),
     ("LLM corpus analytics (extension set)",
      "`docs_length_quantiles` (EXACT per-group p25/50/75/95 via "
      "count-collapse + cumulative window over distinct values — scales "
