@@ -222,6 +222,51 @@ def deterministic_centroids(
     return np.array([r.v for r in rows], dtype="float64")
 
 
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    *,
+    k: int,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means (Lloyd) centroid training, fully distributed:
+
+    - **assign**: Arrow-batched argmax against the broadcast k x dim
+      centroid matrix (`ivf_assign`, nprobe=1) — the matrix rides to
+      executors inside the UDF closure, never a data-sized broadcast;
+    - **update**: `posexplode` each vector into (centroid, dim, value)
+      and `groupBy(centroid, dim).sum` — map-side partial aggregation
+      means the shuffle carries at most k x dim rows PER TASK, and the
+      driver collects exactly k x dim aggregate rows (model-sized, like
+      the centroid matrix itself — never data-sized).
+
+    Initialization is `deterministic_centroids` and iteration count is
+    fixed, so training is reproducible across runs and partitionings.
+    Cells that lose all members keep their previous centroid.
+    """
+    import numpy as np
+
+    cents = deterministic_centroids(corpus, k=k, id_col=id_col, vec_col=vec_col)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    for _ in range(n_iter):
+        assign = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1)
+        stats = (
+            assign.select("centroid_id", F.posexplode("vec").alias("d", "x"))
+            .groupBy("centroid_id", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        new = cents.copy()
+        counts = np.zeros(len(cents))
+        for r in stats:
+            new[r.centroid_id, r.d] = r.s / r.c
+            counts[r.centroid_id] = r.c
+        new[counts == 0] = cents[counts == 0]
+        cents = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -231,6 +276,7 @@ def ivf_cosine_topk(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed into ``n_cells`` inverted
     lists (each vector in exactly one cell); each query probes its
@@ -238,8 +284,18 @@ def ivf_cosine_topk(
 
     Candidate volume per query ~= |corpus| * nprobe / n_cells. Recall is
     tuned by nprobe (= n_cells -> exact); measured against brute-force
-    ``cosine_topk`` in tests."""
-    cents = deterministic_centroids(corpus, k=n_cells, id_col=id_col, vec_col=vec_col)
+    ``cosine_topk`` in tests. ``train_iters > 0`` refines the coarse
+    centroids with that many distributed Lloyd iterations
+    (``train_centroids_kmeans``) — better-balanced cells, same search
+    path."""
+    if train_iters > 0:
+        cents = train_centroids_kmeans(
+            corpus, k=n_cells, n_iter=train_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cents = deterministic_centroids(
+            corpus, k=n_cells, id_col=id_col, vec_col=vec_col
+        )
     c_assign = ivf_assign(
         corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
     ).select(

@@ -193,3 +193,41 @@ def test_winnow_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_kmeans_training_deterministic_and_improves_balance(spark, sf_dir):
+    """Distributed Lloyd training: reproducible across input partitioning
+    and produces better-balanced cells than the untrained pick (lower max
+    cell occupancy), with recall no worse than the floor."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mergermetrics_lakehouse_pipeline_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = sim.train_centroids_kmeans(e, k=8, n_iter=3)
+    c2 = sim.train_centroids_kmeans(e.repartition(11), k=8, n_iter=3)
+    assert np.allclose(c1, c2)  # partitioning-independent
+
+    def max_cell(cents):
+        occ = (
+            sim.ivf_assign(e, cents, nprobe=1)
+            .groupBy("centroid_id")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        return occ
+
+    untrained = sim.deterministic_centroids(e, k=8)
+    assert max_cell(c1) <= max_cell(untrained)
+
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in sim.cosine_topk(e, q, k=5).collect()}
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_cosine_topk(
+            e, q, k=5, n_cells=8, nprobe=2, train_iters=3
+        ).collect()
+    }
+    assert len(exact & trained) / len(exact) >= 0.5
