@@ -105,3 +105,50 @@ def test_shingle_count_bound(spark, values):
     ).collect()
     for r in rows:
         assert 1 <= r.s <= max(1, r.n - 2) if r.n >= 3 else r.s == 1
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab x"), max_size=60) | st.none(),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_chunk_tokens_covers_every_token_exactly(spark, values, chunk_size, stride):
+    """Chunking invariants for ANY text and any (chunk_size, stride)
+    with stride <= chunk_size: chunks per doc = 1 + ceil((n-size)/stride),
+    every chunk is non-empty, the first chunk starts at token 1, and the
+    final chunk reaches the last token (no token ever dropped)."""
+    import math
+
+    from mergermetrics_lakehouse_pipeline_spark.functions.text import tokens
+    from mergermetrics_lakehouse_pipeline_spark.operators.corpus import chunk_tokens
+
+    stride = min(stride, chunk_size)  # overlapping-window regime
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "doc_id long, text string"
+    )
+    n_toks = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+    }
+    out = chunk_tokens(
+        df, "text", "doc_id", chunk_size=chunk_size, stride=stride
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, n in n_toks.items():
+        if n is None or n <= 0:  # empty or NULL text (size(NULL) = -1)
+            assert doc_id not in by_doc
+            continue
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        expected = 1 + (0 if n <= chunk_size else math.ceil((n - chunk_size) / stride))
+        assert len(chunks) == expected
+        assert all(c.n_chunk_tokens >= 1 for c in chunks)
+        last = chunks[-1]
+        # final chunk reaches the last token
+        assert last.chunk_id * stride + last.n_chunk_tokens == n
