@@ -174,6 +174,7 @@ def rebalance_sample(
     rates: dict[str, int],
     default_rate: int = 100,
     salt: str = "rebal",
+    keep_all_columns: bool = False,
 ) -> DataFrame:
     """Deterministic per-group downsample: keep a row iff its hash bucket
     (md5-based, seeded by ``salt``) falls below the group's keep-rate
@@ -186,6 +187,8 @@ def rebalance_sample(
     for key, pct in sorted(rates.items()):
         rate = F.when(F.col(group_col) == key, F.lit(pct)).otherwise(rate)
     bucket = _hash_bucket(F.col(id_col), salt=salt)
+    if keep_all_columns:
+        return df.filter(bucket < rate)
     return (
         df.withColumn("bucket", bucket)
         .withColumn("keep_rate", rate)

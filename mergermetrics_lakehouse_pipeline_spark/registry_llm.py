@@ -1219,3 +1219,74 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 5)
     )
+
+
+@register(
+    "docs_pretrain_pipeline",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE CAST(len(text) BETWEEN 50 AND 5000 AS INT)
+          + CAST((CASE WHEN len(text) = 0 THEN 0.0 ELSE {SQL_PUNCT_N} / len(text) END) < 0.15 AS INT)
+          + CAST((CASE WHEN {SQL_TC} = 0 THEN 0.0 ELSE {SQL_SW_EN} / {SQL_TC} END) BETWEEN 0.10 AND 0.60 AS INT)
+          >= 2
+    ), keyed AS (
+      SELECT doc_id, lang, text,
+             md5(array_to_string({SQL_TOKS}, ' ')) AS ck
+      FROM gated
+    ), canon AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+        FROM keyed
+      ) WHERE rn = 1
+    ), sampled AS (
+      SELECT doc_id, text FROM canon
+      WHERE CAST(CONCAT('0x', substr(md5('rebal|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS BIGINT) % 100
+            < CASE WHEN lang = 'en' THEN 45 ELSE 100 END
+    ), t AS (
+      SELECT doc_id, {SQL_TOKS_SAFE} AS toks FROM sampled
+      WHERE len(trim(text)) > 0
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CASE WHEN len(toks) <= {_CHUNK} THEN 0
+                    ELSE (len(toks) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}
+               END)) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id*{_STRIDE}+1 : chunk_id*{_STRIDE}+{_CHUNK}], ' ')
+             AS chunk_text,
+           LEAST({_CHUNK}, len(toks) - chunk_id*{_STRIDE}) AS n_chunk_tokens
+    FROM c
+    """,
+    tags=["LLM-text", "pipeline-composition"],
+)
+def q_docs_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining data pipeline as ONE lazy plan:
+    quality gate (>= 2 of 3 hygiene signals) -> exact dedup keep-first
+    (md5 content key) -> language rebalancing (en keeps 45%) ->
+    overlapping 64-token context windows. Every stage is the SAME
+    operator the standalone queries verify individually; this entry
+    proves the composition — Catalyst fuses the gate into the scan,
+    the only shuffle is the dedup key (chunking and sampling are
+    narrow). The oracle replays the identical chain as one CTE
+    pipeline."""
+    from .operators import corpus as cp
+
+    d = T(spark, sf_dir, "documents")
+    len_ok = ((F.length("text") >= 50) & (F.length("text") <= 5000)).cast("int")
+    punct_ok = (tx.punct_ratio("text") < 0.15).cast("int")
+    sw = tx.stopword_ratio("text")
+    glue_ok = ((sw >= 0.10) & (sw <= 0.60)).cast("int")
+    gated = d.filter((len_ok + punct_ok + glue_ok) >= 2).select(
+        "doc_id", "lang", "text"
+    )
+    canon = dd.exact_dedup(gated, "text", "doc_id")
+    sampled = cp.rebalance_sample(
+        canon, "lang", "doc_id", rates={"en": 45}, keep_all_columns=True
+    )
+    return cp.chunk_tokens(
+        sampled, "text", "doc_id", chunk_size=_CHUNK, stride=_STRIDE
+    )

@@ -141,3 +141,13 @@ def test_stratified_sample_rank_limit_pushdown(spark, sf_dir):
     plan = _plan(spark, sf_dir, "docs_stratified_sample")
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan.split("Exchange hashpartitioning")[-1]
+
+
+def test_pretrain_pipeline_single_shuffle(spark, sf_dir):
+    """The composed gate->dedup->rebalance->chunk pipeline must shuffle
+    exactly once (the dedup content key): the gate fuses into the scan
+    and sampling/chunking are narrow. A second Exchange means a stage
+    stopped composing."""
+    plan = _plan(spark, sf_dir, "docs_pretrain_pipeline")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
