@@ -1464,9 +1464,12 @@ DRIVER_PRIORITY: list[str] = [
     "window_topn_rank",
     "window_lag_trend",
     "topk_global",
-    # set ops / scalar functions
-    "union_by_name",
-    "string_funcs",
+    # union_by_name / string_funcs yielded their slots to the round-2
+    # flagship compositions below: both have green CORRECTNESS_r01 rows
+    # and their §2 rows stay hard-signal-covered (set_intersect_except,
+    # sha2_surrogate_key, map_lookup_standardize — all r01-green)
+    "docs_pretrain_pipeline",
+    "emb_dedup_clusters",
     # merge / incremental
     "merge_upsert_all",
     "merge_insert_only",
