@@ -88,6 +88,10 @@ EXTRAS = [
     ("Sink/DDL round-trips (driver-checkable side effects)",
      "`sink_modes_roundtrip` (overwrite+append+mergeSchema+view+tableExists), "
      "`copy_into_roundtrip` (CSV landing -> COPY INTO -> archive -> read-back)"),
+    ("JSONL document source (LLM ingest)",
+     "sources/jsonl.py read_jsonl (PERMISSIVE + corrupt-line quarantine + "
+     "lineage, explicit schema so inference never double-reads a landing "
+     "zone) + split_corrupt; tests/test_jsonl_source.py"),
     ("Property tests (tolerance/invariants)", "tests/test_property_cleaning.py (hypothesis)"),
 ]
 
