@@ -195,3 +195,48 @@ def rebalance_sample(
         .filter(F.col("bucket") < F.col("keep_rate"))
         .select(id_col, group_col, "bucket", "keep_rate")
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    id_col: str,
+    chunk_id_col: str,
+    len_col: str,
+    *,
+    capacity: int = 256,
+    n_buckets: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Pack chunks into fixed-capacity training sequences, GPT-style:
+    concatenate in deterministic order and cut every ``capacity`` tokens
+    (a chunk never splits across sequences; a sequence may run slightly
+    over when a chunk straddles the boundary — bounded by max chunk
+    length, exactly like concat-and-split packing with document
+    boundaries respected).
+
+    The global-cumsum formulation would serialize on one reducer, so
+    packing is bucketed: documents hash into ``n_buckets`` independent
+    packers (deterministic md5 bucket), each packing its own ordered
+    stream — at 100 TB you raise ``n_buckets`` to O(cluster cores) and
+    every bucket packs in parallel; the only shuffle is the bucket hash.
+    seq_id = (bucket, floor(exclusive-cumsum / capacity)) — pure window
+    arithmetic, no iteration, identical in the SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    bucket = _hash_bucket(F.col(id_col), salt=salt, buckets=n_buckets)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col, chunk_id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        chunks.withColumn("bucket", bucket)
+        .withColumn(
+            "cum_before", F.coalesce(F.sum(len_col).over(w), F.lit(0)).cast("bigint")
+        )
+        .withColumn(
+            "seq_id", F.floor(F.col("cum_before") / F.lit(capacity)).cast("bigint")
+        )
+        .select(id_col, chunk_id_col, len_col, "bucket", "seq_id")
+    )

@@ -1290,3 +1290,49 @@ def q_docs_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.chunk_tokens(
         sampled, "text", "doc_id", chunk_size=_CHUNK, stride=_STRIDE
     )
+
+
+@register(
+    "docs_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKS_SAFE} AS toks FROM documents
+      WHERE len(trim(text)) > 0
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CASE WHEN len(toks) <= {_CHUNK} THEN 0
+                    ELSE (len(toks) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}
+               END)) AS chunk_id
+      FROM t
+    ), ch AS (
+      SELECT doc_id, chunk_id,
+             LEAST({_CHUNK}, len(toks) - chunk_id*{_STRIDE}) AS n_chunk_tokens,
+             CAST(CONCAT('0x', substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 8 AS bucket
+      FROM c
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens, bucket,
+           CAST(FLOOR(COALESCE(SUM(n_chunk_tokens) OVER (
+             PARTITION BY bucket ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+             AS BIGINT) AS seq_id
+    FROM ch
+    """,
+    tags=["LLM-text", "corpus", "pipeline-composition"],
+)
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: chunk the corpus, then concat-and-split into
+    256-token training sequences (chunks never split; a sequence may
+    overflow by at most one chunk straddle — GPT-style packing with
+    boundaries respected). Packing is BUCKETED (md5(doc) % 8 independent
+    packers) because a global cumsum would serialize on one reducer —
+    at 100 TB raise n_buckets to O(cores) and every bucket packs in
+    parallel (operators/corpus.py:pack_sequences)."""
+    from .operators import corpus as cp
+
+    d = T(spark, sf_dir, "documents")
+    chunks = cp.chunk_tokens(d, "text", "doc_id", chunk_size=_CHUNK, stride=_STRIDE)
+    return cp.pack_sequences(
+        chunks, "doc_id", "chunk_id", "n_chunk_tokens", capacity=256, n_buckets=8
+    )

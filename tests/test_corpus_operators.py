@@ -88,3 +88,32 @@ def test_rebalance_sample_deterministic_and_rate_bounded(spark):
     assert by_lang["de"] == 200  # default rate keeps everything
     assert 50 <= by_lang["en"] <= 110  # ~40% of 200, hash-binomial slack
     assert out1.filter(F.col("bucket") >= F.col("keep_rate")).count() == 0
+
+
+def test_pack_sequences_capacity_and_order(spark):
+    from mergermetrics_lakehouse_pipeline_spark.operators.corpus import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(d, c, 40) for d in range(20) for c in range(3)],
+        "doc_id long, chunk_id long, n_chunk_tokens long",
+    )
+    out = pack_sequences(
+        chunks, "doc_id", "chunk_id", "n_chunk_tokens", capacity=100, n_buckets=2
+    ).collect()
+    assert len(out) == 60
+    by_seq: dict[tuple, int] = {}
+    for r in out:
+        by_seq[(r.bucket, r.seq_id)] = by_seq.get((r.bucket, r.seq_id), 0) + r.n_chunk_tokens
+    # every sequence holds at most capacity + one straddling chunk
+    assert all(tot <= 100 + 40 for tot in by_seq.values())
+    # all but each bucket's final sequence reach capacity (no underfill)
+    for b in {r.bucket for r in out}:
+        seqs = sorted(s for (bb, s) in by_seq if bb == b)
+        for s in seqs[:-1]:
+            assert by_seq[(b, s)] + 40 > 100  # adding one more chunk would overflow
+    # deterministic under repartitioning
+    out2 = pack_sequences(
+        chunks.repartition(7), "doc_id", "chunk_id", "n_chunk_tokens",
+        capacity=100, n_buckets=2,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
