@@ -92,6 +92,49 @@ def sessionize(
     )
 
 
+def cascading_rollup(df: DataFrame) -> DataFrame:
+    """Multi-resolution continuous aggregate (the hypertable-rollup
+    shape): minute, hour and day rollups per event_type in ONE pass.
+
+    The scale-correct formulation: aggregate the raw events once at the
+    finest grain (minute — the only full shuffle), then derive each
+    coarser grain by re-aggregating the previous one (sum-of-sums,
+    sum-of-counts — both exact: counts are BIGINT, values stay DECIMAL
+    until the final cast). Spark's ReuseExchange then shares the
+    minute-level shuffle across all three union branches, so the raw
+    table is scanned and shuffled exactly once however many resolutions
+    are stacked — at 100 TB the hour/day re-aggs touch only the already
+    tiny minute rollup. Plan-asserted in tests/test_plan_invariants.py.
+    """
+
+    def _lvl(src: DataFrame, grain: str, n_col: F.Column, v_col: F.Column) -> DataFrame:
+        return src.groupBy(
+            F.date_trunc(grain, F.col("bucket")).alias("bucket"), F.col("event_type")
+        ).agg(n_col.alias("n_events"), v_col.alias("_val"))
+
+    minute = df.groupBy(
+        F.date_trunc("minute", F.col(TS)).alias("bucket"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_val"),
+    )
+    hour = _lvl(minute, "hour", F.sum("n_events"), F.sum("_val"))
+    day = _lvl(hour, "day", F.sum("n_events"), F.sum("_val"))
+
+    def _out(src: DataFrame, tag: str) -> DataFrame:
+        return src.select(
+            F.lit(tag).alias("resolution"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            F.col("_val").cast("double").alias("total_value"),
+        )
+
+    return _out(minute, "minute").unionByName(_out(hour, "hour")).unionByName(
+        _out(day, "day")
+    )
+
+
 def extract_props(df: DataFrame, key: str = "k") -> DataFrame:
     """Typed extraction from the JSON ``props`` payload (scalar path
     lookup stays JVM-side via ``get_json_object``)."""

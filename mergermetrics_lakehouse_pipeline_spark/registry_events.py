@@ -143,3 +143,86 @@ def q_events_window_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value").desc(), F.col("event_type")
     )
     return agg.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 2)
+
+
+@register(
+    "events_incident_range_join",
+    """
+    WITH spikes AS (
+      SELECT event_id AS incident_id, ts AS spike_ts
+      FROM events ORDER BY value DESC, event_id LIMIT 20
+    ), win AS (
+      SELECT incident_id,
+             spike_ts - INTERVAL '2 minutes' AS w_start,
+             spike_ts + INTERVAL '2 minutes' AS w_end
+      FROM spikes
+    )
+    SELECT w.incident_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM win w JOIN events e ON e.ts BETWEEN w.w_start AND w.w_end
+    GROUP BY 1
+    """,
+    tags=["events", "range-join", "custom-op"],
+)
+def q_events_incident_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without a nested loop: the 20 highest-value events
+    define +/-2min incident windows; every event falling inside a window
+    is attributed to it via the binned range join
+    (operators/rangejoin.py — equi hash join on quantized time, exact
+    range confirm). The oracle states the same semantics as a plain
+    non-equi BETWEEN join, which DuckDB runs as an IEJoin."""
+    from pyspark.sql import functions as F
+
+    from .operators.rangejoin import bin_interval_join
+    from .registry import dsum
+
+    e = events_table(spark, sf_dir)
+    spikes = (
+        e.orderBy(F.col("value").desc(), "event_id")
+        .limit(20)
+        .select(F.col("event_id").alias("incident_id"), F.col("ts").alias("spike_ts"))
+    )
+    win = spikes.select(
+        "incident_id",
+        (F.col("spike_ts") - F.expr("INTERVAL 2 MINUTES")).alias("w_start"),
+        (F.col("spike_ts") + F.expr("INTERVAL 2 MINUTES")).alias("w_end"),
+    )
+    pts = e.select("ts", "value")
+    joined = bin_interval_join(
+        pts, win, point_ts="ts", start_ts="w_start", end_ts="w_end", bin_seconds=240
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count("*").alias("n_events"), dsum("value", "total_value")
+    )
+
+
+@register(
+    "events_cascading_rollup",
+    f"""
+    SELECT 'minute' AS resolution,
+           strftime(date_trunc('minute', ts), '{_TS_FMT}') AS bucket_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'hour', strftime(date_trunc('hour', ts), '{_TS_FMT}'),
+           event_type, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', ts), '{_TS_FMT}'),
+           event_type, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    """,
+    tags=["events", "window-agg", "custom-op", "hypertable"],
+)
+def q_events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute/hour/day continuous aggregate from ONE shuffle
+    (operators/events.py cascading_rollup): coarser grains re-aggregate
+    the finer rollup (exact BIGINT counts + DECIMAL sums), and Spark's
+    ReuseExchange shares the minute-level shuffle across the union. The
+    oracle recomputes each grain independently from the raw table, so
+    any cascade error (double-count, lost bucket) flips the hash."""
+    return ev.cascading_rollup(events_table(spark, sf_dir))

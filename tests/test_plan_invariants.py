@@ -151,3 +151,36 @@ def test_pretrain_pipeline_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "docs_pretrain_pipeline")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned range join must plan as an equi join on the bin key —
+    never the BroadcastNestedLoopJoin Spark gives a bare non-equi
+    BETWEEN predicate. With broadcast disabled it must still be a
+    shuffle equi join (the big-big shape)."""
+    plan = _plan(spark, sf_dir, "events_incident_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan2 = _plan(spark, sf_dir, "events_incident_range_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in plan2
+    assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+
+
+def test_cascading_rollup_reuses_minute_shuffle(spark, sf_dir):
+    """Hour/day grains must re-aggregate the minute rollup, sharing its
+    shuffle via ReuseExchange — the raw events table is scanned once,
+    not once per resolution."""
+    registry._load_extensions()
+    q = next(x for x in registry.QUERIES if x.name == "events_cascading_rollup")
+    df = q.fn(spark, sf_dir)
+    df.collect()
+    # inspect the full AQE plan text (reuse renders as ReusedExchange
+    # in the final plan; count raw-table scans in the whole string)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final

@@ -44,6 +44,12 @@ EXTRAS = [
      "(tests/test_streaming.py: parity, idempotent foreachBatch MERGE, "
      "applyInPandasWithState, dropDuplicatesWithinWatermark ingest dedup)"),
     ("As-of join (extension)", "`asof_join_latest_order` (operators/asof.py)"),
+    ("Range/interval join (extension)",
+     "`events_incident_range_join` (operators/rangejoin.py binned equi join, "
+     "no nested loop — plan-asserted; tests/test_rangejoin.py parity vs non-equi join)"),
+    ("Multi-resolution rollup (extension)",
+     "`events_cascading_rollup` (operators/events.py cascading_rollup — minute->hour->day "
+     "from ONE shuffle via ReuseExchange, plan-asserted)"),
     ("Skew salting (extension)", "`skew_salted_join` (operators/skew.py)"),
     ("Bucketed co-located joins", "tests/test_plan_invariants.py::test_bucketed_join_no_shuffle"),
     ("Plan invariants (pushdown/broadcast/shuffle-count/codegen)", "tests/test_plan_invariants.py"),
