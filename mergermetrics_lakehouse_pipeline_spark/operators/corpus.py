@@ -240,3 +240,77 @@ def pack_sequences(
         )
         .select(id_col, chunk_id_col, len_col, "bucket", "seq_id")
     )
+
+
+def lexical_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    df_max: int = 20,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k most lexically similar document pairs by rarity-weighted
+    shingle overlap — the sparse (inverted-index) similarity path, the
+    lexical complement to the dense-embedding operators in
+    operators/similarity.py.
+
+    Score(a, b) = SUM over shared ``shingle_n``-word shingles s of
+    ``N div df(s)`` (shingles are distinct per doc, so membership is
+    0/1): an idf-weighted dot product with the raw-idf integer variant —
+    every contribution is an exact BIGINT and the pair score an exact
+    BIGINT sum (order-insensitive, bit-identical in the SQL oracle; no
+    floats anywhere).
+
+    Scale shape (the classic posting-list join, minus the join):
+
+    - shingles with ``df = 1`` cannot pair, shingles with
+      ``df > df_max`` are dropped — the stopword-pruning step every
+      inverted-index similarity system applies. df_max is THE scale
+      knob: it caps posting-list length, so pair expansion is
+      <= df_max^2 rows per shingle, local to its bucket, never
+      |corpus|^2.
+    - pair generation reuses the aggregation idiom of
+      minhash_lsh_candidates (operators/dedup.py:64): group postings by
+      shingle, sorted ``collect_set`` of doc ids, array-side
+      ordered-combination expansion. Because shingles are distinct per
+      doc, ``df`` is just the posting-set size — so the inverted index,
+      the df filter AND the idf weight come out of ONE aggregation: no
+      postings-vs-df join (which would recompute the shingle explode on
+      both sides), and the only shuffles are this aggregation plus the
+      final pair aggregation.
+    - corpus size N arrives as a broadcast 1-row aggregate.
+    """
+    post = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tx.word_shingles(text_col, shingle_n)).alias("term"),
+    )
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    posting = (
+        post.groupBy("term")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .withColumn("df", F.size("ids").cast("bigint"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_max))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rarity", F.expr("n_docs div df"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids")) - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        posting.select(F.col("rarity"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(
+            F.sum("rarity").alias("score"),
+            F.count("*").alias("shared_shingles"),
+        )
+        .orderBy(F.col("score").desc(), "doc_a", "doc_b")
+        .limit(top_k)
+    )

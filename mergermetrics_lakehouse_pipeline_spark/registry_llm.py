@@ -1336,3 +1336,42 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.pack_sequences(
         chunks, "doc_id", "chunk_id", "n_chunk_tokens", capacity=256, n_buckets=8
     )
+
+
+@register(
+    "docs_lexical_pairs",
+    f"""
+    WITH post AS (
+      SELECT doc_id, unnest({SQL_SHINGLES}) AS term FROM documents
+    ), dfq AS (
+      SELECT term, COUNT(*) AS df FROM post GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT post.doc_id, post.term,
+             CAST(n.n_docs // dfq.df AS BIGINT) AS rarity
+      FROM post JOIN dfq USING (term) CROSS JOIN n
+      WHERE dfq.df BETWEEN 2 AND 20
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(SUM(a.rarity) AS BIGINT) AS score,
+           COUNT(*) AS shared_shingles
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY score DESC, doc_a, doc_b LIMIT 50
+    """,
+    tags=["LLM-similarity", "corpus", "custom-op"],
+)
+def q_docs_lexical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity: top-50 document pairs by
+    rarity-weighted shingle overlap (integer idf dot product over an
+    inverted index — posting lists bounded by df<=20, pair expansion
+    aggregation-side, no self-join). The dense-embedding complement
+    lives in operators/similarity.py; the oracle states the same
+    semantics as a posting-list self-join
+    (operators/corpus.py:lexical_overlap_pairs)."""
+    from .operators import corpus as cp
+
+    return cp.lexical_overlap_pairs(
+        T(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_n=3, df_max=20, top_k=50,
+    )

@@ -184,3 +184,14 @@ def test_cascading_rollup_reuses_minute_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final or "ReusedQueryStage" in final
+
+
+def test_lexical_pairs_single_index_aggregation(spark, sf_dir):
+    """The inverted index must come out of ONE aggregation (df = posting
+    set size) — no postings-vs-df self-join recomputing the shingle
+    explode on both sides. Only the broadcast 1-row corpus-size join is
+    allowed."""
+    plan = _plan(spark, sf_dir, "docs_lexical_pairs")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan

@@ -61,7 +61,8 @@ EXTRAS = [
      "`emb_cosine_topk` (exact baseline), `emb_ann_topk` (hyperplane LSH, "
      "measured recall@5 = 0.70 vs brute force at sf0.01), `emb_ivf_topk` "
      "(IVF, measured recall@5 = 0.92 at nprobe/n_cells = 4/16; "
-     "nprobe=n_cells is exact)"),
+     "nprobe=n_cells is exact), `docs_lexical_pairs` (sparse inverted-index "
+     "idf overlap, one-aggregation posting build, no self-join — plan-asserted)"),
     ("LLM text analysis",
      "`docs_text_stats`, `docs_lang_id`, `docs_fingerprint`, `docs_clean_corpus` (composed pipeline)"),
     ("LLM corpus hygiene (extension set)",
