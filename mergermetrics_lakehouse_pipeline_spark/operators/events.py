@@ -156,3 +156,49 @@ def props_rollup(df: DataFrame, key: str = "k") -> DataFrame:
             F.max(f"prop_{key}").alias(f"max_{key}"),
         )
     )
+
+
+def attribution_join(
+    df: DataFrame,
+    *,
+    from_type: str = "click",
+    to_type: str = "purchase",
+    horizon_minutes: int = 60,
+) -> DataFrame:
+    """Conversion attribution: every ``to_type`` event matched to every
+    ``from_type`` event of the same user that preceded it within the
+    horizon. Equi key (user_id) + event-time range predicate — Spark
+    plans a hash/sort-merge join on user with the range as a post-join
+    filter, which scales (unlike a bare non-equi join; for the keyless
+    case see operators/rangejoin.py).
+
+    Shared verbatim by the stream-stream join twin
+    (streaming/jobs.py:streaming_attribution_join) — the range bound is
+    exactly what lets Structured Streaming evict join state.
+    """
+    src = df.filter(F.col("event_type") == from_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("from_id"),
+        F.col(TS).alias("from_ts"),
+    )
+    dst = df.filter(F.col("event_type") == to_type).select(
+        F.col("user_id").alias("to_user"),
+        F.col("event_id").alias("to_id"),
+        F.col(TS).alias("to_ts"),
+        F.col("value").alias("to_value"),
+    )
+    cond = (
+        (src["user_id"] == dst["to_user"])
+        & (dst["to_ts"] >= src["from_ts"])
+        & (dst["to_ts"] <= src["from_ts"] + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return src.join(dst, cond).select(
+        "user_id",
+        F.col("from_id").alias("click_id"),
+        F.col("to_id").alias("purchase_id"),
+        (
+            (F.unix_micros(F.col("to_ts")) - F.unix_micros(F.col("from_ts")))
+            / F.lit(1_000_000.0)
+        ).alias("seconds_to_convert"),
+        F.col("to_value").alias("purchase_value"),
+    )

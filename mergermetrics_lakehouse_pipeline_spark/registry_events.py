@@ -226,3 +226,32 @@ def q_events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes each grain independently from the raw table, so
     any cascade error (double-count, lost bucket) flips the hash."""
     return ev.cascading_rollup(events_table(spark, sf_dir))
+
+
+@register(
+    "events_attribution_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS seconds_to_convert,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '60 minutes'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=["events", "J-range", "streaming-twin"],
+)
+def q_events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution within a 1h horizon per user
+    (operators/events.py attribution_join): equi join on user_id with an
+    event-time range predicate — the batch twin of the stream-stream
+    watermarked join (streaming/jobs.py streaming_attribution_join,
+    parity-tested)."""
+    return ev.attribution_join(
+        events_table(spark, sf_dir),
+        from_type="click",
+        to_type="purchase",
+        horizon_minutes=60,
+    )

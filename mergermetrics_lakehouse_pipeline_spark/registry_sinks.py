@@ -147,3 +147,34 @@ def q_copy_into_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "orc_roundtrip",
+    """
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+           MIN(s_name) AS first_name
+    FROM supplier
+    GROUP BY 1
+    """,
+    tags=["S1", "S3", "roundtrip", "format"],
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth: write supplier to ORC (Spark's other built-in
+    columnar format), read it back, aggregate per nation. The oracle
+    recomputes from the pristine parquet, so any type coercion or row
+    loss in the ORC write/read cycle flips the hash. ORC keeps the
+    columnar pushdown properties of parquet (predicate pushdown +
+    column pruning) so the engine's scan discipline carries over to
+    ORC lakes unchanged."""
+    root = tempfile.mkdtemp(prefix="mm_orc_rt_")
+    path = f"{root}/supplier_orc"
+    T(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    s = spark.read.orc(path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        F.min("s_name").alias("first_name"),
+    )

@@ -6,6 +6,7 @@ from .jobs import (  # noqa: F401
     foreach_batch_upsert,
     read_events_stream,
     run_available_now,
+    streaming_attribution_join,
     streaming_dedup,
     streaming_tumbling_counts,
 )

@@ -153,3 +153,60 @@ def foreach_batch_upsert(
     # micro-batches run in a cloned session; drop the caller session's
     # stale file-listing cache for the rewritten table
     stream.sparkSession.catalog.refreshTable(target_table)
+
+
+def streaming_attribution_join(
+    stream: DataFrame,
+    *,
+    from_type: str = "click",
+    to_type: str = "purchase",
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join (self-join of the event stream): match
+    each ``to_type`` event to same-user ``from_type`` events within the
+    horizon, exactly the batch attribution_join semantics
+    (operators/events.py — parity asserted in tests).
+
+    Both sides carry a watermark and the join condition bounds the two
+    event-time columns against each other — the two requirements that
+    let Structured Streaming compute how long a buffered row can still
+    match and EVICT join state past that bound. Without the range
+    bound, stream-stream join state grows forever; with it, state is
+    (watermark + horizon) x arrival rate, the bounded-state shape that
+    survives an unbounded stream.
+    """
+    src = (
+        stream.withWatermark(ev.TS, watermark)
+        .filter(F.col("event_type") == from_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("from_id"),
+            F.col(ev.TS).alias("from_ts"),
+        )
+    )
+    dst = (
+        stream.withWatermark(ev.TS, watermark)
+        .filter(F.col("event_type") == to_type)
+        .select(
+            F.col("user_id").alias("to_user"),
+            F.col("event_id").alias("to_id"),
+            F.col(ev.TS).alias("to_ts"),
+            F.col("value").alias("to_value"),
+        )
+    )
+    cond = (
+        (src["user_id"] == dst["to_user"])
+        & (dst["to_ts"] >= src["from_ts"])
+        & (dst["to_ts"] <= src["from_ts"] + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return src.join(dst, cond).select(
+        "user_id",
+        F.col("from_id").alias("click_id"),
+        F.col("to_id").alias("purchase_id"),
+        (
+            (F.unix_micros(F.col("to_ts")) - F.unix_micros(F.col("from_ts")))
+            / F.lit(1_000_000.0)
+        ).alias("seconds_to_convert"),
+        F.col("to_value").alias("purchase_value"),
+    )

@@ -178,3 +178,26 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path, events_dir):
     assert _rows(result.select("event_id", "event_type", "value"), "event_id") == _rows(
         batch.select("event_id", "event_type", "value"), "event_id"
     )
+
+
+def test_stream_stream_attribution_join_parity(spark, tmp_path, events_dir):
+    """Stream-stream watermarked self-join == the oracle-checked batch
+    attribution join on the same files (append mode; single AvailableNow
+    pass so the watermark evicts nothing before all rows arrive)."""
+    from mergermetrics_lakehouse_pipeline_spark.streaming import (
+        streaming_attribution_join,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    result = run_available_now(
+        streaming_attribution_join(stream, horizon_minutes=60, watermark="2 hours"),
+        query_name="t_stream_attr",
+        checkpoint_dir=str(tmp_path / "ckpt_attr"),
+        output_mode="append",
+    )
+    batch = ev.attribution_join(
+        events_table(spark, SF_DIR), horizon_minutes=60
+    )
+    key = ("user_id", "click_id", "purchase_id")
+    assert _rows(result, *key) == _rows(batch, *key)
+    assert batch.count() > 0

@@ -42,7 +42,13 @@ EXTRAS = [
      "`events_tumbling_window`, `events_hopping_window`, `events_sessionization`, "
      "`events_json_props`; streaming/jobs.py + streaming/stateful.py "
      "(tests/test_streaming.py: parity, idempotent foreachBatch MERGE, "
-     "applyInPandasWithState, dropDuplicatesWithinWatermark ingest dedup)"),
+     "applyInPandasWithState, dropDuplicatesWithinWatermark ingest dedup, "
+     "stream-stream watermarked attribution join with bounded state)"),
+    ("Attribution range join (extension)",
+     "`events_attribution_join` (operators/events.py attribution_join — equi user key "
+     "+ event-time horizon; streaming twin streaming_attribution_join, parity-tested)"),
+    ("ORC format round-trip (extension)",
+     "`orc_roundtrip` (write->read->aggregate cycle, oracle vs pristine parquet)"),
     ("As-of join (extension)", "`asof_join_latest_order` (operators/asof.py)"),
     ("Range/interval join (extension)",
      "`events_incident_range_join` (operators/rangejoin.py binned equi join, "
