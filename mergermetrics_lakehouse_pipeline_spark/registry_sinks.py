@@ -178,3 +178,121 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
         F.min("s_name").alias("first_name"),
     )
+
+
+@register(
+    "dq_expectations",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_checked FROM lineitem)
+    SELECT 'qty_in_range' AS rule,
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 30 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_violations, n.n_checked
+    FROM lineitem CROSS JOIN n GROUP BY n.n_checked
+    UNION ALL
+    SELECT 'nonneg_price',
+           CAST(SUM(CASE WHEN l_extendedprice >= 0 THEN 0 ELSE 1 END) AS BIGINT),
+           n.n_checked
+    FROM lineitem CROSS JOIN n GROUP BY n.n_checked
+    UNION ALL
+    SELECT 'discount_band',
+           CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT),
+           n.n_checked
+    FROM lineitem CROSS JOIN n GROUP BY n.n_checked
+    UNION ALL
+    SELECT 'unique_l_orderkey_l_linenumber',
+           CAST(COUNT(*) - COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '|'
+                                          || CAST(l_linenumber AS VARCHAR)) AS BIGINT),
+           n.n_checked
+    FROM lineitem CROSS JOIN n GROUP BY n.n_checked
+    UNION ALL
+    SELECT 'fk_orderkey_in_orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL),
+           n.n_checked
+    FROM n
+    """,
+    tags=["quality", "pipeline-gate"],
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality gate (operators/quality.py): four row-local
+    rules + a uniqueness rule compiled into ONE aggregation pass over
+    lineitem, unioned with a referential-integrity LEFT ANTI join count
+    against orders. The (rule, n_violations, n_checked) output is what a
+    pipeline gates on before promoting a bronze batch."""
+    from .operators.quality import Expectation, check_expectations, fk_violations
+
+    li = T(spark, sf_dir, "lineitem")
+    rules = check_expectations(
+        li,
+        [
+            Expectation("qty_in_range", F.col("l_quantity").between(1, 30)),
+            Expectation("nonneg_price", F.col("l_extendedprice") >= 0),
+            Expectation("discount_band", F.col("l_discount").between(0, 0.08)),
+        ],
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+    )
+    fk = fk_violations(
+        li,
+        T(spark, sf_dir, "orders"),
+        {"l_orderkey": "o_orderkey"},
+        rule="fk_orderkey_in_orders",
+    )
+    return rules.unionByName(fk)
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_totalprice AS old_p, n.o_totalprice AS new_p,
+             o.o_orderkey IS NULL AS ins, n.o_orderkey IS NULL AS del
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, 'insert' AS change_type, new_p AS o_totalprice FROM j WHERE ins
+    UNION ALL
+    SELECT o_orderkey, 'delete', old_p FROM j WHERE del
+    UNION ALL
+    SELECT o_orderkey, 'update', new_p FROM j
+    WHERE NOT ins AND NOT del AND old_p IS DISTINCT FROM new_p
+    """,
+    tags=["S6", "cdc", "incremental"],
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed from two snapshots (operators/cdc.py): today's
+    orders is a deterministic mutation of yesterday's (keys %97 deleted,
+    %11 repriced, %101 re-keyed inserts); the diff must emit exactly the
+    insert/update/delete rows with postimage values (preimage for
+    deletes) — the portable CDF the reference gets from Delta
+    (3_pricing_data_processing.py:167-172)."""
+    from .operators.cdc import snapshot_diff
+
+    old = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = T(spark, sf_dir, "orders")
+    new = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"], compare_cols=["o_totalprice"])

@@ -1,0 +1,67 @@
+"""Unit semantics for the quality-gate and snapshot-diff operators:
+NULL predicates count as violations, uniqueness folds into one pass,
+diff classifies null-safe and carries pre/postimages correctly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mergermetrics_lakehouse_pipeline_spark.operators.cdc import snapshot_diff
+from mergermetrics_lakehouse_pipeline_spark.operators.quality import (
+    Expectation,
+    check_expectations,
+    fk_violations,
+)
+
+
+def test_expectations_null_predicate_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, -5)], "id long, v int"
+    )
+    out = {
+        r.rule: (r.n_violations, r.n_checked)
+        for r in check_expectations(
+            df, [Expectation("v_positive", F.col("v") > 0)]
+        ).collect()
+    }
+    # -5 fails, NULL is unknown -> violation too
+    assert out == {"v_positive": (2, 3)}
+
+
+def test_expectations_uniqueness_same_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k long, s string"
+    )
+    rows = check_expectations(
+        df,
+        [Expectation("s_nonempty", F.length("s") > 0)],
+        unique_keys=[["k", "s"]],
+    ).collect()
+    got = {r.rule: r.n_violations for r in rows}
+    assert got == {"s_nonempty": 0, "unique_k_s": 1}
+
+
+def test_fk_violations_counts_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    row = fk_violations(child, parent, {"fk": "pk"}, rule="fk").collect()[0]
+    assert (row.rule, row.n_violations, row.n_checked) == ("fk", 1, 3)
+
+
+def test_snapshot_diff_classification_and_images(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "e")], "k long, v string"
+    )
+    rows = {
+        r.k: (r.change_type, r.v)
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    # 1 unchanged (absent), 3 null==null unchanged (null-safe compare)
+    assert rows == {
+        2: ("update", "B"),   # postimage
+        4: ("delete", "d"),   # preimage
+        5: ("insert", "e"),   # postimage
+    }

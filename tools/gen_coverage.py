@@ -49,6 +49,12 @@ EXTRAS = [
      "+ event-time horizon; streaming twin streaming_attribution_join, parity-tested)"),
     ("ORC format round-trip (extension)",
      "`orc_roundtrip` (write->read->aggregate cycle, oracle vs pristine parquet)"),
+    ("Data-quality expectations (extension)",
+     "`dq_expectations` (operators/quality.py — row rules + uniqueness in ONE "
+     "aggregation pass, FK as LEFT ANTI count; tests/test_quality_cdc.py)"),
+    ("CDC snapshot diff (extension)",
+     "`cdc_snapshot_diff` (operators/cdc.py — portable Change Data Feed from two "
+     "snapshots: one full-outer join, null-safe struct compare; S6 analogue)"),
     ("As-of join (extension)", "`asof_join_latest_order` (operators/asof.py)"),
     ("Range/interval join (extension)",
      "`events_incident_range_join` (operators/rangejoin.py binned equi join, "
