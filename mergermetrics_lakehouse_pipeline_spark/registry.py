@@ -1441,49 +1441,20 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # core scans / projections / predicates
-    "scan_project_filter",
-    "case_when_groups",
-    "isin_rlike_filter",
-    "cast_rename_derive",
-    # joins
-    "join_inner_enrich",
-    "join_left_coalesce",
-    "join_semi_months",
-    "join_anti_orphans",
-    "star_join_denorm",
-    # aggregation
-    "fact_monthly_rollup",
-    "agg_having_dupes",
-    "agg_minmax_global",
-    "distinct_projection",
-    "dedupe_keyed_first",
-    "kpi_dashboard",
-    # windows / ordering
-    "window_top1_latest",
-    "window_topn_rank",
-    "window_lag_trend",
-    "topk_global",
-    # union_by_name / string_funcs yielded their slots to the round-2
-    # flagship compositions below: both have green CORRECTNESS_r01 rows
-    # and their §2 rows stay hard-signal-covered (set_intersect_except,
-    # sha2_surrogate_key, map_lookup_standardize — all r01-green)
+    # --- never-driver-verified, oracle-checked (rotated into the window
+    # for round 2; their r01-green predecessors keep historical rows) ---
+    # flagship compositions
     "docs_pretrain_pipeline",
     "emb_dedup_clusters",
-    # merge / incremental
-    "merge_upsert_all",
-    "merge_insert_only",
-    "merge_upsert_mapped",
-    "incremental_month_recompute",
-    "qualified_select_null_probe",
-    # custom operators
-    "asof_join_latest_order",
-    # events (streaming-shaped batch)
-    "events_tumbling_window",
-    "events_sessionization",
+    # round-2 operators
+    "events_incident_range_join",
+    "events_cascading_rollup",
+    "events_attribution_join",
+    "docs_lexical_pairs",
+    "dq_expectations",
+    "cdc_snapshot_diff",
+    "orc_roundtrip",
     # LLM-pipeline: text analysis + hygiene
-    "docs_text_stats",
-    "docs_lang_id",
     "docs_fingerprint",
     "docs_pii_scrub",
     "docs_repetition_stats",
@@ -1496,26 +1467,43 @@ DRIVER_PRIORITY: list[str] = [
     "docs_winnow_fingerprints",
     "docs_neardup_confirmed",
     "docs_dedup_clusters",
+    "docs_ngram_jaccard",
     "docs_clean_corpus",
-    # LLM-pipeline: similarity
+    # LLM-pipeline: similarity + multimodal
     "emb_cosine_topk",
     "emb_neardup_pairs",
-    # LLM-pipeline: multimodal
     "media_resize_plan",
     "media_payload_dedup",
+    "media_frame_offsets",
+    # LLM-pipeline: corpus preparation + analytics
+    "docs_chunk_windows",
+    "docs_top_terms",
+    "docs_unigram_familiarity",
+    "docs_rebalance_sample",
+    "docs_length_quantiles",
+    "docs_length_histogram",
+    "docs_quality_funnel",
+    "docs_bigram_counts",
+    "docs_stratified_sample",
+    "docs_pack_sequences",
     # sink / DDL round-trips (hard signal for S3/S4/S5/S9/S11/S15, S12/S14)
     "sink_modes_roundtrip",
     "copy_into_roundtrip",
-    # ANN representative (rows-only by design — recall documented)
+    # --- never-driver-verified, rows-only by design (recall/approx
+    # figures documented in docstrings + COVERAGE.md) ---
     "emb_ann_topk",
-    # next tier: kernels re-verified by composed in-window queries
-    # (docs_ngram_jaccard inside docs_neardup_confirmed/dedup_clusters;
-    # media_frame_offsets beside media_resize_plan) or rows-only twins
-    "docs_ngram_jaccard",
-    "media_frame_offsets",
     "emb_ivf_topk",
     "media_extract_features",
     "kpi_approx_sketches",
+    # --- r01-green canaries: anchor cross-round comparability of the
+    # harness (one per major operator family) ---
+    "star_join_denorm",
+    "scan_project_filter",
+    "merge_upsert_all",
+    "incremental_month_recompute",
+    "kpi_dashboard",
+    "events_tumbling_window",
+    "asof_join_latest_order",
 ]
 
 
