@@ -341,6 +341,7 @@ def ann_cosine_topk(
     n_planes: int = 12,
     prefix_bits: int = 4,
     n_tables: int = 4,
+    multiprobe: bool = False,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: OR-amplified multi-table hyperplane LSH.
@@ -350,31 +351,59 @@ def ann_cosine_topk(
     sets (recall ~= 1-(1-p)^T); candidates are deduped then exactly
     re-ranked by cosine. Candidate volume per query ~= n_tables *
     |corpus| / 2^prefix_bits — tune both for the recall/cost point.
-    Recall < 1 by design; brute-force ``cosine_topk`` is the baseline for
-    measuring it."""
+
+    ``multiprobe=True`` additionally probes, per table, every bucket at
+    Hamming distance 1 from the query's prefix (the published multi-probe
+    LSH technique): near-boundary neighbors whose signature differs by a
+    single plane — the dominant miss mode — become candidates, for
+    (1 + prefix_bits)x candidate volume with NO extra tables (index size
+    unchanged; only the query side fans out). Recall < 1 by design;
+    brute-force ``cosine_topk`` is the baseline for measuring it."""
 
     def bucketed(df: DataFrame, out_id: str, out_vec: str, table: int) -> DataFrame:
-        return hyperplane_signatures(
+        sig = hyperplane_signatures(
             df,
             id_col=id_col,
             vec_col=vec_col,
             dim=dim,
             n_planes=n_planes,
             seed=seed + table,
-        ).select(
+        )
+        prefix = F.substring("signature", 1, prefix_bits)
+        return sig.select(
             F.col("vec_id_sig").alias(out_id),
             F.col("vec").alias(out_vec),
+            F.concat(F.lit(f"{table}|"), prefix).alias("bucket"),
+            prefix.alias("_prefix"),
+        )
+
+    def probed(sig_q: DataFrame, table: int) -> DataFrame:
+        """Query side fans out to the exact bucket + each 1-bit flip."""
+        p = F.col("_prefix")
+        variants = [p] + [
             F.concat(
-                F.lit(f"{table}|"), F.substring("signature", 1, prefix_bits)
+                F.substring(p, 1, i - 1),
+                F.when(F.substring(p, i, 1) == "0", F.lit("1")).otherwise(F.lit("0")),
+                F.substring(p, i + 1, prefix_bits - i),
+            )
+            for i in range(1, prefix_bits + 1)
+        ]
+        return sig_q.select(
+            "query_id",
+            F.explode(
+                F.array(*[F.concat(F.lit(f"{table}|"), v) for v in variants])
             ).alias("bucket"),
         )
 
     candidates = None
     for t in range(n_tables):
-        sig_c = bucketed(corpus, "neighbor_id", "c_vec", t)
+        sig_c = bucketed(corpus, "neighbor_id", "c_vec", t).drop("_prefix")
         sig_q = bucketed(queries, "query_id", "q_vec", t)
+        q_side = (
+            probed(sig_q, t) if multiprobe else sig_q.select("query_id", "bucket")
+        )
         cand = (
-            sig_c.join(F.broadcast(sig_q.drop("q_vec")), "bucket")
+            sig_c.join(F.broadcast(q_side), "bucket")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", "c_vec")
         )

@@ -75,6 +75,16 @@ def test_ann_recall_against_brute_force(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall {recall:.2f} suspiciously low"
     assert all(r.rank <= 5 for r in approx.collect())
 
+    # multi-probe (Hamming-1 buckets) must not lose candidates and
+    # should recover near-boundary misses (measured 0.70 -> 1.00 at the
+    # registry's sf0.01 parameters)
+    probed = sim.ann_cosine_topk(
+        e, queries, k=5, n_planes=12, prefix_bits=2, n_tables=4, multiprobe=True
+    )
+    probed_pairs = {(r.query_id, r.neighbor_id) for r in probed.collect()}
+    probed_recall = len(exact_pairs & probed_pairs) / len(exact_pairs)
+    assert probed_recall >= recall, (probed_recall, recall)
+
 
 def test_hyperplane_signature_deterministic(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)

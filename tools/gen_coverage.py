@@ -70,8 +70,8 @@ EXTRAS = [
      "`docs_winnow_fingerprints`, `emb_neardup_pairs`, `emb_dedup_clusters` "
      "(cosine pairs -> connected components, recursive-CTE oracle)"),
     ("LLM similarity",
-     "`emb_cosine_topk` (exact baseline), `emb_ann_topk` (hyperplane LSH, "
-     "measured recall@5 = 0.70 vs brute force at sf0.01), `emb_ivf_topk` "
+     "`emb_cosine_topk` (exact baseline), `emb_ann_topk` (multi-probe hyperplane "
+     "LSH, measured recall@5 = 1.00 at sf0.01 params; 0.70 single-probe), `emb_ivf_topk` "
      "(IVF, measured recall@5 = 0.92 at nprobe/n_cells = 4/16; "
      "nprobe=n_cells is exact), `docs_lexical_pairs` (sparse inverted-index "
      "idf overlap, one-aggregation posting build, no self-join — plan-asserted)"),
