@@ -1533,3 +1533,47 @@ def oracle_sql() -> dict[str, str]:
 def _load_extensions() -> None:
     """Import sibling registry modules so their @register calls run."""
     from . import registry_events, registry_llm, registry_sinks  # noqa: F401
+
+
+@register(
+    "corr_subquery_small_qty",
+    """
+    WITH per_part AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(l_quantity) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               * CAST(0.2 AS DOUBLE) AS lim
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN per_part ON l_partkey = pk
+    WHERE l_quantity < lim
+    """,
+    tags=["A1", "J2", "subquery"],
+)
+def q_corr_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + self-join — the canonical
+    plan every engine rewrites this to. Numeric discipline: the
+    threshold is exact-BIGINT SUM / COUNT then one multiply (not AVG,
+    whose partial-aggregation double summation is order-dependent), so
+    the boundary comparison is bit-identical across engines."""
+    li = T(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum("l_quantity").cast("double")
+            / F.count("*").cast("double")
+            * F.lit(0.2)
+        ).alias("lim")
+    )
+    return (
+        li.join(per_part, li["l_partkey"] == per_part["pk"])
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_small"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+        )
+    )

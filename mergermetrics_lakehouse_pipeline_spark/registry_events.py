@@ -255,3 +255,39 @@ def q_events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_type="purchase",
         horizon_minutes=60,
     )
+
+
+@register(
+    "events_sliding_user_rate",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS val_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=["events", "W-frame", "range-frame"],
+)
+def q_events_sliding_user_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1h activity per user via a time-RANGE window
+    frame (value-based bounds over epoch-micros — peers with equal
+    timestamps share a frame, so the result is deterministic without a
+    tie-break). The sliding-rate shape behind rate limiting and burst
+    detection; one shuffle on user_id, frame evaluation is a single
+    sort + running aggregate per partition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("val_1h"),
+    )

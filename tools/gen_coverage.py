@@ -37,7 +37,11 @@ EXTRAS = [
      "(tests/test_partitioned_incremental.py: partition-scoped writes, pruning, idempotency)"),
     ("§2.10 UDF surface",
      "core is UDF-free; Arrow pandas-UDFs only in similarity/multimodal/stateful-streaming"),
-    ("Window frames / lag", "`window_running_frame`, `window_lag_trend`"),
+    ("Window frames / lag", "`window_running_frame`, `window_lag_trend`, "
+     "`events_sliding_user_rate` (time-RANGE frame: trailing-1h per-user rate)"),
+    ("Decorrelated scalar subquery (extension)",
+     "`corr_subquery_small_qty` (TPC-H Q17 shape: per-part aggregate + self-join, "
+     "exact SUM/COUNT threshold for cross-engine boundary determinism)"),
     ("Streaming (engine extension)",
      "`events_tumbling_window`, `events_hopping_window`, `events_sessionization`, "
      "`events_json_props`; streaming/jobs.py + streaming/stateful.py "
