@@ -81,3 +81,31 @@ def fk_violations(
         .crossJoin(child.agg(F.count("*").cast("bigint").alias("n_checked")))
         .select(F.lit(rule).alias("rule"), "n_violations", "n_checked")
     )
+
+
+def partition_checksums(
+    df: DataFrame, *, part: Column, row_repr: Column
+) -> DataFrame:
+    """Order-insensitive per-partition content checksums — the fast-diff
+    primitive for replication / migration validation: compare two
+    tables' checksum rows instead of their data (anti-entropy the way
+    published replica-repair designs do it, at partition granularity).
+
+    ``row_repr`` must be a STRING rendering of the row that is stable
+    across engines (integers, ISO dates, decimal-cents — never raw
+    double-to-string). The checksum is ``bit_xor`` of a 60-bit md5
+    prefix per row: commutative (partition order never matters), no
+    overflow semantics to diverge on, one hash aggregation total.
+    XOR cancels duplicate PAIRS — the row count is part of the contract
+    and catches even-multiplicity tampering's most common case
+    (dropped + re-added rows change the count).
+    """
+    h = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("bigint")
+    return (
+        df.select(part.alias("part"), h.alias("_h"))
+        .groupBy("part")
+        .agg(
+            F.expr("bit_xor(_h)").alias("checksum"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )

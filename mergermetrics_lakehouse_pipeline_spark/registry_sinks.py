@@ -296,3 +296,82 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, keys=["o_orderkey"], compare_cols=["o_totalprice"])
+
+
+@register(
+    "orders_partition_checksums",
+    """
+    WITH r AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS part,
+             CAST(CONCAT('0x', substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+             ), 1, 15)) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT part, bit_xor(h) AS checksum, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY 1
+    """,
+    tags=["quality", "cdc", "maintenance"],
+)
+def q_orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month content checksums of orders
+    (operators/quality.py:partition_checksums): XOR of 60-bit md5 row
+    hashes + row counts. Two replicas of a 100 TB table compare in
+    O(partitions) rows; a diverging month pinpoints where to re-sync.
+    Row rendering uses only cross-engine-stable forms (ints, ISO date,
+    decimal cents) — the oracle computes the identical checksum in
+    DuckDB."""
+    from .operators.quality import partition_checksums
+
+    o = T(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").cast("string"),
+    )
+    return partition_checksums(
+        o,
+        part=F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"),
+        row_repr=row,
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'quantity' AS measure, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    ) GROUP BY 1
+    """,
+    tags=["P-unpivot", "A1"],
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-row measures to long (measure, value)
+    via ``stack`` — the inverse of pivot_status_matrix, completing the
+    reshape surface. One projection (no shuffle until the aggregate);
+    the oracle states the same reshape as a UNION ALL."""
+    li = T(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(4, 'quantity', CAST(l_quantity AS DOUBLE), "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount, 'tax', l_tax) AS (measure, v)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("total"),
+    )

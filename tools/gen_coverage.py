@@ -56,6 +56,11 @@ EXTRAS = [
     ("Data-quality expectations (extension)",
      "`dq_expectations` (operators/quality.py — row rules + uniqueness in ONE "
      "aggregation pass, FK as LEFT ANTI count; tests/test_quality_cdc.py)"),
+    ("Partition checksums / anti-entropy (extension)",
+     "`orders_partition_checksums` (operators/quality.py partition_checksums — "
+     "XOR-of-md5 per-partition content signatures for replica diff in O(partitions))"),
+    ("Unpivot / melt (extension)",
+     "`unpivot_lineitem_measures` (stack reshape, inverse of pivot_status_matrix)"),
     ("CDC snapshot diff (extension)",
      "`cdc_snapshot_diff` (operators/cdc.py — portable Change Data Feed from two "
      "snapshots: one full-outer join, null-safe struct compare; S6 analogue)"),
