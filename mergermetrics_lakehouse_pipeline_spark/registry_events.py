@@ -291,3 +291,66 @@ def q_events_sliding_user_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("val_1h"),
     )
+
+
+@register(
+    "events_funnel_stages",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s.signup_ts GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY 1
+    )
+    SELECT 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s
+    UNION ALL SELECT 'click_after_signup', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL SELECT 'purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+    tags=["events", "funnel"],
+)
+def q_events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> later click -> later
+    purchase): each stage is a keyed aggregation joined to the previous
+    stage's per-user anchor timestamp — per-user state never exceeds one
+    timestamp per stage, and every join is user-keyed (shuffle or
+    broadcast as the stage survivor count shrinks). The classic product
+    funnel without any per-user event-list collection."""
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(s, "signup")
+        .unionByName(stage(c, "click_after_signup"))
+        .unionByName(stage(p, "purchase_after_click"))
+    )

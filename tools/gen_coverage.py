@@ -48,6 +48,9 @@ EXTRAS = [
      "(tests/test_streaming.py: parity, idempotent foreachBatch MERGE, "
      "applyInPandasWithState, dropDuplicatesWithinWatermark ingest dedup, "
      "stream-stream watermarked attribution join with bounded state)"),
+    ("Funnel analysis (extension)",
+     "`events_funnel_stages` (staged min-timestamp aggregations, user-keyed joins "
+     "— no per-user event-list collection)"),
     ("Attribution range join (extension)",
      "`events_attribution_join` (operators/events.py attribution_join — equi user key "
      "+ event-time horizon; streaming twin streaming_attribution_join, parity-tested)"),
