@@ -354,3 +354,99 @@ def q_events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "click_after_signup"))
         .unionByName(stage(p, "purchase_after_click"))
     )
+
+
+@register(
+    "events_session_window_native",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT}') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    tags=["events", "session-window", "streaming-twin"],
+)
+def q_events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (merging gap windows
+    inside the aggregation operator — usable identically under
+    Structured Streaming, where it keeps per-session state instead of
+    per-user history). Boundary semantics: an event exactly ``gap``
+    after its predecessor starts a NEW session (session windows are
+    half-open [start, last+gap)), hence the >= in the oracle's lag
+    formulation — one semantic notch different from the custom
+    sessionize operator's strict >."""
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.activity_week) // 7 AS BIGINT)
+             AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM cohort c JOIN activity a
+      ON c.user_id = a.user_id AND a.activity_week >= c.cohort_week
+    GROUP BY 1, 2
+    """,
+    tags=["events", "cohort"],
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by signup week, counted
+    in each subsequent week they were active. Two aggregations (per-user
+    cohort anchor; distinct user-weeks) + one user-keyed join — the
+    distinct collapses activity to |users| x |weeks| before the join, so
+    the join input is bounded by engagement breadth, not event volume."""
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .filter(F.col("activity_week") >= F.col("cohort_week"))
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )

@@ -48,6 +48,12 @@ EXTRAS = [
      "(tests/test_streaming.py: parity, idempotent foreachBatch MERGE, "
      "applyInPandasWithState, dropDuplicatesWithinWatermark ingest dedup, "
      "stream-stream watermarked attribution join with bounded state)"),
+    ("Native session windows (extension)",
+     "`events_session_window_native` (Spark session_window aggregation — "
+     "streaming-ready merging gap windows; boundary semantics pinned by oracle)"),
+    ("Cohort retention (extension)",
+     "`events_cohort_retention` (signup-week cohorts x active weeks; distinct "
+     "collapse before the user-keyed join)"),
     ("Funnel analysis (extension)",
      "`events_funnel_stages` (staged min-timestamp aggregations, user-keyed joins "
      "— no per-user event-list collection)"),
