@@ -1495,15 +1495,15 @@ DRIVER_PRIORITY: list[str] = [
     "emb_ivf_topk",
     "media_extract_features",
     "kpi_approx_sketches",
-    # --- r01-green canaries: anchor cross-round comparability of the
-    # harness (one per major operator family) ---
-    "star_join_denorm",
-    "scan_project_filter",
-    "merge_upsert_all",
-    "incremental_month_recompute",
-    "kpi_dashboard",
-    "events_tumbling_window",
-    "asof_join_latest_order",
+    # --- late round-2 additions (every slot holds a never-driver-verified
+    # query; all r01-green entries rely on their durable round-1 rows) ---
+    "events_sliding_user_rate",
+    "corr_subquery_small_qty",
+    "orders_partition_checksums",
+    "unpivot_lineitem_measures",
+    "events_funnel_stages",
+    "events_session_window_native",
+    "events_cohort_retention",
 ]
 
 
