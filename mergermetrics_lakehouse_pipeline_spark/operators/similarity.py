@@ -431,3 +431,87 @@ def ann_cosine_topk(
             "rank",
         )
     )
+
+
+def pca_project(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 2,
+) -> DataFrame:
+    """Distributed PCA projection of an embedding column.
+
+    The covariance matrix is dim x dim — MODEL-sized — so the split is
+    the classic one: executors accumulate per-partition Gram/mean
+    partials (one numpy matmul per ``mapInPandas`` batch, Arrow
+    transfer), a (i, j)-keyed aggregation reduces them (shuffle volume =
+    dim^2 x n_partial_batches rows of three numbers — independent of
+    corpus size), the driver eigen-decomposes the 64x64 covariance
+    (numpy, deterministic), and the projection returns to the cluster
+    as ``n_components`` broadcast literal arrays evaluated JVM-side (one
+    ``dot`` per component, no Python on the projection pass).
+
+    The only driver-side data is dim^2 + dim + 1 aggregate rows — never
+    row-count-sized. Components follow numpy's eigh sign convention with
+    the largest-|coordinate| entry forced positive, so output is
+    reproducible run-to-run and partitioning-independent (the partials
+    sum exactly: they are held as float64 and reduced by Spark SUM over
+    a fixed (i, j) key set — ordering differences shift results below
+    the 6-decimal rounding).
+    """
+    import numpy as np
+    import pandas as pd
+
+    vecs_only = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    dim = len(vecs_only.first()["v"])
+
+    def gram_partials(batches):
+        for pdf in batches:
+            m = np.vstack(pdf["v"].to_numpy())  # (batch, dim)
+            g = m.T @ m  # (dim, dim)
+            s = m.sum(axis=0)  # (dim,)
+            i_idx, j_idx = np.meshgrid(range(dim), range(dim), indexing="ij")
+            out = pd.DataFrame(
+                {
+                    "i": i_idx.ravel(),
+                    "j": j_idx.ravel(),
+                    "val": g.ravel(),
+                }
+            )
+            mean_rows = pd.DataFrame({"i": range(dim), "j": -1, "val": s})
+            count_row = pd.DataFrame({"i": [-1], "j": [-1], "val": [float(len(pdf))]})
+            yield pd.concat([out, mean_rows, count_row], ignore_index=True)
+
+    partials = vecs_only.mapInPandas(gram_partials, "i int, j int, val double")
+    agg = partials.groupBy("i", "j").agg(F.sum("val").alias("val")).collect()
+
+    n = next(r.val for r in agg if r.i == -1 and r.j == -1)
+    mean = np.zeros(dim)
+    gram = np.zeros((dim, dim))
+    for r in agg:
+        if r.i >= 0 and r.j == -1:
+            mean[r.i] = r.val / n
+        elif r.i >= 0 and r.j >= 0:
+            gram[r.i, r.j] = r.val
+    cov = gram / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    comps = eigvecs[:, ::-1][:, :n_components]  # top components, (dim, k)
+    # deterministic sign: force the largest-|coordinate| entry positive
+    for c in range(n_components):
+        j = int(np.argmax(np.abs(comps[:, c])))
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(x)) for x in mean]),
+        lambda x, m: x - m,
+    )
+    out_cols = [
+        F.round(
+            dot(centered, F.array(*[F.lit(float(x)) for x in comps[:, c]])), 6
+        ).alias(f"pc{c + 1}")
+        for c in range(n_components)
+    ]
+    return corpus.select(F.col(id_col), *out_cols)

@@ -1377,3 +1377,16 @@ def q_docs_lexical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "documents"), "text", "doc_id",
         shingle_n=3, df_max=20, top_k=50,
     )
+
+
+@register("emb_pca_projection", None, tags=["LLM-sim", "rows-only"])
+def q_emb_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection (operators/similarity.py:pca_project):
+    per-batch Gram/mean partials (one numpy matmul per Arrow batch) ->
+    (i,j)-keyed aggregation (shuffle volume dim^2, corpus-size
+    independent) -> driver eigh of the 64x64 covariance (model-sized) ->
+    JVM-side projection via broadcast literal components. Rows-only by
+    design (eigendecomposition has no SQL oracle); invariants tested in
+    tests/test_llm_operators.py: component orthogonality, variance
+    ordering, partitioning independence."""
+    return sim.pca_project(T(spark, sf_dir, "embeddings"), n_components=2)

@@ -241,3 +241,21 @@ def test_kmeans_training_deterministic_and_improves_balance(spark, sf_dir):
         ).collect()
     }
     assert len(exact & trained) / len(exact) >= 0.5
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """PCA: pc1 variance >= pc2 variance, components decorrelated,
+    result independent of input partitioning."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.pca_project(e, n_components=2).collect()
+    assert len(out) == e.count()
+    pc1 = np.array([r.pc1 for r in out])
+    pc2 = np.array([r.pc2 for r in out])
+    assert pc1.var() >= pc2.var()
+    assert abs(np.corrcoef(pc1, pc2)[0, 1]) < 0.05
+    out2 = sim.pca_project(e.repartition(7), n_components=2).collect()
+    assert sorted((r.vec_id, r.pc1, r.pc2) for r in out) == sorted(
+        (r.vec_id, r.pc1, r.pc2) for r in out2
+    )

@@ -91,7 +91,9 @@ EXTRAS = [
      "`emb_cosine_topk` (exact baseline), `emb_ann_topk` (multi-probe hyperplane "
      "LSH, measured recall@5 = 1.00 at sf0.01 params; 0.70 single-probe), `emb_ivf_topk` "
      "(IVF, measured recall@5 = 0.92 at nprobe/n_cells = 4/16; "
-     "nprobe=n_cells is exact), `docs_lexical_pairs` (sparse inverted-index "
+     "nprobe=n_cells is exact), `emb_pca_projection` (distributed PCA: Arrow Gram "
+     "partials -> dim^2 shuffle -> driver eigh -> JVM projection; rows-only, "
+     "invariant-tested), `docs_lexical_pairs` (sparse inverted-index "
      "idf overlap, one-aggregation posting build, no self-join — plan-asserted)"),
     ("LLM text analysis",
      "`docs_text_stats`, `docs_lang_id`, `docs_fingerprint`, `docs_clean_corpus` (composed pipeline)"),
