@@ -195,3 +195,44 @@ def test_lexical_pairs_single_index_aggregation(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
+    """Sweeping audit over EVERY registry query's executed plan:
+
+    - no CartesianProduct anywhere;
+    - BroadcastNestedLoopJoin only where a documented 1-row/broadcast
+      cross join or the documented brute-force baseline makes it valid;
+    - row-at-a-time Python UDFs (BatchEvalPython) nowhere — Python is
+      allowed only as Arrow-batched eval (the documented kernel set).
+
+    This turns README's 'UDF-free core / no quadratic intermediates'
+    claims into CI for all current and future registry entries.
+    """
+    # queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    # documented brute-force baselines or 1-row broadcast cross joins
+    bnlj_ok = {
+        "emb_cosine_topk",      # documented exact baseline (ANN twins scale)
+        "emb_neardup_pairs",    # bucketed pair join uses a non-equi id bound
+        "docs_top_terms",       # 1-row corpus-size broadcast cross join
+        "docs_unigram_familiarity",  # 1-row totals broadcast
+        "docs_lexical_pairs",   # 1-row corpus-size broadcast
+        "docs_benchmark_contamination",  # broadcast holdout shingle set
+        "dq_expectations",      # 1-row count cross join
+        "corr_subquery_small_qty",  # scalar-aggregate join
+        "sink_modes_roundtrip",  # 1-row merged-stats cross join (by design)
+    }
+    registry._load_extensions()
+    failures = []
+    for q in registry.QUERIES:
+        df = q.fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        if "CartesianProduct" in final:
+            failures.append((q.name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in final and q.name not in bnlj_ok:
+            failures.append((q.name, "BroadcastNestedLoopJoin"))
+        if "BatchEvalPython" in final:
+            failures.append((q.name, "row-at-a-time Python UDF"))
+    assert not failures, failures
