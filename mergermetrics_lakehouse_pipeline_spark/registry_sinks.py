@@ -375,3 +375,50 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("total"),
     )
+
+
+def _sql_morton(xcol: str, ycol: str) -> str:
+    """DuckDB rendering of the same 16-bit interleave zorder_key uses."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_key_lineitem",
+    f"""
+    WITH stats AS (
+      SELECT CAST(MIN(l_partkey) AS DOUBLE) AS xlo, CAST(MAX(l_partkey) AS DOUBLE) AS xhi,
+             CAST(MIN(l_suppkey) AS DOUBLE) AS ylo, CAST(MAX(l_suppkey) AS DOUBLE) AS yhi
+      FROM lineitem
+    ), b AS (
+      SELECT l_orderkey, l_linenumber,
+             LEAST(65535, GREATEST(0, CAST(FLOOR(
+               (CAST(l_partkey AS DOUBLE) - xlo)
+               / (CASE WHEN xhi > xlo THEN xhi - xlo ELSE 1.0 END) * 65535) AS BIGINT))) AS bx,
+             LEAST(65535, GREATEST(0, CAST(FLOOR(
+               (CAST(l_suppkey AS DOUBLE) - ylo)
+               / (CASE WHEN yhi > ylo THEN yhi - ylo ELSE 1.0 END) * 65535) AS BIGINT))) AS by
+      FROM lineitem CROSS JOIN stats
+    )
+    SELECT l_orderkey, l_linenumber, {_sql_morton("bx", "by")} AS zkey
+    FROM b
+    """,
+    tags=["layout", "maintenance"],
+)
+def q_zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order (Morton) clustering key of operators/layout.py,
+    exposed as a query so the bit-interleave and bucket math are
+    oracle-checked (the layout rewrite itself is a side effect, verified
+    by the footer-narrowing test in tests/test_layout.py). Bucket
+    mapping: identical double-arithmetic order in both engines; the cast
+    truncates and FLOOR floors — equal because the operand is clamped
+    non-negative."""
+    from .operators.layout import zorder_key
+
+    li = T(spark, sf_dir, "lineitem")
+    return zorder_key(li, "l_partkey", "l_suppkey").select(
+        "l_orderkey", "l_linenumber", F.col("__zkey").alias("zkey")
+    )

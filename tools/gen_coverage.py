@@ -125,7 +125,8 @@ EXTRAS = [
      "OPTIMIZE analogue; partitioned variant keeps pruning) + "
      "table_file_stats (file census); tests/test_catalog_ddl.py; "
      "operators/layout.py zorder_write (Morton-interleaved 2-dim clustering, "
-     "measured per-file min/max narrowing in BOTH dims — tests/test_layout.py)"),
+     "measured per-file min/max narrowing in BOTH dims — tests/test_layout.py; "
+     "`zorder_key_lineitem` oracle-checks the Morton bit math cross-engine)"),
     ("Sink/DDL round-trips (driver-checkable side effects)",
      "`sink_modes_roundtrip` (overwrite+append+mergeSchema+view+tableExists), "
      "`copy_into_roundtrip` (CSV landing -> COPY INTO -> archive -> read-back)"),

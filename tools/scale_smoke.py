@@ -1,0 +1,109 @@
+"""Scaling smoke for the round-2 heavy operators: run each at 1x and 8x
+replicated input and report the time ratio. Sublinear-to-linear ratios
+(wall clock dominated by fixed local costs at 1x) back the SCALE.md
+claims; a superlinear ratio flags a quadratic intermediate.
+
+Replication is semantics-preserving per operator:
+
+- events replicate with offset event_ids and per-replica value jitter
+  (keeps top-k spike selection deterministic and non-degenerate);
+- documents replicate with per-replica word suffixes, so each replica's
+  shingle space is disjoint — 8x independent corpora, a fair linear
+  test (verbatim copies would instead create an 8x-deeper near-dup
+  structure and a quadratic pair count by construction).
+
+Usage: python tools/scale_smoke.py [sf_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from mergermetrics_lakehouse_pipeline_spark import registry  # noqa: E402
+from mergermetrics_lakehouse_pipeline_spark.operators import corpus as cp  # noqa: E402
+from mergermetrics_lakehouse_pipeline_spark.operators import events as ev  # noqa: E402
+from mergermetrics_lakehouse_pipeline_spark.operators.rangejoin import (  # noqa: E402
+    bin_interval_join,
+)
+from mergermetrics_lakehouse_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def replicate_events(e: DataFrame, k: int) -> DataFrame:
+    out = None
+    n = 10_000_000
+    for i in range(k):
+        r = e.withColumn("event_id", F.col("event_id") + F.lit(i * n)).withColumn(
+            "value", F.col("value") + F.lit(i * 1e-7)
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def replicate_docs(d: DataFrame, k: int) -> DataFrame:
+    out = None
+    for i in range(k):
+        r = d.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+        ).withColumn("text", F.regexp_replace("text", r"(\w+)", f"$1x{i}"))
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def range_join_count(e: DataFrame) -> int:
+    spikes = (
+        e.orderBy(F.col("value").desc(), "event_id")
+        .limit(20)
+        .select(F.col("event_id").alias("iid"), F.col("ts").alias("sts"))
+    )
+    win = spikes.select(
+        "iid",
+        (F.col("sts") - F.expr("INTERVAL 2 MINUTES")).alias("ws"),
+        (F.col("sts") + F.expr("INTERVAL 2 MINUTES")).alias("we"),
+    )
+    j = bin_interval_join(
+        e.select("ts", "value"), win, point_ts="ts", start_ts="ws", end_ts="we",
+        bin_seconds=240,
+    )
+    return j.count()
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark("scale-smoke")
+    e1 = registry.events_table(spark, sf_dir).cache()
+    d1 = registry.T(spark, sf_dir, "documents").cache()
+    ek = replicate_events(e1, k).cache()
+    dk = replicate_docs(d1, k).cache()
+    e1.count(), d1.count(), ek.count(), dk.count()  # materialize caches
+
+    cases = {
+        "range_join": lambda df: range_join_count(df),
+        "cascading_rollup": lambda df: ev.cascading_rollup(df).count(),
+        "attribution_join": lambda df: ev.attribution_join(df).count(),
+    }
+    for name, fn in cases.items():
+        t1, tk = timed(lambda: fn(e1)), timed(lambda: fn(ek))
+        print(f"{name:20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+    for name, fn in {
+        "lexical_pairs": lambda df: cp.lexical_overlap_pairs(
+            df, "text", "doc_id", df_max=20, top_k=50
+        ).count(),
+    }.items():
+        t1, tk = timed(lambda: fn(d1)), timed(lambda: fn(dk))
+        print(f"{name:20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+
+
+if __name__ == "__main__":
+    main()
