@@ -160,6 +160,29 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_shingles_fast(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles via one regex pass — NOT deduplicated.
+
+    ``transform``/``slice``/``array_distinct`` run interpreted (outside
+    whole-stage codegen) and dominated the shingle pipelines' runtime
+    (measured 7x slower than this form at sf0.1). The codegen-friendly
+    formulation: normalize whitespace, then an overlapping-match
+    lookahead — ``(?=(tok tok tok))tok`` captures the n-gram starting at
+    every token while consuming exactly one token per step.
+
+    Same distinct-shingle multiset per document as ``word_shingles``
+    EXCEPT duplicates are kept — use only where downstream aggregation
+    dedups anyway (``collect_set`` posting lists, MIN-hash signatures);
+    the <n-token whole-text fallback matches ``word_shingles`` exactly.
+    """
+    c = _col(col)
+    norm = F.regexp_replace(F.trim(c), r"\s+", " ")
+    pattern = "(?=(" + " ".join([r"\S+"] * n) + r"))\S+ "
+    return F.when(F.size(tokens(col)) < n, F.array(norm)).otherwise(
+        F.regexp_extract_all(norm, F.lit(pattern), 1)
+    )
+
+
 def winnow_fingerprints(df, text_col: str, id_col: str, *, k: int = 8, w: int = 4):
     """Winnowing fingerprints (rolling-hash dedup, MOSS-style): hash every
     k-char gram of the whitespace-normalized text, keep the minimum hash

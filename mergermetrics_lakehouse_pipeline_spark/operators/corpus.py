@@ -284,7 +284,7 @@ def lexical_overlap_pairs(
     """
     post = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tx.word_shingles(text_col, shingle_n)).alias("term"),
+        F.explode(tx.word_shingles_fast(text_col, shingle_n)).alias("term"),
     )
     n_docs = df.agg(F.count("*").alias("n_docs"))
     posting = (

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import tokens, word_shingles, word_shingles_fast
 
 
 def content_key(col: Column | str, *, normalize: bool = True) -> Column:
@@ -95,7 +95,7 @@ def minhash_lsh_candidates(
     rows = num_hashes // bands
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
+        F.explode(word_shingles_fast(text_col, shingle_n)).alias("s"),
     )
     hashed = shingled.select(
         "doc_id",
@@ -160,7 +160,7 @@ def ngram_jaccard_pairs(
     ``jaccard`` >= threshold, rounded to 6dp."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(text_col, shingle_n).alias("sh"),
+        word_shingles_fast(text_col, shingle_n).alias("sh"),
     )
     joined = (
         pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
