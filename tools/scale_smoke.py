@@ -106,6 +106,7 @@ def main() -> None:
             df, "text", "doc_id", df_max=20, top_k=50
         ).count(),
     }.items():
+        fn(d1)  # warm-up
         t1, tk = timed(lambda: fn(d1)), timed(lambda: fn(dk))
         print(f"{name:20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
 
