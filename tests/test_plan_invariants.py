@@ -221,6 +221,7 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "dq_expectations",      # 1-row count cross join
         "corr_subquery_small_qty",  # scalar-aggregate join
         "sink_modes_roundtrip",  # 1-row merged-stats cross join (by design)
+        "zorder_key_lineitem",  # 1-row min/max stats broadcast
     }
     registry._load_extensions()
     failures = []
