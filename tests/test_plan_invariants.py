@@ -248,3 +248,34 @@ def test_driver_priority_window_exactly_50(spark):
     names = list(registry.queries())
     assert len(registry.DRIVER_PRIORITY) == 50
     assert names[:50] == registry.DRIVER_PRIORITY
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom-filter injection (enabled in the session)
+    prunes the fact side of a selective shuffle join before the
+    exchange. The size thresholds that gate it (10 GB application-side
+    scan by default) are tuned for clusters, so this test lowers them to
+    local-data sizes purely to prove the mechanism fires — at 100 TB the
+    defaults trigger on their own."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
