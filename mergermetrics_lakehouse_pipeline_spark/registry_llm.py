@@ -1390,3 +1390,62 @@ def q_emb_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_operators.py: component orthogonality, variance
     ordering, partitioning independence."""
     return sim.pca_project(T(spark, sf_dir, "embeddings"), n_components=2)
+
+
+@register(
+    "docs_ols_trend",
+    f"""
+    WITH base AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS x, CAST({SQL_TC} AS BIGINT) AS y
+      FROM documents
+    ), s AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+      FROM base GROUP BY 1
+    )
+    SELECT lang, n,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+             AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+    tags=["LLM-text", "analytics", "ml-adjacent"],
+)
+def q_docs_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form distributed linear regression (tokens ~ chars per
+    language) as ONE aggregation pass: the normal-equation sums
+    (Sx, Sy, Sxy, Sxx) are exact BIGINT aggregates, slope/intercept are
+    two fixed-order double divisions — bit-identical across engines, no
+    MLlib, no iteration. The pattern generalizes to any per-group OLS at
+    100 TB: one shuffle, four integer sums per group."""
+    from .functions import text as tx
+
+    base = T(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("x"),
+        tx.token_count("text").cast("bigint").alias("y"),
+    )
+    s = base.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "lang",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

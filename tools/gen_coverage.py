@@ -112,6 +112,9 @@ EXTRAS = [
      "count table, map-side partial agg), `docs_stratified_sample` (exact "
      "k per stratum by hash order; partial WindowGroupLimit below the "
      "exchange, plan-asserted)"),
+    ("Distributed closed-form OLS (extension)",
+     "`docs_ols_trend` (per-group normal-equation sums as exact BIGINT aggregates, "
+     "two fixed-order divisions — regression without MLlib or iteration)"),
     ("LLM corpus analytics (extension set)",
      "`docs_length_quantiles` (EXACT per-group p25/50/75/95 via "
      "count-collapse + cumulative window over distinct values — scales "
