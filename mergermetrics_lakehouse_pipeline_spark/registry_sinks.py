@@ -422,3 +422,41 @@ def q_zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_key(li, "l_partkey", "l_suppkey").select(
         "l_orderkey", "l_linenumber", F.col("__zkey").alias("zkey")
     )
+
+
+@register(
+    "ivm_monthly_totals",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1
+    """,
+    tags=["A1", "incremental", "ivm"],
+)
+def q_ivm_monthly_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): 70% of orders
+    stand in for the stored monthly rollup, the rest arrive as an
+    append-only delta; the delta's partial aggregate folds into the base
+    rollup. The oracle recomputes the rollup FROM SCRATCH over all
+    orders — incremental and full computation must match bit-for-bit
+    (DECIMAL sums are associative), which is the IVM correctness
+    contract."""
+    from .operators.ivm import aggregate_batch, merge_aggregates
+
+    o = T(spark, sf_dir, "orders").withColumn(
+        "month_start", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+    )
+    base_rows = o.filter(F.col("o_orderkey") % 10 < 7)
+    delta_rows = o.filter(F.col("o_orderkey") % 10 >= 7)
+    sums = {"_sum_price": "o_totalprice"}
+    base = aggregate_batch(base_rows, keys=["month_start"], sum_cols=sums)
+    delta = aggregate_batch(delta_rows, keys=["month_start"], sum_cols=sums)
+    merged = merge_aggregates(
+        base, delta, keys=["month_start"], sum_names=["_sum_price"]
+    )
+    return merged.select(
+        "month_start",
+        "n_rows",
+        F.col("_sum_price").cast("double").alias("total_price"),
+    )

@@ -70,6 +70,10 @@ EXTRAS = [
      "XOR-of-md5 per-partition content signatures for replica diff in O(partitions))"),
     ("Unpivot / melt (extension)",
      "`unpivot_lineitem_measures` (stack reshape, inverse of pivot_status_matrix)"),
+    ("Incremental view maintenance (extension)",
+     "`ivm_monthly_totals` (operators/ivm.py — fold an append-only delta's partial "
+     "aggregate into a stored rollup; oracle recomputes from scratch, so "
+     "incremental == full bit-for-bit)"),
     ("CDC snapshot diff (extension)",
      "`cdc_snapshot_diff` (operators/cdc.py — portable Change Data Feed from two "
      "snapshots: one full-outer join, null-safe struct compare; S6 analogue)"),
