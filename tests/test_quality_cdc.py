@@ -65,3 +65,40 @@ def test_snapshot_diff_classification_and_images(spark):
         4: ("delete", "d"),   # preimage
         5: ("insert", "e"),   # postimage
     }
+
+
+def test_expectations_rejects_empty_rules(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pt.raises(ValueError, match="no rules"):
+        check_expectations(df, [])
+
+
+def test_ivm_merge_handles_new_and_empty_groups(spark):
+    from mergermetrics_lakehouse_pipeline_spark.operators.ivm import (
+        aggregate_batch,
+        merge_aggregates,
+    )
+
+    base_rows = spark.createDataFrame(
+        [("a", 10.0), ("a", 5.0), ("b", 1.0)], "g string, v double"
+    )
+    delta_rows = spark.createDataFrame(
+        [("b", 2.0), ("c", 7.0)], "g string, v double"
+    )
+    base = aggregate_batch(base_rows, keys=["g"], sum_cols={"sv": "v"})
+    delta = aggregate_batch(delta_rows, keys=["g"], sum_cols={"sv": "v"})
+    out = {
+        r.g: (r.n_rows, float(r.sv))
+        for r in merge_aggregates(base, delta, keys=["g"], sum_names=["sv"]).collect()
+    }
+    # groups only in base, shared, and only in delta all survive
+    assert out == {"a": (2, 15.0), "b": (2, 3.0), "c": (1, 7.0)}
+
+    empty = aggregate_batch(delta_rows.filter("1=0"), keys=["g"], sum_cols={"sv": "v"})
+    out2 = {
+        r.g: (r.n_rows, float(r.sv))
+        for r in merge_aggregates(base, empty, keys=["g"], sum_names=["sv"]).collect()
+    }
+    assert out2 == {"a": (2, 15.0), "b": (1, 1.0)}
