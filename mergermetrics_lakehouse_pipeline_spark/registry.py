@@ -1509,6 +1509,7 @@ DRIVER_PRIORITY: list[str] = [
     "zorder_key_lineitem",
     "docs_ols_trend",
     "ivm_monthly_totals",
+    "emb_pca_projection",
 ]
 
 
