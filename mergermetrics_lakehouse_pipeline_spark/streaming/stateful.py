@@ -56,6 +56,10 @@ STATE_SCHEMA = StructType(
 )
 
 
+#: processing-time idle flush used when timeouts are enabled
+IDLE_FLUSH_MS = 2_000
+
+
 def _sessionize_group(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
@@ -63,6 +67,25 @@ def _sessionize_group(
 ) -> Iterator[pd.DataFrame]:
     gap_us = 30 * 60 * 1_000_000
     (user_id,) = key
+
+    # timeout invocation: no new data for this user within the idle
+    # horizon — flush the open session and DROP the state row. Without
+    # this path, users who never return would pin state forever; with
+    # it the state store size tracks ACTIVE users, the property that
+    # holds at 100 TB/day.
+    if state.hasTimedOut:
+        if state.exists:
+            start_us, last_us, n_events, total_value = state.get
+            state.remove()
+            if start_us is not None:
+                yield pd.DataFrame(
+                    [(user_id, n_events, start_us, last_us, total_value)],
+                    columns=[
+                        "user_id", "n_events", "start_us", "end_us", "total_value"
+                    ],
+                )
+        return
+
     if state.exists:
         start_us, last_us, n_events, total_value = state.get
     else:
@@ -81,27 +104,47 @@ def _sessionize_group(
         else:
             last_us, n_events, total_value = ts_us, n_events + 1, total_value + float(value)
     state.update((start_us, last_us, n_events, total_value))
+    try:
+        state.setTimeoutDuration(IDLE_FLUSH_MS)
+    except Exception:
+        pass  # NoTimeout configuration: duration calls are invalid
     if closed:
         yield pd.DataFrame(
             closed, columns=["user_id", "n_events", "start_us", "end_us", "total_value"]
         )
 
 
-def streaming_sessionize(stream: DataFrame) -> DataFrame:
+def streaming_sessionize(stream: DataFrame, *, idle_flush: bool = False) -> DataFrame:
     """events stream -> closed-session stream (append mode).
 
     Input needs columns (user_id, event_id, ts, value); ts is converted
     to integer micros before the stateful step so state holds plain
-    longs."""
+    longs.
+
+    ``idle_flush=True`` arms a processing-time state timeout
+    (``GroupStateTimeout.ProcessingTimeTimeout``): a user idle past the
+    horizon gets their open session emitted and their state row REMOVED
+    — the state-TTL discipline that keeps the store bounded by active
+    users on an unbounded stream. Use it with a continuous
+    processing-time trigger; under ``Trigger.AvailableNow`` armed
+    timeouts keep the drain alive waiting for future firings, so
+    bounded backfills should leave it off. Default off also gives exact
+    batch parity (the trailing open session stays unemitted, like the
+    batch operator's final groups)."""
     from pyspark.sql import functions as F
 
     prepared = stream.select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_flush
+        else GroupStateTimeout.NoTimeout
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

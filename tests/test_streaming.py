@@ -201,3 +201,39 @@ def test_stream_stream_attribution_join_parity(spark, tmp_path, events_dir):
     key = ("user_id", "click_id", "purchase_id")
     assert _rows(result, *key) == _rows(batch, *key)
     assert batch.count() > 0
+
+
+def test_stateful_idle_flush_timeout_branch(spark):
+    """The ProcessingTimeTimeout path: a timed-out user's open session
+    is emitted once and the state row removed (unit-level — Spark's
+    timeout scheduling is upstream; our branch logic is what can rot)."""
+    import pandas as pd
+
+    from mergermetrics_lakehouse_pipeline_spark.streaming import stateful as st
+
+    class FakeState:
+        def __init__(self, tup):
+            self._t = tup
+            self.exists = tup is not None
+            self.hasTimedOut = True
+            self.removed = False
+
+        @property
+        def get(self):
+            return self._t
+
+        def remove(self):
+            self.removed = True
+
+    s = FakeState((1_000_000, 2_000_000, 3, 9.5))
+    out = list(st._sessionize_group((42,), iter([]), s))
+    assert s.removed
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (
+        row.user_id, row.n_events, row.start_us, row.end_us, row.total_value
+    ) == (42, 3, 1_000_000, 2_000_000, 9.5)
+
+    # timed out with no state: nothing emitted, no crash
+    s2 = FakeState(None)
+    assert list(st._sessionize_group((1,), iter([]), s2)) == []
