@@ -460,3 +460,52 @@ def q_ivm_monthly_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("_sum_price").cast("double").alias("total_price"),
     )
+
+
+@register(
+    "time_travel_diff_roundtrip",
+    """
+    WITH v1 AS (SELECT n_nationkey, n_name FROM nation),
+    v2 AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_renamed'
+                  ELSE n_name END AS n_name
+      FROM nation WHERE n_nationkey % 7 <> 3
+    ),
+    j AS (
+      SELECT COALESCE(a.n_nationkey, b.n_nationkey) AS n_nationkey,
+             a.n_name AS old_n, b.n_name AS new_n,
+             a.n_nationkey IS NULL AS ins, b.n_nationkey IS NULL AS del
+      FROM v1 a FULL OUTER JOIN v2 b ON a.n_nationkey = b.n_nationkey
+    )
+    SELECT n_nationkey, 'delete' AS change_type, old_n AS n_name FROM j WHERE del
+    UNION ALL
+    SELECT n_nationkey, 'update', new_n FROM j
+    WHERE NOT ins AND NOT del AND old_n IS DISTINCT FROM new_n
+    """,
+    tags=["S6", "time-travel", "cdc", "roundtrip"],
+)
+def q_time_travel_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel composed with the CDC diff
+    (sources/catalog.py write_version/read_version + operators/cdc.py):
+    nation is committed as v1, a deterministic mutation as v2, both are
+    read BACK from their immutable snapshot directories, and
+    snapshot_diff derives the change feed. The oracle recomputes the
+    diff from the pristine table, so a version pointer pointing at the
+    wrong snapshot, a partial write, or a diff bug all flip the hash."""
+    from .operators.cdc import snapshot_diff
+    from .sources.catalog import read_version, write_version
+
+    root = tempfile.mkdtemp(prefix="mm_tt_rt_") + "/nation_versions"
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_version(nation, root)
+    v2 = nation.filter(F.col("n_nationkey") % 7 != 3).select(
+        "n_nationkey",
+        F.when(
+            F.col("n_nationkey") % 5 == 0, F.concat(F.col("n_name"), F.lit("_renamed"))
+        ).otherwise(F.col("n_name")).alias("n_name"),
+    )
+    write_version(v2, root)
+    old = read_version(spark, root, 1)
+    new = read_version(spark, root, 2)
+    return snapshot_diff(old, new, keys=["n_nationkey"], compare_cols=["n_name"])

@@ -177,3 +177,53 @@ def compact_table(
     spark.catalog.refreshTable(name)
     after = table_file_stats(spark, name)
     return {"before": before, "after": after}
+
+
+# ---------------------------------------------------------------------------
+# Versioned tables (portable time travel)
+# ---------------------------------------------------------------------------
+
+def write_version(df: DataFrame, root: str) -> int:
+    """Append an immutable snapshot version under ``root`` and return its
+    number — parquet-native time travel (the capability Delta supplies
+    the reference implicitly; 3_pricing_data_processing.py:167-172 leans
+    on CDF/versioning).
+
+    Layout: ``root/v=N/`` per snapshot + ``root/_latest`` pointer. A
+    version directory is fully written before the pointer moves, so a
+    concurrent reader of ``read_version(latest)`` never sees a partial
+    snapshot; a crashed writer leaves only an unreferenced directory.
+    Snapshots share nothing (full copies) — the honest cost of
+    versioning without a transaction log; for sharing, Delta is the
+    real answer and write_table's Delta branch takes over on a cluster.
+    """
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    version = latest_version(root) + 1
+    df.write.mode("errorifexists").parquet(f"{root}/v={version}")
+    tmp, final = f"{root}/_latest.tmp", f"{root}/_latest"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, final)  # atomic pointer move
+    return version
+
+
+def latest_version(root: str) -> int:
+    """Current version number, or 0 if none committed yet."""
+    import os
+
+    path = f"{root}/_latest"
+    if not os.path.exists(path):
+        return 0
+    return int(open(path).read().strip())
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Scan one committed snapshot (default: latest)."""
+    v = latest_version(root) if version is None else version
+    if v < 1:
+        raise ValueError(f"no committed versions under {root}")
+    return spark.read.parquet(f"{root}/v={v}")

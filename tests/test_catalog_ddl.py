@@ -126,3 +126,29 @@ def test_compact_table_partitioned_preserves_layout(spark):
     assert "PartitionFilters" in explained
     assert spark.table("t_compact_p").count() == 3000
     drop_table(spark, "t_compact_p")
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """write_version commits immutable snapshots; read_version time
+    travels; the latest pointer only moves after a full write."""
+    import pytest as _pt
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.catalog import (
+        latest_version,
+        read_version,
+        write_version,
+    )
+
+    root = str(tmp_path / "versions")
+    with _pt.raises(ValueError):
+        read_version(spark, root)
+
+    v1_df = spark.range(5).withColumnRenamed("id", "k")
+    assert write_version(v1_df, root) == 1
+    v2_df = spark.range(3).withColumnRenamed("id", "k")
+    assert write_version(v2_df, root) == 2
+    assert latest_version(root) == 2
+
+    assert read_version(spark, root, 1).count() == 5  # history intact
+    assert read_version(spark, root).count() == 3     # latest default
+    assert read_version(spark, root, 2).count() == 3

@@ -74,6 +74,10 @@ EXTRAS = [
      "`ivm_monthly_totals` (operators/ivm.py — fold an append-only delta's partial "
      "aggregate into a stored rollup; oracle recomputes from scratch, so "
      "incremental == full bit-for-bit)"),
+    ("Versioned tables / time travel (extension)",
+     "`time_travel_diff_roundtrip` (sources/catalog.py write_version/read_version — "
+     "immutable snapshot dirs + atomic latest pointer, composed with snapshot_diff; "
+     "tests/test_catalog_ddl.py)"),
     ("CDC snapshot diff (extension)",
      "`cdc_snapshot_diff` (operators/cdc.py — portable Change Data Feed from two "
      "snapshots: one full-outer join, null-safe struct compare; S6 analogue)"),
