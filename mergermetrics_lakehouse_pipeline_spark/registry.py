@@ -1510,6 +1510,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_ols_trend",
     "ivm_monthly_totals",
     "emb_pca_projection",
+    "time_travel_diff_roundtrip",
 ]
 
 
