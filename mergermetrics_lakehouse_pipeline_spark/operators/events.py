@@ -202,3 +202,44 @@ def attribution_join(
         ).alias("seconds_to_convert"),
         F.col("to_value").alias("purchase_value"),
     )
+
+
+def transition_matrix(df: DataFrame) -> DataFrame:
+    """First-order Markov transition model over per-user event sequences.
+
+    For each user, events are ordered by (ts, event_id) — the event_id
+    tie-break makes the sequence deterministic — and each consecutive
+    (event_type -> next event_type) hop is counted. Output: one row per
+    observed (from_type, to_type) with the count, the from-type total,
+    and the maximum-likelihood transition probability.
+
+    Scale notes: ONE shuffle on user_id for the lead() window; per-user
+    state is a single row of lookahead, so cost scales with events, not
+    with users x types. The final aggregation over (from, to) pairs is
+    tiny (|types|^2 groups) with map-side partial aggregation. The
+    probability is a single BIGINT/BIGINT division in DOUBLE — an exactly
+    rounded IEEE op, so the result is bit-identical cross-engine (the
+    DuckDB oracle replays it).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col(TS).asc(), F.col("event_id").asc())
+    hops = (
+        df.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = Window.partitionBy("from_type")
+    return hops.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(totals).alias("total_from"),
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(totals).cast("double")
+        ).alias("p_transition"),
+    )

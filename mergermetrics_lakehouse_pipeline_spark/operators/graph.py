@@ -1,0 +1,96 @@
+"""Iterative graph analytics: integer-arithmetic PageRank.
+
+The reference has no graph surface; a complete engine needs at least one
+*iterative* distributed algorithm, because iteration is where naive Spark
+designs fall over (unbounded lineage, re-reading inputs every pass). The
+canonical example is PageRank over an item co-occurrence graph — here,
+parts co-purchased within the same order (the retail "customers also
+bought" graph).
+
+Design for 100 TB:
+
+- **Edges are built with ONE equi-self-join** on the order key (bounded
+  fan-out: pairs per order are quadratic in *lines per order*, a small
+  constant ~7, never in table size), then de-duplicated — no nested loop.
+- **Edges and degrees are cached once** and re-used across iterations;
+  each iteration is exactly one join (ranks -> edges on src) plus one
+  aggregation (sum by dst) — two shuffles, both on graph keys. On a real
+  cluster you'd also checkpoint every ~5 iterations to truncate lineage;
+  with the fixed small iteration count here, caching suffices.
+- **All arithmetic is scaled-integer** (rank x 1e6 as BIGINT, integer
+  division for both the per-edge contribution and the damping multiply).
+  BIGINT sums are exact and order-independent, so the result is
+  bit-identical across partitionings AND across engines — the DuckDB
+  oracle replays the same iterations as unrolled CTEs. (Float PageRank
+  would be non-deterministic under shuffle reordering; scaled-integer is
+  the price of a hash-checkable oracle and costs one part in 1e6 of
+  precision per operation.)
+
+PageRank variant: non-normalized personalisation-free update
+``r'(v) = T + (D * sum_{u->v} (r(u) div deg(u))) div 100`` with teleport
+T = 150_000 (0.15 x scale) and damping D = 85 (0.85 x 100). Nodes with
+edges always have deg >= 1 in the undirected co-purchase graph, so there
+is no dangling-mass term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+TELEPORT = 150_000  # 0.15 * SCALE
+DAMP_NUM = 85  # 0.85 * 100
+DAMP_DEN = 100
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct directed edges (src, dst) between parts sharing an order.
+
+    Both directions are emitted, so the graph is symmetric and every node
+    appears as a src (hence has out-degree >= 1).
+    """
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank_int(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Scaled-integer PageRank; returns (node, rank) with rank = r x 1e6.
+
+    ``edges`` must be symmetric (or at least: every node occurs as src).
+    The caller gets exact, engine-independent BIGINT ranks.
+    """
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+
+    ranks = deg.select(F.col("src").alias("node"), F.lit(SCALE).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div deg").alias("contrib"),
+            )
+        )
+        ranks = contrib.groupBy("node").agg(
+            (
+                F.lit(TELEPORT)
+                + F.expr(f"({DAMP_NUM} * sum(contrib)) div {DAMP_DEN}")
+            )
+            .cast("bigint")
+            .alias("rank")
+        )
+    return ranks

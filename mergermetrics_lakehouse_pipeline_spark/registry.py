@@ -1511,6 +1511,9 @@ DRIVER_PRIORITY: list[str] = [
     "ivm_monthly_totals",
     "emb_pca_projection",
     "time_travel_diff_roundtrip",
+    "fuzzy_match_parts",
+    "parts_copurchase_pagerank",
+    "events_markov_transitions",
 ]
 
 
@@ -1539,7 +1542,12 @@ def oracle_sql() -> dict[str, str]:
 
 def _load_extensions() -> None:
     """Import sibling registry modules so their @register calls run."""
-    from . import registry_events, registry_llm, registry_sinks  # noqa: F401
+    from . import (  # noqa: F401
+        registry_events,
+        registry_llm,
+        registry_mining,
+        registry_sinks,
+    )
 
 
 @register(

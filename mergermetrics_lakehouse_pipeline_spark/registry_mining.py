@@ -1,0 +1,151 @@
+"""Registry entries for relationship-mining extensions: record linkage
+(blocked fuzzy match), iterative graph analytics (integer PageRank), and
+sequence mining (Markov transition model).
+
+The reference integrates a child company's entities into the parent's
+catalog by EXACT key equality only (MERGE ON customer_id,
+``1_customer_data_processing.py:311-318``; product upserts in
+``2_products_data_processing.py:245-263``). These queries provide the
+relationship layer a real merger-integration engine needs on top:
+fuzzy entity resolution for names that don't line up exactly, item
+affinity over co-purchase structure, and behavioural transition models —
+each expressed with engine-independent arithmetic so the DuckDB oracle
+can replay it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import events as ev
+from .operators import graph as gr
+from .operators import linkage as lk
+from .registry import T, events_table, register
+
+
+@register(
+    "fuzzy_match_parts",
+    """
+    WITH catalog AS (SELECT DISTINCT p_name AS cand FROM part),
+    dirty AS (
+      SELECT p_partkey, substr(p_name, 1, length(p_name) - 1) AS dirty_name
+      FROM part WHERE p_partkey % 3 = 0
+    ),
+    pairs AS (
+      SELECT d.p_partkey, d.dirty_name, c.cand,
+             levenshtein(d.dirty_name, c.cand) AS distance
+      FROM dirty d
+      JOIN catalog c
+        ON substr(lower(d.dirty_name), 1, 3) = substr(lower(c.cand), 1, 3)
+      WHERE levenshtein(d.dirty_name, c.cand) <= 2
+    ),
+    best AS (
+      SELECT p_partkey, dirty_name, cand, distance,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY distance, cand) AS rn
+      FROM pairs
+    )
+    SELECT p_partkey, dirty_name, cand AS matched_name,
+           CAST(distance AS INT) AS distance
+    FROM best WHERE rn = 1
+    """,
+    tags=["linkage", "fuzzy-join", "extension"],
+)
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution of deterministically-perturbed part names (last
+    char dropped for every third part — a stand-in for the child
+    company's free-typed catalog) against the clean parent catalog:
+    prefix-blocked equi-join + levenshtein <= 2 + best-match window.
+    Parity target: the exact-key MERGE matching in
+    ``1_customer_data_processing.py:311-318``, extended to fuzzy keys."""
+    part = T(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 3 == 0).select(
+        "p_partkey",
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("dirty_name"),
+    )
+    return lk.blocked_fuzzy_match(
+        dirty,
+        part,
+        dirty_id="p_partkey",
+        dirty_name="dirty_name",
+        catalog_name="p_name",
+        max_distance=2,
+        block_prefix=3,
+    )
+
+
+@register(
+    "parts_copurchase_pagerank",
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+    r1 AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * SUM(r.pr // d.deg)) // 100 AS BIGINT) AS pr
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * SUM(r.pr // d.deg)) // 100 AS BIGINT) AS pr
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * SUM(r.pr // d.deg)) // 100 AS BIGINT) AS pr
+      FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    )
+    SELECT node AS p_partkey, pr AS pagerank_micro FROM r3
+    """,
+    tags=["graph", "iterative", "extension"],
+)
+def q_parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration scaled-integer PageRank over the part co-purchase
+    graph (edges = parts sharing an order). Exact BIGINT arithmetic makes
+    the iterative result hash-identical to the oracle's unrolled CTEs —
+    see operators/graph.py for the 100 TB iteration design (cached edge
+    set, two shuffles per pass, checkpoint cadence)."""
+    edges = gr.copurchase_edges(T(spark, sf_dir, "lineitem"))
+    return gr.pagerank_int(edges, iterations=3).select(
+        F.col("node").alias("p_partkey"),
+        F.col("rank").alias("pagerank_micro"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH hops AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM hops WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+             AS total_from,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+             AS p_transition
+    FROM counts
+    """,
+    tags=["events", "sequence-mining", "extension"],
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (deterministic (ts, event_id) ordering). The probability is
+    one BIGINT/BIGINT divide in DOUBLE — exactly rounded IEEE, so
+    cross-engine hash-stable."""
+    return ev.transition_matrix(events_table(spark, sf_dir))

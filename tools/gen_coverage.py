@@ -145,6 +145,19 @@ EXTRAS = [
      "sources/jsonl.py read_jsonl (PERMISSIVE + corrupt-line quarantine + "
      "lineage, explicit schema so inference never double-reads a landing "
      "zone) + split_corrupt; tests/test_jsonl_source.py"),
+    ("Record linkage / fuzzy entity resolution (extension)",
+     "`fuzzy_match_parts` (operators/linkage.py blocked_fuzzy_match — prefix-blocked "
+     "equi-join + JVM levenshtein <= d + deterministic best-match window; the fuzzy "
+     "twin of the reference's exact-key MERGE matching; tests/test_mining.py)"),
+    ("Iterative graph analytics (extension)",
+     "`parts_copurchase_pagerank` (operators/graph.py — scaled-BIGINT PageRank over "
+     "the co-purchase graph, cached edges/degrees, two shuffles per iteration; exact "
+     "integer arithmetic makes the iterations hash-identical to the oracle's "
+     "unrolled CTEs; tests/test_mining.py)"),
+    ("Sequence mining / Markov transitions (extension)",
+     "`events_markov_transitions` (operators/events.py transition_matrix — lead() "
+     "over deterministic (ts, event_id) order, one shuffle on user_id, exact "
+     "BIGINT counts + single IEEE divide for probabilities; tests/test_mining.py)"),
     ("Property tests (tolerance/invariants)", "tests/test_property_cleaning.py (hypothesis)"),
 ]
 
