@@ -8,8 +8,21 @@ expressions; the spine is generated distributed (no driver loop).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch, tolerant of TIMESTAMP_NTZ inputs.
+
+    Parquet columns written without an ``isAdjustedToUTC`` flag read back
+    as TIMESTAMP_NTZ, which ``unix_micros`` rejects outright. The session
+    pins ``spark.sql.session.timeZone=UTC`` (session.py:84), so the
+    NTZ->TIMESTAMP cast is a wall-clock identity and the difference /
+    binning semantics are unchanged for either input type.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def month_spine(spark: SparkSession, start: str, end: str) -> DataFrame:

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.dates import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -94,7 +96,7 @@ def asof_join(
     in_tolerance = F.lit(True)
     if tolerance_seconds is not None:
         in_tolerance = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+            epoch_us(F.col("__ts")) - epoch_us(F.col("__m.__rts"))
         ) <= tolerance_seconds * 1_000_000
 
     out_cols = [F.col(c) for c in left.columns] + [

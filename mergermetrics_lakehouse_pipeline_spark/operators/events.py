@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.dates import epoch_us
+
 #: event-time column expected by every operator here
 TS = "ts"
 
@@ -73,9 +75,9 @@ def sessionize(
     order = [F.col(TS), F.col(id_col)]
     by_user = Window.partitionBy(user_col).orderBy(*order)
     gap_us = gap_minutes * 60 * 1_000_000
-    prev_us = F.lag(F.unix_micros(F.col(TS))).over(by_user)
+    prev_us = F.lag(epoch_us(TS)).over(by_user)
     is_new = F.when(
-        prev_us.isNull() | (F.unix_micros(F.col(TS)) - prev_us > gap_us), 1
+        prev_us.isNull() | (epoch_us(TS) - prev_us > gap_us), 1
     ).otherwise(0)
     sess = df.withColumn(
         "session_no",
@@ -85,7 +87,7 @@ def sessionize(
         F.count("*").alias("n_events"),
         F.date_format(F.min(TS), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         (
-            (F.max(F.unix_micros(F.col(TS))) - F.min(F.unix_micros(F.col(TS))))
+            (F.max(epoch_us(TS)) - F.min(epoch_us(TS)))
             / F.lit(1_000_000.0)
         ).alias("duration_s"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
@@ -197,7 +199,7 @@ def attribution_join(
         F.col("from_id").alias("click_id"),
         F.col("to_id").alias("purchase_id"),
         (
-            (F.unix_micros(F.col("to_ts")) - F.unix_micros(F.col("from_ts")))
+            (epoch_us("to_ts") - epoch_us("from_ts"))
             / F.lit(1_000_000.0)
         ).alias("seconds_to_convert"),
         F.col("to_value").alias("purchase_value"),

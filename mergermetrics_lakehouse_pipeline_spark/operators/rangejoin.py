@@ -65,13 +65,17 @@ def bin_interval_join(
     # integer `div`, not `/`: epoch-micros (~1.7e15 and growing) cannot
     # round-trip double division exactly forever; div truncates toward
     # zero, which equals floor for the non-negative epochs in play
-    p = points.withColumn(_BIN, F.expr(f"unix_micros({point_ts}) div {bin_us}"))
+    # cast-to-timestamp first: parquet NTZ columns otherwise fail
+    # unix_micros analysis (session tz is UTC, so the cast is identity)
+    p = points.withColumn(
+        _BIN, F.expr(f"unix_micros(cast({point_ts} as timestamp)) div {bin_us}")
+    )
     i = intervals.withColumn(
         _BIN,
         F.explode(
             F.sequence(
-                F.expr(f"unix_micros({start_ts}) div {bin_us}"),
-                F.expr(f"unix_micros({end_ts}) div {bin_us}"),
+                F.expr(f"unix_micros(cast({start_ts} as timestamp)) div {bin_us}"),
+                F.expr(f"unix_micros(cast({end_ts} as timestamp)) div {bin_us}"),
             )
         ),
     )

@@ -282,7 +282,7 @@ def q_events_sliding_user_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events_table(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(

@@ -26,8 +26,9 @@ from pyspark.sql import types as T
 from ..operators import events as ev
 from ..operators.merge import upsert_all
 
-#: events.parquet physical schema under spark.sql.legacy.parquet.nanosAsLong
-#: (the file stores TIMESTAMP(NANOS); see registry.events_table)
+#: legacy events.parquet physical schema (TIMESTAMP(NANOS) files read as
+#: long nanos under spark.sql.legacy.parquet.nanosAsLong); kept as the
+#: fallback when the landing dir can't be peeked (empty at start)
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -43,18 +44,33 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def read_events_stream(
     spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over events parquet (nanos ts -> timestamp).
+    """File-source stream over events parquet, ``ts`` normalized to a
+    TIMESTAMP whatever the physical encoding (long nanos, TIMESTAMP_NTZ,
+    or TIMESTAMP).
+
+    File streams require a fixed schema up front; a one-time static
+    footer peek (driver-side, metadata only) pins it to what's actually
+    on disk — the same adaptivity registry.events_table applies per
+    micro-batch would otherwise be impossible.
 
     ``maxFilesPerTrigger`` bounds per-microbatch work — on a real landing
     zone that is the backpressure knob; tests use it to force multiple
     micro-batches from a single directory.
     """
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # empty landing dir: fall back to the legacy shape
+        schema = EVENTS_RAW_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
-    # `div`, not `/`: double division is inexact for epoch-nanos magnitudes
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        # `div`, not `/`: double division is inexact for epoch-nanos magnitudes
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ -> TIMESTAMP is a wall-clock identity under the session's UTC tz
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(
@@ -205,7 +221,7 @@ def streaming_attribution_join(
         F.col("from_id").alias("click_id"),
         F.col("to_id").alias("purchase_id"),
         (
-            (F.unix_micros(F.col("to_ts")) - F.unix_micros(F.col("from_ts")))
+            (F.unix_micros(F.col("to_ts").cast("timestamp")) - F.unix_micros(F.col("from_ts").cast("timestamp")))
             / F.lit(1_000_000.0)
         ).alias("seconds_to_convert"),
         F.col("to_value").alias("purchase_value"),

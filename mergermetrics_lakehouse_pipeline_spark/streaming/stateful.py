@@ -134,7 +134,7 @@ def streaming_sessionize(stream: DataFrame, *, idle_flush: bool = False) -> Data
     from pyspark.sql import functions as F
 
     prepared = stream.select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value"
     )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
