@@ -1547,6 +1547,7 @@ def _load_extensions() -> None:
         registry_llm,
         registry_mining,
         registry_sinks,
+        registry_tpch,
     )
 
 

@@ -222,6 +222,8 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "corr_subquery_small_qty",  # scalar-aggregate join
         "sink_modes_roundtrip",  # 1-row merged-stats cross join (by design)
         "zorder_key_lineitem",  # 1-row min/max stats broadcast
+        "important_parts_value",  # 1-row global-total threshold broadcast
+        "idle_rich_customers",  # 1-row average-balance cutoff broadcast
     }
     registry._load_extensions()
     failures = []
