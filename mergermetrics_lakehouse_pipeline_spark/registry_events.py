@@ -450,3 +450,108 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_active"))
     )
+
+
+@register(
+    "events_user_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), anchored AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+               AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS len FROM anchored GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY 1
+    """,
+    tags=["events", "gaps-and-islands", "window"],
+)
+def q_events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of consecutive active
+    days. The date-minus-row_number anchor turns each run into a
+    constant key, so runs become a plain aggregation — the classic
+    rewrite that avoids any self-join or iterative pass.
+
+    Scale: the distinct collapses event volume to |user, day| before the
+    window, one user-keyed shuffle serves the distinct, the window, and
+    both follow-up aggregations (same partitioning throughout)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    anchored = days.withColumn("anchor", F.date_sub(F.col("d"), rn))
+    streaks = anchored.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
+
+
+@register(
+    "events_value_outlier_fences",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY 1
+    ), fenced AS (
+      SELECT event_type, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM stats
+    )
+    SELECT e.event_type,
+           ROUND(f.q1, 4) AS q1, ROUND(f.q3, 4) AS q3,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN fenced f ON e.event_type = f.event_type
+    GROUP BY 1, 2, 3
+    """,
+    tags=["events", "robust-stats", "two-pass"],
+)
+def q_events_value_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: exact per-type quartiles, Tukey fences
+    at 1.5 IQR, and the outlier count per event type — the two-pass
+    (stats, then flag) pattern a training-data value filter uses.
+
+    Scale: pass one is an exact-percentile aggregation per type (group
+    cardinality is tiny — the percentile sort happens per group inside
+    the agg); the 5-row fence table broadcasts back onto the raw events
+    for the counting pass. Both engines interpolate quantiles linearly
+    on identical doubles, and the fence compare is strict inequality, so
+    cross-engine bit-parity holds."""
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    fenced = stats.select(
+        F.col("event_type").alias("f_type"),
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1).otherwise(0)
+    return (
+        e.join(F.broadcast(fenced), e.event_type == F.col("f_type"))
+        .groupBy("event_type", F.round("q1", 4).alias("q1"), F.round("q3", 4).alias("q3"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(out).cast("bigint").alias("n_outliers"),
+        )
+    )

@@ -1449,3 +1449,56 @@ def q_docs_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@register(
+    "docs_source_quality_gate",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_SQL_QUALITY} AS quality FROM documents
+    ), src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ROUND(CAST(SUM(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 4) AS mean_quality
+      FROM scored GROUP BY 1
+    )
+    SELECT s.doc_id, s.source, s.quality, src.mean_quality, src.n_docs,
+           src.mean_quality >= 0.5 AS source_kept
+    FROM scored s JOIN src ON s.source = src.source
+    """,
+    tags=["LLM-hygiene", "two-pass", "source-filter"],
+)
+def q_docs_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality gating (the C4/RefinedWeb domain-filter
+    pattern): score every document, aggregate mean quality per source,
+    and gate each document on its SOURCE's mean — catching low-quality
+    providers whose individual documents pass doc-level filters.
+
+    Scale: pass one is a full scan scoring docs with JVM expressions;
+    the per-source table is |sources| rows (domains, not documents) and
+    broadcasts back. The mean rides an exact decimal SUM (quality is a
+    4-decimal score, so decimal(8,4) loses nothing) — never a
+    partial-aggregated double sum, whose ordering is
+    nondeterministic."""
+    d = T(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", tx.quality_score("text").alias("quality"))
+    src = scored.groupBy(F.col("source").alias("g_source")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(8,4)")).cast("double")
+            / F.count("*").cast("double"),
+            4,
+        ).alias("mean_quality"),
+    )
+    return (
+        scored.join(F.broadcast(src), scored.source == F.col("g_source"))
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "mean_quality",
+            "n_docs",
+            (F.col("mean_quality") >= 0.5).alias("source_kept"),
+        )
+    )
