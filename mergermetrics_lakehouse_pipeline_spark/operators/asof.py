@@ -39,17 +39,32 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, enriched with ``right_cols``
-    from the latest ``right`` row with ``right_ts <= left_ts`` (ties:
-    right row at exactly left_ts wins), NULLs when no prior right row.
+    from the matched ``right`` row, NULLs when none qualifies.
+
+    ``direction`` mirrors pandas ``merge_asof``:
+
+    - ``"backward"`` (default): latest right row with
+      ``right_ts <= left_ts`` (ties: right row at exactly left_ts wins);
+    - ``"forward"``: earliest right row with ``right_ts >= left_ts``;
+    - ``"nearest"``: whichever of the two is closer in time; an exact
+      tie in distance resolves backward, like pandas.
 
     ``on`` is the equi-key; ``right_cols`` are carried from the matched
-    right row. With ``tolerance_seconds``, matches older than the horizon
-    return NULLs instead.
+    right row. With ``tolerance_seconds``, matches farther than the
+    horizon (in the match direction) return NULLs instead.
+
+    Cost is unchanged by direction: ONE shuffle on the key. ``forward``
+    sorts the same window descending; ``nearest`` evaluates both window
+    passes over the one partition (Spark plans two sorts, zero extra
+    exchanges) and picks per row.
     """
     if set(right_cols) & set(left.columns):
         raise ValueError("right_cols must not collide with left column names")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     l_types, r_types = dict(left.dtypes), dict(right.dtypes)
     l_rest = [c for c in left.columns if c != on]
     lhs_full = left.select(
@@ -69,10 +84,16 @@ def asof_join(
     unioned = lhs_full.unionByName(rhs_full)
 
     # right rows (side=0) sort before left rows (side=1) at equal ts, so a
-    # right row stamped exactly at left_ts is visible to that left row
-    w = (
+    # right row stamped exactly at left_ts is visible to that left row —
+    # in both directions (desc order also puts side 0 first at equal ts)
+    w_back = (
         Window.partitionBy(on)
         .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").desc(), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # ONE struct per right row, not per-column lasts: a per-column
@@ -81,23 +102,37 @@ def asof_join(
     # (pandas merge_asof, DuckDB ASOF JOIN) return the matched row's
     # values, NULLs included. The struct is non-NULL whenever the row
     # exists, so ignorenulls only skips non-right rows.
-    matched = F.last(
-        F.when(
-            F.col("__side") == 0,
-            F.struct(
-                F.col("__ts").alias("__rts"),
-                *[F.col(c) for c in right_cols],
-            ),
+    right_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__ts").alias("__rts"),
+            *[F.col(c) for c in right_cols],
         ),
-        ignorenulls=True,
-    ).over(w)
+    )
+    if direction == "backward":
+        matched = F.last(right_struct, ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        matched = F.last(right_struct, ignorenulls=True).over(w_fwd)
+    else:  # nearest: both passes over the same partition, pick per row
+        back = F.last(right_struct, ignorenulls=True).over(w_back)
+        fwd = F.last(right_struct, ignorenulls=True).over(w_fwd)
+        d_back = epoch_us(F.col("__ts")) - epoch_us(back["__rts"])
+        d_fwd = epoch_us(fwd["__rts"]) - epoch_us(F.col("__ts"))
+        # distance tie resolves backward (pandas semantics); a missing
+        # side makes its distance NULL, so the comparisons below pick
+        # whichever side exists
+        matched = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(d_fwd < d_back, fwd)
+            .otherwise(back)
+        )
     result = unioned.select("*", matched.alias("__m")).filter(F.col("__side") == 1)
 
     in_tolerance = F.lit(True)
     if tolerance_seconds is not None:
-        in_tolerance = (
-            epoch_us(F.col("__ts")) - epoch_us(F.col("__m.__rts"))
-        ) <= tolerance_seconds * 1_000_000
+        distance = F.abs(epoch_us(F.col("__ts")) - epoch_us(F.col("__m.__rts")))
+        in_tolerance = distance <= tolerance_seconds * 1_000_000
 
     out_cols = [F.col(c) for c in left.columns] + [
         F.when(in_tolerance, F.col(f"__m.{c}")).alias(c) for c in right_cols

@@ -94,3 +94,50 @@ def pagerank_int(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .alias("rank")
         )
     return ranks
+
+
+def count_triangles(edges: DataFrame) -> DataFrame:
+    """Exact triangle count of an undirected graph given as SYMMETRIC
+    (src, dst) edges — the degree-orientation algorithm.
+
+    Each undirected edge is oriented from its lower endpoint to its
+    higher under the total order (degree, id). Every triangle then has
+    exactly one source node with two outgoing oriented edges, so
+    counting = (oriented ⨝ oriented on the middle node) semi-joined
+    against oriented to close the wedge. Orientation bounds every node's
+    out-degree by O(sqrt(m)), which bounds the wedge intermediate by
+    O(m^1.5) regardless of skew — the reason this beats the naive
+    3-way self-join, whose hub wedges explode quadratically in the max
+    degree.
+
+    Returns one row: n_nodes, n_edges (undirected), n_triangles.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    with_sdeg = edges.join(deg, "src").select(
+        "src", "dst", F.col("deg").alias("sdeg")
+    )
+    ddeg = deg.select(F.col("src").alias("dst"), F.col("deg").alias("ddeg"))
+    both = with_sdeg.join(ddeg, "dst")
+    oriented = both.filter(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+    a = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    b = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    wedges = a.join(b, "y").select("x", "y", "z")
+    closed = wedges.join(
+        oriented,
+        (wedges.x == oriented.src) & (wedges.z == oriented.dst),
+        "left_semi",
+    )
+    # one lazy plan, no driver actions: graph stats and the triangle
+    # count are 1-row aggregates stitched with a broadcast cross join.
+    # (Callers with an expensive edge build should persist `edges` —
+    # it is scanned by both subtrees.)
+    stats = edges.agg(
+        F.count_distinct("src").cast("bigint").alias("n_nodes"),
+        # symmetric edge list: each undirected edge appears twice
+        (F.count("*") / 2).cast("bigint").alias("n_edges"),
+    )
+    tri = closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    return stats.join(F.broadcast(tri), F.lit(True))

@@ -555,3 +555,148 @@ def q_events_value_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(out).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "asof_forward_next_purchase",
+    """
+    WITH l AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ), p0 AS (
+      SELECT user_id, ts AS pts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, pts, event_id AS purchase_id,
+             CAST(value AS DOUBLE) AS purchase_value
+      FROM p0 WHERE rn = 1
+    )
+    SELECT l.click_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           r.purchase_id,
+           strftime(r.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           r.purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.pts
+    """,
+    tags=["asof-join", "forward", "custom-operator"],
+)
+def q_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py, direction='forward'): each
+    click enriched with the user's next purchase at or after it — the
+    attribution question as a single windowed pass instead of a range
+    join. Right side pre-reduced to unique (user, ts) so the match is
+    deterministic; oracle is DuckDB's native forward ASOF LEFT JOIN.
+
+    Scale: identical profile to the backward as-of — one shuffle on
+    user_id, running-state of one struct per key; direction only flips
+    the in-partition sort."""
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join
+
+    e = events_table(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.min(F.struct("event_id", "value")).alias("m"))
+        .select(
+            "user_id",
+            "pts",
+            F.col("m.event_id").alias("purchase_id"),
+            F.col("m.value").cast("double").alias("purchase_value"),
+            F.col("pts").alias("purchase_ts_raw"),
+        )
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        right_cols=["purchase_id", "purchase_value", "purchase_ts_raw"],
+        direction="forward",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("purchase_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+@register(
+    "events_hourly_ohlc",
+    """
+    WITH h AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             ts, event_id, value
+      FROM events
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts, event_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM h
+    )
+    SELECT event_type,
+           strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(MAX(CASE WHEN rn_first = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_last = 1 THEN value END) AS DOUBLE) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+    tags=["events", "ohlc", "argmin-argmax"],
+)
+def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — open/close are argmin/argmax by
+    (ts, event_id) computed as MIN/MAX over a (ts, event_id, value)
+    struct, so the whole bar is ONE aggregation pass (no window, no
+    join-back, deterministic tie-breaks).
+
+    Scale: one shuffle with full map-side partial aggregation — struct
+    MIN/MAX combines associatively, unlike the row_number formulation
+    the oracle uses, which would need a per-group sort."""
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_raw"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "hour_raw")
+        .agg(
+            first_s["value"].cast("double").alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            last_s["value"].cast("double").alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour_raw", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )

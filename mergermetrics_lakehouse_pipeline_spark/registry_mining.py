@@ -149,3 +149,46 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     one BIGINT/BIGINT divide in DOUBLE — exactly rounded IEEE, so
     cross-engine hash-stable."""
     return ev.transition_matrix(events_table(spark, sf_dir))
+
+
+@register(
+    "parts_triangle_count",
+    """
+    WITH sym AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1
+    ), oriented AS (
+      SELECT e.src, e.dst
+      FROM sym e
+      JOIN deg ds ON e.src = ds.src
+      JOIN deg dd ON e.dst = dd.src
+      WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
+    ), wedges AS (
+      SELECT a.src AS x, a.dst AS y, b.dst AS z
+      FROM oriented a JOIN oriented b ON a.dst = b.src
+    ), closed AS (
+      SELECT w.x, w.y, w.z FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.src = w.x AND o.dst = w.z)
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM sym) AS n_nodes,
+           (SELECT CAST(COUNT(*) / 2 AS BIGINT) FROM sym) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM closed
+    """,
+    tags=["graph", "triangles", "degree-orientation"],
+)
+def q_parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the part co-purchase graph via degree
+    orientation (operators/graph.py:count_triangles) — the clustering
+    primitive for relationship mining.
+
+    Scale: orientation by (degree, id) caps every node's out-degree at
+    O(sqrt(m)), so the wedge join is O(m^1.5) worst case and immune to
+    hub skew; the naive 3-way self-join blows up quadratically in the
+    hottest part's degree. All joins are equi-joins; the only
+    BroadcastNestedLoopJoin is the 1-row stats stitch."""
+    edges = gr.copurchase_edges(T(spark, sf_dir, "lineitem"))
+    return gr.count_triangles(edges)

@@ -137,3 +137,73 @@ def test_top_frequency_keys(spark):
     top = top_frequency_keys(df, "k", n=1).collect()
     assert top[0].key == "hot" and top[0].n_rows == 8
     assert abs(top[0].share - 0.8) < 1e-9
+
+
+def test_asof_join_forward(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left,
+        right,
+        on="key",
+        left_ts="ts",
+        right_ts="rts",
+        right_cols=["price"],
+        direction="forward",
+    )
+    got = {r.event_id: r.price for r in out.collect()}
+    # 1 (10:00) -> next right at 12:00; 2 (12:00) -> inclusive match 200;
+    # 3 (09:00) -> 09:30's 100; 4 (u2) -> no right rows
+    assert got == {1: 200.0, 2: 200.0, 3: 100.0, 4: None}
+
+
+def test_asof_join_nearest_tie_resolves_backward(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left,
+        right,
+        on="key",
+        left_ts="ts",
+        right_ts="rts",
+        right_cols=["price"],
+        direction="nearest",
+    )
+    got = {r.event_id: r.price for r in out.collect()}
+    # 1 (10:00): back 09:30 (30m) vs fwd 12:00 (2h) -> 100
+    # 2 (12:00): exact both sides -> backward tie resolution -> 200
+    # 3 (09:00): no back match, fwd 09:30 -> 100; 4: no rows either side
+    assert got == {1: 100.0, 2: 200.0, 3: 100.0, 4: None}
+
+
+def test_asof_join_nearest_tolerance_is_symmetric(spark):
+    left, right = _asof_fixture(spark)
+    out = asof_join(
+        left,
+        right,
+        on="key",
+        left_ts="ts",
+        right_ts="rts",
+        right_cols=["price"],
+        direction="nearest",
+        tolerance_seconds=1800,
+    )
+    got = {r.event_id: r.price for r in out.collect()}
+    # 30-minute horizon: 1's nearest (09:30, 30m) survives exactly;
+    # 3's forward match (09:30, 30m) survives too
+    assert got == {1: 100.0, 2: 200.0, 3: 100.0, 4: None}
+
+
+def test_asof_join_rejects_unknown_direction(spark):
+    left, right = _asof_fixture(spark)
+    try:
+        asof_join(
+            left,
+            right,
+            on="key",
+            left_ts="ts",
+            right_ts="rts",
+            right_cols=["price"],
+            direction="sideways",
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
