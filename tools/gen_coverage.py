@@ -158,6 +158,34 @@ EXTRAS = [
      "`events_markov_transitions` (operators/events.py transition_matrix — lead() "
      "over deterministic (ts, event_id) order, one shuffle on user_id, exact "
      "BIGINT counts + single IEEE divide for probabilities; tests/test_mining.py)"),
+    ("Decorrelated-subquery analytics / TPC-H-hard shapes (extension set)",
+     "`min_cost_supplier_per_part` (Q2: correlated MIN as window over the pair "
+     "aggregate), `top_revenue_suppliers` (Q15: argmax via 1-row broadcast), "
+     "`nation_pair_volume` (Q7: region-to-region volume, one fact-fact shuffle), "
+     "`nation_market_share` (Q8: numerator+denominator in ONE conditional-agg "
+     "pass), `important_parts_value` (Q11: scale-invariant HAVING vs 1.5x mean), "
+     "`large_volume_orders` (Q18: AQE-decided join-back of the HAVING output), "
+     "`lone_returner_suppliers` (Q21: EXISTS/NOT-EXISTS collapsed to window "
+     "counts, zero self-joins), `idle_rich_customers` (Q22: scalar-AVG cutoff + "
+     "anti join on projected recent buyers)"),
+    ("Source-level quality gating (LLM extension)",
+     "`docs_source_quality_gate` (C4-style domain filter: per-source mean quality "
+     "via exact decimal sums, broadcast back onto every document)"),
+    ("Gaps-and-islands streaks (extension)",
+     "`events_user_streaks` (date-minus-row_number run anchoring; one user-keyed "
+     "shuffle shared by distinct, window, and both aggregations)"),
+    ("Robust outlier stats (extension)",
+     "`events_value_outlier_fences` (exact per-type quartiles, 1.5-IQR Tukey "
+     "fences broadcast back for the counting pass)"),
+    ("As-of directions (extension)",
+     "`asof_forward_next_purchase` (direction='forward'; nearest with backward "
+     "tie-resolution + symmetric tolerance unit-tested in tests/test_asof_skew.py)"),
+    ("Triangle counting (extension)",
+     "`parts_triangle_count` (operators/graph.py count_triangles — (degree, id) "
+     "edge orientation bounds the wedge join at O(m^1.5) under any skew)"),
+    ("Hourly OHLC bars (extension)",
+     "`events_hourly_ohlc` (argmin/argmax open/close as struct MIN/MAX — one "
+     "associative aggregation pass, no window or join-back)"),
     ("Property tests (tolerance/invariants)", "tests/test_property_cleaning.py (hypothesis)"),
 ]
 
