@@ -284,3 +284,53 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_q2_shape_window_over_aggregate_not_self_join(spark, sf_dir):
+    """min_cost_supplier_per_part: the correlated MIN must run as a
+    window over the (part, supplier) aggregate — lineitem is scanned
+    exactly once, dims broadcast, and only two exchanges exist (the pair
+    aggregation, then the p_key window partitioning)."""
+    plan = _plan(spark, sf_dir, "min_cost_supplier_per_part")
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q21_shape_single_lineitem_scan_no_self_join(spark, sf_dir):
+    """lone_returner_suppliers: EXISTS + NOT-EXISTS collapse into window
+    counts — one lineitem scan (the textbook plan has three), no
+    self-join, bounded exchanges (pair agg, orderkey window, final
+    supplier agg)."""
+    plan = _plan(spark, sf_dir, "lone_returner_suppliers")
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_streaks_share_one_user_partitioning(spark, sf_dir):
+    """events_user_streaks: distinct, window, and both aggregations ride
+    user-keyed partitionings — two exchanges total, zero joins."""
+    plan = _plan(spark, sf_dir, "events_user_streaks")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ohlc_is_one_aggregation_pass(spark, sf_dir):
+    """events_hourly_ohlc: open/close via struct MIN/MAX — a single
+    exchange, no window sort, no join-back, and map-side partial
+    aggregation present."""
+    plan = _plan(spark, sf_dir, "events_hourly_ohlc")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_scalar_subqueries_broadcast_one_row(spark, sf_dir):
+    """Q11/Q15/Q22 shapes: the scalar aggregate comes back as a 1-row
+    broadcast (hash or nested-loop), never a shuffled join of the fact
+    against itself per row."""
+    for name in ("important_parts_value", "top_revenue_suppliers", "idle_rich_customers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastExchange" in plan, name
