@@ -245,3 +245,48 @@ def transition_matrix(df: DataFrame) -> DataFrame:
             / F.sum("n_transitions").over(totals).cast("double")
         ).alias("p_transition"),
     )
+
+
+def ohlc_aggs() -> list:
+    """The OHLC aggregate expressions: open/close are argmin/argmax by
+    (ts, event_id), computed as MIN/MAX over a (ts, event_id, value)
+    struct — fully associative, so the SAME list serves the batch
+    one-pass aggregation and the incremental per-micro-batch streaming
+    state update."""
+    first_s = F.min(F.struct(TS, "event_id", "value"))
+    last_s = F.max(F.struct(TS, "event_id", "value"))
+    return [
+        first_s["value"].cast("double").alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        last_s["value"].cast("double").alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+    ]
+
+
+_OHLC_OUT = ["open", "high", "low", "close", "n_events", "volume"]
+
+
+def hourly_ohlc(df: DataFrame) -> DataFrame:
+    """Hourly OHLC bars per event type — ONE aggregation pass (map-side
+    combinable, deterministic tie-breaks), no window sort, no join-back.
+    Streaming twin: streaming/jobs.py streaming_hourly_ohlc (groups by
+    F.window instead of date_trunc so watermark state eviction applies;
+    identical values because hour windows are epoch-aligned)."""
+    return (
+        df.select(
+            "event_type",
+            F.date_trunc("hour", TS).alias("hour_raw"),
+            TS,
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "hour_raw")
+        .agg(*ohlc_aggs())
+        .select(
+            "event_type",
+            F.date_format("hour_raw", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            *_OHLC_OUT,
+        )
+    )

@@ -659,44 +659,12 @@ def q_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["events", "ohlc", "argmin-argmax"],
 )
 def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly OHLC bars per event type — open/close are argmin/argmax by
-    (ts, event_id) computed as MIN/MAX over a (ts, event_id, value)
-    struct, so the whole bar is ONE aggregation pass (no window, no
-    join-back, deterministic tie-breaks).
+    """Hourly OHLC bars per event type — open/close as argmin/argmax by
+    (ts, event_id) via struct MIN/MAX, ONE aggregation pass (no window,
+    no join-back, deterministic tie-breaks). Shares operators/events.py
+    hourly_ohlc with the streaming twin (tests/test_streaming.py parity).
 
     Scale: one shuffle with full map-side partial aggregation — struct
     MIN/MAX combines associatively, unlike the row_number formulation
     the oracle uses, which would need a per-group sort."""
-    from pyspark.sql import functions as F
-
-    e = events_table(spark, sf_dir)
-    first_s = F.min(F.struct("ts", "event_id", "value"))
-    last_s = F.max(F.struct("ts", "event_id", "value"))
-    return (
-        e.select(
-            "event_type",
-            F.date_trunc("hour", "ts").alias("hour_raw"),
-            "ts",
-            "event_id",
-            "value",
-        )
-        .groupBy("event_type", "hour_raw")
-        .agg(
-            first_s["value"].cast("double").alias("open"),
-            F.max("value").cast("double").alias("high"),
-            F.min("value").cast("double").alias("low"),
-            last_s["value"].cast("double").alias("close"),
-            F.count("*").cast("bigint").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
-        )
-        .select(
-            "event_type",
-            F.date_format("hour_raw", "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            "open",
-            "high",
-            "low",
-            "close",
-            "n_events",
-            "volume",
-        )
-    )
+    return ev.hourly_ohlc(events_table(spark, sf_dir))

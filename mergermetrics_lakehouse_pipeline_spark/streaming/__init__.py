@@ -8,5 +8,6 @@ from .jobs import (  # noqa: F401
     run_available_now,
     streaming_attribution_join,
     streaming_dedup,
+    streaming_hourly_ohlc,
     streaming_tumbling_counts,
 )

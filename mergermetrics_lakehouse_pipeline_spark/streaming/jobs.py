@@ -226,3 +226,30 @@ def streaming_attribution_join(
         ).alias("seconds_to_convert"),
         F.col("to_value").alias("purchase_value"),
     )
+
+
+def streaming_hourly_ohlc(
+    stream: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked streaming OHLC bars — the incremental twin of
+    operators/events.py hourly_ohlc. The struct-MIN/MAX open/close
+    aggregates are associative, so each micro-batch folds into per-bar
+    state instead of re-sorting history; grouping by ``F.window`` (not
+    ``date_trunc``) lets the watermark evict closed bars, which is what
+    keeps state bounded on an unbounded stream. Hour windows are
+    epoch-aligned, so values match the batch operator exactly."""
+    wm = stream.withWatermark(ev.TS, watermark)
+    return (
+        wm.groupBy(F.window(ev.TS, "1 hour").alias("w"), "event_type")
+        .agg(*ev.ohlc_aggs())
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )

@@ -237,3 +237,24 @@ def test_stateful_idle_flush_timeout_branch(spark):
     # timed out with no state: nothing emitted, no crash
     s2 = FakeState(None)
     assert list(st._sessionize_group((1,), iter([]), s2)) == []
+
+
+def test_stream_batch_parity_ohlc(spark, tmp_path, events_dir):
+    """Streaming OHLC (window-grouped, watermarked) == the batch
+    date_trunc operator on the same files: hour windows are
+    epoch-aligned, and the struct-MIN/MAX aggregates fold identically
+    per micro-batch (associativity is the parity argument)."""
+    from mergermetrics_lakehouse_pipeline_spark.streaming import (
+        streaming_hourly_ohlc,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    result = run_available_now(
+        streaming_hourly_ohlc(stream),
+        query_name="t_stream_ohlc",
+        checkpoint_dir=str(tmp_path / "ckpt_ohlc"),
+    )
+    batch = ev.hourly_ohlc(events_table(spark, SF_DIR))
+    assert _rows(result, "event_type", "hour") == _rows(
+        batch, "event_type", "hour"
+    )
