@@ -1502,3 +1502,61 @@ def q_docs_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mean_quality") >= 0.5).alias("source_kept"),
         )
     )
+
+
+_VOCAB_SIZE = 64
+
+
+@register(
+    "docs_token_ids",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKS_SAFE} AS toks FROM documents
+      WHERE len(trim(text)) > 0
+    ), idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t
+    ), flat AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token FROM idx
+    ), counts AS (
+      SELECT token, COUNT(*) AS tf FROM flat GROUP BY 1
+    ), vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS INT) AS token_id
+      FROM counts
+      QUALIFY token_id <= {_VOCAB_SIZE}
+    )
+    SELECT f.doc_id, f.pos, f.token, COALESCE(v.token_id, 0) AS token_id
+    FROM flat f LEFT JOIN vocab v USING (token)
+    """,
+    tags=["LLM-tokenize", "broadcast-vocab"],
+)
+def q_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids: induce a frequency-ranked vocabulary (top-64,
+    ties broken by token string so the id assignment is deterministic)
+    and map every token position to its id, OOV -> 0 — the id-encoding
+    stage of a training-data pipeline.
+
+    Scale: token positions never shuffle — the corpus-sized side stays
+    where the explode put it and the vocab joins in as a broadcast. The
+    vocabulary ranking is ONE global window over the token-type counts:
+    a vocab-cardinality sort (millions of types, not billions of
+    positions), the standard cost of frequency-ranked id assignment."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    flat = d.select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "token")
+    )
+    counts = flat.groupBy("token").agg(F.count("*").alias("tf"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    vocab = (
+        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .filter(F.col("token_id") <= _VOCAB_SIZE)
+        .select("token", "token_id")
+    )
+    return flat.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        "token",
+        F.coalesce("token_id", F.lit(0)).alias("token_id"),
+    )
