@@ -509,3 +509,62 @@ def q_time_travel_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = read_version(spark, root, 1)
     new = read_version(spark, root, 2)
     return snapshot_diff(old, new, keys=["n_nationkey"], compare_cols=["n_name"])
+
+
+@register(
+    "synth_source_rollup",
+    """
+    WITH g AS (
+      SELECT unnest(generate_series(0, 9999)) AS i
+    ), r AS (
+      SELECT i,
+             CAST(CONCAT('0x', substr(md5('synth|' || i), 1, 15)) AS BIGINT) AS h,
+             CAST(CONCAT('0x', substr(md5('synth|' || i), 16, 2)) AS BIGINT) AS he,
+             CAST(CONCAT('0x', substr(md5('synth|' || i), 18, 4)) AS BIGINT) AS hv
+      FROM g
+    ), rows_ AS (
+      SELECT i AS event_id,
+             TIMESTAMP '2024-01-01' + (h % 86400) * INTERVAL 1 SECOND AS ts,
+             h % 1000 AS user_id,
+             ['click','view','purchase','signup','error'][(he % 5) + 1] AS event_type,
+             CAST(hv % 10000 AS DOUBLE) / 100.0 AS value
+      FROM r
+    )
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM rows_
+    GROUP BY 1, 2
+    """,
+    tags=["python-datasource", "connector"],
+)
+def q_synth_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-connector verification: read 10k rows through the Python
+    DataSource API (sources/pydatasource.py — partition-planned reads,
+    md5-closed-form rows) and roll them up; the oracle REPLAYS the
+    generator arithmetic in DuckDB via generate_series + identical md5
+    slices, so the connector's row content is hash-verified cross-engine
+    — a correctness bar file-based sources get from shared bytes, and a
+    custom source must earn arithmetically.
+
+    Scale: reads are partitioned (4 here; a parallelism knob only — row
+    content derives from the global index); the rollup is one shuffled
+    aggregation. ``ignore sf_dir``: the connector is its own data."""
+    from .sources.pydatasource import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("numPartitions", 4)
+        .option("rowsPerPartition", 2500)
+        .load()
+    )
+    return df.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

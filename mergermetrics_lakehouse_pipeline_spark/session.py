@@ -85,6 +85,9 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long nanos and convert explicitly (registry.events_table).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Python DataSource API: let custom connectors consume pushed
+        # filters (sources/pydatasource.py implements pushFilters).
+        "spark.sql.python.filterPushdown.enabled": "true",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "spark.ui.enabled": "false",
     }
