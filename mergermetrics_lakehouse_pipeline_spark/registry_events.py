@@ -668,3 +668,39 @@ def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN/MAX combines associatively, unlike the row_number formulation
     the oracle uses, which would need a per-group sort."""
     return ev.hourly_ohlc(events_table(spark, sf_dir))
+
+
+@register(
+    "events_variant_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_int,
+           json_structure(props) IS NOT NULL AS is_valid
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) >= 90
+    """,
+    tags=["events", "variant", "semi-structured"],
+)
+def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    parse_json once, typed path extraction with variant_get — the
+    engine-native (binary-encoded, predicate-friendly) alternative to
+    repeated get_json_object string parsing. Oracle uses DuckDB's JSON
+    path extraction over the same payloads.
+
+    Scale: VARIANT parses each payload ONCE into a binary form however
+    many paths are later extracted; at 100 TB that replaces per-path
+    string re-parsing with cheap binary navigation."""
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "int")
+    return (
+        v.select(
+            "event_id",
+            k.alias("k_int"),
+            F.is_variant_null(F.col("v")).__invert__().alias("is_valid"),
+        )
+        .filter(F.col("k_int") >= 90)
+    )

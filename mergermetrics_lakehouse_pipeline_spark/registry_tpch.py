@@ -463,3 +463,60 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_balance"
         ),
     )
+
+
+@register(
+    "returnflag_price_qty_corr",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS price_qty_corr
+    FROM s
+    """,
+    tags=["closed-form-stats", "correlation"],
+)
+def q_returnflag_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pearson correlation from closed-form co-moment sums —
+    NOT the built-in corr() aggregate, whose incremental co-moment
+    updates are partial-aggregation-order-dependent and therefore not
+    bit-reproducible across partitionings or engines. Exact decimal sums
+    shuffle associatively; the final arithmetic is a fixed sequence of
+    IEEE double ops (sqrt is correctly rounded in both JVM and C), so
+    the result hashes identically everywhere.
+
+    Scale: one aggregation pass, map-side combinable, five extra decimal
+    sums per group — the same pattern as the closed-form OLS operator."""
+    li = T(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(18,4)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = F.round(
+        (n * sxy - sx * sy)
+        / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        6,
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_lines"),
+        corr.alias("price_qty_corr"),
+    )
