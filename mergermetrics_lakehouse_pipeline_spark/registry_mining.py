@@ -192,3 +192,54 @@ def q_parts_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin is the 1-row stats stitch."""
     edges = gr.copurchase_edges(T(spark, sf_dir, "lineitem"))
     return gr.count_triangles(edges)
+
+
+_REACH_SQL = """
+    WITH RECURSIVE walk(part, hop) AS (
+      SELECT (SELECT MIN(l_partkey) FROM lineitem), 0
+      UNION ALL
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN {edges} e ON w.part = e.src
+      WHERE w.hop < 2
+    )
+    SELECT part AS p_partkey,
+           CAST(MIN(hop) AS INT) AS min_hops,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM walk GROUP BY 1
+"""
+
+_EDGES_SQL = """(
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    )"""
+
+
+@register(
+    "copurchase_reachability_rec",
+    _REACH_SQL.format(edges=_EDGES_SQL),
+    tags=["graph", "recursive-cte"],
+)
+def q_copurchase_reachability_rec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability over the co-purchase graph via Spark 4's
+    native ``WITH RECURSIVE`` — BFS from the lowest part key, minimum
+    hop count and path multiplicity within 2 hops. The oracle runs the
+    IDENTICAL recursive SQL in DuckDB (edges inlined), so the engines'
+    fixpoint semantics are compared directly.
+
+    Scale: each recursion level is one equi-join of the CURRENT frontier
+    (not the accumulated result) against the edge list — frontier-sized
+    probe, edge-sized build, and the 2-hop bound caps the level count;
+    the engine's cteRecursionLevelLimit (default 100) is the runaway
+    guard."""
+    gr.copurchase_edges(T(spark, sf_dir, "lineitem")).createOrReplaceTempView(
+        "copurchase_edges_rec"
+    )
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem_rec"
+    )
+    return spark.sql(
+        _REACH_SQL.format(edges="copurchase_edges_rec").replace(
+            "FROM lineitem", "FROM lineitem_rec"
+        )
+    )
