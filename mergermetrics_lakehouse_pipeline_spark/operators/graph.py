@@ -112,6 +112,10 @@ def count_triangles(edges: DataFrame) -> DataFrame:
 
     Returns one row: n_nodes, n_edges (undirected), n_triangles.
     """
+    # the edge list feeds degree counting, orientation (twice), wedge
+    # closing, and the stats aggregate — persist so an expensive edge
+    # build (e.g. the order self-join) runs once, like pagerank_int does
+    edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     with_sdeg = edges.join(deg, "src").select(
         "src", "dst", F.col("deg").alias("sdeg")
