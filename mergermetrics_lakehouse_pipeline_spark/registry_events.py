@@ -704,3 +704,52 @@ def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("k_int") >= 90)
     )
+
+
+@register(
+    "events_sketch_rollup",
+    None,  # rows-only: DuckDB's HLL is a different implementation; the
+    # 5% accuracy bound + cross-partitioning determinism are pytest-
+    # asserted (tests/test_quality_cdc.py::test_sketch_rollup_accuracy)
+    tags=["events", "sketch-table", "mergeable"],
+)
+def q_events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable sketch-table pattern: per-(day, type) HLL sketches
+    of distinct users built ONCE, then rolled up to per-type totals by
+    UNIONING SKETCHES — raw events are never rescanned at query time.
+    At 100 TB this is how distinct-count dashboards stay interactive:
+    the daily sketch table is O(days × types × 1.5 KB), and any grain
+    (weekly, monthly, all-time) merges from it in milliseconds. Exact
+    counts ride along here so the estimate's error is visible in-row.
+
+    Determinism: HLL register updates and merges are max-operations —
+    insertion-order- and partitioning-independent, so this query hashes
+    identically at any shuffle setting (the determinism gate covers it).
+    """
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("hll_users"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        merged.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            "hll_users",
+            F.round(
+                F.abs(F.col("hll_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

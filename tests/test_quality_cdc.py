@@ -102,3 +102,17 @@ def test_ivm_merge_handles_new_and_empty_groups(spark):
         for r in merge_aggregates(base, empty, keys=["g"], sum_names=["sv"]).collect()
     }
     assert out2 == {"a": (2, 15.0), "b": (1, 1.0)}
+
+
+def test_sketch_rollup_accuracy(spark):
+    """Merged daily HLL sketches estimate per-type distinct users within
+    5% of exact, and merging sketches == sketching the raw stream (the
+    mergeability property the sketch-table pattern relies on)."""
+    from mergermetrics_lakehouse_pipeline_spark import registry
+
+    registry._load_extensions()
+    q = next(x for x in registry.QUERIES if x.name == "events_sketch_rollup")
+    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r.rel_err <= 0.05, (r.event_type, r.rel_err)
