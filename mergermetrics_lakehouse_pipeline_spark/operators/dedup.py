@@ -317,22 +317,51 @@ def simhash_neardup_pairs(
     key (simhash_keys generalizes to 60 bits via the same md5-derived
     ``h``) so each chunk carries more bits; the plan shape is unchanged.
     """
-    keyed = simhash_keys(df, text_col, id_col)  # (doc_id, sh)
+    return hamming_neardup_pairs(
+        simhash_keys(df, text_col, id_col),
+        id_col="doc_id",
+        key_col="sh",
+        max_hamming=max_hamming,
+        key_bits=key_bits,
+    )
+
+
+def hamming_neardup_pairs(
+    keyed: DataFrame,
+    *,
+    id_col: str,
+    key_col: str,
+    max_hamming: int = 6,
+    key_bits: int = 32,
+) -> DataFrame:
+    """Generic pigeonhole-banded Hamming pairs over any (id, bit-key)
+    relation — the banding core of ``simhash_neardup_pairs``, reused by
+    the 64-bit image perceptual-hash dedup (operators/multimodal.py).
+
+    ``shiftrightunsigned`` (not arithmetic shift) so 64-bit keys with
+    the sign bit set band correctly; the confirm is
+    ``bit_count(a XOR b)``, exact at any width up to 64.
+    """
+    keyed = keyed.select(
+        F.col(id_col).alias("__id"), F.col(key_col).cast("long").alias("__k")
+    )
     n_chunks = max_hamming + 1
     base, extra = divmod(key_bits, n_chunks)
     chunks, start = [], 0
     for i in range(n_chunks):
         width = base + (1 if i < extra else 0)
         chunks.append(
-            F.shiftright("sh", start).bitwiseAND(F.lit((1 << width) - 1)).cast("long")
+            F.shiftrightunsigned("__k", start)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("long")
         )
         start += width
     exploded = keyed.select(
-        "doc_id", "sh", F.posexplode(F.array(*chunks)).alias("chunk", "cv")
+        "__id", "__k", F.posexplode(F.array(*chunks)).alias("chunk", "cv")
     )
     buckets = (
         exploded.groupBy("chunk", "cv")
-        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sh"))).alias("ms"))
+        .agg(F.sort_array(F.collect_set(F.struct("__id", "__k"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
     # all (i < j) combinations within a bucket, generated array-side
@@ -342,9 +371,9 @@ def simhash_neardup_pairs(
             lambda x, i: F.transform(
                 F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms")) - i - 1),
                 lambda y: F.struct(
-                    x["doc_id"].alias("id_a"),
-                    y["doc_id"].alias("id_b"),
-                    hamming32(x["sh"], y["sh"]).alias("hamming"),
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    F.bit_count(x["__k"].bitwiseXOR(y["__k"])).alias("hamming"),
                 ),
             ),
         )

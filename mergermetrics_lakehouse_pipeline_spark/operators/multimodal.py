@@ -67,6 +67,9 @@ _FEATURE_SCHEMA = StructType(
         StructField("dec_height", IntegerType(), True),
         StructField("dec_duration_ms", LongType(), True),
         StructField("feature", ArrayType(FloatType()), True),
+        # 64-bit perceptual dHash (images only): gradient-sign bits over a
+        # 9x8 block-mean downsample — brightness-shift invariant
+        StructField("phash", LongType(), True),
     ]
 )
 
@@ -97,6 +100,70 @@ def _segment_means(values: list[float]) -> list[float]:
         seg = values[lo:hi]
         out.append(sum(seg) / len(seg) if seg else 0.0)
     return out
+
+
+def _dhash64(rows: list[list[int]], width: int, height: int) -> int | None:
+    """64-bit difference hash of a grayscale pixel matrix: 9x8 block
+    means, one bit per horizontally adjacent mean comparison. Gradient
+    signs survive brightness/contrast shifts and mild noise — the
+    standard cheap perceptual key for image near-dup detection."""
+    if width < 2 or height < 1:
+        return None
+    gw, gh = 9, 8
+    means = []
+    for gy in range(gh):
+        y0 = gy * height // gh
+        y1 = max(y0 + 1, (gy + 1) * height // gh)
+        row_ms = []
+        for gx in range(gw):
+            x0 = gx * width // gw
+            x1 = max(x0 + 1, (gx + 1) * width // gw)
+            s = n = 0
+            for y in range(y0, min(y1, height)):
+                r = rows[y]
+                for x in range(x0, min(x1, width)):
+                    s += r[x]
+                    n += 1
+            row_ms.append(s / n if n else 0.0)
+        means.append(row_ms)
+    bits = 0
+    for gy in range(gh):
+        for gx in range(8):
+            bits = (bits << 1) | (1 if means[gy][gx] > means[gy][gx + 1] else 0)
+    if bits >= 1 << 63:  # two's-complement into a Spark LongType
+        bits -= 1 << 64
+    return bits
+
+
+def png_gray8_payload(data: bytes, *, width: int = 16) -> bytes:
+    """A VALID non-interlaced 8-bit grayscale PNG whose pixels are the
+    input bytes, row-major at the given width (zero-padded final row).
+    Pure stdlib (zlib + struct); the twin of ``wav_container`` for
+    images — but built Python-side (Arrow zone) because PNG's
+    zlib/Adler32/CRC framing has no JVM-expression form."""
+    if not data:
+        data = b"\x00"
+    height = (len(data) + width - 1) // width
+    padded = data.ljust(width * height, b"\x00")
+    raw = b"".join(
+        b"\x00" + padded[y * width : (y + 1) * width] for y in range(height)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_wav(payload: bytes) -> dict:
@@ -147,6 +214,7 @@ def _decode_png_gray8(payload: bytes) -> dict:
     raw = zlib.decompress(idat)
     stride = width + 1  # leading filter byte per scanline
     pixels: list[float] = []
+    matrix: list[list[int]] = []
     prev = [0] * width
     for y in range(height):
         line = raw[y * stride : (y + 1) * stride]
@@ -159,6 +227,7 @@ def _decode_png_gray8(payload: bytes) -> dict:
         elif ftype != 0:
             raise ValueError(f"unsupported PNG filter {ftype}")
         prev = body
+        matrix.append(body)
         pixels.extend(v / 255.0 for v in body)
     return {
         "decoder": "png",
@@ -166,6 +235,7 @@ def _decode_png_gray8(payload: bytes) -> dict:
         "dec_height": height,
         "dec_duration_ms": None,
         "feature": _segment_means(pixels),
+        "phash": _dhash64(matrix, width, height),
     }
 
 
@@ -231,6 +301,7 @@ def extract_features(
                     "dec_height": [d["dec_height"] for d in decoded],
                     "dec_duration_ms": [d["dec_duration_ms"] for d in decoded],
                     "feature": [d["feature"] for d in decoded],
+                    "phash": [d.get("phash") for d in decoded],
                 }
             )
             yield out
@@ -332,7 +403,21 @@ def synthesize_decodable_media(docs: DataFrame) -> DataFrame:
     so the per-row decoder routing — real wav decode vs stub — runs
     against driver testdata, not only against unit-test fixtures."""
     base = synthesize_media_from_documents(docs)
-    return base.withColumn(
+
+    def _png_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            is_img = pdf["media_type"] == "image"
+            pdf.loc[is_img, "content"] = pdf.loc[is_img, "content"].map(
+                lambda b: png_gray8_payload(bytes(b))
+            )
+            yield pdf
+
+    # image rows: REAL gray8 PNG containers (Python-side — PNG framing
+    # has no JVM-expression form, unlike the WAV RIFF header below)
+    as_png = base.mapInPandas(_png_batches, schema=base.schema)
+    return as_png.withColumn(
         "content",
         F.when(
             F.col("media_type") == "audio", wav_container(F.col("content"))

@@ -1560,3 +1560,34 @@ def q_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.coalesce("token_id", F.lit(0)).alias("token_id"),
     )
+
+
+@register(
+    "media_phash_pairs",
+    None,  # rows-only: payload decode + perceptual hashing are not
+    # SQL-expressible; kernel semantics pinned in tests/test_multimodal_decode.py
+    tags=["LLM-multimodal", "perceptual-dedup"],
+)
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection on DECODED CONTENT: gray8 PNG payloads
+    -> 64-bit perceptual dHash (gradient-sign bits, brightness-shift
+    invariant) -> pigeonhole-banded Hamming pairs — the image twin of
+    the SimHash text pipeline, sharing its banding operator
+    (operators/dedup.py hamming_neardup_pairs, key_bits=64).
+
+    Byte-identical images are a guaranteed subset (hamming 0), so this
+    catches re-encoded/brightness-shifted duplicates that
+    media_payload_dedup's byte-md5 cannot.
+
+    Scale: decode + hash ride the Arrow mapInPandas kernel (payload
+    bytes never shuffle after feature extraction — only the 8-byte
+    hash does); pair generation is bucket-bounded, never all-pairs."""
+    from .operators.dedup import hamming_neardup_pairs
+    from .operators.multimodal import extract_features, synthesize_decodable_media
+
+    media = synthesize_decodable_media(T(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    keyed = feats.filter(F.col("decoder") == "png").select("media_id", "phash")
+    return hamming_neardup_pairs(
+        keyed, id_col="media_id", key_col="phash", max_hamming=6, key_bits=64
+    )

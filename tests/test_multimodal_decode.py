@@ -161,7 +161,7 @@ def test_synthesized_audio_rows_really_decode(spark, sf_dir):
     for r in rows:
         by_type.setdefault(r.media_type, set()).add(r.decoder)
     assert by_type["audio"] == {"wav"}  # every audio row really decoded
-    assert by_type["image"] == {"stub"}  # no PNG codec for these payloads
+    assert by_type["image"] == {"png"}  # image rows carry REAL gray8 PNGs now
     assert by_type["video"] == {"stub"}
     audio = [r for r in rows if r.media_type == "audio"]
     assert all(r.dec_duration_ms is not None and r.dec_duration_ms >= 0 for r in audio)
@@ -177,3 +177,74 @@ def test_mixed_batch_routes_per_row(spark):
         r.media_id: r.decoder for r in extract_features(_media_df(spark, rows)).collect()
     }
     assert got == {10: "wav", 11: "png", 12: "stub"}
+
+
+def test_png_payload_roundtrip_and_phash(spark):
+    from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+        _decode_png_gray8,
+        png_gray8_payload,
+    )
+
+    data = bytes((50 + (i * 7) % 100) for i in range(256))
+    d = _decode_png_gray8(png_gray8_payload(data, width=16))
+    assert (d["decoder"], d["dec_width"], d["dec_height"]) == ("png", 16, 16)
+    assert d["phash"] is not None
+
+
+def test_dhash_brightness_invariant_and_noise_tolerant(spark):
+    from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+        _decode_png_gray8,
+        png_gray8_payload,
+    )
+
+    base = bytes((60 + (i % 16) * 5 + (i // 16) * 3) for i in range(256))
+
+    def ph(b):
+        return _decode_png_gray8(png_gray8_payload(b, width=16))["phash"]
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    brighter = bytes(v + 30 for v in base)  # no clipping: max 60+75+45+30 < 256
+    assert ph(base) == ph(brighter)  # gradient signs unchanged
+    noisy = bytearray(base)
+    noisy[40] = 255  # one hot pixel
+    assert ham(ph(base), ph(bytes(noisy))) <= 8
+    inverted = bytes(255 - v for v in base)
+    assert ham(ph(base), ph(inverted)) >= 40  # gradients all flip
+
+
+def test_hamming_neardup_pairs_64bit_with_sign_bit(spark):
+    from mergermetrics_lakehouse_pipeline_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    def signed(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    a = 0xFFFF0000FFFF0000
+    rows = [
+        (1, signed(a)),
+        (2, signed(a ^ 0b101)),          # hamming 2 from a
+        (3, signed(a ^ ((1 << 63) | 1))),  # hamming 2, flips the sign bit
+        (4, signed(~a & (2**64 - 1))),   # hamming 64
+    ]
+    keyed = spark.createDataFrame(rows, "media_id long, phash long")
+    pairs = hamming_neardup_pairs(
+        keyed, id_col="media_id", key_col="phash", max_hamming=6, key_bits=64
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    # (2,3): xor of their deltas = 0b101 ^ (1<<63|1) -> bits 2 and 63
+    assert got == {(1, 2): 2, (1, 3): 2, (2, 3): 2}
+
+
+def test_media_phash_pairs_finds_exact_payload_dups(spark):
+    """Byte-identical synthesized images (the corpus has exact text
+    dups) must appear as hamming-0 pairs."""
+    from mergermetrics_lakehouse_pipeline_spark import registry
+
+    registry._load_extensions()
+    q = next(x for x in registry.QUERIES if x.name == "media_phash_pairs")
+    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected at least the exact-duplicate image pairs"
+    assert any(r.hamming == 0 for r in rows)
