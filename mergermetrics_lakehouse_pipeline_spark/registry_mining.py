@@ -243,3 +243,103 @@ def q_copurchase_reachability_rec(spark: SparkSession, sf_dir: str) -> DataFrame
             "FROM lineitem", "FROM lineitem_rec"
         )
     )
+
+
+_SCD2_EFFECTIVE = "2024-06-01"
+
+
+@register(
+    "scd2_customer_segments",
+    f"""
+    WITH cur AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment, c_acctbal AS acctbal,
+             TIMESTAMP '2020-01-01' AS vf
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_acctbal > 0 THEN c_mktsegment || '_PLUS'
+                  ELSE c_mktsegment END AS segment,
+             c_acctbal AS acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'ARCHIVE', 0.0
+      FROM customer WHERE c_custkey % 101 = 0
+    ), j AS (
+      SELECT COALESCE(c.custkey, u.custkey) AS custkey,
+             c.segment AS cs, c.acctbal AS ca, c.vf,
+             u.segment AS us, u.acctbal AS ua,
+             c.custkey IS NOT NULL AS has_cur,
+             u.custkey IS NOT NULL AS has_upd,
+             (c.custkey IS NOT NULL AND u.custkey IS NOT NULL
+              AND (c.segment <> u.segment OR c.acctbal <> u.acctbal)) AS differs
+      FROM cur c FULL OUTER JOIN upd u ON c.custkey = u.custkey
+    )
+    SELECT custkey, cs AS segment, CAST(ca AS DOUBLE) AS acctbal,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to
+    FROM j WHERE has_cur AND (NOT has_upd OR NOT differs)
+    UNION ALL
+    SELECT custkey, cs, CAST(ca AS DOUBLE), strftime(vf, '%Y-%m-%d'),
+           '{_SCD2_EFFECTIVE}'
+    FROM j WHERE differs
+    UNION ALL
+    SELECT custkey, us, CAST(ua AS DOUBLE), '{_SCD2_EFFECTIVE}',
+           CAST(NULL AS VARCHAR)
+    FROM j WHERE has_upd AND (NOT has_cur OR differs)
+    """,
+    tags=["scd2", "dimension-history"],
+)
+def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 fold (operators/cdc.py scd2_apply): a deterministic
+    update batch (segment upgrade for custkey%7, brand-new ARCHIVE keys
+    for custkey%101) applied to the customer dimension seeded as one
+    open version per key — closed rows keep history, changed rows close
+    + reopen at the effective instant, no-op updates pass through.
+
+    Scale: one full-outer shuffle of OPEN rows vs updates; history rows
+    bypass the join. The reference's MERGE is SCD1 (history lost) —
+    this is the auditing-grade upgrade."""
+    from pyspark.sql import functions as F
+
+    from .operators.cdc import scd2_apply
+
+    c = T(spark, sf_dir, "customer")
+    current = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd_seg = F.when(
+        F.col("c_acctbal") > 0, F.concat("c_mktsegment", F.lit("_PLUS"))
+    ).otherwise(F.col("c_mktsegment"))
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            upd_seg.alias("segment"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("custkey"),
+                F.lit("ARCHIVE").alias("segment"),
+                F.lit(0.0).alias("acctbal"),
+            )
+        )
+    )
+    out = scd2_apply(
+        current,
+        updates,
+        keys=["custkey"],
+        compare_cols=["segment", "acctbal"],
+        effective=_SCD2_EFFECTIVE,
+    )
+    return out.select(
+        "custkey",
+        "segment",
+        F.col("acctbal").cast("double").alias("acctbal"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+    )

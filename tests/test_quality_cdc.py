@@ -116,3 +116,56 @@ def test_sketch_rollup_accuracy(spark):
     assert rows, "no event types"
     for r in rows:
         assert r.rel_err <= 0.05, (r.event_type, r.rel_err)
+
+
+def test_scd2_apply_semantics_and_idempotency(spark):
+    from pyspark.sql import functions as F
+
+    from mergermetrics_lakehouse_pipeline_spark.operators.cdc import scd2_apply
+
+    current = spark.createDataFrame(
+        [
+            # k=1: open row that will change
+            (1, "A", "2020-01-01", None),
+            # k=1 also has CLOSED history that must pass through untouched
+            (1, "OLD", "2019-01-01", "2020-01-01"),
+            # k=2: open row with a no-op update
+            (2, "B", "2020-01-01", None),
+            # k=3: open row with no update at all
+            (3, "C", "2020-01-01", None),
+        ],
+        "k int, attr string, valid_from string, valid_to string",
+    ).select(
+        "k",
+        "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    updates = spark.createDataFrame(
+        [(1, "A2"), (2, "B"), (9, "NEW")], "k int, attr string"
+    )
+
+    def apply(cur):
+        return scd2_apply(
+            cur, updates, keys=["k"], compare_cols=["attr"], effective="2024-06-01"
+        )
+
+    out = apply(current)
+    rows = {
+        (r.k, r.attr): (
+            str(r.valid_from)[:10],
+            str(r.valid_to)[:10] if r.valid_to else None,
+        )
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "OLD"): ("2019-01-01", "2020-01-01"),   # history untouched
+        (1, "A"): ("2020-01-01", "2024-06-01"),     # closed
+        (1, "A2"): ("2024-06-01", None),            # new version
+        (2, "B"): ("2020-01-01", None),             # no-op update
+        (3, "C"): ("2020-01-01", None),             # no update
+        (9, "NEW"): ("2024-06-01", None),           # brand-new key
+    }
+    # idempotency: re-applying the same batch changes nothing
+    again = apply(out)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
