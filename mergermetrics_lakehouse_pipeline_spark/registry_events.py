@@ -753,3 +753,82 @@ def q_events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+@register(
+    "events_daily_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+    ), days AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), spine AS (
+      SELECT u.user_id, d.day FROM users u CROSS JOIN days d
+    ), reduced AS (
+      SELECT user_id, ts, value
+      FROM (SELECT user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(r.value AS DOUBLE) AS last_value
+    FROM spine s
+    ASOF LEFT JOIN reduced r
+      ON s.user_id = r.user_id AND CAST(s.day AS TIMESTAMP) + INTERVAL 1 DAY
+         - INTERVAL 1 MICROSECOND >= r.ts
+    """,
+    tags=["events", "gap-fill", "spine", "asof-join"],
+)
+def q_events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a complete (user × day) calendar spine
+    forward-filled with each user's last observed value at or before
+    end-of-day — NULL before a user's first event. The standard
+    regularization step before feeding irregular event data to anything
+    expecting a dense panel.
+
+    Scale: the spine is |users| × |days| — dimensional, built from a
+    1-row bounds broadcast (sequence + explode) crossed with the
+    distinct-user projection, never from the fact; the fill is ONE
+    as-of shuffle on user_id (operators/asof.py). Day boundaries use
+    end-of-day-inclusive semantics (23:59:59.999999)."""
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join
+
+    e = events_table(spark, sf_dir)
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    users = e.select("user_id").distinct()
+    spine = users.join(F.broadcast(days), F.lit(True)).select(
+        "user_id",
+        # end-of-day probe instant: inclusive of everything that day
+        (F.col("day").cast("timestamp") + F.expr("interval 1 day")
+         - F.expr("interval 1 microsecond")).alias("probe_ts"),
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+    )
+    reduced = (
+        e.groupBy("user_id", F.col("ts").alias("rts"))
+        .agg(F.max(F.struct("event_id", "value")).alias("m"))
+        .select("user_id", "rts", F.col("m.value").cast("double").alias("last_value"))
+    )
+    filled = asof_join(
+        spine,
+        reduced,
+        on="user_id",
+        left_ts="probe_ts",
+        right_ts="rts",
+        right_cols=["last_value"],
+    )
+    return filled.select(
+        "user_id", F.col("day_str").alias("day"), "last_value"
+    )

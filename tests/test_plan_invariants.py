@@ -225,6 +225,7 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "important_parts_value",  # 1-row global-total threshold broadcast
         "idle_rich_customers",  # 1-row average-balance cutoff broadcast
         "parts_triangle_count",  # 1-row stats ⨯ 1-row triangle-count stitch
+        "events_daily_gap_fill",  # calendar-spine broadcast ⨯ distinct users
     }
     registry._load_extensions()
     failures = []
