@@ -186,6 +186,39 @@ EXTRAS = [
     ("Hourly OHLC bars (extension)",
      "`events_hourly_ohlc` (argmin/argmax open/close as struct MIN/MAX — one "
      "associative aggregation pass, no window or join-back)"),
+    ("Tokenize-to-ids (LLM extension)",
+     "`docs_token_ids` (frequency-ranked vocab induction, broadcast id mapping, "
+     "OOV->0; token positions never shuffle)"),
+    ("Custom Python DataSource connector (extension)",
+     "`synth_source_rollup` (sources/pydatasource.py — Spark 4 DataSource API: "
+     "partition planning, pushFilters, SimpleDataSourceStreamReader offset "
+     "replay; row content hash-verified against a DuckDB md5 replay; "
+     "tests/test_pydatasource.py)"),
+    ("VARIANT semi-structured type (extension)",
+     "`events_variant_props` (parse_json once -> typed variant_get paths)"),
+    ("Closed-form correlation (extension)",
+     "`returnflag_price_qty_corr` (Pearson r from exact decimal co-moment sums "
+     "+ fixed IEEE sequence — bit-reproducible, unlike builtin corr())"),
+    ("Recursive CTE graph traversal (extension)",
+     "`copurchase_reachability_rec` (Spark 4 WITH RECURSIVE BFS, identical "
+     "recursive SQL replayed in DuckDB)"),
+    ("Mergeable sketch tables (extension)",
+     "`events_sketch_rollup` (daily HLL sketches unioned to any grain without "
+     "rescanning raw events; 5% bound pytest-asserted)"),
+    ("Perceptual image dedup (LLM multimodal extension)",
+     "`media_phash_pairs` (real gray8 PNG payload synthesis + 64-bit dHash in "
+     "the decode kernel + shared pigeonhole Hamming banding — catches "
+     "re-encoded/brightness-shifted dups byte-md5 cannot; "
+     "tests/test_multimodal_decode.py)"),
+    ("SCD Type 2 dimension history (extension)",
+     "`scd2_customer_segments` (operators/cdc.py scd2_apply — close+reopen on "
+     "change, history untouched, idempotent; full fold replayed in SQL)"),
+    ("Time-series gap fill (extension)",
+     "`events_daily_gap_fill` (calendar-spine ⨯ users + as-of forward fill, "
+     "end-of-day-inclusive probes)"),
+    ("Streaming OHLC twin (extension)",
+     "streaming/jobs.py streaming_hourly_ohlc (watermarked window grouping, "
+     "associative struct-MIN/MAX state; parity in tests/test_streaming.py)"),
     ("Property tests (tolerance/invariants)", "tests/test_property_cleaning.py (hypothesis)"),
 ]
 
