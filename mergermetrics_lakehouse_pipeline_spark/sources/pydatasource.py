@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    IsNotNull,
     SimpleDataSourceStreamReader,
 )
 
@@ -88,6 +89,11 @@ class SynthEventsReader(DataSourceReader):
                 and isinstance(f.value, str)
             ):
                 self.event_type = f.value
+            elif isinstance(f, IsNotNull):
+                # the generator never emits NULLs in any column, so the
+                # implied not-null guard Spark derives from an equality
+                # is a no-op here — consume it (leaves a Filter-free plan)
+                pass
             else:
                 remaining.append(f)
         return remaining

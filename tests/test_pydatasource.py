@@ -82,3 +82,17 @@ def test_stream_offsets_advance_and_replay(spark, tmp_path):
     # row content matches the batch closed form
     r37 = both.filter(F.col("event_id") == 37).first()
     assert tuple(r37) == synth_row(37)
+
+
+def test_pushed_filter_leaves_no_residual_filter_node(spark):
+    """When pushFilters consumes the event_type equality, Spark drops it
+    from the post-scan Filter — the plan-visible proof the pushdown
+    actually happened (and rows are skipped generator-side)."""
+    df = _load(spark).filter(F.col("event_type") == "view")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    # no Filter NODE ("RuntimeFilters: []" on the scan line is not one)
+    assert not re.search(r"(?:\*\(\d+\)|\+-) Filter ", final), final
