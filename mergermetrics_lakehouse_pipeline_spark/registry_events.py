@@ -832,3 +832,53 @@ def q_events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "user_id", F.col("day_str").alias("day"), "last_value"
     )
+
+
+@register(
+    "events_bitmap_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+    FROM events GROUP BY 1
+    """,
+    tags=["events", "bitmap-table", "mergeable-exact"],
+)
+def q_events_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap aggregates: per-(day,
+    type) user bitmaps (bitmap_construct_agg over bitmap_bucket_number)
+    OR-merged to per-type totals — the exact twin of the HLL sketch
+    table (events_sketch_rollup): same never-rescan-the-raw-events
+    economics, zero error, state = one bitmap per 32k-id bucket.
+
+    Because bitmap distinct counting is exact, this entry gets a hard
+    DuckDB oracle (plain COUNT DISTINCT) — the sketch twin can't.
+
+    Scale: the daily bitmap table is O(days × types × buckets × 4 KB);
+    any coarser grain ORs bitmaps instead of touching raw data. OR is
+    associative and commutative, so results are partition-order-proof.
+    """
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    daily = e.select(
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    ).groupBy("d", "event_type", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    users = merged.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("exact_users")
+    )
+    # day count re-aggregates the (tiny) daily bitmap table, not raw events
+    days = daily.groupBy("event_type").agg(
+        F.countDistinct("d").cast("bigint").alias("n_days")
+    )
+    return days.join(F.broadcast(users), "event_type").select(
+        "event_type", "n_days", "exact_users"
+    )
