@@ -112,11 +112,12 @@ def count_triangles(edges: DataFrame) -> DataFrame:
 
     Returns one row: n_nodes, n_edges (undirected), n_triangles.
     """
-    # the edge list feeds degree counting, orientation (twice), wedge
-    # closing, and the stats aggregate — persist so an expensive edge
-    # build (e.g. the order self-join) runs once, like pagerank_int does
+    # persist the two hot relations: `edges` feeds degree counting and
+    # both orientation joins (so an expensive edge build — the order
+    # self-join — runs once, like pagerank_int), and `oriented` feeds
+    # the wedge join on BOTH sides plus the closing semi join.
     edges = edges.persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
     with_sdeg = edges.join(deg, "src").select(
         "src", "dst", F.col("deg").alias("sdeg")
     )
@@ -125,7 +126,7 @@ def count_triangles(edges: DataFrame) -> DataFrame:
     oriented = both.filter(
         (F.col("sdeg") < F.col("ddeg"))
         | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
-    ).select("src", "dst")
+    ).select("src", "dst").persist()
     a = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     b = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     wedges = a.join(b, "y").select("x", "y", "z")
@@ -134,14 +135,13 @@ def count_triangles(edges: DataFrame) -> DataFrame:
         (wedges.x == oriented.src) & (wedges.z == oriented.dst),
         "left_semi",
     )
-    # one lazy plan, no driver actions: graph stats and the triangle
-    # count are 1-row aggregates stitched with a broadcast cross join.
-    # (Callers with an expensive edge build should persist `edges` —
-    # it is scanned by both subtrees.)
-    stats = edges.agg(
-        F.count_distinct("src").cast("bigint").alias("n_nodes"),
-        # symmetric edge list: each undirected edge appears twice
-        (F.count("*") / 2).cast("bigint").alias("n_edges"),
+    # one lazy output plan, no driver actions: graph stats come from the
+    # (node-cardinality) degree table — in a symmetric edge list every
+    # node appears as src, and each undirected edge contributes 2 to the
+    # degree total — so raw edges are never rescanned at action time.
+    stats = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
     )
     tri = closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
     return stats.join(F.broadcast(tri), F.lit(True))
