@@ -1505,7 +1505,15 @@ DRIVER_PRIORITY: list[str] = [
     "events_session_window_native",
     "events_cohort_retention",
     # --- positions 51+: verified only if the driver's window exceeds 50
-    # (observed cap: exactly 50 in round 1) — best oracle-checked tail
+    # (observed cap: exactly 50 in round 1) — best oracle-checked tail.
+    # ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands, swap the then-
+    # verified head out for the round-2-continuation queries still
+    # lacking driver rows — the registry_tpch eight, scd2_customer_
+    # segments, copurchase_reachability_rec, synth_source_rollup,
+    # events_{user_streaks, value_outlier_fences, hourly_ohlc,
+    # daily_gap_fill, bitmap_rollup, variant_props}, docs_{source_
+    # quality_gate, token_ids}, asof_forward_next_purchase,
+    # returnflag_price_qty_corr, parts_triangle_count, plus this tail.
     "zorder_key_lineitem",
     "docs_ols_trend",
     "ivm_monthly_totals",
