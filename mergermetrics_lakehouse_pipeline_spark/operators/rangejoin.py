@@ -83,3 +83,59 @@ def bin_interval_join(
         F.col(point_ts).between(F.col(start_ts), F.col(end_ts))
     )
     return joined.drop(_BIN)
+
+
+def bin_interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bin_seconds: int = 240,
+) -> DataFrame:
+    """Interval-OVERLAP join (both sides are intervals): all (a, b)
+    pairs with ``a_start <= b_end AND b_start <= a_end`` — again as an
+    equi join on quantized time, never a nested loop.
+
+    Both sides replicate into every bin they touch; a pair can
+    therefore meet in several bins, so the join keeps only the bin
+    containing the OVERLAP'S START (``greatest(a_start, b_start)``) —
+    each qualifying pair survives exactly once, with no distinct pass
+    over the (potentially wide) output.
+
+    Same scale properties as ``bin_interval_join``: replication is
+    linear in interval count x interval/bin ratio; the join itself is a
+    plain shuffle equi join AQE can treat like any other.
+    """
+    overlap = set(a.columns) & set(b.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint, shared: {sorted(overlap)}")
+    bin_us = bin_seconds * 1_000_000
+
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            _BIN,
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros(cast({start} as timestamp)) div {bin_us}"),
+                    F.expr(f"unix_micros(cast({end} as timestamp)) div {bin_us}"),
+                )
+            ),
+        )
+
+    joined = binned(a, a_start, a_end).join(
+        binned(b, b_start, b_end).withColumnRenamed(_BIN, _BIN + "_b"),
+        F.col(_BIN) == F.col(_BIN + "_b"),
+    )
+    first_overlap_bin = F.expr(
+        f"unix_micros(cast(greatest({a_start}, {b_start}) as timestamp)) div {bin_us}"
+    )
+    return (
+        joined.filter(
+            (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
+        )
+        .filter(F.col(_BIN) == first_overlap_bin)
+        .drop(_BIN, _BIN + "_b")
+    )

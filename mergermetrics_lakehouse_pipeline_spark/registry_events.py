@@ -882,3 +882,131 @@ def q_events_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.join(F.broadcast(users), "event_type").select(
         "event_type", "n_days", "exact_users"
     )
+
+
+@register(
+    "events_cumulative_unique_users",
+    """
+    WITH flagged AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    ), daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(first_seen) AS new_users, COUNT(*) AS n_events
+      FROM flagged GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS cumulative_unique_users
+    FROM daily
+    """,
+    tags=["events", "window", "cumulative-distinct"],
+)
+def q_events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per type over time — COUNT(DISTINCT)
+    OVER a running window, which engines don't support natively, via the
+    first-occurrence-flag rewrite: mark each user's first event
+    (row_number = 1), then a running SUM of flags. Exact, and the state
+    is one integer per output row instead of a distinct-set per frame.
+
+    Scale: the flag window shuffles on (type, user) — the same key the
+    dedup family uses; the daily collapse then shrinks the running-sum
+    window input to |types × days| rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = events_table(spark, sf_dir)
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    daily = flagged.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day_d")
+    ).agg(
+        F.sum("first_seen").alias("new_users"),
+        F.count("*").alias("n_events"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w_run).cast("bigint").alias(
+            "cumulative_unique_users"
+        ),
+    )
+
+
+@register(
+    "events_window_overlap_join",
+    """
+    WITH err AS (
+      SELECT event_id AS a_id,
+             ts - INTERVAL '10 minutes' AS a_start,
+             ts + INTERVAL '10 minutes' AS a_end
+      FROM events
+      WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-04'
+    ), pur AS (
+      SELECT event_id AS b_id,
+             ts - INTERVAL '5 minutes' AS b_start,
+             ts + INTERVAL '5 minutes' AS b_end
+      FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-04'
+    )
+    SELECT a_id, b_id,
+           CAST((epoch_us(LEAST(a_end, b_end))
+                 - epoch_us(GREATEST(a_start, b_start))) // 1000000
+                AS BIGINT) AS overlap_seconds
+    FROM err JOIN pur ON a_start <= b_end AND b_start <= a_end
+    """,
+    tags=["events", "range-join", "interval-overlap"],
+)
+def q_events_window_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (both sides intervals): ±10min windows
+    around the first days' error events against ±5min windows around
+    the same period's purchases — which error windows coincide with
+    purchase windows, and for how long. Runs as the binned equi join
+    (operators/rangejoin.py bin_interval_overlap_join) with
+    first-overlap-bin dedup (a pair meeting in several bins survives
+    exactly once); the oracle states plain non-equi overlap semantics,
+    which DuckDB runs as an IEJoin."""
+    from pyspark.sql import functions as F
+
+    from .functions.dates import epoch_us
+    from .operators.rangejoin import bin_interval_overlap_join
+
+    e = events_table(spark, sf_dir).filter(
+        F.col("ts") < F.lit("2024-01-04").cast("timestamp")
+    )
+
+    def windows(etype, minutes, id_alias, s_alias, e_alias):
+        return e.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(id_alias),
+            (F.col("ts") - F.expr(f"INTERVAL {minutes} MINUTES")).alias(s_alias),
+            (F.col("ts") + F.expr(f"INTERVAL {minutes} MINUTES")).alias(e_alias),
+        )
+
+    a = windows("error", 10, "a_id", "a_start", "a_end")
+    b = windows("purchase", 5, "b_id", "b_start", "b_end")
+    joined = bin_interval_overlap_join(
+        a, b, a_start="a_start", a_end="a_end", b_start="b_start", b_end="b_end"
+    )
+    overlap_s = (
+        (
+            epoch_us(F.least("a_end", "b_end"))
+            - epoch_us(F.greatest("a_start", "b_start"))
+        )
+        / 1_000_000
+    ).cast("bigint")
+    return joined.select("a_id", "b_id", overlap_s.alias("overlap_seconds"))

@@ -79,3 +79,47 @@ def test_rejects_column_collision(spark, frames):
             points.withColumnRenamed("pid", "iid"), intervals,
             point_ts="pts", start_ts="istart", end_ts="iend", bin_seconds=60,
         )
+
+
+def test_interval_overlap_join_parity_and_single_survivor(spark):
+    """bin_interval_overlap_join == the naive non-equi overlap join,
+    including pairs whose overlap spans MANY bins (each must survive
+    exactly once via the first-overlap-bin rule)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mergermetrics_lakehouse_pipeline_spark.operators.rangejoin import (
+        bin_interval_overlap_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(rows, id_name, s_name, e_name):
+        return spark.createDataFrame(
+            [
+                (i, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=e))
+                for i, s, e in rows
+            ],
+            f"{id_name} int, {s_name} timestamp, {e_name} timestamp",
+        )
+
+    # long intervals (hours) vs a 240s bin: overlaps span dozens of bins
+    a = mk([(1, 0, 300), (2, 100, 120), (3, 500, 520)], "a_id", "a_start", "a_end")
+    b = mk(
+        [(10, 50, 400), (11, 119, 121), (12, 1000, 1001)],
+        "b_id",
+        "b_start",
+        "b_end",
+    )
+    got = bin_interval_overlap_join(
+        a, b, a_start="a_start", a_end="a_end", b_start="b_start", b_end="b_end"
+    )
+    rows = [(r.a_id, r.b_id) for r in got.collect()]
+    naive = (
+        a.join(b, (a.a_start <= b.b_end) & (b.b_start <= a.a_end))
+        .select("a_id", "b_id")
+        .collect()
+    )
+    assert sorted(rows) == sorted((r.a_id, r.b_id) for r in naive)
+    assert len(rows) == len(set(rows))  # exactly-once despite multi-bin overlap
