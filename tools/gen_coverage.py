@@ -213,6 +213,19 @@ EXTRAS = [
     ("SCD Type 2 dimension history (extension)",
      "`scd2_customer_segments` (operators/cdc.py scd2_apply — close+reopen on "
      "change, history untouched, idempotent; full fold replayed in SQL)"),
+    ("Exact-mergeable bitmap tables (extension)",
+     "`events_bitmap_rollup` (per-day user bitmaps OR-merged to any grain; "
+     "exact, hard COUNT DISTINCT oracle — the zero-error twin of the HLL "
+     "sketch table)"),
+    ("Cumulative distinct rewrite (extension)",
+     "`events_cumulative_unique_users` (first-occurrence flags + running SUM)"),
+    ("Interval-overlap join (extension)",
+     "`events_window_overlap_join` (operators/rangejoin.py "
+     "bin_interval_overlap_join — first-overlap-bin exactly-once, "
+     "parity-tested vs the naive non-equi join)"),
+    ("Pandas merge_asof differential battery (extension)",
+     "tests/test_asof_vs_pandas.py (40 random cases x 3 directions x "
+     "tolerance, one composite-keyed Spark job per direction)"),
     ("Time-series gap fill (extension)",
      "`events_daily_gap_fill` (calendar-spine ⨯ users + as-of forward fill, "
      "end-of-day-inclusive probes)"),
