@@ -146,5 +146,12 @@ class SynthEventsDataSource(DataSource):
 
 
 def register_synth_source(spark) -> None:
-    """Idempotent registration of the connector on a session."""
+    """Idempotent registration of the connector on a session.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime-
+    settable): a reader that implements ``pushFilters`` FAILS planning
+    outright when the conf is off, so a session the engine didn't build
+    (e.g. an external harness) must get it here, not only in
+    session.py's defaults."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthEventsDataSource)
