@@ -68,6 +68,16 @@ EXTENDED = [
     "events_hourly_ohlc",
     "asof_forward_next_purchase",
     "synth_source_rollup",
+    "scd2_customer_segments",
+    "events_window_overlap_join",
+    "events_bitmap_rollup",
+    "events_cumulative_unique_users",
+    "copurchase_reachability_rec",
+    "media_phash_pairs",
+    "events_sketch_rollup",
+    "events_daily_gap_fill",
+    "returnflag_price_qty_corr",
+    "events_variant_props",
 ]
 
 
