@@ -58,6 +58,21 @@ def replicate_docs(d: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def replicate_lineitem(li: DataFrame, k: int) -> DataFrame:
+    """Disjoint replicas (offset order AND part keys): k independent
+    co-purchase graphs, so triangle structure scales by k — replicating
+    only orders would multiply per-part degrees and densify the graph
+    superlinearly by construction."""
+    out = None
+    n = 10_000_000
+    for i in range(k):
+        r = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * n)).withColumn(
+            "l_partkey", F.col("l_partkey") + F.lit(i * n)
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def range_join_count(e: DataFrame) -> int:
     spikes = (
         e.orderBy(F.col("value").desc(), "event_id")
@@ -96,6 +111,7 @@ def main() -> None:
         "range_join": lambda df: range_join_count(df),
         "cascading_rollup": lambda df: ev.cascading_rollup(df).count(),
         "attribution_join": lambda df: ev.attribution_join(df).count(),
+        "hourly_ohlc": lambda df: ev.hourly_ohlc(df).count(),
     }
     for name, fn in cases.items():
         fn(e1)  # warm-up: codegen compile + broadcast paths off the clock
@@ -109,6 +125,19 @@ def main() -> None:
         fn(d1)  # warm-up
         t1, tk = timed(lambda: fn(d1)), timed(lambda: fn(dk))
         print(f"{name:20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+
+    from mergermetrics_lakehouse_pipeline_spark.operators import graph as gr
+
+    li1 = registry.T(spark, sf_dir, "lineitem").cache()
+    lik = replicate_lineitem(li1, k).cache()
+    li1.count(), lik.count()
+
+    def triangles(df):
+        return gr.count_triangles(gr.copurchase_edges(df)).collect()
+
+    triangles(li1)  # warm-up
+    t1, tk = timed(lambda: triangles(li1)), timed(lambda: triangles(lik))
+    print(f"{'triangles':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
 
 
 if __name__ == "__main__":
