@@ -1591,3 +1591,105 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neardup_pairs(
         keyed, id_col="media_id", key_col="phash", max_hamming=6, key_bits=64
     )
+
+
+@register(
+    "docs_pretrain_pipeline_v2",
+    f"""
+    WITH salted AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 5 = 0
+    ), scored AS (
+      SELECT doc_id, source, text, {_SQL_QUALITY} AS quality FROM salted
+    ), src AS (
+      SELECT source,
+             ROUND(CAST(SUM(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 4) AS mq
+      FROM scored GROUP BY 1
+    ), gated AS (
+      SELECT s.doc_id, s.text FROM scored s
+      JOIN src ON s.source = src.source
+      WHERE src.mq >= 0.5
+    ), canon AS (
+      SELECT doc_id, text FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(array_to_string({SQL_TOKS}, ' '))
+          ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ), scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '{tx.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                            '{tx.PHONE_PATTERN}', '<PHONE>', 'g') AS text
+      FROM canon
+    ), t AS (
+      SELECT doc_id, {SQL_TOKS_SAFE} AS toks FROM scrubbed
+      WHERE len(trim(text)) > 0
+    ), idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t
+    ), flat AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token FROM idx
+    ), counts AS (
+      SELECT token, COUNT(*) AS tf FROM flat GROUP BY 1
+    ), vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS INT) AS token_id
+      FROM counts
+      QUALIFY token_id <= {_VOCAB_SIZE}
+    )
+    SELECT f.doc_id, f.pos, COALESCE(v.token_id, 0) AS token_id
+    FROM flat f LEFT JOIN vocab v USING (token)
+    """,
+    tags=["LLM-text", "pipeline-composition", "round2b"],
+)
+def q_docs_pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2b pipeline composition: SOURCE-level quality gate
+    (drop whole low-quality providers) -> exact dedup keep-first ->
+    PII scrub -> tokenize-to-ids over the surviving corpus (vocab
+    induced from survivors only — scrub placeholders become tokens).
+    Every stage is the SAME operator its standalone query verifies;
+    this entry proves they compose in one lazy plan. Like
+    docs_exact_dedup, the corpus is salted with re-keyed copies of
+    every 5th document, so the dedup stage does real work — a keep-
+    first deviation in either engine flips surviving doc_ids and the
+    hash.
+
+    Scale: two aggregation shuffles (dedup content key; vocab counts),
+    the source gate broadcasts |domains| rows, and the id mapping
+    broadcasts the vocab — token positions themselves never shuffle."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    salted = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    scored = salted.select(
+        "doc_id", "source", "text", tx.quality_score("text").alias("quality")
+    )
+    src = scored.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("quality").cast("decimal(8,4)")).cast("double")
+            / F.count("*").cast("double"),
+            4,
+        ).alias("mq")
+    )
+    good_sources = src.filter(F.col("mq") >= 0.5).select("source")
+    gated = scored.join(F.broadcast(good_sources), "source").select("doc_id", "text")
+    canon = dd.exact_dedup(gated, "text", "doc_id")
+    scrubbed = canon.select("doc_id", tx.scrub_pii("text").alias("text"))
+    flat = scrubbed.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "token")
+    )
+    counts = flat.groupBy("token").agg(F.count("*").alias("tf"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    vocab = (
+        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .filter(F.col("token_id") <= _VOCAB_SIZE)
+        .select("token", "token_id")
+    )
+    return flat.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("token_id")
+    )
