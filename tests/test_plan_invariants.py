@@ -335,3 +335,54 @@ def test_scalar_subqueries_broadcast_one_row(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastExchange" in plan, name
+
+
+def test_cbo_stats_flip_broadcast_decision(spark):
+    """Cost-based optimization: with ANALYZE'd column stats and CBO on,
+    the planner estimates a selective filter's output (1% of the dim),
+    sees it under the broadcast threshold, and picks BroadcastHashJoin;
+    without stats (or with CBO off) the same query plans a shuffle join.
+    This is the stats-driven planning a 100 TB warehouse relies on when
+    AQE's runtime sizes arrive too late (the build side feeds the first
+    shuffle)."""
+    spark.sql("DROP TABLE IF EXISTS t_cbo_fact")
+    spark.sql("DROP TABLE IF EXISTS t_cbo_dim")
+    spark.range(200_000).withColumn("k", F.col("id") % 10_000).write.mode(
+        "overwrite"
+    ).saveAsTable("t_cbo_fact")
+    # incompressible pad so on-disk size tracks logical size
+    pad = F.concat(
+        *[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"|{i}"))) for i in range(8)]
+    )
+    spark.range(10_000).withColumn("grp", (F.col("id") % 100).cast("int")).withColumn(
+        "pad", pad
+    ).write.mode("overwrite").saveAsTable("t_cbo_dim")
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+
+    def broadcasts(cbo: bool) -> bool:
+        spark.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+        spark.conf.set("spark.sql.adaptive.enabled", "false")  # static planning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024))
+        f = spark.table("t_cbo_fact")
+        d = spark.table("t_cbo_dim").filter(F.col("grp") == 3)
+        j = f.join(d, f.k == d.id)
+        return "BroadcastHashJoin" in j._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        assert not broadcasts(cbo=True)  # no stats yet: raw size too big
+        spark.sql("ANALYZE TABLE t_cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+        assert not broadcasts(cbo=False)  # stats alone don't estimate filters
+        assert broadcasts(cbo=True)  # stats + CBO: 1% estimate fits
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS t_cbo_fact")
+        spark.sql("DROP TABLE IF EXISTS t_cbo_dim")
