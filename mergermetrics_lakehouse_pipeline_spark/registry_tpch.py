@@ -520,3 +520,99 @@ def q_returnflag_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_lines"),
         corr.alias("price_qty_corr"),
     )
+
+
+@register(
+    "lineitem_price_deciles",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             NTILE(10) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS decile
+      FROM lineitem
+    )
+    SELECT l_returnflag, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+    FROM ranked GROUP BY 1, 2
+    """,
+    tags=["window", "equi-depth-histogram"],
+)
+def q_lineitem_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of prices per return flag: NTILE
+    over a deterministic composite order (price, orderkey, linenumber —
+    ties would otherwise make bucket assignment engine-dependent), then
+    one aggregation for bucket bounds. The equi-depth complement of the
+    fixed-width docs_length_histogram.
+
+    Scale: one shuffle on the partition key; the in-partition sort is
+    the cost of any exact quantile method, and NTILE emits bucket ids
+    streaming — no second pass."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice", F.ntile(10).over(w).alias("decile")
+    )
+    return ranked.groupBy("l_returnflag", "decile").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("l_extendedprice").cast("double").alias("lo"),
+        F.max("l_extendedprice").cast("double").alias("hi"),
+    )
+
+
+@register(
+    "supplier_nation_revenue_share",
+    f"""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             SUM({SQL_REVENUE}) AS supp_rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT n.n_name AS nation, rev.l_suppkey AS s_suppkey,
+           CAST(supp_rev AS DOUBLE) AS supplier_revenue,
+           ROUND(CAST(supp_rev AS DOUBLE)
+                 / CAST(SUM(supp_rev) OVER (PARTITION BY rev.s_nationkey) AS DOUBLE),
+                 6) AS nation_share
+    FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
+    """,
+    tags=["window", "ratio-to-report"],
+)
+def q_supplier_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier's share of its nation's revenue —
+    an unbounded window SUM over the per-supplier aggregate, never over
+    raw lineitem. Decimal sums make numerator and denominator exact;
+    the single rounded IEEE divide is engine-stable.
+
+    Scale: the window input is |suppliers| rows (fact-compressed by the
+    first aggregation); the nation name is a dim broadcast."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(REVENUE()).alias("supp_rev"))
+    )
+    w = Window.partitionBy("s_nationkey")
+    return (
+        rev.join(F.broadcast(n), rev.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("supp_rev").cast("double").alias("supplier_revenue"),
+            F.round(
+                F.col("supp_rev").cast("double")
+                / F.sum("supp_rev").over(w).cast("double"),
+                6,
+            ).alias("nation_share"),
+        )
+    )
