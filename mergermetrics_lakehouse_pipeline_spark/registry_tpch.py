@@ -616,3 +616,44 @@ def q_supplier_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("nation_share"),
         )
     )
+
+
+@register(
+    "orders_calendar_features",
+    """
+    SELECT DISTINCT
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(YEAR(o_orderdate) AS INT) AS y,
+           CAST(QUARTER(o_orderdate) AS INT) AS q,
+           CAST(MONTH(o_orderdate) AS INT) AS m,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(week(o_orderdate) AS INT) AS iso_week,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(day(last_day(CAST(o_orderdate AS DATE))) AS INT) AS days_in_month,
+           CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE))
+             AS is_month_end
+    FROM orders
+    """,
+    tags=["date-functions", "calendar"],
+)
+def q_orders_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature extraction over the order-date domain: quarter,
+    ISO week, day-of-week (Sunday=1 in both engines after DuckDB's
+    dow+1 shift), month end, days-in-month — the derived-date surface a
+    dim_date build needs beyond the month spine (functions/dates.py).
+
+    Scale: DISTINCT over the (tiny) date domain after a pure projection
+    — the dedup shuffle carries |distinct dates| rows, not orders."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        iso_date("o_orderdate", "order_date"),
+        F.year(d).cast("int").alias("y"),
+        F.quarter(d).cast("int").alias("q"),
+        F.month(d).cast("int").alias("m"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofmonth(F.last_day(d)).cast("int").alias("days_in_month"),
+        (d == F.last_day(d)).alias("is_month_end"),
+    ).distinct()

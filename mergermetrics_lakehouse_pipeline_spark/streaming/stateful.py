@@ -28,8 +28,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -147,4 +149,104 @@ def streaming_sessionize(stream: DataFrame, *, idle_flush: bool = False) -> Data
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Space-saving heavy hitters
+# ---------------------------------------------------------------------------
+
+#: emitted per micro-batch: the group's current counter table
+HH_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("item", LongType()),
+        StructField("est_count", LongType()),
+        StructField("max_overestimate", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+#: state: parallel arrays of the k counters + total items seen
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errors", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+HH_K = 8
+
+
+def _heavy_hitters_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Metwally et al.'s SPACE-SAVING: k counters per group, smallest
+    counter evicted (its count inherited as the newcomer's overestimate
+    bound). Guarantees: est >= true; est - err <= true; every item with
+    true count > n/k is present. State is O(k) per group — constant,
+    however long the stream runs."""
+    (etype,) = key
+    if state.hasTimedOut:  # pragma: no cover - not armed in tests
+        state.remove()
+        return
+    if state.exists:
+        items, counts, errors, n_seen = state.get
+        table = {i: [c, e] for i, c, e in zip(items, counts, errors)}
+        n_seen = int(n_seen)
+    else:
+        table, n_seen = {}, 0
+
+    for pdf in batches:
+        for item in pdf["item"]:
+            item = int(item)
+            n_seen += 1
+            if item in table:
+                table[item][0] += 1
+            elif len(table) < HH_K:
+                table[item] = [1, 0]
+            else:
+                evict = min(table, key=lambda x: (table[x][0], x))
+                floor = table[evict][0]
+                del table[evict]
+                table[item] = [floor + 1, floor]
+
+    ordered = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    state.update(
+        (
+            [i for i, _ in ordered],
+            [c for _, (c, _) in ordered],
+            [e for _, (_, e) in ordered],
+            n_seen,
+        )
+    )
+    yield pd.DataFrame(
+        [(etype, i, c, e, n_seen) for i, (c, e) in ordered],
+        columns=["event_type", "item", "est_count", "max_overestimate", "n_seen"],
+    )
+
+
+def streaming_heavy_hitters(stream: DataFrame) -> DataFrame:
+    """events stream -> per-type top-k user table, refreshed every
+    micro-batch (append mode; the row with the highest n_seen per
+    (event_type, item) is the latest view).
+
+    The exact batch answer needs a full groupBy over all history; this
+    keeps k counters per type in the state store — the bounded-memory
+    sketch for 'top users right now' on an unbounded stream."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        "event_type", F.col("user_id").alias("item")
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        _heavy_hitters_group,
+        outputStructType=HH_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -258,3 +258,58 @@ def test_stream_batch_parity_ohlc(spark, tmp_path, events_dir):
     assert _rows(result, "event_type", "hour") == _rows(
         batch, "event_type", "hour"
     )
+
+
+def test_streaming_heavy_hitters_space_saving_guarantees(spark, tmp_path, events_dir):
+    """Space-saving invariants against the exact batch counts:
+    est >= true, est - err <= true, and every item with true count
+    > n/k is present — per event type, after draining the whole landing
+    across several micro-batches (state carries between batches)."""
+    from mergermetrics_lakehouse_pipeline_spark.streaming.stateful import (
+        HH_K,
+        streaming_heavy_hitters,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        streaming_heavy_hitters(stream)
+        .writeStream.format("memory")
+        .queryName("t_hh")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    out = spark.table("t_hh").toPandas()
+    # latest emission per type = the rows with that type's max n_seen
+    final = (
+        out.sort_values("n_seen")
+        .groupby("event_type", group_keys=False)
+        .apply(lambda g: g[g.n_seen == g.n_seen.max()])
+    )
+
+    exact = (
+        events_table(spark, SF_DIR)
+        .groupBy("event_type", "user_id")
+        .count()
+        .toPandas()
+    )
+    for etype, grp in final.groupby("event_type"):
+        true = dict(
+            zip(
+                exact[exact.event_type == etype].user_id,
+                exact[exact.event_type == etype]["count"],
+            )
+        )
+        n = int(grp.n_seen.iloc[0])
+        assert n == sum(true.values())
+        kept = set()
+        for r in grp.itertuples():
+            t_count = int(true.get(r.item, 0))
+            assert r.est_count >= t_count, (etype, r.item)
+            assert r.est_count - r.max_overestimate <= t_count, (etype, r.item)
+            kept.add(int(r.item))
+        for item, c in true.items():
+            if c > n / HH_K:
+                assert item in kept, (etype, item, c)
