@@ -229,6 +229,21 @@ EXTRAS = [
     ("Time-series gap fill (extension)",
      "`events_daily_gap_fill` (calendar-spine ⨯ users + as-of forward fill, "
      "end-of-day-inclusive probes)"),
+    ("Equi-depth histogram / ratio-to-report (extension)",
+     "`lineitem_price_deciles` (NTILE over a deterministic composite order), "
+     "`supplier_nation_revenue_share` (window SUM over the per-supplier "
+     "aggregate, never raw lineitem)"),
+    ("Calendar feature extraction (extension)",
+     "`orders_calendar_features` (quarter/ISO-week/dow/month-end/"
+     "days-in-month over the distinct date domain)"),
+    ("Stats-driven CBO (engine capability)",
+     "tests/test_plan_invariants.py::test_cbo_stats_flip_broadcast_decision "
+     "(ANALYZE column stats + CBO flip a selective filter's join to broadcast "
+     "statically — asserted differentially)"),
+    ("Streaming heavy hitters (extension)",
+     "streaming/stateful.py streaming_heavy_hitters (space-saving k counters "
+     "per type in applyInPandasWithState state; est/overestimate/n-over-k "
+     "guarantees asserted vs exact batch counts)"),
     ("Streaming OHLC twin (extension)",
      "streaming/jobs.py streaming_hourly_ohlc (watermarked window grouping, "
      "associative struct-MIN/MAX state; parity in tests/test_streaming.py)"),
