@@ -1441,87 +1441,77 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # --- never-driver-verified, oracle-checked (rotated into the window
-    # for round 2; their r01-green predecessors keep historical rows) ---
-    # flagship compositions
-    "docs_pretrain_pipeline",
-    "emb_dedup_clusters",
-    # round-2 operators
-    "events_incident_range_join",
-    "events_cascading_rollup",
-    "events_attribution_join",
-    "docs_lexical_pairs",
-    "dq_expectations",
-    "cdc_snapshot_diff",
-    "orc_roundtrip",
-    # LLM-pipeline: text analysis + hygiene
-    "docs_fingerprint",
-    "docs_pii_scrub",
-    "docs_repetition_stats",
-    "docs_train_test_split",
-    "docs_benchmark_contamination",
-    # LLM-pipeline: dedup
-    "docs_exact_dedup",
-    "docs_minhash_lsh_pairs",
-    "docs_simhash_neardup",
-    "docs_winnow_fingerprints",
-    "docs_neardup_confirmed",
-    "docs_dedup_clusters",
-    "docs_ngram_jaccard",
-    "docs_clean_corpus",
-    # LLM-pipeline: similarity + multimodal
-    "emb_cosine_topk",
-    "emb_neardup_pairs",
-    "media_resize_plan",
-    "media_payload_dedup",
-    "media_frame_offsets",
-    # LLM-pipeline: corpus preparation + analytics
-    "docs_chunk_windows",
-    "docs_top_terms",
-    "docs_unigram_familiarity",
-    "docs_rebalance_sample",
-    "docs_length_quantiles",
-    "docs_length_histogram",
-    "docs_quality_funnel",
-    "docs_bigram_counts",
-    "docs_stratified_sample",
-    "docs_pack_sequences",
-    # sink / DDL round-trips (hard signal for S3/S4/S5/S9/S11/S15, S12/S14)
-    "sink_modes_roundtrip",
-    "copy_into_roundtrip",
-    # --- never-driver-verified, rows-only by design (recall/approx
-    # figures documented in docstrings + COVERAGE.md) ---
+    # --- ROUND-3 ROTATION: every r01/r02-green query moved past the
+    # window (their rows are durable); the head is exactly the queries
+    # with no err-null driver row yet: the two fixed canonicalizer
+    # crashes, the two rows-only ANN twins plus the new hash-checked
+    # exact-IVF twin, the never-windowed TPC-H-hard/mining/events/SCD2/
+    # connector sets, and the new S2/S8/S10/S13 round-trip. 45 <= 50, so
+    # this single rotation finishes the entire registry. ---
+    # fixed in r3: array-column outputs scalarized/serialized
+    "kpi_approx_sketches",
+    "media_extract_features",
+    # ANN surface: rows-only twins + the exact-IVF hash oracle
     "emb_ann_topk",
     "emb_ivf_topk",
-    "media_extract_features",
-    "kpi_approx_sketches",
-    # --- late round-2 additions (every slot holds a never-driver-verified
-    # query; all r01-green entries rely on their durable round-1 rows) ---
-    "events_sliding_user_rate",
-    "corr_subquery_small_qty",
-    "orders_partition_checksums",
-    "unpivot_lineitem_measures",
-    "events_funnel_stages",
-    "events_session_window_native",
-    "events_cohort_retention",
-    # --- positions 51+: verified only if the driver's window exceeds 50
-    # (observed cap: exactly 50 in round 1) — best oracle-checked tail.
-    # ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands, swap the then-
-    # verified head out for the round-2-continuation queries still
-    # lacking driver rows — the registry_tpch eight, scd2_customer_
-    # segments, copurchase_reachability_rec, synth_source_rollup,
-    # events_{user_streaks, value_outlier_fences, hourly_ohlc,
-    # daily_gap_fill, bitmap_rollup, variant_props}, docs_{source_
-    # quality_gate, token_ids}, asof_forward_next_purchase,
-    # returnflag_price_qty_corr, parts_triangle_count, plus this tail.
-    "zorder_key_lineitem",
-    "docs_ols_trend",
-    "ivm_monthly_totals",
+    "emb_ivf_exact_topk",
     "emb_pca_projection",
-    "time_travel_diff_roundtrip",
+    # new round-trip for the last pytest-only §2 rows (S2/S8/S10/S13)
+    "ddl_lineage_roundtrip",
+    # TPC-H-hard set (registry_tpch.py)
+    "min_cost_supplier_per_part",
+    "top_revenue_suppliers",
+    "nation_pair_volume",
+    "nation_market_share",
+    "important_parts_value",
+    "large_volume_orders",
+    "lone_returner_suppliers",
+    "idle_rich_customers",
+    "returnflag_price_qty_corr",
+    "lineitem_price_deciles",
+    "supplier_nation_revenue_share",
+    "orders_calendar_features",
+    # mining set (registry_mining.py)
     "fuzzy_match_parts",
     "parts_copurchase_pagerank",
+    "parts_triangle_count",
     "events_markov_transitions",
+    "copurchase_reachability_rec",
+    # events late additions
+    "events_user_streaks",
+    "events_value_outlier_fences",
+    "asof_forward_next_purchase",
+    "events_hourly_ohlc",
+    "events_variant_props",
+    "events_sketch_rollup",
+    "events_daily_gap_fill",
+    "events_bitmap_rollup",
+    "events_cumulative_unique_users",
+    "events_window_overlap_join",
+    # docs / pipeline late additions
+    "docs_source_quality_gate",
+    "docs_token_ids",
+    "media_phash_pairs",
+    "docs_pretrain_pipeline_v2",
+    "docs_ols_trend",
+    # SCD2 / connector / sink late additions
+    "scd2_customer_segments",
+    "synth_source_rollup",
+    "zorder_key_lineitem",
+    "ivm_monthly_totals",
+    "time_travel_diff_roundtrip",
+    # --- positions 41+: already-green spares fill the remaining window
+    # slots (re-verification is harmless); then registration order. ---
+    "docs_pretrain_pipeline",
+    "emb_dedup_clusters",
+    "sink_modes_roundtrip",
+    "copy_into_roundtrip",
+    "orc_roundtrip",
+    "cdc_snapshot_diff",
+    "dq_expectations",
+    "docs_exact_dedup",
+    "docs_minhash_lsh_pairs",
+    "emb_cosine_topk",
 ]
 
 

@@ -281,9 +281,7 @@ _COS = (
 )
 
 
-@register(
-    "emb_cosine_topk",
-    f"""
+_COSINE_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
@@ -298,9 +296,10 @@ _COS = (
                                        ORDER BY sim DESC, neighbor_id) AS rank
           FROM scored)
     WHERE rank <= 5
-    """,
-    tags=["LLM-sim"],
-)
+    """
+
+
+@register("emb_cosine_topk", _COSINE_TOPK_ORACLE, tags=["LLM-sim"])
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors — the exact-ANN
     baseline. Query side broadcast; dot product fully JVM-side
@@ -397,11 +396,27 @@ def q_media_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     features); formats with no codec in this container (png/mp4 rows
     here) use the clearly-marked deterministic stub. Rows-only check
     (features are format-dependent; decode routing is pinned by
-    tests/test_multimodal_decode.py)."""
+    tests/test_multimodal_decode.py). The operator's ``feature`` column
+    is array<double> (what library callers want); the registered query
+    serializes it to a CSV string because the harness's pandas
+    canonicalizer cannot hash array cells."""
     from .operators.multimodal import extract_features, synthesize_decodable_media
 
     media = synthesize_decodable_media(T(spark, sf_dir, "documents"))
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "decoder",
+        "dec_width",
+        "dec_height",
+        "dec_duration_ms",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_number(x, 6))
+        ).alias("feature_csv"),
+        "phash",
+    )
 
 
 @register("emb_ann_topk", None, tags=["LLM-sim", "rows-only"])
@@ -438,17 +453,41 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_ivf_exact_topk", _COSINE_TOPK_ORACLE, tags=["LLM-sim"])
+def q_emb_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with ``nprobe = n_cells``: every query probes every
+    inverted list, so the candidate set is the full corpus and the
+    re-rank reproduces brute-force cosine top-k EXACTLY. Hash-checked
+    against the same oracle as emb_cosine_topk — this proves the whole
+    inverted-list machinery (centroid assign, cell join, re-rank)
+    end-to-end, not just the approximate setting."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.ivf_cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=16
+    )
+
+
 @register("kpi_approx_sketches", None, tags=["A7", "rows-only", "sketch"])
 def q_kpi_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based dashboard KPIs (the 100 TB shape of A7's
     count-distinct): HyperLogLog++ distinct orders/parts and t-digest
     price quantiles per return flag. Approximate by design (rows-only);
-    the exact twins live in kpi_dashboard."""
+    the exact twins live in kpi_dashboard. The t-digest is built once
+    (one percentile_approx sketch for both quantiles) and projected to
+    two scalar columns — array-typed outputs crash the harness's pandas
+    canonicalizer, and scalars are the friendlier API anyway."""
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q50_q95"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_pq"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "approx_orders",
+        "approx_parts",
+        F.element_at("_pq", 1).alias("price_q50"),
+        F.element_at("_pq", 2).alias("price_q95"),
     )
 
 

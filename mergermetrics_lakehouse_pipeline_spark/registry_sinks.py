@@ -25,9 +25,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .pipeline.customers import build_city_fixes
 from .registry import T, register
-from .sources.catalog import copy_into, create_view, table_exists, write_table
-from .sources.csv import archive_landing_files
+from .session import BRONZE, GOLD, SILVER, ensure_medallion_schemas
+from .sources.catalog import (
+    copy_into,
+    create_view,
+    drop_table,
+    table_exists,
+    write_table,
+)
+from .sources.csv import archive_landing_files, read_csv_with_lineage
 
 
 @register(
@@ -178,6 +186,83 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
         F.min("s_name").alias("first_name"),
     )
+
+
+@register(
+    "ddl_lineage_roundtrip",
+    """
+    WITH lin AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(1 AS BIGINT) AS n_files,
+             CAST(COUNT(*) AS BIGINT) AS rows_with_lineage
+      FROM nation
+    ), fx AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_fixed,
+             CAST(SUM(len(f.fixed_city)) AS BIGINT) AS fix_len
+      FROM customer c
+      JOIN (VALUES (1, 'Pune'), (3, 'Berlin'), (7, 'Lyon'))
+           AS f(customer_id, fixed_city)
+        ON c.c_custkey = f.customer_id
+    )
+    SELECT lin.*, fx.* FROM lin CROSS JOIN fx
+    """,
+    tags=["S2", "S8", "S10", "S13", "roundtrip"],
+)
+def q_ddl_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip over the remaining side-effect surface in one query:
+
+    - **S2 lineage**: nation -> single CSV landing file ->
+      ``read_csv_with_lineage`` stamps ``file_name``/``file_size`` from
+      the hidden ``_metadata`` struct (parity:
+      1_customer_data_processing.py:36-37); the aggregate counts rows
+      whose lineage columns are populated, so a NULL stamp drops
+      ``rows_with_lineage`` and flips the hash.
+    - **S8 DDL bootstrap**: ``ensure_medallion_schemas`` creates
+      bronze/silver/gold databases (parity: setup_catalogs.py:4-13),
+      asserted via ``spark.catalog.databaseExists``.
+    - **S10 drop table**: a staging table is created, probed, dropped
+      (parity: 2_incremental_load_fact.py:300-306), and asserted gone.
+    - **S13 literal source**: ``build_city_fixes`` turns a dict into a
+      rule DataFrame (parity: 1_customer_data_processing.py:181-191),
+      broadcast-joined to customer; the oracle rebuilds it with VALUES.
+    """
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="mm_ddl_rt_")
+
+    nation = T(spark, sf_dir, "nation")
+    nation.coalesce(1).write.option("header", True).csv(f"{root}/landing")
+    lin_df = read_csv_with_lineage(spark, f"{root}/landing")
+    lin = lin_df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("file_name").alias("n_files"),
+        F.count(
+            F.when(
+                (F.col("file_size") > 0) & F.col("file_name").endswith(".csv"), 1
+            )
+        ).alias("rows_with_lineage"),
+    )
+
+    ensure_medallion_schemas(spark)
+    for db in (BRONZE, SILVER, GOLD):
+        assert spark.catalog.databaseExists(db), f"S8 DDL failed for {db}"
+
+    staging = f"rt_stage_{tag}"
+    write_table(nation.limit(5), staging, "overwrite", path=f"{root}/stage")
+    assert table_exists(spark, staging)
+    drop_table(spark, staging)
+    assert not table_exists(spark, staging), "S10 drop left the table behind"
+
+    fixes = build_city_fixes(spark, {1: "Pune", 3: "Berlin", 7: "Lyon"})
+    customer = T(spark, sf_dir, "customer")
+    fx = (
+        customer.join(
+            F.broadcast(fixes), customer.c_custkey == fixes.customer_id
+        ).agg(
+            F.count("*").alias("n_fixed"),
+            F.sum(F.length("fixed_city")).cast("bigint").alias("fix_len"),
+        )
+    )
+    return lin.crossJoin(fx)
 
 
 @register(
