@@ -86,6 +86,14 @@ def scd2_apply(
     on the natural key; closed rows bypass the join entirely (union
     after), and change detection is a null-safe struct compare in
     codegen. Emitted row count is bounded by |open| + 2·|changed|.
+
+    The batch must carry AT MOST ONE row per key — multiple open
+    versions of one key would otherwise be emitted, breaking the
+    single-open-row invariant. Duplicate keys in ``updates`` are
+    collapsed deterministically (lexicographic max over
+    ``compare_cols``, a stable last-wins independent of partitioning)
+    before the join; pre-aggregate yourself if a different survivor
+    rule is needed.
     """
     eff = F.lit(effective).cast("timestamp")
     closed = current.filter(F.col(to_col).isNotNull())
@@ -96,7 +104,11 @@ def scd2_apply(
         F.col(from_col).alias("__from"),
         F.struct(*compare_cols).alias("_cur"),
     )
-    u = updates.select(*keys, F.struct(*compare_cols).alias("_upd"))
+    u = (
+        updates.select(*keys, F.struct(*compare_cols).alias("_upd"))
+        .groupBy(*keys)
+        .agg(F.max("_upd").alias("_upd"))
+    )
     j = o.join(u, keys, "full_outer")
 
     differs = ~F.col("_cur").eqNullSafe(F.col("_upd"))

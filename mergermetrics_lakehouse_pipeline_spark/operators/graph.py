@@ -96,7 +96,7 @@ def pagerank_int(edges: DataFrame, iterations: int = 3) -> DataFrame:
     return ranks
 
 
-def count_triangles(edges: DataFrame) -> DataFrame:
+def count_triangles(edges: DataFrame, *, eager: bool = False) -> DataFrame:
     """Exact triangle count of an undirected graph given as SYMMETRIC
     (src, dst) edges — the degree-orientation algorithm.
 
@@ -111,6 +111,14 @@ def count_triangles(edges: DataFrame) -> DataFrame:
     degree.
 
     Returns one row: n_nodes, n_edges (undirected), n_triangles.
+
+    ``eager=True`` runs the count immediately (the result is a single
+    model-sized row), unpersists the cached relations, and returns the
+    row as a local DataFrame — use it for repeated invocations in one
+    session. The default stays lazy so callers can compose/inspect the
+    plan; the three persisted relations then live until the action that
+    consumes the returned plan, and are released with the session (or by
+    ``spark.catalog.clearCache()``).
     """
     # persist the two hot relations: `edges` feeds degree counting and
     # both orientation joins (so an expensive edge build — the order
@@ -144,4 +152,10 @@ def count_triangles(edges: DataFrame) -> DataFrame:
         (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
     )
     tri = closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
-    return stats.join(F.broadcast(tri), F.lit(True))
+    out = stats.join(F.broadcast(tri), F.lit(True))
+    if eager:
+        rows = out.collect()  # exactly one model-sized row
+        for cached in (edges, deg, oriented):
+            cached.unpersist()
+        return edges.sparkSession.createDataFrame(rows, out.schema)
+    return out

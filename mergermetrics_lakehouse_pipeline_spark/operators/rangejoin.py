@@ -42,6 +42,17 @@ from pyspark.sql import functions as F
 _BIN = "__range_bin"
 
 
+def _check_disjoint(a: DataFrame, b: DataFrame) -> None:
+    """Shared names would make the joined output ambiguous, and the
+    reserved bin columns would be silently clobbered — fail loudly."""
+    overlap = set(a.columns) & set(b.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint, shared: {sorted(overlap)}")
+    reserved = {_BIN, _BIN + "_b"} & (set(a.columns) | set(b.columns))
+    if reserved:
+        raise ValueError(f"column names {sorted(reserved)} are reserved")
+
+
 def bin_interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -57,9 +68,7 @@ def bin_interval_join(
 
     Returns all columns of both inputs (minus the internal bin key).
     """
-    overlap = set(points.columns) & set(intervals.columns)
-    if overlap:
-        raise ValueError(f"column names must be disjoint, shared: {sorted(overlap)}")
+    _check_disjoint(points, intervals)
     bin_us = bin_seconds * 1_000_000
 
     # integer `div`, not `/`: epoch-micros (~1.7e15 and growing) cannot
@@ -109,9 +118,7 @@ def bin_interval_overlap_join(
     linear in interval count x interval/bin ratio; the join itself is a
     plain shuffle equi join AQE can treat like any other.
     """
-    overlap = set(a.columns) & set(b.columns)
-    if overlap:
-        raise ValueError(f"column names must be disjoint, shared: {sorted(overlap)}")
+    _check_disjoint(a, b)
     bin_us = bin_seconds * 1_000_000
 
     def binned(df: DataFrame, start: str, end: str) -> DataFrame:

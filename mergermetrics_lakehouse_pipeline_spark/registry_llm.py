@@ -1577,9 +1577,11 @@ def q_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: token positions never shuffle — the corpus-sized side stays
     where the explode put it and the vocab joins in as a broadcast. The
-    vocabulary ranking is ONE global window over the token-type counts:
-    a vocab-cardinality sort (millions of types, not billions of
-    positions), the standard cost of frequency-ranked id assignment."""
+    vocabulary is selected with orderBy+limit — Spark plans that as
+    TakeOrderedAndProject, a distributed top-k with per-partition
+    pruning — so only VOCAB_SIZE rows ever reach one task; the
+    row_number id-assignment window then runs over just those rows
+    (millions of token types never sort on a single task)."""
     from pyspark.sql import Window
 
     d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
@@ -1587,12 +1589,11 @@ def q_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "token")
     )
     counts = flat.groupBy("token").agg(F.count("*").alias("tf"))
+    top = counts.orderBy(F.col("tf").desc(), F.col("token")).limit(_VOCAB_SIZE)
     w = Window.orderBy(F.col("tf").desc(), F.col("token"))
-    vocab = (
-        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
-        .filter(F.col("token_id") <= _VOCAB_SIZE)
-        .select("token", "token_id")
-    )
+    vocab = top.withColumn(
+        "token_id", F.row_number().over(w).cast("int")
+    ).select("token", "token_id")
     return flat.join(F.broadcast(vocab), "token", "left").select(
         "doc_id",
         "pos",
@@ -1723,12 +1724,12 @@ def q_docs_pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(tx.tokens("text")).alias("pos", "token")
     )
     counts = flat.groupBy("token").agg(F.count("*").alias("tf"))
+    # distributed top-k (TakeOrderedAndProject) before the tiny id window
+    top = counts.orderBy(F.col("tf").desc(), F.col("token")).limit(_VOCAB_SIZE)
     w = Window.orderBy(F.col("tf").desc(), F.col("token"))
-    vocab = (
-        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
-        .filter(F.col("token_id") <= _VOCAB_SIZE)
-        .select("token", "token_id")
-    )
+    vocab = top.withColumn(
+        "token_id", F.row_number().over(w).cast("int")
+    ).select("token", "token_id")
     return flat.join(F.broadcast(vocab), "token", "left").select(
         "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("token_id")
     )

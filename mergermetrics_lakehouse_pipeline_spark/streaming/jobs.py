@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -59,7 +60,11 @@ def read_events_stream(
     """
     try:
         schema = spark.read.parquet(path).schema
-    except Exception:  # empty landing dir: fall back to the legacy shape
+    except AnalysisException:
+        # missing/empty landing dir only: fall back to the legacy shape.
+        # Anything else (IO, permissions) must propagate — silently
+        # pinning the wrong schema surfaces later as a baffling parquet
+        # type error mid-stream.
         schema = EVENTS_RAW_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
