@@ -1500,18 +1500,19 @@ DRIVER_PRIORITY: list[str] = [
     "zorder_key_lineitem",
     "ivm_monthly_totals",
     "time_travel_diff_roundtrip",
-    # --- positions 41+: already-green spares fill the remaining window
-    # slots (re-verification is harmless); then registration order. ---
+    # --- positions 45-50: round-3 additions (6 fit the window; the
+    # other 8 TPC-H shapes are r4-rotation fodder, oracle-tested now) ---
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_part_share_suppliers",
+    "docs_boilerplate_phrases",
+    "docs_weighted_sample",
+    # --- positions 51+: best verified tail, then registration order ---
     "docs_pretrain_pipeline",
     "emb_dedup_clusters",
     "sink_modes_roundtrip",
     "copy_into_roundtrip",
-    "orc_roundtrip",
-    "cdc_snapshot_diff",
-    "dq_expectations",
-    "docs_exact_dedup",
-    "docs_minhash_lsh_pairs",
-    "emb_cosine_topk",
 ]
 
 
@@ -1546,6 +1547,7 @@ def _load_extensions() -> None:
         registry_mining,
         registry_sinks,
         registry_tpch,
+        registry_tpch2,
     )
 
 

@@ -1733,3 +1733,105 @@ def q_docs_pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.join(F.broadcast(vocab), "token", "left").select(
         "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("token_id")
     )
+
+
+@register(
+    "docs_boilerplate_phrases",
+    f"""
+    WITH sh AS (SELECT doc_id, unnest({SQL_SHINGLES}) AS g FROM documents),
+    df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    b AS (SELECT df.g FROM df CROSS JOIN n WHERE df.df >= 0.1 * n.n_docs)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(b.g) AS BIGINT) AS n_boiler,
+           ROUND(COUNT(b.g) / COUNT(*), 6) AS boiler_frac
+    FROM sh LEFT JOIN b ON sh.g = b.g
+    GROUP BY 1
+    """,
+    tags=["LLM-text", "boilerplate"],
+)
+def q_docs_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection at the phrase level: a 3-word
+    shingle appearing in >= 10% of all documents is boilerplate
+    (navigation chrome, license banners, cookie notices at web scale);
+    each document reports how much of it is boilerplate — the upstream
+    signal for dropping or stripping template-heavy pages.
+
+    Scale: shingle document-frequency is one shuffled aggregation with
+    map-side partial distinct; the corpus-relative threshold joins as a
+    1-row broadcast; the boilerplate set (high-df shingles are FEW by
+    definition — df >= 10% bounds the set at 10x shingles-per-doc)
+    broadcasts back onto the exploded corpus. No self-joins anywhere."""
+    d = T(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(tx.word_shingles("text", 3)).alias("g"))
+    df_counts = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    boiler = (
+        df_counts.join(F.broadcast(n_docs), F.lit(True))
+        .filter(F.col("df") >= 0.1 * F.col("n_docs"))
+        .select("g")
+    )
+    return (
+        sh.join(F.broadcast(boiler).withColumn("__b", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count("__b").cast("bigint").alias("n_boiler"),
+            F.round(F.count("__b") / F.count("*"), 6).alias("boiler_frac"),
+        )
+    )
+
+
+@register(
+    "docs_weighted_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, LEAST(8, 1 + n_chars // 400) AS weight FROM documents
+    ), r AS (
+      SELECT doc_id, weight, unnest(generate_series(1, weight)) AS j FROM w
+    ), k AS (
+      SELECT doc_id, MIN(weight) AS weight,
+             MIN(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)) AS priority
+      FROM r GROUP BY 1
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight, priority
+    FROM k ORDER BY priority, doc_id LIMIT 100
+    """,
+    tags=["LLM-text", "sampling", "weighted"],
+)
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, integer
+    weights (length-derived, capped at 8): each document draws
+    ``weight`` salted hashes and keeps the MINIMUM as its priority; the
+    sample is the bottom-k priorities. P(doc_a beats doc_b) =
+    w_a/(w_a+w_b) — exactly proportional pairwise odds, the
+    min-of-w-uniforms trick behind consistent weighted sampling — while
+    staying pure integer/hash arithmetic, so the oracle reproduces it
+    bit-for-bit (a float ln()-based Efraimidis-Spirakis key would not
+    survive cross-engine comparison).
+
+    Scale: replication factor is the mean weight (<= 8); the per-doc MIN
+    needs no shuffle (doc rows are co-located after the explode); the
+    bottom-k is TakeOrderedAndProject. Stable under re-partitioning,
+    re-runs, and corpus growth — the properties rand() sampling lacks."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    weight = F.least(F.lit(8).cast("bigint"), 1 + F.expr("n_chars div 400"))
+    rep = d.select(
+        "doc_id", weight.alias("weight")
+    ).withColumn("j", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("weight"))))
+    salted = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = rep.groupBy("doc_id").agg(
+        F.min("weight").cast("bigint").alias("weight"),
+        F.min(salted).alias("priority"),
+    )
+    return keyed.orderBy("priority", "doc_id").limit(100)

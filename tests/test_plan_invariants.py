@@ -226,6 +226,8 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "idle_rich_customers",  # 1-row average-balance cutoff broadcast
         "parts_triangle_count",  # 1-row stats ⨯ 1-row triangle-count stitch
         "events_daily_gap_fill",  # calendar-spine broadcast ⨯ distinct users
+        "docs_boilerplate_phrases",  # 1-row corpus-count threshold broadcast
+        "ddl_lineage_roundtrip",  # 1-row lineage ⨯ 1-row fixes stitch
     }
     registry._load_extensions()
     failures = []
