@@ -80,6 +80,21 @@ EXTENDED = [
     "events_variant_props",
 ]
 
+#: Round-3 additions, reported under "extended_r3" — HEADLINE and
+#: EXTENDED stay frozen so BENCH_r01/r02/r03 compare like-for-like.
+EXTENDED_R3 = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_type_profit",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_part_share_suppliers",
+    "docs_boilerplate_phrases",
+    "docs_weighted_sample",
+    "emb_ivf_exact_topk",
+]
+
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -116,6 +131,7 @@ def main() -> None:
 
     timings = time_set(HEADLINE)
     extended = time_set(EXTENDED)
+    extended_r3 = time_set(EXTENDED_R3)
 
     print(
         json.dumps(
@@ -128,6 +144,8 @@ def main() -> None:
                 "runs": runs,
                 "extended": extended,
                 "extended_total": round(sum(extended.values()), 3),
+                "extended_r3": extended_r3,
+                "extended_r3_total": round(sum(extended_r3.values()), 3),
             }
         )
     )

@@ -1735,10 +1735,21 @@ def q_docs_pretrain_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ALL 3-gram shingle occurrences (duplicates kept) — the non-distinct
+#: twin of SQL_SHINGLES, mirroring functions.text.word_shingles_fast.
+SQL_SHINGLES_ALL = f"""
+  CASE WHEN len({SQL_TOKS}) < 3 THEN [array_to_string({SQL_TOKS}, ' ')]
+       ELSE list_transform(
+              generate_series(1, len({SQL_TOKS}) - 2),
+              i -> array_to_string(({SQL_TOKS})[i:i+2], ' '))
+  END
+"""
+
+
 @register(
     "docs_boilerplate_phrases",
     f"""
-    WITH sh AS (SELECT doc_id, unnest({SQL_SHINGLES}) AS g FROM documents),
+    WITH sh AS (SELECT doc_id, unnest({SQL_SHINGLES_ALL}) AS g FROM documents),
     df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     b AS (SELECT df.g FROM df CROSS JOIN n WHERE df.df >= 0.1 * n.n_docs)
@@ -1755,16 +1766,20 @@ def q_docs_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate detection at the phrase level: a 3-word
     shingle appearing in >= 10% of all documents is boilerplate
     (navigation chrome, license banners, cookie notices at web scale);
-    each document reports how much of it is boilerplate — the upstream
-    signal for dropping or stripping template-heavy pages.
+    each document reports what fraction of its TEXT (all shingle
+    occurrences, duplicates kept — the removal-cost view) is
+    boilerplate — the upstream signal for dropping or stripping
+    template-heavy pages.
 
-    Scale: shingle document-frequency is one shuffled aggregation with
-    map-side partial distinct; the corpus-relative threshold joins as a
-    1-row broadcast; the boilerplate set (high-df shingles are FEW by
-    definition — df >= 10% bounds the set at 10x shingles-per-doc)
+    Scale: occurrence semantics let the shingles ride the
+    codegen-friendly regex pass (word_shingles_fast — no interpreted
+    higher-order dedup); document-frequency is one shuffled aggregation
+    with map-side partial distinct; the corpus-relative threshold joins
+    as a 1-row broadcast; the boilerplate set (high-df shingles are FEW
+    by definition — df >= 10% bounds it at 10x shingles-per-doc)
     broadcasts back onto the exploded corpus. No self-joins anywhere."""
     d = T(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(tx.word_shingles("text", 3)).alias("g"))
+    sh = d.select("doc_id", F.explode(tx.word_shingles_fast("text", 3)).alias("g"))
     df_counts = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     boiler = (

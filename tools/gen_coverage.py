@@ -172,6 +172,28 @@ EXTRAS = [
      "`lone_returner_suppliers` (Q21: EXISTS/NOT-EXISTS collapsed to window "
      "counts, zero self-joins), `idle_rich_customers` (Q22: scalar-AVG cutoff + "
      "anti join on projected recent buyers)"),
+    ("Classic TPC-H remainder (full shape coverage, registry_tpch2.py)",
+     "`tpch_q1_pricing_summary` (one-pass 8-aggregate report), "
+     "`tpch_q3_shipping_priority` / `tpch_q10_returned_items` (selective "
+     "broadcast + distributed top-k), `tpch_q4_late_order_priority` (EXISTS "
+     "as semi join with non-equi residual), `tpch_q5_local_supplier_volume` "
+     "(cyclic join graph closed as a compound equi key), "
+     "`tpch_q6_forecast_revenue` (pure scan-agg, all predicates pushed), "
+     "`tpch_q9_product_type_profit` / `tpch_q12_late_priority_lines` / "
+     "`tpch_q14_promo_effect` (arithmetic/CASE conditional aggregation), "
+     "`tpch_q16_supplier_cnt` (anti-join blacklist + COUNT DISTINCT), "
+     "`tpch_q19_disjunctive_revenue` (OR-of-ANDs partial pushdown), "
+     "`tpch_q20_part_share_suppliers` (correlated share decorrelated into "
+     "a window over the pair aggregate) — with registry_tpch.py this is "
+     "every classic TPC-H planner shape, oracle-checked"),
+    ("Boilerplate phrase removal (LLM extension)",
+     "`docs_boilerplate_phrases` (C4-style: 3-gram shingles in >= 10% of "
+     "docs flagged via corpus-relative threshold; broadcast boilerplate "
+     "set back onto the corpus — no self-joins)"),
+    ("Weighted sampling (LLM extension)",
+     "`docs_weighted_sample` (deterministic weighted sample without "
+     "replacement: min-of-w salted md5 hashes, pairwise win odds exactly "
+     "w_a/(w_a+w_b); integer-exact so the oracle matches bit-for-bit)"),
     ("Source-level quality gating (LLM extension)",
      "`docs_source_quality_gate` (C4-style domain filter: per-source mean quality "
      "via exact decimal sums, broadcast back onto every document)"),
@@ -336,10 +358,15 @@ def ledger() -> str:
         else:
             d = "pending — in window" if n in in_window else "PENDING, NOT IN WINDOW"
         lines.append(f"| `{n}` | {o} | {d} |")
-    n_pend = sum(1 for n in names if n not in verified)
+    pend = [n for n in names if n not in verified]
+    n_out = sum(1 for n in pend if n not in in_window)
+    tail = (
+        "all inside the current window"
+        if n_out == 0
+        else f"{len(pend) - n_out} in the current window, {n_out} awaiting the next rotation"
+    )
     lines.append(
-        f"\n{len(names) - n_pend}/{len(names)} verified; "
-        f"{n_pend} pending (all inside the current window)."
+        f"\n{len(names) - len(pend)}/{len(names)} verified; {len(pend)} pending ({tail})."
     )
     return "\n".join(lines) + "\n"
 
