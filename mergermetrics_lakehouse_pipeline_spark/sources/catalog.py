@@ -227,3 +227,42 @@ def read_version(
     if v < 1:
         raise ValueError(f"no committed versions under {root}")
     return spark.read.parquet(f"{root}/v={v}")
+
+
+def vacuum_versions(root: str, *, keep_last: int = 1) -> list[int]:
+    """Reclaim storage from a versioned table: drop snapshot directories
+    older than the ``keep_last`` most recent committed versions, plus any
+    directory NEWER than the ``_latest`` pointer (a crashed writer's
+    never-committed snapshot). Returns the removed version numbers.
+
+    The lakehouse VACUUM analogue for ``write_version`` tables (Delta:
+    ``VACUUM ... RETAIN``): the retention floor is expressed in versions,
+    not hours, because this layout has no per-file commit timestamps to
+    consult. ``keep_last >= 1`` always — the latest committed snapshot is
+    never eligible, so concurrent ``read_version(latest)`` readers are
+    safe; readers of OLDER pinned versions must finish inside the
+    retention window, the same contract Delta's VACUUM imposes.
+
+    Driver-only filesystem metadata work (one listdir + per-dir remove):
+    no Spark job, no data read — O(versions), not O(rows).
+    """
+    import os
+    import re
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (latest is never vacuumed)")
+    latest = latest_version(root)
+    if latest < 1:
+        return []
+    removed: list[int] = []
+    floor = latest - keep_last + 1
+    for entry in sorted(os.listdir(root)):
+        m = re.fullmatch(r"v=(\d+)", entry)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v < floor or v > latest:
+            shutil.rmtree(os.path.join(root, entry))
+            removed.append(v)
+    return removed

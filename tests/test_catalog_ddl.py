@@ -152,3 +152,36 @@ def test_versioned_table_time_travel(spark, tmp_path):
     assert read_version(spark, root, 1).count() == 5  # history intact
     assert read_version(spark, root).count() == 3     # latest default
     assert read_version(spark, root, 2).count() == 3
+
+
+def test_vacuum_versions(spark, tmp_path):
+    """vacuum_versions removes pre-retention snapshots and crashed
+    writers' uncommitted dirs; the latest survives any keep_last."""
+    import os
+
+    import pytest as _pt
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.catalog import (
+        latest_version,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    root = str(tmp_path / "versions")
+    assert vacuum_versions(root) == []  # no table yet: no-op
+    for n in (5, 4, 3):
+        write_version(spark.range(n).withColumnRenamed("id", "k"), root)
+    # a crashed writer: directory exists, pointer never moved to it
+    spark.range(9).write.parquet(f"{root}/v=9")
+
+    with _pt.raises(ValueError):
+        vacuum_versions(root, keep_last=0)
+    assert vacuum_versions(root, keep_last=2) == [1, 9]
+    assert read_version(spark, root, 2).count() == 4   # retained history
+    assert read_version(spark, root).count() == 3      # latest untouched
+    assert latest_version(root) == 3
+    with _pt.raises(Exception):
+        read_version(spark, root, 1).count()           # vacuumed away
+    assert vacuum_versions(root, keep_last=1) == [2]
+    assert sorted(e for e in os.listdir(root) if e.startswith("v=")) == ["v=3"]

@@ -289,6 +289,54 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
             spark.conf.set(k, v)
 
 
+def test_q6_pure_scan_agg_all_predicates_pushed(spark, sf_dir):
+    """tpch_q6_forecast_revenue is a scan whose predicates must ALL
+    reach the parquet reader: the plan carries pushed filters on
+    shipdate, discount, and quantity, projects only the priced columns,
+    and contains no join at all."""
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    pushed = plan[plan.index("PushedFilters") :].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert "Join" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_q19_disjunction_stays_single_hash_join(spark, sf_dir):
+    """tpch_q19's OR-of-ANDs must evaluate as the residual of ONE
+    broadcast hash join on p_partkey — never a nested loop over the
+    cross product, the failure mode of naive disjunctive-join planning."""
+    plan = _plan(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_share_window_over_aggregate_not_self_join(spark, sf_dir):
+    """tpch_q20: the 'more than half the part's volume' predicate runs
+    as a window over the (part, supplier) aggregate — lineitem is
+    scanned exactly once, never self-joined."""
+    plan = _plan(spark, sf_dir, "tpch_q20_part_share_suppliers")
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_is_distributed_not_global_sort(spark, sf_dir):
+    """docs_token_ids' vocabulary selection must plan as
+    TakeOrderedAndProject (per-partition top-k heaps) so millions of
+    token types never sort on a single task; the single-partition
+    row_number window then sees only VOCAB_SIZE rows."""
+    plan = _plan(spark, sf_dir, "docs_token_ids")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """docs_weighted_sample's bottom-k is TakeOrderedAndProject, not a
+    global sort of the whole corpus."""
+    plan = _plan(spark, sf_dir, "docs_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_q2_shape_window_over_aggregate_not_self_join(spark, sf_dir):
     """min_cost_supplier_per_part: the correlated MIN must run as a
     window over the (part, supplier) aggregate — lineitem is scanned

@@ -139,7 +139,10 @@ EXTRAS = [
      "table_file_stats (file census); tests/test_catalog_ddl.py; "
      "operators/layout.py zorder_write (Morton-interleaved 2-dim clustering, "
      "measured per-file min/max narrowing in BOTH dims — tests/test_layout.py; "
-     "`zorder_key_lineitem` oracle-checks the Morton bit math cross-engine)"),
+     "`zorder_key_lineitem` oracle-checks the Morton bit math cross-engine); "
+     "sources/catalog.py vacuum_versions (VACUUM analogue for write_version "
+     "tables: version-count retention, crashed-writer cleanup, latest never "
+     "eligible — tests/test_catalog_ddl.py)"),
     ("Sink/DDL round-trips (driver-checkable side effects)",
      "`sink_modes_roundtrip` (overwrite+append+mergeSchema+view+tableExists), "
      "`copy_into_roundtrip` (CSV landing -> COPY INTO -> archive -> read-back), "
