@@ -117,10 +117,31 @@ def main() -> None:
         fn(e1)  # warm-up: codegen compile + broadcast paths off the clock
         t1, tk = timed(lambda: fn(e1)), timed(lambda: fn(ek))
         print(f"{name:20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+    from mergermetrics_lakehouse_pipeline_spark.functions import text as tx
+
+    def boilerplate_count(df: DataFrame) -> int:
+        sh = df.select(
+            "doc_id", F.explode(tx.word_shingles_fast("text", 3)).alias("g")
+        )
+        dfc = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+        nd = df.agg(F.count("*").alias("n_docs"))
+        boiler = (
+            dfc.join(F.broadcast(nd), F.lit(True))
+            .filter(F.col("df") >= 0.1 * F.col("n_docs"))
+            .select("g")
+        )
+        return (
+            sh.join(F.broadcast(boiler).withColumn("__b", F.lit(1)), "g", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"), F.count("__b").alias("b"))
+            .count()
+        )
+
     for name, fn in {
         "lexical_pairs": lambda df: cp.lexical_overlap_pairs(
             df, "text", "doc_id", df_max=20, top_k=50
         ).count(),
+        "boilerplate": boilerplate_count,
     }.items():
         fn(d1)  # warm-up
         t1, tk = timed(lambda: fn(d1)), timed(lambda: fn(dk))
@@ -133,7 +154,9 @@ def main() -> None:
     li1.count(), lik.count()
 
     def triangles(df):
-        return gr.count_triangles(gr.copurchase_edges(df)).collect()
+        # eager mode: materialize + release cached relations per run, so
+        # the 1x and 8x measurements don't share accumulated cache
+        return gr.count_triangles(gr.copurchase_edges(df), eager=True).collect()
 
     triangles(li1)  # warm-up
     t1, tk = timed(lambda: triangles(li1)), timed(lambda: triangles(lik))
