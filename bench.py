@@ -93,6 +93,8 @@ EXTENDED_R3 = [
     "docs_boilerplate_phrases",
     "docs_weighted_sample",
     "emb_ivf_exact_topk",
+    "docs_incremental_dedup",
+    "docs_training_shards",
 ]
 
 

@@ -1850,3 +1850,144 @@ def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(salted).alias("priority"),
     )
     return keyed.orderBy("priority", "doc_id").limit(100)
+
+
+@register(
+    "docs_incremental_dedup",
+    _sql_minhash_lsh_cte()
+    + f""",
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    crossset AS (
+      SELECT * FROM pairs WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+    ),
+    shg AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents),
+    near AS (
+      SELECT DISTINCT CASE WHEN c.id_a % 10 = 0 THEN c.id_a ELSE c.id_b END AS doc_id
+      FROM crossset c
+      JOIN shg a ON a.doc_id = c.id_a
+      JOIN shg b ON b.doc_id = c.id_b
+      WHERE ROUND(len(list_intersect(a.s, b.s))
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+    ),
+    ck AS (
+      SELECT doc_id,
+             md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')) AS k
+      FROM documents
+    ),
+    exact AS (
+      SELECT b.doc_id FROM ck b
+      WHERE b.doc_id % 10 = 0
+        AND EXISTS (SELECT 1 FROM ck i WHERE i.doc_id % 10 <> 0 AND i.k = b.k)
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+                WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                ELSE 'new' END AS status
+    FROM documents d WHERE d.doc_id % 10 = 0
+    """,
+    tags=["LLM-dedup", "incremental"],
+)
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: classify an incoming BATCH (every 10th doc
+    stands in for today's crawl) against the existing INDEX (the rest of
+    the corpus) as exact_dup / near_dup / new — the incremental shape a
+    production corpus actually runs (re-deduplicating 100 TB from
+    scratch per ingest is not a plan).
+
+    Scale: exact is a semi join on the md5 content key (128-bit keys,
+    not text). Near-dup candidates come from the SAME banded MinHash
+    used corpus-wide, kept only across the batch/index boundary, then
+    Jaccard-confirmed (>= 0.5) on the bounded candidate set. On a real
+    lakehouse the index side's signatures/bands are precomputed and
+    stored (write_version'd), so per-ingest cost is O(batch) hashing +
+    band-key equi joins against the band index — never O(corpus)
+    re-hashing, and never any all-pairs expansion."""
+    d = T(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+    batch_keys = d.filter(is_batch).select(
+        "doc_id", dd.content_key("text").alias("k")
+    )
+    index_keys = d.filter(~is_batch).select(dd.content_key("text").alias("k")).distinct()
+    exact_ids = batch_keys.join(index_keys, "k", "left_semi").select("doc_id")
+
+    cand = dd.minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+    crossset = cand.filter(
+        (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+    )
+    confirmed = dd.ngram_jaccard_pairs(
+        d, crossset, "text", "doc_id", shingle_n=3, threshold=0.5
+    )
+    near_ids = confirmed.select(
+        F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("doc_id")
+    ).distinct()
+
+    batch = d.filter(is_batch).select("doc_id")
+    return batch.join(
+        exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left"
+    ).join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("__e") == 1, F.lit("exact_dup"))
+        .when(F.col("__n") == 1, F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
+
+
+@register(
+    "docs_training_shards",
+    f"""
+    SELECT CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8
+             AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({SQL_TC}) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=["LLM-export", "roundtrip"],
+)
+def q_docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export (the pipeline's last mile): hash-shard the
+    corpus into 8 deterministic shards, WRITE them as a
+    partitioned-parquet layout, read the layout back, and report
+    per-shard stats. The oracle recomputes the stats from the pristine
+    table, so a doc lost/duplicated/misrouted by the write is a hash
+    mismatch — this driver-checks the physical export path, not just the
+    shard arithmetic.
+
+    Scale: shard = first 16 md5 bits of doc_id mod 8 — stable under
+    re-runs and appends (a doc never migrates shards), uncorrelated
+    with the train/test split hash (different field width). The write
+    is one partitionBy pass; dataloaders then read shard=N dirs
+    directly. Shard count is a knob: at 100 TB pick
+    O(total/target-shard-size); the skew of md5 buckets is
+    binomial-tight, so shards stay within ~1% of each other."""
+    import tempfile
+
+    d = T(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 8
+    )
+    root = tempfile.mkdtemp(prefix="mm_shards_")
+    d.withColumn("shard", shard).write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(root)
+    back = spark.read.parquet(root)
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(tx.token_count("text")).cast("bigint").alias("sum_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -193,6 +193,14 @@ EXTRAS = [
      "`docs_boilerplate_phrases` (C4-style: 3-gram shingles in >= 10% of "
      "docs flagged via corpus-relative threshold; broadcast boilerplate "
      "set back onto the corpus — no self-joins)"),
+    ("Incremental ingestion dedup (LLM extension)",
+     "`docs_incremental_dedup` (batch-vs-index classification: content-key "
+     "semi join for exact dups + cross-boundary MinHash band candidates + "
+     "Jaccard confirm — the O(batch) per-ingest shape, never corpus re-dedup)"),
+    ("Training-shard export (LLM extension)",
+     "`docs_training_shards` (deterministic md5 sharding -> partitionBy "
+     "parquet write -> read-back stats, oracle vs the pristine table — "
+     "driver-checks the physical export path)"),
     ("Weighted sampling (LLM extension)",
      "`docs_weighted_sample` (deterministic weighted sample without "
      "replacement: min-of-w salted md5 hashes, pairwise win odds exactly "
