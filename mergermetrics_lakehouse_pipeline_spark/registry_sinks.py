@@ -266,6 +266,58 @@ def q_ddl_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_roundtrip",
+    """
+    WITH post AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+      FROM customer
+      WHERE NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 0)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           CAST(SUM(CASE WHEN c_acctbal = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeroed
+    FROM post GROUP BY 1
+    """,
+    tags=["DML", "roundtrip"],
+)
+def q_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML round-trip (operators/dml.py): copy customer into a
+    scratch table, DELETE a slice (every third MACHINERY customer),
+    UPDATE negative balances to zero, read back, aggregate per segment.
+    The oracle applies the same DELETE/UPDATE declaratively to the
+    pristine table, so a row wrongly kept/removed or a value wrongly
+    (un)updated flips the hash.
+
+    Scale notes in operators/dml.py: both ops are narrow single-pass
+    plans; Delta executes them natively with file skipping, parquet
+    pays the staged rewrite."""
+    from .operators.dml import delete_from_table, update_table
+
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="mm_dml_rt_")
+    tbl = f"rt_dml_{tag}"
+    write_table(T(spark, sf_dir, "customer"), tbl, "overwrite", path=f"{root}/tbl")
+    delete_from_table(spark, tbl, "c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 0")
+    update_table(spark, tbl, "c_acctbal < 0", {"c_acctbal": "0.0"})
+    out = (
+        spark.table(tbl)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.sum(F.when(F.col("c_acctbal") == 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zeroed"),
+        )
+    )
+    return out
+
+
+@register(
     "dq_expectations",
     """
     WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_checked FROM lineitem)

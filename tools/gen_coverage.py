@@ -143,6 +143,11 @@ EXTRAS = [
      "sources/catalog.py vacuum_versions (VACUUM analogue for write_version "
      "tables: version-count retention, crashed-writer cleanup, latest never "
      "eligible — tests/test_catalog_ddl.py)"),
+    ("Row-level DML (DELETE/UPDATE, lakehouse completeness)",
+     "`dml_roundtrip` (operators/dml.py delete_where/update_where pure "
+     "transforms + Delta-native-or-staged-rewrite table appliers; SQL NULL "
+     "semantics pinned in tests/test_dml.py; oracle applies the same DML "
+     "declaratively to the pristine table)"),
     ("Sink/DDL round-trips (driver-checkable side effects)",
      "`sink_modes_roundtrip` (overwrite+append+mergeSchema+view+tableExists), "
      "`copy_into_roundtrip` (CSV landing -> COPY INTO -> archive -> read-back), "
