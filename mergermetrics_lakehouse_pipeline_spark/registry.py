@@ -1545,6 +1545,7 @@ def _load_extensions() -> None:
         registry_events,
         registry_llm,
         registry_mining,
+        registry_scale,
         registry_sinks,
         registry_tpch,
         registry_tpch2,

@@ -1,0 +1,257 @@
+"""Round-3 scale-pattern registry entries.
+
+Three patterns a 100 TB deployment leans on daily, each expressed so the
+oracle is *exact* (the scale machinery tunes cost, never results):
+
+- ``lineitem_bloom_semi_revenue`` — the runtime-filter join: a Bloom
+  bitmap of the build side prunes the probe side before any shuffle
+  (operators/bloomjoin.py). Oracle = the plain semi-join, because the
+  bloom has no false negatives and the exact confirm removes false
+  positives.
+- ``docs_source_tv_drift`` — corpus drift monitoring: total-variation
+  distance between each source's unigram distribution and the whole
+  corpus. TV is chosen over KL precisely because it needs no logarithm:
+  every term's contribution is an exact BIGINT cross-product, so the
+  statistic is bit-reproducible across engines (log/libm rounding would
+  not be).
+- ``docs_chunk_dedup`` — exact substring-level dedup: non-overlapping
+  64-token chunks hashed and globally deduped keep-first, reported as a
+  per-document retention ratio — the chunk-granularity analogue of
+  document-level exact dedup used to strip repeated boilerplate spans
+  from pre-training corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as tx
+from .registry import REVENUE, SQL_REVENUE, T, register
+from .registry_llm import SQL_TOKS_SAFE
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered semi join
+# ---------------------------------------------------------------------------
+
+_BLOOM_NATIONS = (0, 1, 2)
+
+
+@register(
+    "lineitem_bloom_semi_revenue",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_suppkey IN (
+      SELECT s_suppkey FROM supplier WHERE s_nationkey IN (0, 1, 2)
+    )
+    GROUP BY l_returnflag
+    """,
+    tags=["join", "bloom-filter", "runtime-filter", "scale"],
+)
+def q_lineitem_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by returnflag over lineitems supplied from three nations,
+    with the supplier set applied as a Bloom prefilter + exact semi-join
+    (operators/bloomjoin.py:bloom_semi_join).
+
+    Scale: when the supplier set is too big to broadcast raw, its
+    ~256 KB bitmap still broadcasts; ~97% of non-matching lineitem rows
+    are dropped map-side before the semi-join shuffle. Result is
+    EXACTLY the plain semi-join for any bloom sizing (no false
+    negatives; the confirm join removes false positives)."""
+    from .operators.bloomjoin import bloom_semi_join
+
+    li = T(spark, sf_dir, "lineitem")
+    supp = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(*_BLOOM_NATIONS))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    kept = bloom_semi_join(li, supp, "l_suppkey", n_bits=1 << 16, n_hashes=3)
+    return kept.groupBy("l_returnflag").agg(
+        F.sum(REVENUE()).cast("double").alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus drift: total-variation distance per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_source_tv_drift",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({SQL_TOKS_SAFE}) AS term FROM documents
+    ), tf_s AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY 1, 2
+    ), tf_all AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM tf_s GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS big_t FROM tf_all
+    ), totals AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM tf_s GROUP BY 1
+    ), j AS (
+      SELECT tf_s.source, tf_s.c_st, tf_all.c_t, totals.t_s, tot.big_t
+      FROM tf_s JOIN tf_all USING (term) JOIN totals USING (source) CROSS JOIN tot
+    ), num AS (
+      SELECT source, COUNT(*) AS n_terms, MAX(t_s) AS t_s, MAX(big_t) AS big_t,
+             SUM(ABS(CAST(c_st AS DECIMAL(38,0)) * big_t
+                     - CAST(c_t AS DECIMAL(38,0)) * t_s)) AS num1,
+             CAST(SUM(c_t) AS BIGINT) AS cov
+      FROM j GROUP BY 1
+    )
+    SELECT source, n_terms,
+           ROUND(0.5 * (CAST(num1 AS DOUBLE) / (CAST(t_s AS DOUBLE) * CAST(big_t AS DOUBLE))
+                        + CAST(big_t - cov AS DOUBLE) / CAST(big_t AS DOUBLE)), 6) AS tv_drift
+    FROM num
+    ORDER BY source
+    """,
+    tags=["LLM-text", "corpus", "drift", "quality"],
+)
+def q_docs_source_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain drift: total-variation distance between the
+    source's unigram distribution and the corpus-wide distribution.
+
+    TV(s) = 0.5 * sum_t |p_s(t) - q(t)| decomposes over terms PRESENT in
+    the source plus the mass of corpus terms absent from it:
+    0.5 * (sum_{t in s} |c_st*T - c_t*T_s| / (T_s*T) + (T - cov_s)/T),
+    where cov_s = sum of corpus counts of the source's terms. Every
+    numerator is an exact integer (DECIMAL(38,0) cross-products), so the
+    statistic is bit-reproducible — the reason TV is used here instead
+    of KL (log rounding differs across libm implementations).
+
+    Scale: two hash aggregations (source×term, term) + one equi-join on
+    term; the scalar corpus total broadcasts. Vocabulary never collects
+    to the driver."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tx.tokens("text")).alias("term"))
+    tf_s = tok.groupBy("source", "term").agg(F.count("*").cast("bigint").alias("c_st"))
+    tf_all = tf_s.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    big_t = tf_all.agg(F.sum("c_t").cast("bigint").alias("big_t"))
+
+    j = tf_s.join(tf_all, "term").crossJoin(F.broadcast(big_t))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # The |c_st*T - c_t*T_s| cross-product needs T_s, which is itself a
+    # per-source aggregate — two passes: first the per-source totals
+    # (tiny: one row per source, broadcast back), then the exact
+    # numerator over the term-level join.
+    totals = tf_s.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("t_s"))
+    j2 = j.join(F.broadcast(totals), "source")
+    num = j2.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.max("t_s").alias("t_s"),
+        F.max("big_t").alias("big_t"),
+        F.sum(F.abs(dec("c_st") * F.col("big_t") - dec("c_t") * F.col("t_s"))).alias(
+            "num1"
+        ),
+        F.sum("c_t").cast("bigint").alias("cov"),
+    )
+    return num.select(
+        "source",
+        "n_terms",
+        F.round(
+            F.lit(0.5)
+            * (
+                F.col("num1").cast("double")
+                / (F.col("t_s").cast("double") * F.col("big_t").cast("double"))
+                + (F.col("big_t") - F.col("cov")).cast("double")
+                / F.col("big_t").cast("double")
+            ),
+            6,
+        ).alias("tv_drift"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup
+# ---------------------------------------------------------------------------
+
+_DCHUNK = 64
+
+
+@register(
+    "docs_chunk_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKS_SAFE} AS toks FROM documents
+      WHERE len(trim(text)) > 0
+    ), c AS (
+      SELECT doc_id,
+             unnest(generate_series(0, (len(toks) - 1) // {_DCHUNK})) AS chunk_id,
+             toks
+      FROM t
+    ), h AS (
+      SELECT doc_id, chunk_id,
+             md5(array_to_string(toks[chunk_id*{_DCHUNK}+1 : (chunk_id+1)*{_DCHUNK}], ' ')) AS chunk_hash
+      FROM c
+    ), r AS (
+      SELECT doc_id, chunk_id,
+             ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                ORDER BY doc_id, chunk_id) AS occ
+      FROM h
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS kept_ratio
+    FROM r
+    GROUP BY doc_id
+    """,
+    tags=["LLM-text", "dedup", "chunk"],
+)
+def q_docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup: split every document into
+    NON-overlapping 64-token chunks, hash each, keep only the globally
+    first occurrence of each distinct chunk (ordered by doc_id then
+    chunk position), and report per-document retention — the repeated-
+    span/boilerplate removal step of a pre-training pipeline, one level
+    finer than document-level exact dedup.
+
+    Scale: explode is bounded (n_tokens/64 rows per doc); the keep-first
+    decision is a row_number window partitioned BY THE HASH — i.e. a
+    single shuffle on a uniformly distributed 128-bit key with tiny
+    groups (duplicate count), immune to skew; then one groupBy doc_id.
+    Nothing global, no driver state."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                ((F.size("toks") - 1) / _DCHUNK).cast("bigint"),
+            )
+        ).alias("chunk_id"),
+        "toks",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    (F.col("chunk_id") * _DCHUNK + 1).cast("int"),
+                    _DCHUNK,
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("kept_ratio"),
+    )
