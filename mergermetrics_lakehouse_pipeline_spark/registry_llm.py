@@ -453,6 +453,23 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_pq_topk", None, tags=["LLM-sim", "rows-only"])
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus stored as 8 subspace codes
+    against per-subspace 32-entry codebooks (Lloyd-trained, 3 distributed
+    iterations); queries score candidates by ADC table lookups JVM-side,
+    then exact-rerank the top 12k. Approximate by design — no equality
+    oracle. Measured quality at these parameters: recall@5 = 0.82 vs
+    brute-force cosine_topk on the sf0.01 corpus (500 near-random
+    vectors — a hard case for PQ; real embedding manifolds quantize
+    better), scanning 8 LUT lookups per corpus vector instead of a
+    64-wide dot (tests/test_llm_operators.py::test_pq_recall_vs_bruteforce)."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.pq_cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_sub=8, k_sub=32, n_iter=3, rerank=12
+    )
+
+
 @register("emb_ivf_exact_topk", _COSINE_TOPK_ORACLE, tags=["LLM-sim"])
 def q_emb_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with ``nprobe = n_cells``: every query probes every

@@ -94,6 +94,42 @@ def test_hyperplane_signature_deterministic(spark, sf_dir):
     assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in s1.values())
 
 
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ-ADC with exact re-rank recovers most brute-force neighbors;
+    returned similarities are true cosines (re-ranked), so every hit
+    agrees with brute force on the value too."""
+    from mergermetrics_lakehouse_pipeline_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact_rows = sim.cosine_topk(e, q, k=5).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    exact_sims = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact_rows}
+    approx_rows = sim.pq_cosine_topk(
+        e, q, k=5, n_sub=8, k_sub=32, n_iter=3, rerank=12
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    for r in approx_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_sims:
+            assert abs(r.cosine_sim - exact_sims[key]) < 1e-5
+
+
+def test_pq_codebook_shapes_and_determinism(spark, sf_dir):
+    from mergermetrics_lakehouse_pipeline_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = sim.train_pq_codebooks(e, n_sub=4, k_sub=8, n_iter=1)
+    b2 = sim.train_pq_codebooks(e.repartition(13), n_sub=4, k_sub=8, n_iter=1)
+    assert b1.shape == (4, 8, 16)
+    import numpy as np
+
+    assert np.allclose(b1, b2)  # partitioning-independent training
+
+
 def test_quality_score_discriminates(spark):
     good = "the quick brown fox is running in the park and it is a fine day " * 3
     bad = "!!! ??? ... ;;; ::: !!!"

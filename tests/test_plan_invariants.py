@@ -213,6 +213,7 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
     # documented brute-force baselines or 1-row broadcast cross joins
     bnlj_ok = {
         "emb_cosine_topk",      # documented exact baseline (ANN twins scale)
+        "emb_pq_topk",          # ADC scan: broadcast per-query LUT join (PQ shape)
         "emb_neardup_pairs",    # bucketed pair join uses a non-equi id bound
         "docs_top_terms",       # 1-row corpus-size broadcast cross join
         "docs_unigram_familiarity",  # 1-row totals broadcast
