@@ -95,6 +95,10 @@ EXTENDED_R3 = [
     "emb_ivf_exact_topk",
     "docs_incremental_dedup",
     "docs_training_shards",
+    "lineitem_bloom_semi_revenue",
+    "docs_source_tv_drift",
+    "docs_chunk_dedup",
+    "emb_pq_topk",
 ]
 
 

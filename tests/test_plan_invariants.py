@@ -217,6 +217,7 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "emb_neardup_pairs",    # bucketed pair join uses a non-equi id bound
         "docs_top_terms",       # 1-row corpus-size broadcast cross join
         "docs_unigram_familiarity",  # 1-row totals broadcast
+        "docs_source_tv_drift",  # 1-row corpus-total broadcast
         "docs_lexical_pairs",   # 1-row corpus-size broadcast
         "docs_benchmark_contamination",  # broadcast holdout shingle set
         "dq_expectations",      # 1-row count cross join

@@ -162,6 +162,66 @@ def main() -> None:
     t1, tk = timed(lambda: triangles(li1)), timed(lambda: triangles(lik))
     print(f"{'triangles':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
 
+    # ---- round-3b additions: bloom join / tv drift / chunk dedup ----
+    from mergermetrics_lakehouse_pipeline_spark.operators.bloomjoin import (
+        bloom_semi_join,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.functions import text as tx2
+
+    supp = (
+        registry.T(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(0, 1, 2))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+        .cache()
+    )
+    supp.count()
+
+    def bloom(df):
+        return bloom_semi_join(df, supp, "l_suppkey", n_bits=1 << 16).count()
+
+    def tv_drift(df):
+        tok = df.select("source", F.explode(tx2.tokens("text")).alias("term"))
+        tf_s = tok.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+        tf_all = tf_s.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+        return tf_s.join(tf_all, "term").groupBy("source").count().count()
+
+    def chunk_dedup(df):
+        from pyspark.sql import Window
+
+        toks = df.select("doc_id", tx2.tokens("text").alias("toks")).filter(
+            F.size("toks") > 0
+        )
+        chunks = toks.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"), ((F.size("toks") - 1) / 64).cast("bigint")
+                )
+            ).alias("cid"),
+            "toks",
+        ).select(
+            "doc_id",
+            "cid",
+            F.md5(
+                F.concat_ws(" ", F.slice("toks", (F.col("cid") * 64 + 1).cast("int"), 64))
+            ).alias("h"),
+        )
+        w = Window.partitionBy("h").orderBy("doc_id", "cid")
+        return (
+            chunks.withColumn("occ", F.row_number().over(w))
+            .groupBy("doc_id")
+            .count()
+            .count()
+        )
+
+    bloom(li1)  # warm-up
+    t1, tk = timed(lambda: bloom(li1)), timed(lambda: bloom(lik))
+    print(f"{'bloom_semi_join':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+    for name, fn in {"tv_drift": tv_drift, "chunk_dedup": chunk_dedup}.items():
+        fn(d1)  # warm-up
+        t1, tk = timed(lambda: fn(d1)), timed(lambda: fn(dk))
+        print(f"{name:20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+
 
 if __name__ == "__main__":
     main()
