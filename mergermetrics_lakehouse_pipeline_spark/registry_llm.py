@@ -852,7 +852,8 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard confirm (>= 0.5) -> connected components, labeling
     every document with the MIN doc id reachable through confirmed
     near-dup pairs (keep cluster_id == doc_id rows to dedup the corpus).
-    Spark side runs Pregel-style min-label propagation to fixpoint; the
+    Spark side runs alternating large-star/small-star edge rewiring
+    (O(log^2) phases vs diameter-many label-propagation rounds); the
     oracle computes the same fixpoint with a recursive CTE."""
     d = T(spark, sf_dir, "documents")
     cand = dd.minhash_lsh_candidates(
@@ -861,7 +862,7 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = dd.ngram_jaccard_pairs(
         d, cand, "text", "doc_id", shingle_n=3, threshold=0.5
     )
-    return dd.connected_components(
+    return dd.connected_components_star(
         d.select("doc_id"), conf.select("id_a", "id_b"), id_col="doc_id"
     )
 
@@ -1194,14 +1195,16 @@ def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup endgame: label-bucketed cosine pairs
     (>= 0.30) -> connected components, labeling every vector with the
     MIN vec_id reachable through near-dup edges (keep cluster_id ==
-    vec_id rows to dedup an embedding corpus). Same Pregel-style
-    min-label propagation as docs_dedup_clusters, same recursive-CTE
-    oracle — proving the component operator composes across modalities."""
+    vec_id rows to dedup an embedding corpus). Same large-star/
+    small-star rewiring as docs_dedup_clusters, same recursive-CTE
+    oracle — proving the component operator composes across modalities.
+    The measured sf0.1 graph has diameter ~20: star rewiring converges
+    in 6 phases where label propagation needs 21 edge-shuffles."""
     from .operators import dedup as dd
 
     e = T(spark, sf_dir, "embeddings")
     pairs = sim.embedding_neardup_pairs(e, threshold=0.30, bucket_col="label")
-    return dd.connected_components(
+    return dd.connected_components_star(
         e.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
     )
 

@@ -187,6 +187,45 @@ def test_connected_components_handles_chain_diameter(spark):
     assert all(r.cluster_id == 0 for r in got) and len(got) == 20
 
 
+def test_connected_components_star_matches_label_propagation(spark):
+    """The star-rewiring CC must agree with min-label propagation on
+    every graph shape: chains, stars, singletons, dense blobs, and a
+    pseudo-random pair soup."""
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [(2, 1), (2, 3), (4, 3), (5, 6)],                      # chains + pair
+        [(i, i + 1) for i in range(19)],                       # 20-node path
+        [(0, i) for i in range(1, 10)],                        # star
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],   # clique
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(25)],
+    ]
+    for edges_py in cases:
+        n = max(max(a, b) for a, b in edges_py) + 1
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        edges = spark.createDataFrame(edges_py, ["id_a", "id_b"])
+        ref = {
+            r.doc_id: r.cluster_id
+            for r in dd.connected_components(nodes, edges).collect()
+        }
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dd.connected_components_star(nodes, edges).collect()
+        }
+        assert got == ref, edges_py
+
+
+def test_connected_components_star_empty_edges(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dd.connected_components_star(nodes, edges).collect()
+    }
+    assert got == {i: i for i in range(5)}
+
+
 def test_scrub_pii_redacts_and_preserves(spark):
     df = spark.createDataFrame(
         [
