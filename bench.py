@@ -99,6 +99,7 @@ EXTENDED_R3 = [
     "docs_source_tv_drift",
     "docs_chunk_dedup",
     "emb_pq_topk",
+    "ivm_distinct_users",
 ]
 
 

@@ -52,3 +52,50 @@ def merge_aggregates(
             *[F.sum(c).alias(c) for c in sum_names],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# non-additive aggregates: EXACT incremental DISTINCT via bitmap state
+# ---------------------------------------------------------------------------
+#
+# COUNT DISTINCT is the canonical aggregate that additive IVM cannot
+# maintain (distinct counts don't add across batches). The standard
+# engine answer is mergeable state: keep a per-group bitmap of ids
+# (Spark's bitmap_construct_agg buckets, 32k bits / 4 KB each); any two
+# states OR together, and OR is associative + commutative + idempotent —
+# so delta folding, out-of-order arrival, AND re-delivered batches all
+# yield the exact same state as a from-scratch build. State size is
+# O(groups x occupied buckets), independent of row count.
+
+
+def distinct_state(df: DataFrame, *, keys: list[str], id_col: str) -> DataFrame:
+    """Aggregate one batch into per-(keys, bucket) bitmap state rows."""
+    return (
+        df.select(
+            *keys,
+            F.expr(f"bitmap_bucket_number({id_col})").alias("bucket"),
+            F.expr(f"bitmap_bit_position({id_col})").alias("pos"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+
+
+def merge_distinct_state(
+    base: DataFrame, delta: DataFrame, *, keys: list[str]
+) -> DataFrame:
+    """OR-fold delta state into base state (exact; idempotent on
+    re-delivered deltas — unlike additive counts, double-folding the
+    same batch cannot corrupt a bitmap)."""
+    return (
+        base.unionByName(delta)
+        .groupBy(*keys, "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    )
+
+
+def distinct_from_state(state: DataFrame, *, keys: list[str]) -> DataFrame:
+    """Read off exact distinct counts: SUM of per-bucket popcounts."""
+    return state.groupBy(*keys).agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_distinct")
+    )

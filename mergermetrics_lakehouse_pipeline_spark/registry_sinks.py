@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline.customers import build_city_fixes
-from .registry import T, register
+from .registry import T, events_table, register
 from .session import BRONZE, GOLD, SILVER, ensure_medallion_schemas
 from .sources.catalog import (
     copy_into,
@@ -597,6 +597,40 @@ def q_ivm_monthly_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("_sum_price").cast("double").alias("total_price"),
     )
+
+
+@register(
+    "ivm_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+    """,
+    tags=["incremental", "ivm", "bitmap-table", "mergeable-exact"],
+)
+def q_ivm_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a NON-additive aggregate: exact
+    per-type distinct users kept as mergeable bitmap state
+    (operators/ivm.py:distinct_state). 70% of events stand in for the
+    stored state, the rest arrive as a delta — AND the delta is folded
+    TWICE, because bitmap OR is idempotent, so re-delivered batches
+    cannot corrupt the count (the property additive IVM lacks). The
+    oracle recomputes COUNT DISTINCT from scratch; incremental must
+    match exactly.
+
+    Scale: state is O(types x occupied 32k-bit buckets) — independent
+    of event count; folding a delta touches delta-sized data only."""
+    from .operators.ivm import distinct_from_state, distinct_state, merge_distinct_state
+
+    e = events_table(spark, sf_dir)
+    base_rows = e.filter(F.col("event_id") % 10 < 7)
+    delta_rows = e.filter(F.col("event_id") % 10 >= 7)
+    base = distinct_state(base_rows, keys=["event_type"], id_col="user_id")
+    delta = distinct_state(delta_rows, keys=["event_type"], id_col="user_id")
+    merged = merge_distinct_state(base, delta, keys=["event_type"])
+    # idempotence: folding the SAME delta again must be a no-op
+    merged = merge_distinct_state(merged, delta, keys=["event_type"])
+    return distinct_from_state(merged, keys=["event_type"])
 
 
 @register(

@@ -104,6 +104,35 @@ def test_ivm_merge_handles_new_and_empty_groups(spark):
     assert out2 == {"a": (2, 15.0), "b": (1, 1.0)}
 
 
+def test_ivm_distinct_state_exact_and_idempotent(spark):
+    """Bitmap distinct state: merged state == from-scratch state for any
+    batch split, and re-folding the same delta is a no-op (OR
+    idempotence) — the property that makes re-delivered batches safe."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.ivm import (
+        distinct_from_state,
+        distinct_state,
+        merge_distinct_state,
+    )
+
+    rows = spark.createDataFrame(
+        [("a", i % 40) for i in range(100)] + [("b", i % 7) for i in range(30)],
+        "g string, uid long",
+    )
+    base = distinct_state(rows.filter("uid % 3 != 0"), keys=["g"], id_col="uid")
+    delta = distinct_state(rows.filter("uid % 3 = 0"), keys=["g"], id_col="uid")
+    merged = merge_distinct_state(base, delta, keys=["g"])
+    once = {
+        r.g: r.n_distinct for r in distinct_from_state(merged, keys=["g"]).collect()
+    }
+    assert once == {"a": 40, "b": 7}
+    twice_state = merge_distinct_state(merged, delta, keys=["g"])
+    twice = {
+        r.g: r.n_distinct
+        for r in distinct_from_state(twice_state, keys=["g"]).collect()
+    }
+    assert twice == once
+
+
 def test_sketch_rollup_accuracy(spark):
     """Merged daily HLL sketches estimate per-type distinct users within
     5% of exact, and merging sketches == sketching the raw stream (the
