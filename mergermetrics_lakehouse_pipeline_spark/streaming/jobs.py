@@ -176,6 +176,51 @@ def foreach_batch_upsert(
     stream.sparkSession.catalog.refreshTable(target_table)
 
 
+def foreach_batch_distinct_fold(
+    stream: DataFrame,
+    *,
+    state_table: str,
+    keys: list[str],
+    id_col: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+) -> None:
+    """Stream -> exact per-group DISTINCT counts maintained as bitmap
+    state (operators/ivm.py): each micro-batch aggregates to its own
+    bitmap state and OR-folds into ``state_table``.
+
+    Because bitmap OR is idempotent, a batch re-delivered after a
+    checkpoint/sink desync (the classic foreachBatch at-least-once
+    hazard) folds to the exact same state — this sink is safe WITHOUT
+    relying on transactional writes, which additive streaming counts
+    are not. Read counts off the state any time with
+    ``distinct_from_state`` — no raw-event rescan.
+    """
+    from ..operators.ivm import distinct_state, merge_distinct_state
+
+    spark = stream.sparkSession
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession  # micro-batches run in a cloned session
+        delta = distinct_state(batch, keys=keys, id_col=id_col)
+        if s.catalog.tableExists(state_table):
+            merged = merge_distinct_state(
+                s.table(state_table), delta, keys=keys
+            ).localCheckpoint(eager=True)  # can't overwrite from a live scan
+            merged.write.mode("overwrite").format("parquet").saveAsTable(state_table)
+        else:
+            delta.write.mode("overwrite").format("parquet").saveAsTable(state_table)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s, f"distinct-fold->{state_table}")
+    spark.catalog.refreshTable(state_table)
+
+
 def streaming_attribution_join(
     stream: DataFrame,
     *,

@@ -83,6 +83,60 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path, events_dir):
     assert sink.select(F.count_distinct("event_id")).first()[0] == n_expected
 
 
+def test_foreach_batch_distinct_fold_exact_and_replay_safe(
+    spark, tmp_path, events_dir
+):
+    """Streaming bitmap-distinct maintenance: after the stream drains,
+    counts read off the state table equal batch COUNT DISTINCT; replaying
+    the whole stream from a fresh checkpoint (at-least-once redelivery,
+    worst case) leaves the state byte-identical because bitmap OR is
+    idempotent."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.ivm import (
+        distinct_from_state,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.streaming import (
+        foreach_batch_distinct_fold,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_distinct_state")
+    events = events_table(spark, SF_DIR)
+
+    def run(ckpt: pathlib.Path):
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        foreach_batch_distinct_fold(
+            stream,
+            state_table="t_distinct_state",
+            keys=["event_type"],
+            id_col="user_id",
+            checkpoint_dir=str(ckpt),
+        )
+
+    run(tmp_path / "d1")
+    got = {
+        r.event_type: r.n_distinct
+        for r in distinct_from_state(
+            spark.table("t_distinct_state"), keys=["event_type"]
+        ).collect()
+    }
+    expected = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == expected
+    # full redelivery: fold every batch AGAIN -> state unchanged
+    run(tmp_path / "d2")
+    again = {
+        r.event_type: r.n_distinct
+        for r in distinct_from_state(
+            spark.table("t_distinct_state"), keys=["event_type"]
+        ).collect()
+    }
+    assert again == expected
+    spark.sql("DROP TABLE IF EXISTS t_distinct_state")
+
+
 def test_watermark_present_in_plan(spark, tmp_path, events_dir):
     """The windowed aggregation carries an event-time watermark (bounded
     state on unbounded input)."""
