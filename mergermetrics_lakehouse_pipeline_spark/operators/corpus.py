@@ -91,6 +91,47 @@ def chunk_tokens(
     )
 
 
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    df_frac: float = 0.1,
+) -> DataFrame:
+    """Per-document boilerplate share: a shingle occurring in at least
+    ``df_frac`` of documents is boilerplate; report each doc's shingle
+    count, boilerplate-shingle count, and fraction.
+
+    Scale: occurrence semantics let the shingles ride the
+    codegen-friendly regex pass (word_shingles_fast — no interpreted
+    higher-order dedup); document frequency is one shuffled aggregation
+    with map-side partial distinct; the corpus-relative threshold joins
+    as a 1-row broadcast; the boilerplate set (high-df shingles are FEW
+    by definition — df >= df_frac bounds it at shingles-per-doc/df_frac
+    entries) broadcasts back onto the exploded corpus. No self-joins.
+    """
+    sh = df.select(
+        id_col, F.explode(tx.word_shingles_fast(text_col, shingle_n)).alias("g")
+    )
+    df_counts = sh.groupBy("g").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    boiler = (
+        df_counts.join(F.broadcast(n_docs), F.lit(True))
+        .filter(F.col("df") >= df_frac * F.col("n_docs"))
+        .select("g")
+    )
+    return (
+        sh.join(F.broadcast(boiler).withColumn("__b", F.lit(1)), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count("__b").cast("bigint").alias("n_boiler"),
+            F.round(F.count("__b") / F.count("*"), 6).alias("boiler_frac"),
+        )
+    )
+
+
 def top_rarity_terms(
     df: DataFrame, text_col: str, id_col: str, *, k: int = 3
 ) -> DataFrame:

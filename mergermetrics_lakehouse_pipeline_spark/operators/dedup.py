@@ -287,6 +287,66 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 64,
+) -> DataFrame:
+    """Chunk-granularity exact dedup stats: split each document into
+    NON-overlapping ``chunk_tokens``-token chunks, hash each, keep only
+    the globally first occurrence of each distinct chunk (ordered by
+    ``id_col`` then chunk position), and report per-document retention
+    (n_chunks, n_kept, kept_ratio) — the repeated-span removal step of a
+    pre-training pipeline, one level finer than document-level dedup.
+
+    Scale: explode is bounded (n_tokens/chunk rows per doc); keep-first
+    is a row_number window partitioned BY THE HASH — a uniformly
+    distributed 128-bit key with duplicate-count-sized groups, immune
+    to skew; then one id-keyed aggregation. Nothing global, no driver
+    state.
+    """
+    from ..functions import text as tx
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, tx.tokens(text_col).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    chunks = toks.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                ((F.size("toks") - 1) / chunk_tokens).cast("bigint"),
+            )
+        ).alias("chunk_id"),
+        "toks",
+    ).select(
+        id_col,
+        "chunk_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    (F.col("chunk_id") * chunk_tokens + 1).cast("int"),
+                    chunk_tokens,
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    w = Window.partitionBy("chunk_hash").orderBy(id_col, "chunk_id")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("kept_ratio"),
+    )
+
+
 def connected_components_star(
     nodes: DataFrame,
     edges: DataFrame,

@@ -66,15 +66,12 @@ def update_where(
 
 
 def _staged_overwrite(spark: SparkSession, table_name: str, content: DataFrame) -> None:
-    """Overwrite ``table_name`` with ``content`` via an on-disk staging
-    table (same technique as operators/merge.py — no self-read overwrite,
-    no catalog-less window)."""
-    tmp = f"{table_name}__dml_tmp"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    content.write.mode("overwrite").format("parquet").saveAsTable(tmp)
-    spark.table(tmp).write.mode("overwrite").format("parquet").saveAsTable(table_name)
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    spark.catalog.refreshTable(table_name)
+    """Shared uuid-suffixed staging rewrite
+    (sources/catalog.py:staged_overwrite — no self-read overwrite, no
+    catalog-less window, concurrency-safe staging names)."""
+    from ..sources.catalog import staged_overwrite
+
+    staged_overwrite(spark, table_name, content)
 
 
 def delete_from_table(

@@ -206,16 +206,8 @@ def _merge_table(
         insert_values=insert_values,
         insert_only=insert_only_flag,
     )
-    # Non-Delta overwrite-in-place: materialize the merge result to a
-    # staging table *on disk*, then overwrite the target from that fresh
-    # scan (same staging technique as the reference,
-    # 2_incremental_load_fact.py:82-86). Unlike cache()+overwrite, the
-    # target truncation can never trigger a recompute that reads the
-    # truncated target; unlike DROP+RENAME, no window where the table
-    # location exists without catalog metadata.
-    tmp = f"{table_name}__merge_tmp"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    merged.write.mode("overwrite").format("parquet").saveAsTable(tmp)
-    spark.table(tmp).write.mode("overwrite").format("parquet").saveAsTable(table_name)
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    spark.catalog.refreshTable(table_name)
+    # Non-Delta overwrite-in-place via the shared uuid-suffixed staging
+    # rewrite (sources/catalog.py:staged_overwrite — rationale there).
+    from ..sources.catalog import staged_overwrite
+
+    staged_overwrite(spark, table_name, merged)

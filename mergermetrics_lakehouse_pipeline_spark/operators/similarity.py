@@ -467,6 +467,11 @@ def train_pq_codebooks(
         .collect()
     )
     V = np.array([r.v for r in rows], dtype="float64")
+    if len(V) < k_sub:
+        raise ValueError(
+            f"corpus has {len(V)} vectors, fewer than k_sub={k_sub} needed "
+            "for codebook init — lower k_sub or grow the corpus"
+        )
     V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     dim = V.shape[1]
     if dim % n_sub != 0:

@@ -413,7 +413,11 @@ def q_media_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dec_height",
         "dec_duration_ms",
         F.concat_ws(
-            ",", F.transform("feature", lambda x: F.format_number(x, 6))
+            # format_string, NOT format_number: the latter inserts
+            # thousands-separator commas (1234.5 -> "1,234.500000"),
+            # which would corrupt a comma-delimited serialization once
+            # any feature value reaches 1000
+            ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
         ).alias("feature_csv"),
         "phash",
     )
@@ -1798,23 +1802,10 @@ def q_docs_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a 1-row broadcast; the boilerplate set (high-df shingles are FEW
     by definition — df >= 10% bounds it at 10x shingles-per-doc)
     broadcasts back onto the exploded corpus. No self-joins anywhere."""
-    d = T(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(tx.word_shingles_fast("text", 3)).alias("g"))
-    df_counts = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.agg(F.count("*").alias("n_docs"))
-    boiler = (
-        df_counts.join(F.broadcast(n_docs), F.lit(True))
-        .filter(F.col("df") >= 0.1 * F.col("n_docs"))
-        .select("g")
-    )
-    return (
-        sh.join(F.broadcast(boiler).withColumn("__b", F.lit(1)), "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_shingles"),
-            F.count("__b").cast("bigint").alias("n_boiler"),
-            F.round(F.count("__b") / F.count("*"), 6).alias("boiler_frac"),
-        )
+    from .operators import corpus as cp
+
+    return cp.boilerplate_stats(
+        T(spark, sf_dir, "documents"), "text", "doc_id", shingle_n=3, df_frac=0.1
     )
 
 

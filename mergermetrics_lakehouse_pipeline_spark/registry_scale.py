@@ -23,7 +23,7 @@ oracle is *exact* (the scale machinery tunes cost, never results):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as tx
@@ -217,41 +217,8 @@ def q_docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     single shuffle on a uniformly distributed 128-bit key with tiny
     groups (duplicate count), immune to skew; then one groupBy doc_id.
     Nothing global, no driver state."""
-    docs = T(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tx.tokens("text").alias("toks")).filter(
-        F.size("toks") > 0
-    )
-    chunks = toks.select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("bigint"),
-                ((F.size("toks") - 1) / _DCHUNK).cast("bigint"),
-            )
-        ).alias("chunk_id"),
-        "toks",
-    ).select(
-        "doc_id",
-        "chunk_id",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(
-                    "toks",
-                    (F.col("chunk_id") * _DCHUNK + 1).cast("int"),
-                    _DCHUNK,
-                ),
-            )
-        ).alias("chunk_hash"),
-    )
-    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
-    ranked = chunks.withColumn("occ", F.row_number().over(w))
-    return ranked.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_chunks"),
-        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.round(
-            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
-            / F.count("*"),
-            6,
-        ).alias("kept_ratio"),
+    from .operators.dedup import chunk_dedup_stats
+
+    return chunk_dedup_stats(
+        T(spark, sf_dir, "documents"), "text", "doc_id", chunk_tokens=_DCHUNK
     )

@@ -226,7 +226,11 @@ def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         li.join(
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            # customer is scale-proportional (not a filtered dim) — no
+            # broadcast hint; the 1997-filtered orders side shrinks the
+            # join and AQE picks the strategy. Only the genuinely small
+            # sides (supplier, the ASIA nation list) are hinted below.
+            o.join(c, o.o_custkey == c.c_custkey).select(
                 "o_orderkey", "c_nationkey"
             ),
             li.l_orderkey == F.col("o_orderkey"),

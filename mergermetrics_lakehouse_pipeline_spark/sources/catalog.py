@@ -110,6 +110,32 @@ def copy_into(
     src.write.format(fmt).mode("append").saveAsTable(table)
 
 
+def staged_overwrite(spark: SparkSession, name: str, content: DataFrame) -> None:
+    """Overwrite ``name`` with ``content`` via an on-disk staging table
+    (the reference's own staging technique,
+    2_incremental_load_fact.py:82-86): materialize the new content to a
+    staging table first, then overwrite the target from that fresh scan.
+
+    Unlike cache()+overwrite, the target truncation can never trigger a
+    recompute that reads the truncated target; unlike DROP+RENAME, there
+    is no window where the table location exists without catalog
+    metadata. The staging name is uuid-suffixed so concurrent rewrites
+    of the same table cannot drop each other's staging tables mid-write
+    (they still race on the final overwrite — last writer wins, which is
+    the plain-parquet ceiling; Delta MERGE/DELETE is the transactional
+    path when available).
+    """
+    import uuid
+
+    tmp = f"{name}__stage_{uuid.uuid4().hex[:12]}"
+    try:
+        content.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+        spark.table(tmp).write.mode("overwrite").format("parquet").saveAsTable(name)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.catalog.refreshTable(name)
+
+
 def table_file_stats(spark: SparkSession, name: str) -> dict:
     """Data-file census for a table: count + total bytes (parquet files
     only, ignoring _SUCCESS/commit metadata). The observability half of
@@ -163,17 +189,10 @@ def compact_table(
         compacted = df.repartition(*[F.col(c) for c in partition_by])
         overwrite_partitions(compacted, name)
     else:
-        # a table can't be overwritten from its own live scan — stage the
-        # compacted layout on disk first (same staging technique as the
-        # merge fallback, operators/merge.py), then rewrite from the
-        # staged scan. repartition (not coalesce) so the rewrite keeps
-        # upstream read parallelism.
-        tmp = f"{name}__compact_stage"
-        df.repartition(n_files).write.mode("overwrite").format(
-            "parquet"
-        ).saveAsTable(tmp)
-        spark.table(tmp).write.mode("overwrite").format("parquet").saveAsTable(name)
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        # a table can't be overwritten from its own live scan — use the
+        # shared staging rewrite. repartition (not coalesce) so the
+        # rewrite keeps upstream read parallelism.
+        staged_overwrite(spark, name, df.repartition(n_files))
     spark.catalog.refreshTable(name)
     after = table_file_stats(spark, name)
     return {"before": before, "after": after}
@@ -229,11 +248,19 @@ def read_version(
     return spark.read.parquet(f"{root}/v={v}")
 
 
-def vacuum_versions(root: str, *, keep_last: int = 1) -> list[int]:
+def vacuum_versions(
+    root: str, *, keep_last: int = 1, in_flight_grace_s: float = 86400.0
+) -> list[int]:
     """Reclaim storage from a versioned table: drop snapshot directories
     older than the ``keep_last`` most recent committed versions, plus any
     directory NEWER than the ``_latest`` pointer (a crashed writer's
-    never-committed snapshot). Returns the removed version numbers.
+    never-committed snapshot) — but only once such a directory is older
+    than ``in_flight_grace_s``. A directory above the pointer is
+    indistinguishable from a LIVE writer that has written its snapshot
+    but not yet moved the pointer; deleting it eagerly would destroy
+    that writer's about-to-commit snapshot. The mtime grace (default
+    24h) is the same heuristic Delta's VACUUM applies to uncommitted
+    files. Returns the removed version numbers.
 
     The lakehouse VACUUM analogue for ``write_version`` tables (Delta:
     ``VACUUM ... RETAIN``): the retention floor is expressed in versions,
@@ -249,6 +276,7 @@ def vacuum_versions(root: str, *, keep_last: int = 1) -> list[int]:
     import os
     import re
     import shutil
+    import time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (latest is never vacuumed)")
@@ -257,12 +285,16 @@ def vacuum_versions(root: str, *, keep_last: int = 1) -> list[int]:
         return []
     removed: list[int] = []
     floor = latest - keep_last + 1
+    now = time.time()
     for entry in sorted(os.listdir(root)):
         m = re.fullmatch(r"v=(\d+)", entry)
         if not m:
             continue
         v = int(m.group(1))
+        path = os.path.join(root, entry)
+        if v > latest and now - os.path.getmtime(path) < in_flight_grace_s:
+            continue  # possibly a live writer's not-yet-committed snapshot
         if v < floor or v > latest:
-            shutil.rmtree(os.path.join(root, entry))
+            shutil.rmtree(path)
             removed.append(v)
     return removed

@@ -201,13 +201,20 @@ def foreach_batch_distinct_fold(
     spark = stream.sparkSession
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.catalog import staged_overwrite
+
         s = batch.sparkSession  # micro-batches run in a cloned session
         delta = distinct_state(batch, keys=keys, id_col=id_col)
         if s.catalog.tableExists(state_table):
-            merged = merge_distinct_state(
-                s.table(state_table), delta, keys=keys
-            ).localCheckpoint(eager=True)  # can't overwrite from a live scan
-            merged.write.mode("overwrite").format("parquet").saveAsTable(state_table)
+            # staged on-disk rewrite, NOT cache/localCheckpoint +
+            # overwrite: a failure mid-overwrite from volatile blocks
+            # would lose ALL accumulated state (the streaming checkpoint
+            # only replays the current batch); the staging table keeps a
+            # durable copy of the merged state until the target rewrite
+            # completes
+            staged_overwrite(
+                s, state_table, merge_distinct_state(s.table(state_table), delta, keys=keys)
+            )
         else:
             delta.write.mode("overwrite").format("parquet").saveAsTable(state_table)
 

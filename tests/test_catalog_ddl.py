@@ -177,7 +177,12 @@ def test_vacuum_versions(spark, tmp_path):
 
     with _pt.raises(ValueError):
         vacuum_versions(root, keep_last=0)
-    assert vacuum_versions(root, keep_last=2) == [1, 9]
+    # within the in-flight grace window the uncommitted v=9 is treated as
+    # a possibly-live writer and spared...
+    assert vacuum_versions(root, keep_last=2) == [1]
+    assert os.path.isdir(f"{root}/v=9")
+    # ...past the grace window it is a crashed writer's leftover
+    assert vacuum_versions(root, keep_last=2, in_flight_grace_s=0.0) == [9]
     assert read_version(spark, root, 2).count() == 4   # retained history
     assert read_version(spark, root).count() == 3      # latest untouched
     assert latest_version(root) == 3

@@ -349,9 +349,17 @@ def ledger() -> str:
         for name, row in json.load(open(path)).items():
             if name in verified:
                 continue
-            if row.get("err") is None:
-                kind = "hash" if row.get("hash_match") else "rows-only"
-                verified[name] = (rnd, kind)
+            if row.get("err") is not None:
+                continue
+            # err None alone is NOT verification: an oracle comparison
+            # that RAN but mismatched records err=None with
+            # hash_match=False — that is a failure, not a pass. Only
+            # hash_match=True (full check) or a rows-only row (matches
+            # all None — no oracle registered) count as verified.
+            if row.get("hash_match"):
+                verified[name] = (rnd, "hash")
+            elif row.get("hash_match") is None and row.get("rows_match") is None:
+                verified[name] = (rnd, "rows-only")
 
     names = list(registry.queries())
     oracles = set(registry.oracle_sql())

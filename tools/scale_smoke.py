@@ -120,22 +120,9 @@ def main() -> None:
     from mergermetrics_lakehouse_pipeline_spark.functions import text as tx
 
     def boilerplate_count(df: DataFrame) -> int:
-        sh = df.select(
-            "doc_id", F.explode(tx.word_shingles_fast("text", 3)).alias("g")
-        )
-        dfc = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
-        nd = df.agg(F.count("*").alias("n_docs"))
-        boiler = (
-            dfc.join(F.broadcast(nd), F.lit(True))
-            .filter(F.col("df") >= 0.1 * F.col("n_docs"))
-            .select("g")
-        )
-        return (
-            sh.join(F.broadcast(boiler).withColumn("__b", F.lit(1)), "g", "left")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n"), F.count("__b").alias("b"))
-            .count()
-        )
+        # same operator the registry query runs (no drift between the
+        # measured pipeline and the registered one)
+        return cp.boilerplate_stats(df, "text", "doc_id").count()
 
     for name, fn in {
         "lexical_pairs": lambda df: cp.lexical_overlap_pairs(
@@ -186,33 +173,10 @@ def main() -> None:
         return tf_s.join(tf_all, "term").groupBy("source").count().count()
 
     def chunk_dedup(df):
-        from pyspark.sql import Window
+        from mergermetrics_lakehouse_pipeline_spark.operators.dedup import chunk_dedup_stats
 
-        toks = df.select("doc_id", tx2.tokens("text").alias("toks")).filter(
-            F.size("toks") > 0
-        )
-        chunks = toks.select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("bigint"), ((F.size("toks") - 1) / 64).cast("bigint")
-                )
-            ).alias("cid"),
-            "toks",
-        ).select(
-            "doc_id",
-            "cid",
-            F.md5(
-                F.concat_ws(" ", F.slice("toks", (F.col("cid") * 64 + 1).cast("int"), 64))
-            ).alias("h"),
-        )
-        w = Window.partitionBy("h").orderBy("doc_id", "cid")
-        return (
-            chunks.withColumn("occ", F.row_number().over(w))
-            .groupBy("doc_id")
-            .count()
-            .count()
-        )
+        # same operator the registry query runs
+        return chunk_dedup_stats(df, "text", "doc_id", chunk_tokens=64).count()
 
     bloom(li1)  # warm-up
     t1, tk = timed(lambda: bloom(li1)), timed(lambda: bloom(lik))
