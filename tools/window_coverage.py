@@ -28,8 +28,12 @@ def main() -> None:
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         rnd = path.split("CORRECTNESS_")[1].split(".json")[0]
         for name, row in json.load(open(path)).items():
+            # verified = hash-matched, or a genuine rows-only row (all
+            # comparison fields None). rows_match=True with
+            # hash_match=False is a VALUE mismatch — not verified.
             ok = row.get("err") is None and (
-                row.get("hash_match") is True or row.get("rows_match") is not False
+                row.get("hash_match") is True
+                or (row.get("hash_match") is None and row.get("rows_match") is None)
             )
             if ok and name not in verified:
                 verified[name] = rnd
