@@ -102,6 +102,13 @@ EXTENDED_R3 = [
     "ivm_distinct_users",
 ]
 
+#: Round-4 additions, reported under "extended_r4" — earlier sets stay
+#: frozen so BENCH_r01..r04 compare like-for-like. Populated as round-4
+#: queries land.
+EXTENDED_R4: list[str] = [
+    "emb_pq_exact_topk",
+]
+
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -139,20 +146,44 @@ def main() -> None:
     timings = time_set(HEADLINE)
     extended = time_set(EXTENDED)
     extended_r3 = time_set(EXTENDED_R3)
+    extended_r4 = time_set(EXTENDED_R4)
 
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": runs,
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "extended_r3": extended_r3,
+        "extended_r3_total": round(sum(extended_r3.values()), 3),
+        "extended_r4": extended_r4,
+        "extended_r4_total": round(sum(extended_r4.values()), 3),
+    }
+    # Full detail to a file (the driver's stdout tail capture clipped the
+    # r3 single-line output, losing the headline total)...
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    # ...full line for humans/greppers first, then a COMPACT contract
+    # line LAST so a byte-limited tail always contains a parseable JSON
+    # line carrying the headline metric.
+    print(json.dumps(full))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": full["value"],
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "runs": runs,
-                "extended": extended,
-                "extended_total": round(sum(extended.values()), 3),
-                "extended_r3": extended_r3,
-                "extended_r3_total": round(sum(extended_r3.values()), 3),
+                "extended_total": full["extended_total"],
+                "extended_r3_total": full["extended_r3_total"],
+                "extended_r4_total": full["extended_r4_total"],
+                "detail": "BENCH_LOCAL.json",
             }
         )
     )

@@ -452,8 +452,11 @@ def train_pq_codebooks(
     tensor in the UDF closure; the update collects exactly
     n_sub*k_sub*sub_dim aggregate rows (model-sized — 1,024 doubles at
     the 64-dim/8x16 default — never data-sized). Init is deterministic
-    (subvectors of the k_sub lowest-id corpus vectors), so training is
-    reproducible across runs and partitionings. Empty cells keep their
+    (subvectors of the k_sub lowest-id corpus vectors); the Lloyd update
+    sums doubles via ``F.sum``, whose accumulation order varies with
+    partitioning, so codebooks are reproducible only up to
+    floating-point summation order (hash-exact reproducibility would
+    need sort-before-sum or integer scaling). Empty cells keep their
     previous centroid.
 
     Returns numpy (n_sub, k_sub, sub_dim).

@@ -124,15 +124,33 @@ def staged_overwrite(spark: SparkSession, name: str, content: DataFrame) -> None
     (they still race on the final overwrite — last writer wins, which is
     the plain-parquet ceiling; Delta MERGE/DELETE is the transactional
     path when available).
+
+    Durability: the staging table is dropped ONLY after the target
+    overwrite succeeds. If the target write fails mid-overwrite (executor
+    loss, disk full), the staging table is the sole surviving copy of the
+    new content — deleting it in a ``finally`` would destroy exactly the
+    state a recovery needs (streaming/jobs.py's foreach_batch fold relies
+    on this). On failure the staging table is kept and its name attached
+    to the raised error so an operator can re-run the overwrite from it.
     """
     import uuid
 
     tmp = f"{name}__stage_{uuid.uuid4().hex[:12]}"
     try:
         content.write.mode("overwrite").format("parquet").saveAsTable(tmp)
-        spark.table(tmp).write.mode("overwrite").format("parquet").saveAsTable(name)
-    finally:
+    except Exception:
+        # staging itself failed -> target untouched, nothing worth keeping
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        raise
+    try:
+        spark.table(tmp).write.mode("overwrite").format("parquet").saveAsTable(name)
+    except Exception as exc:
+        raise RuntimeError(
+            f"staged_overwrite of {name!r} failed after staging; the new "
+            f"content survives in staging table {tmp!r} — re-run the "
+            f"overwrite from it, then drop it"
+        ) from exc
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")  # success path only
     spark.catalog.refreshTable(name)
 
 

@@ -339,7 +339,7 @@ def test_streaming_heavy_hitters_space_saving_guarantees(spark, tmp_path, events
     # latest emission per type = the rows with that type's max n_seen
     final = (
         out.sort_values("n_seen")
-        .groupby("event_type", group_keys=False)
+        .groupby("event_type", group_keys=False)[out.columns.tolist()]
         .apply(lambda g: g[g.n_seen == g.n_seen.max()])
     )
 

