@@ -514,8 +514,10 @@ def pq_encode(
     per subspace, L2 on the normalized vector) — one Arrow-batched numpy
     pass; the codebook tensor ships in the closure (model-sized).
 
-    Output: (vec_id, nvec array<double> — the normalized vector, kept for
-    exact re-rank — codes array<int>).
+    Output: (vec_id, vec — the RAW input vector, kept so the exact
+    re-rank can use the same cosine expression as ``cosine_topk`` —
+    nvec array<double> — the normalized vector, used by codebook
+    training — codes array<int>).
     """
     import numpy as np
     import pandas as pd
@@ -537,8 +539,12 @@ def pq_encode(
         return pd.DataFrame({"nvec": list(m), "codes": list(codes)})
 
     return corpus.select(
-        F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("e")
-    ).select("vec_id", F.col("e.nvec").alias("nvec"), F.col("e.codes").alias("codes"))
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        enc(F.col(vec_col)).alias("e"),
+    ).select(
+        "vec_id", "vec", F.col("e.nvec").alias("nvec"), F.col("e.codes").alias("codes")
+    )
 
 
 def pq_cosine_topk(
@@ -552,6 +558,7 @@ def pq_cosine_topk(
     k_sub: int = 16,
     n_iter: int = 2,
     rerank: int = 4,
+    rerank_all: bool = False,
 ) -> DataFrame:
     """PQ-ANN top-k by asymmetric distance computation (ADC) + exact
     re-rank: the corpus is stored as ``n_sub`` byte-ish codes; each query
@@ -566,6 +573,12 @@ def pq_cosine_topk(
     path). The top ``rerank*k`` ADC candidates per query are re-ranked by
     exact cosine, so returned similarities are true cosines; recall is
     measured against brute force in tests. Approximate by design.
+
+    ``rerank_all=True`` is the verification mode: the ADC scores and
+    ranks are still computed (the train -> encode -> LUT -> ADC path
+    executes unchanged) but NO candidate is dropped, so the exact
+    re-rank covers the full corpus and the result reproduces brute-force
+    ``cosine_topk`` exactly — the PQ analogue of IVF's nprobe=n_cells.
     """
     import numpy as np
 
@@ -574,7 +587,7 @@ def pq_cosine_topk(
     )
     sub_dim = books.shape[2]
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col).select(
-        F.col("vec_id").alias("neighbor_id"), "nvec", "codes"
+        F.col("vec_id").alias("neighbor_id"), "vec", "codes"
     )
 
     # queries are the small side (same contract as cosine_topk's
@@ -603,7 +616,12 @@ def pq_cosine_topk(
     cand = (
         scored.withColumn("adc_score", adc)
         .withColumn("adc_rank", F.row_number().over(w_adc))
-        .filter(F.col("adc_rank") <= rerank * k)
+        .filter(
+            # rerank_all keeps every candidate but still computes the ADC
+            # rank (adc_rank >= 1 is always true, yet opaque to Catalyst,
+            # so the quantized scan path executes either way)
+            F.col("adc_rank") >= 1 if rerank_all else F.col("adc_rank") <= rerank * k
+        )
     )
 
     q_vecs = spark.createDataFrame(
@@ -613,8 +631,12 @@ def pq_cosine_topk(
     exact = cand.join(F.broadcast(q_vecs), "query_id").select(
         "query_id",
         "neighbor_id",
-        # nvec is unit-norm; normalize only the query side
-        (dot(F.col("q_vec"), F.col("nvec")) / norm(F.col("q_vec"))).alias("sim"),
+        # same cosine expression as cosine_topk (raw vectors, one
+        # normalization per side) so rerank_all reproduces it bit-exactly
+        (
+            dot(F.col("q_vec"), F.col("vec"))
+            / (norm(F.col("q_vec")) * norm(F.col("vec")))
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

@@ -1466,6 +1466,7 @@ DRIVER_PRIORITY: list[str] = [
     # rows-only, never windowed
     "emb_pq_topk",
     # --- round-4 additions (new surface, oracle-backed) ---
+    "emb_pq_exact_topk",
     # --- padding to the 50-slot window: already-green flagships, one
     # per family (re-verification is harmless; trimmed as round-4
     # additions land above) ---

@@ -474,6 +474,22 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_pq_exact_topk", _COSINE_TOPK_ORACLE, tags=["LLM-sim"])
+def q_emb_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with ``rerank_all=True``: the full train -> encode ->
+    LUT -> ADC-score path executes, but no candidate is dropped before
+    the exact re-rank, so the result reproduces brute-force cosine top-k
+    EXACTLY. Hash-checked against the same oracle as emb_cosine_topk —
+    the PQ analogue of emb_ivf_exact_topk, proving the quantization
+    machinery end-to-end (codebook Lloyd training, subspace encoding,
+    ADC lookup scoring, exact re-rank) rather than only rows-only."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.pq_cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_sub=8, k_sub=32, n_iter=1,
+        rerank_all=True,
+    )
+
+
 @register("emb_ivf_exact_topk", _COSINE_TOPK_ORACLE, tags=["LLM-sim"])
 def q_emb_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search with ``nprobe = n_cells``: every query probes every
