@@ -61,7 +61,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return ranked.filter(F.col("__rn") == 1).drop("__ck", "__rn")
 
 
-def minhash_lsh_candidates(
+def minhash_band_keys(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -70,9 +70,13 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
-
-    Aggregation-based formulation (the 100 TB shape):
+    """LSH band-key rows (doc_id, band, band_key) — the persistable
+    MinHash index for ``df``. This is steps 1-3 of
+    ``minhash_lsh_candidates`` factored out so an ingestion pipeline can
+    compute it ONCE per document and store it (e.g. via
+    ``sources.catalog.write_version``); incremental dedup then bands only
+    the incoming batch and equi-joins its band keys against the stored
+    index instead of re-hashing the corpus.
 
     1. explode shingles to rows, project the ``num_hashes`` md5 columns —
        a flat projection, fully whole-stage-codegen (higher-order
@@ -81,15 +85,7 @@ def minhash_lsh_candidates(
        the shingle pipeline per hash — measured 12x slower);
     2. ``groupBy(doc_id).agg(min(h_i)...)`` — map-side partial MIN
        shrinks the exploded rows before the one signature shuffle;
-    3. band keys as a plain projection over the min columns, explode;
-    4. ``groupBy(band, band_key)`` + sorted ``collect_set`` + in-bucket
-       combination expansion — replaces the bucket self-join (which would
-       recompute the whole signature plan on both sides) with one
-       aggregation; bucket sizes are bounded by banding, so the
-       quadratic expansion is local and small.
-
-    Semantics identical to signature/band-key column functions above
-    (same md5 scheme, same lexicographic MIN) — the SQL oracle ports 1:1.
+    3. band keys as a plain projection over the min columns, explode.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -119,8 +115,62 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
+    return sigs.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+
+
+def lsh_probe_candidates(
+    probe_bands: DataFrame, index_bands: DataFrame
+) -> DataFrame:
+    """Distinct candidate pairs (probe_id, index_id) whose band keys
+    collide — the incremental-ingest probe: ``probe_bands`` is the
+    freshly-banded BATCH (small), ``index_bands`` a stored band-key table
+    (``minhash_band_keys`` output, data-sized but precomputed).
+
+    One equi-join on (band, band_key): Catalyst broadcasts the batch side
+    when small, else it is a shuffle join on the band key — either way
+    per-ingest cost is O(batch hashing + collisions), never O(corpus)
+    re-hashing. Pairs with probe_id == index_id (a doc already indexed)
+    are dropped."""
+    p = probe_bands.select(
+        F.col("doc_id").alias("probe_id"), "band", "band_key"
+    )
+    i = index_bands.select(
+        F.col("doc_id").alias("index_id"), "band", "band_key"
+    )
+    return (
+        i.join(p, ["band", "band_key"])
+        .filter(F.col("probe_id") != F.col("index_id"))
+        .select("probe_id", "index_id")
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    Aggregation-based formulation (the 100 TB shape): band keys from
+    ``minhash_band_keys`` (one shingle-explode + map-side MIN + band
+    projection), then
+
+    4. ``groupBy(band, band_key)`` + sorted ``collect_set`` + in-bucket
+       combination expansion — replaces the bucket self-join (which would
+       recompute the whole signature plan on both sides) with one
+       aggregation; bucket sizes are bounded by banding, so the
+       quadratic expansion is local and small.
+
+    Semantics identical to signature/band-key column functions above
+    (same md5 scheme, same lexicographic MIN) — the SQL oracle ports 1:1.
+    """
+    banded = minhash_band_keys(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
     buckets = (
         banded.groupBy("band", "band_key")

@@ -1919,44 +1919,78 @@ def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["LLM-dedup", "incremental"],
 )
 def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingestion-time dedup: classify an incoming BATCH (every 10th doc
-    stands in for today's crawl) against the existing INDEX (the rest of
-    the corpus) as exact_dup / near_dup / new — the incremental shape a
-    production corpus actually runs (re-deduplicating 100 TB from
-    scratch per ingest is not a plan).
+    """Ingestion-time dedup, O(batch) per ingest: classify an incoming
+    BATCH (every 10th doc stands in for today's crawl) against a
+    PERSISTED index as exact_dup / near_dup / new — the incremental
+    shape a production corpus actually runs (re-deduplicating 100 TB
+    from scratch per ingest is not a plan).
 
-    Scale: exact is a semi join on the md5 content key (128-bit keys,
-    not text). Near-dup candidates come from the SAME banded MinHash
-    used corpus-wide, kept only across the batch/index boundary, then
-    Jaccard-confirmed (>= 0.5) on the bounded candidate set. On a real
-    lakehouse the index side's signatures/bands are precomputed and
-    stored (write_version'd), so per-ingest cost is O(batch) hashing +
-    band-key equi joins against the band index — never O(corpus)
-    re-hashing, and never any all-pairs expansion."""
+    The index build (content keys + MinHash band keys for the existing
+    corpus, ``write_version``'d) happens once, amortized across ingests;
+    this query materializes it first, then the classification plan
+    touches ``documents`` ONLY with the batch filter or a
+    candidate-bounded semi join:
+
+    - exact: batch content keys (O(batch) hashing) LEFT SEMI the stored
+      key table;
+    - near: ``minhash_band_keys`` over the BATCH only, equi-joined
+      against the stored band table (``lsh_probe_candidates`` — batch
+      side broadcasts), then Jaccard-confirmed on documents restricted
+      to the candidate ids (a broadcast semi join, O(candidates) text
+      fetched).
+
+    Plan-asserted in tests/test_llm_operators.py: the candidate join
+    reads the versioned band table, not a re-banded corpus."""
+    import tempfile
+
+    from .sources.catalog import read_version, write_version
+
     d = T(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 0
-    batch_keys = d.filter(is_batch).select(
-        "doc_id", dd.content_key("text").alias("k")
+
+    # --- index build (once per corpus, not per ingest) ---
+    root = tempfile.mkdtemp(prefix="mm_dedup_index_")
+    index_docs = d.filter(~is_batch)
+    write_version(
+        dd.minhash_band_keys(
+            index_docs, "text", "doc_id",
+            num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
+        ),
+        f"{root}/bands",
     )
-    index_keys = d.filter(~is_batch).select(dd.content_key("text").alias("k")).distinct()
+    write_version(
+        index_docs.select(dd.content_key("text").alias("k")).distinct(),
+        f"{root}/keys",
+    )
+    index_bands = read_version(spark, f"{root}/bands")
+    index_keys = read_version(spark, f"{root}/keys")
+
+    # --- per-ingest work: O(batch) hashing + joins against the index ---
+    batch_docs = d.filter(is_batch)
+    batch_keys = batch_docs.select("doc_id", dd.content_key("text").alias("k"))
     exact_ids = batch_keys.join(index_keys, "k", "left_semi").select("doc_id")
 
-    cand = dd.minhash_lsh_candidates(
-        d, "text", "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    batch_bands = dd.minhash_band_keys(
+        batch_docs, "text", "doc_id",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
     )
-    crossset = cand.filter(
-        (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+    cand = dd.lsh_probe_candidates(batch_bands, index_bands).select(
+        F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
     )
+    # fetch + shingle ONLY candidate docs (both sides), keeping the
+    # confirm step O(candidates) in the plan, not just in prose
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    d_cand = d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     confirmed = dd.ngram_jaccard_pairs(
-        d, crossset, "text", "doc_id", shingle_n=3, threshold=0.5
+        d_cand, cand, "text", "doc_id", shingle_n=3, threshold=0.5
     )
-    near_ids = confirmed.select(
-        F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
-        .otherwise(F.col("id_b"))
-        .alias("doc_id")
-    ).distinct()
+    near_ids = confirmed.select(F.col("id_a").alias("doc_id")).distinct()
 
-    batch = d.filter(is_batch).select("doc_id")
+    batch = batch_docs.select("doc_id")
     return batch.join(
         exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left"
     ).join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left").select(

@@ -334,3 +334,58 @@ def test_pca_projection_invariants(spark, sf_dir):
     assert sorted((r.vec_id, r.pc1, r.pc2) for r in out) == sorted(
         (r.vec_id, r.pc1, r.pc2) for r in out2
     )
+
+
+def test_lsh_probe_matches_cross_boundary_candidates(spark, sf_dir):
+    """lsh_probe_candidates(batch bands, index bands) must reproduce
+    exactly the cross-boundary subset of the full-corpus candidate set —
+    the equivalence that lets incremental dedup band only the batch."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_batch = F.col("doc_id") % 10 == 0
+    full = dd.minhash_lsh_candidates(d, "text", "doc_id")
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.filter(
+            (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+        ).collect()
+    }
+    batch_bands = dd.minhash_band_keys(d.filter(is_batch), "text", "doc_id")
+    index_bands = dd.minhash_band_keys(d.filter(~is_batch), "text", "doc_id")
+    got = {
+        (min(r.probe_id, r.index_id), max(r.probe_id, r.index_id))
+        for r in dd.lsh_probe_candidates(batch_bands, index_bands).collect()
+    }
+    assert got == want
+
+
+def test_incremental_dedup_plan_reads_band_index(spark, sf_dir):
+    """O(batch) plan shape: the candidate join's index side must read the
+    PERSISTED band table (write_version parquet), and the only documents
+    scan in the candidate plan is the batch side — no full-corpus
+    re-banding per ingest."""
+    import tempfile
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.catalog import (
+        read_version,
+        write_version,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_batch = F.col("doc_id") % 10 == 0
+    # short path on purpose: FileScan Location strings truncate ~100
+    # chars, and the assertion greps the path
+    root = tempfile.mkdtemp() + "/band_index"
+    write_version(
+        dd.minhash_band_keys(d.filter(~is_batch), "text", "doc_id"), root
+    )
+    batch_bands = dd.minhash_band_keys(d.filter(is_batch), "text", "doc_id")
+    cand = dd.lsh_probe_candidates(batch_bands, read_version(spark, root))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1  # batch side only
+    assert "band_index/v=1" in plan  # index side reads the stored bands
+    # and the registered query composes the same shape end-to-end
+    from mergermetrics_lakehouse_pipeline_spark import registry_llm
+
+    out = registry_llm.q_docs_incremental_dedup(spark, sf_dir)
+    qplan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mm_dedup_index_" in qplan  # classification reads the index tables
