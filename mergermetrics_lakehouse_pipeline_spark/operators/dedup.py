@@ -145,6 +145,74 @@ def lsh_probe_candidates(
     )
 
 
+def incremental_classify(
+    docs: DataFrame,
+    batch_docs: DataFrame,
+    index_bands: DataFrame,
+    index_keys: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classify an incoming batch against a PERSISTED dedup index as
+    exact_dup / near_dup / new — the O(batch)-per-ingest kernel.
+
+    ``index_bands`` is a stored ``minhash_band_keys`` table and
+    ``index_keys`` a stored distinct content-key table (column ``k``) —
+    both precomputed once per corpus (e.g. ``write_version``'d), so this
+    function's plan touches document text only (a) under the batch
+    filter and (b) via a broadcast semi join bounded to candidate ids:
+
+    - exact: batch content keys LEFT SEMI ``index_keys``;
+    - near: ``minhash_band_keys`` over the batch only, probed against
+      ``index_bands`` (``lsh_probe_candidates``), Jaccard-confirmed
+      (>= ``threshold``) on ``docs`` restricted to candidate ids.
+
+    Returns (doc_id, status) for every batch doc.
+    """
+    batch_keys = batch_docs.select(
+        F.col(id_col).alias("doc_id"), content_key(text_col).alias("k")
+    )
+    exact_ids = batch_keys.join(index_keys, "k", "left_semi").select("doc_id")
+
+    batch_bands = minhash_band_keys(
+        batch_docs, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    cand = lsh_probe_candidates(batch_bands, index_bands).select(
+        F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__cand_id"))
+        .union(cand.select(F.col("id_b").alias("__cand_id")))
+        .distinct()
+    )
+    d_cand = docs.join(
+        F.broadcast(cand_ids),
+        docs[id_col] == F.col("__cand_id"),
+        "left_semi",
+    )
+    confirmed = ngram_jaccard_pairs(
+        d_cand, cand, text_col, id_col, shingle_n=shingle_n, threshold=threshold
+    )
+    near_ids = confirmed.select(F.col("id_a").alias("doc_id")).distinct()
+
+    batch = batch_docs.select(F.col(id_col).alias("doc_id"))
+    return batch.join(
+        exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left"
+    ).join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("__e") == 1, F.lit("exact_dup"))
+        .when(F.col("__n") == 1, F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,

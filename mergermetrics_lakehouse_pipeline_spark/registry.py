@@ -1467,6 +1467,7 @@ DRIVER_PRIORITY: list[str] = [
     "emb_pq_topk",
     # --- round-4 additions (new surface, oracle-backed) ---
     "emb_pq_exact_topk",
+    "docs_dedup_index_evolution",
     # --- padding to the 50-slot window: already-green flagships, one
     # per family (re-verification is harmless; trimmed as round-4
     # additions land above) ---

@@ -1966,39 +1966,155 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_keys = read_version(spark, f"{root}/keys")
 
     # --- per-ingest work: O(batch) hashing + joins against the index ---
-    batch_docs = d.filter(is_batch)
-    batch_keys = batch_docs.select("doc_id", dd.content_key("text").alias("k"))
-    exact_ids = batch_keys.join(index_keys, "k", "left_semi").select("doc_id")
+    return dd.incremental_classify(
+        d, d.filter(is_batch), index_bands, index_keys,
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3, threshold=0.5,
+    )
 
-    batch_bands = dd.minhash_band_keys(
-        batch_docs, "text", "doc_id",
-        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
-    )
-    cand = dd.lsh_probe_candidates(batch_bands, index_bands).select(
-        F.col("probe_id").alias("id_a"), F.col("index_id").alias("id_b")
-    )
-    # fetch + shingle ONLY candidate docs (both sides), keeping the
-    # confirm step O(candidates) in the plan, not just in prose
-    cand_ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .union(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    d_cand = d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    confirmed = dd.ngram_jaccard_pairs(
-        d_cand, cand, "text", "doc_id", shingle_n=3, threshold=0.5
-    )
-    near_ids = confirmed.select(F.col("id_a").alias("doc_id")).distinct()
 
-    batch = batch_docs.select("doc_id")
-    return batch.join(
-        exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left"
-    ).join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left").select(
-        "doc_id",
-        F.when(F.col("__e") == 1, F.lit("exact_dup"))
-        .when(F.col("__n") == 1, F.lit("near_dup"))
-        .otherwise(F.lit("new"))
-        .alias("status"),
+_SQL_JACCARD_CONFIRM = """
+  SELECT DISTINCT c.batch_id AS doc_id
+  FROM {cand} c JOIN shg x ON x.doc_id = c.batch_id
+                JOIN shg y ON y.doc_id = c.index_id
+  WHERE ROUND(len(list_intersect(x.s, y.s))
+              / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) >= 0.5
+"""
+
+
+@register(
+    "docs_dedup_index_evolution",
+    _sql_minhash_lsh_cte()
+    + f""",
+    shg AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents),
+    ck AS (
+      SELECT doc_id,
+             md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')) AS k
+      FROM documents
+    ),
+    cand1 AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 5)
+    ),
+    near1 AS ({_SQL_JACCARD_CONFIRM.format(cand="cand1")}),
+    exact1 AS (
+      SELECT DISTINCT a.doc_id FROM ck a
+      WHERE a.doc_id % 10 = 0
+        AND EXISTS (SELECT 1 FROM ck i
+                    WHERE i.doc_id % 10 NOT IN (0, 5) AND i.k = a.k)
+    ),
+    s1 AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM exact1) THEN 'exact_dup'
+                  WHEN d.doc_id IN (SELECT doc_id FROM near1) THEN 'near_dup'
+                  ELSE 'new' END AS status
+      FROM documents d WHERE d.doc_id % 10 = 0
+    ),
+    idx1 AS (
+      SELECT doc_id FROM documents WHERE doc_id % 10 NOT IN (0, 5)
+      UNION ALL
+      SELECT doc_id FROM s1 WHERE status = 'new'
+    ),
+    cand2 AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      JOIN idx1 i ON i.doc_id = b.doc_id
+      WHERE a.doc_id % 10 = 5
+    ),
+    near2 AS ({_SQL_JACCARD_CONFIRM.format(cand="cand2")}),
+    exact2 AS (
+      SELECT DISTINCT a.doc_id FROM ck a
+      WHERE a.doc_id % 10 = 5
+        AND EXISTS (SELECT 1 FROM ck i JOIN idx1 x ON x.doc_id = i.doc_id
+                    WHERE i.k = a.k)
+    ),
+    s2 AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM exact2) THEN 'exact_dup'
+                  WHEN d.doc_id IN (SELECT doc_id FROM near2) THEN 'near_dup'
+                  ELSE 'new' END AS status
+      FROM documents d WHERE d.doc_id % 10 = 5
+    )
+    SELECT doc_id, CAST(1 AS BIGINT) AS ingest, status FROM s1
+    UNION ALL
+    SELECT doc_id, CAST(2 AS BIGINT) AS ingest, status FROM s2
+    """,
+    tags=["LLM-dedup", "incremental", "versioned"],
+)
+def q_docs_dedup_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO consecutive ingests against an EVOLVING persisted dedup index
+    — the cross-run composition of ``incremental_classify`` with
+    ``write_version``: ingest 1 (doc_id%10==0) classifies against the
+    base index (v1); its 'new' docs are then APPENDED to the index
+    (band keys + content keys, written as v2 — only the new docs are
+    hashed, O(batch1_new)); ingest 2 (doc_id%10==5) classifies against
+    v2, so a batch-2 doc duplicating a batch-1 'new' doc correctly
+    reports exact_dup/near_dup.
+
+    This is the lifecycle a production corpus runs daily: the index is
+    data-sized but persisted; each ingest pays O(batch) hashing plus
+    band-key equi joins. The oracle replays both ingests declaratively
+    over the same md5 arithmetic, so index evolution (who was in the
+    index when batch 2 arrived) is hash-checked, not just the single
+    classification."""
+    import tempfile
+
+    from .sources.catalog import read_version, write_version
+
+    d = T(spark, sf_dir, "documents")
+    in_b1 = F.col("doc_id") % 10 == 0
+    in_b2 = F.col("doc_id") % 10 == 5
+
+    root = tempfile.mkdtemp(prefix="mm_dedup_evo_")
+    bands_root, keys_root = f"{root}/bands", f"{root}/keys"
+    index0 = d.filter(~in_b1 & ~in_b2)
+    write_version(
+        dd.minhash_band_keys(
+            index0, "text", "doc_id",
+            num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
+        ),
+        bands_root,
+    )
+    write_version(
+        index0.select(dd.content_key("text").alias("k")).distinct(), keys_root
+    )
+
+    # ingest 1 vs index v1 (read_version pins the version at call time)
+    s1 = dd.incremental_classify(
+        d, d.filter(in_b1),
+        read_version(spark, bands_root), read_version(spark, keys_root),
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3, threshold=0.5,
+    )
+
+    # index evolution: append ONLY batch-1 'new' docs (v2)
+    b1_new = s1.filter(F.col("status") == "new").select("doc_id")
+    b1_docs_new = d.filter(in_b1).join(F.broadcast(b1_new), "doc_id", "left_semi")
+    write_version(
+        read_version(spark, bands_root).union(
+            dd.minhash_band_keys(
+                b1_docs_new, "text", "doc_id",
+                num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
+            )
+        ),
+        bands_root,
+    )
+    write_version(
+        read_version(spark, keys_root)
+        .union(b1_docs_new.select(dd.content_key("text").alias("k")))
+        .distinct(),
+        keys_root,
+    )
+
+    # ingest 2 vs index v2
+    s2 = dd.incremental_classify(
+        d, d.filter(in_b2),
+        read_version(spark, bands_root), read_version(spark, keys_root),
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3, threshold=0.5,
+    )
+    one, two = F.lit(1).cast("bigint"), F.lit(2).cast("bigint")
+    return s1.select("doc_id", one.alias("ingest"), "status").union(
+        s2.select("doc_id", two.alias("ingest"), "status")
     )
 
 
