@@ -634,6 +634,53 @@ def q_ivm_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_distinct_fold_roundtrip",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+    """,
+    tags=["streaming", "ivm", "bitmap-table", "roundtrip", "redelivery"],
+)
+def q_streaming_distinct_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run of the redelivery-safe distinct
+    fold (streaming/jobs.py foreach_batch_distinct_fold): a file-source
+    stream over events feeds an availableNow foreachBatch job that
+    OR-folds per-micro-batch bitmap state into a catalog state table —
+    then the ENTIRE stream is replayed with a fresh checkpoint (the
+    worst-case at-least-once redelivery), folding every event a second
+    time. The final counts are read off the state table, never from the
+    raw events, and the oracle recomputes COUNT(DISTINCT) from scratch:
+    a hash match proves the streaming sink's idempotence claim (double
+    delivery cannot corrupt bitmap state) with driver evidence, not
+    just a pytest.
+
+    Scale: state is O(groups x occupied 32k-bit buckets) regardless of
+    stream length; each micro-batch shuffles only its own delta, and the
+    fold rewrites state-sized (not stream-sized) data."""
+    from .operators.ivm import distinct_from_state
+    from .streaming.jobs import foreach_batch_distinct_fold, read_events_stream
+
+    state = f"stream_distinct_state_{uuid.uuid4().hex[:8]}"
+    # file streams need a landing DIRECTORY; stage events as 4 files so
+    # maxFilesPerTrigger=1 forces multiple micro-batches (per-batch
+    # folding, not one big fold)
+    landing = tempfile.mkdtemp(prefix="mm_events_landing_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    for _ in range(2):  # pass 2 = full redelivery (fresh checkpoint)
+        foreach_batch_distinct_fold(
+            read_events_stream(spark, landing, max_files_per_trigger=1),
+            state_table=state,
+            keys=["event_type"],
+            id_col="user_id",
+            checkpoint_dir=tempfile.mkdtemp(prefix="mm_ckpt_distinct_"),
+        )
+    return distinct_from_state(spark.table(state), keys=["event_type"])
+
+
+@register(
     "time_travel_diff_roundtrip",
     """
     WITH v1 AS (SELECT n_nationkey, n_name FROM nation),
