@@ -108,6 +108,7 @@ EXTENDED_R3 = [
 EXTENDED_R4: list[str] = [
     "emb_pq_exact_topk",
     "docs_dedup_index_evolution",
+    "skew_aqe_join",
 ]
 
 

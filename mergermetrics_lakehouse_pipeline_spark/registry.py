@@ -1469,6 +1469,7 @@ DRIVER_PRIORITY: list[str] = [
     "emb_pq_exact_topk",
     "docs_dedup_index_evolution",
     "streaming_distinct_fold_roundtrip",
+    "skew_aqe_join",
     # --- padding to the 50-slot window: already-green flagships, one
     # per family (re-verification is harmless; trimmed as round-4
     # additions land above) ---

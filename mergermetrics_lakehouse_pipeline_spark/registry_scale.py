@@ -222,3 +222,128 @@ def q_docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_stats(
         T(spark, sf_dir, "documents"), "text", "doc_id", chunk_tokens=_DCHUNK
     )
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join (the salted join's automatic twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_aqe_join",
+    """
+    WITH l AS (
+      SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey END AS sk,
+             l_quantity,
+             md5(CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)) AS line_tag
+      FROM lineitem
+    ),
+    d AS (
+      SELECT o_orderkey AS sk, o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 10 >= 8
+      UNION ALL
+      SELECT 0, '0-HOT'
+    )
+    SELECT d.priority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MIN(l.line_tag) AS first_tag
+    FROM l JOIN d ON l.sk = d.sk
+    GROUP BY 1
+    """,
+    tags=["skew", "aqe"],
+)
+def q_skew_aqe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join handling — the AUTOMATIC twin of skew_salted_join:
+    a deliberately skewed key (80% of lineitem rows collapse onto sk=0,
+    matched by a single hot dim row) joined un-salted as a shuffle
+    sort-merge join; Spark's adaptive OptimizeSkewedJoin splits the
+    oversized partition into per-mapper chunks at runtime, replicating
+    the matching build rows — the same replicate-the-build-side trick
+    salted_join hand-rolls, but chosen from runtime shuffle statistics
+    instead of a hand-tuned salt constant.
+
+    Three test-scale accommodations, each standing in for a property a
+    real cluster has natively (documented in SCALE.md):
+    - the probe is ``repartition(32)``'d first: a skewed REDUCE
+      partition can only be split at MAP-output boundaries, and the
+      single-file test parquet yields one map task (a 100 TB scan has
+      thousands);
+    - each probe row carries a high-entropy md5 ``line_tag``: AQE skew
+      stats are COMPRESSED byte sizes, and 48k identical ``(0, qty)``
+      rows LZ4-compress to less than 2x the median partition — real
+      wide rows don't;
+    - the skew thresholds are lowered (scoped: set, execute to scratch
+      parquet, restore) since the 256 MB defaults are right at cluster
+      scale, not at sf0.01.
+
+    The oracle is the plain join — AQE must never change results, only
+    partitioning. The skew=true marker on the executed SortMergeJoin is
+    asserted in tests/test_plan_invariants.py::test_aqe_skew_join_splits.
+    """
+    import tempfile
+
+    agg = build_aqe_skew_join(spark, sf_dir)
+    keys = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        tmp = tempfile.mkdtemp(prefix="mm_aqe_skew_")
+        agg.write.mode("overwrite").parquet(tmp)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(tmp)
+
+
+def build_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-executed skewed-join plan behind ``skew_aqe_join`` (shared
+    with the plan-assertion test)."""
+    sk_l = F.when(F.col("l_orderkey") % 10 < 8, F.lit(0).cast("bigint")).otherwise(
+        F.col("l_orderkey")
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            sk_l.alias("sk"),
+            "l_quantity",
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ).alias("line_tag"),
+        )
+        .repartition(32)
+    )
+    tail = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 >= 8)
+        .select(F.col("o_orderkey").alias("sk"), F.col("o_orderpriority").alias("priority"))
+    )
+    hot = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("sk"), F.lit("0-HOT").alias("priority")
+    )
+    dim = tail.unionByName(hot)
+    return (
+        li.join(dim.hint("merge"), "sk")
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.min("line_tag").alias("first_tag"),
+        )
+    )

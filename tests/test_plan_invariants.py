@@ -214,6 +214,7 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
     bnlj_ok = {
         "emb_cosine_topk",      # documented exact baseline (ANN twins scale)
         "emb_pq_topk",          # ADC scan: broadcast per-query LUT join (PQ shape)
+        "emb_pq_exact_topk",    # same ADC scan, verification mode (rerank_all)
         "emb_neardup_pairs",    # bucketed pair join uses a non-equi id bound
         "docs_top_terms",       # 1-row corpus-size broadcast cross join
         "docs_unigram_familiarity",  # 1-row totals broadcast
@@ -438,3 +439,40 @@ def test_cbo_stats_flip_broadcast_decision(spark):
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS t_cbo_fact")
         spark.sql("DROP TABLE IF EXISTS t_cbo_dim")
+
+
+def test_aqe_skew_join_splits(spark, sf_dir):
+    """AQE OptimizeSkewedJoin must actually split the hot partition of
+    the deliberately skewed join (registry_scale.skew_aqe_join): the
+    executed SortMergeJoin carries the skew=true marker. Asserts the
+    AUTOMATIC twin of the salted join really engages — a silently
+    non-triggering skew demo would be indistinguishable from a plain
+    join."""
+    from mergermetrics_lakehouse_pipeline_spark.registry_scale import (
+        build_aqe_skew_join,
+    )
+
+    keys = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        agg = build_aqe_skew_join(spark, sf_dir)
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin(skew=true)" in plan
+    # AQE must not change results: hot group carries 80% of lineitem
+    hot = {r.priority: r.n_lines for r in rows}["0-HOT"]
+    total = sum(r.n_lines for r in rows)
+    assert abs(hot / total - 0.8) < 0.02
