@@ -109,6 +109,9 @@ EXTENDED_R4: list[str] = [
     "emb_pq_exact_topk",
     "docs_dedup_index_evolution",
     "skew_aqe_join",
+    "docs_bm25_topk",
+    "docs_source_quota",
+    "emb_cluster_assignments",
 ]
 
 

@@ -355,3 +355,103 @@ def lexical_overlap_pairs(
         .orderBy(F.col("score").desc(), "doc_a", "doc_b")
         .limit(top_k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Lexical retrieval: top-``k`` documents for a fixed bag-of-words
+    query under a rational-idf BM25 variant — the classic sparse
+    retriever a training pipeline runs for benchmark decontamination
+    lookups, counterfactual mining, or hybrid (lexical + vector) search
+    next to the ANN operators.
+
+    idf(t) = (N - df + 0.5) / (df + 0.5)   (log omitted: a monotone
+    transform that changes no ranking *per term*, and keeping the score
+    a pure rational expression makes it bit-reproducible across engines
+    — libm log would not be)
+    score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale: one pass computes per-doc tf columns (JVM array filters, no
+    explode); corpus stats (N, total tokens, per-term df) collapse to a
+    SINGLE scalar row broadcast back; the top-k is sort+limit
+    (TakeOrderedAndProject — never a global sort). Query terms are the
+    bounded side (a query has tens of terms, not millions).
+    """
+    toks = tx.tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).withColumn("dl", F.size("toks").cast("double"))
+    for i, t in enumerate(query_terms):
+        base = base.withColumn(
+            f"tf{i}",
+            F.size(F.filter("toks", lambda x: x == F.lit(t))).cast("double"),
+        )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).cast("double").alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sum_dl") / F.col("n_docs")
+    )
+    score = None
+    for i in range(len(query_terms)):
+        idf = (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) / (
+            F.col(f"df{i}") + F.lit(0.5)
+        )
+        part = idf * (
+            (F.col(f"tf{i}") * F.lit(k1 + 1.0))
+            / (
+                F.col(f"tf{i}")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("dl"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def source_quota_sample(
+    docs: DataFrame,
+    source_col: str,
+    id_col: str,
+    *,
+    quota: int,
+) -> DataFrame:
+    """Per-source document cap — corpus curation's anti-domination rule
+    (no single crawl/domain may exceed ``quota`` docs in the mix).
+    Priority is the md5 of the doc id: uniform, reproducible under
+    re-runs/repartitioning, and uncorrelated with content or the other
+    sampling hashes (different field, no salt collision).
+
+    Scale: one window per source partition (row_number over the hash) —
+    a single shuffle on the source key; skewed sources are bounded by
+    the quota on output and AQE skew handling on input."""
+    from pyspark.sql import Window
+
+    renamed = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    ).withColumn("priority", F.md5(F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return renamed.withColumn(
+        "quota_rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("quota_rank") <= quota)

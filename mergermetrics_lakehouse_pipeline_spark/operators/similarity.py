@@ -733,3 +733,41 @@ def pca_project(
         for c in range(n_components)
     ]
     return corpus.select(F.col(id_col), *out_cols)
+
+
+def cosine_cluster_assign(
+    corpus: DataFrame,
+    centroids_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact nearest-centroid assignment, fully JVM-side — the
+    oracle-checkable twin of ``ivf_assign``'s Arrow kernel (numpy BLAS
+    matmuls reorder float accumulation; the ``dot``/``norm`` fold here
+    accumulates in index order, matching SQL engines bit-for-bit, which
+    is what lets a DuckDB oracle hash-verify the quantizer semantics).
+
+    ``centroids_df`` must be model-sized (centroid_id, c_vec): it rides
+    a broadcast, so the per-vector cost is k cosines and the only
+    shuffle is the argmax window's partition-by-vector — and even that
+    collapses to a map-side top-1 per vector since the broadcast join
+    preserves the corpus partitioning.
+
+    Output: (vec_id, centroid_id, cosine_sim) — one row per corpus
+    vector, deterministic tie-break on the lower centroid id.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    scored = v.join(F.broadcast(centroids_df)).select(
+        "vec_id",
+        "centroid_id",
+        (dot(F.col("v"), F.col("c_vec")) / (norm(F.col("v")) * norm(F.col("c_vec")))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "centroid_id", F.round("sim", 6).alias("cosine_sim"))
+    )

@@ -1470,6 +1470,9 @@ DRIVER_PRIORITY: list[str] = [
     "docs_dedup_index_evolution",
     "streaming_distinct_fold_roundtrip",
     "skew_aqe_join",
+    "docs_bm25_topk",
+    "docs_source_quota",
+    "emb_cluster_assignments",
     # --- padding to the 50-slot window: already-green flagships, one
     # per family (re-verification is harmless; trimmed as round-4
     # additions land above) ---

@@ -1972,6 +1972,127 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "query", "join", "window"]
+
+
+def _sql_bm25_part(i: int) -> str:
+    """One query-term's BM25 contribution; literal-for-literal the same
+    expression tree the Spark side builds (0.5/1.2/2.2/0.25/0.75 parse
+    to identical doubles in both engines; 1.2+1.0 == parse('2.2') and
+    1.0-0.75 == parse('0.25') exactly)."""
+    idf = (
+        f"((n_docs - df{i} + CAST(0.5 AS DOUBLE)) / (df{i} + CAST(0.5 AS DOUBLE)))"
+    )
+    den = (
+        f"(tf{i} + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) "
+        f"+ CAST(0.75 AS DOUBLE) * (dl / avgdl)))"
+    )
+    return f"{idf} * ((tf{i} * CAST(2.2 AS DOUBLE)) / {den})"
+
+
+@register(
+    "docs_bm25_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             {", ".join(f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM t
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl,
+             {", ".join(f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}" for i in range(len(_BM25_TERMS)))}
+      FROM b
+    ), j AS (
+      SELECT b.*, s.*, (s.sum_dl / s.n_docs) AS avgdl FROM b CROSS JOIN s
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           ROUND({" + ".join(_sql_bm25_part(i) for i in range(len(_BM25_TERMS)))}, 6)
+             AS bm25
+    FROM j
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """.format(toks="__TOKS__").replace("__TOKS__", SQL_TOKS_SAFE),
+    tags=["LLM-text", "retrieval", "bm25"],
+)
+def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-20 retrieval for a fixed 4-term query under
+    rational-idf BM25 (operators/corpus.py:bm25_topk) — the sparse
+    retriever half of hybrid search next to emb_cosine_topk's dense
+    half. The log is omitted from idf (monotone per term) so the score
+    is a pure rational expression both engines evaluate bit-identically;
+    corpus stats (N, avgdl, per-term df) collapse to ONE scalar row
+    broadcast back; top-k is TakeOrderedAndProject."""
+    from .operators import corpus as cp
+
+    return cp.bm25_topk(
+        T(spark, sf_dir, "documents"), "text", "doc_id", _BM25_TERMS, k=20
+    )
+
+
+@register(
+    "docs_source_quota",
+    """
+    WITH r AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS priority,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  AS BIGINT) AS quota_rank
+      FROM documents
+    )
+    SELECT doc_id, source, priority, quota_rank FROM r WHERE quota_rank <= 10
+    """,
+    tags=["LLM-text", "sampling", "curation"],
+)
+def q_docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (10 docs/source) with an md5 hash priority —
+    corpus curation's anti-domination rule, reproducible under re-runs
+    and uncorrelated with the train/test-split and rebalance hashes.
+    One window shuffle on the source key (operators/corpus.py:
+    source_quota_sample)."""
+    from .operators import corpus as cp
+
+    return cp.source_quota_sample(
+        T(spark, sf_dir, "documents"), "source", "doc_id", quota=10
+    )
+
+
+@register(
+    "emb_cluster_assignments",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT v.vec_id, c.centroid_id,
+             {_COS.format(a="v.v", b="c.cv")} AS sim
+      FROM v CROSS JOIN c
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, centroid_id) AS rnk
+      FROM s
+    )
+    SELECT vec_id, centroid_id, ROUND(sim, 6) AS cosine_sim FROM r WHERE rnk = 1
+    """,
+    tags=["LLM-sim", "clustering"],
+)
+def q_emb_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-centroid assignment of every embedding to the 8
+    deterministic coarse centroids — semantic clustering for data-mixing
+    /  curriculum buckets, and the hash-checkable JVM twin of
+    ivf_assign's Arrow kernel (numpy matmuls reorder float accumulation;
+    the dot/norm fold matches SQL engines bit-for-bit). Centroids ride a
+    broadcast; per-vector cost is 8 cosines
+    (operators/similarity.py:cosine_cluster_assign)."""
+    e = T(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    return sim.cosine_cluster_assign(e, cents)
+
+
 _SQL_JACCARD_CONFIRM = """
   SELECT DISTINCT c.batch_id AS doc_id
   FROM {cand} c JOIN shg x ON x.doc_id = c.batch_id

@@ -215,6 +215,8 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "emb_cosine_topk",      # documented exact baseline (ANN twins scale)
         "emb_pq_topk",          # ADC scan: broadcast per-query LUT join (PQ shape)
         "emb_pq_exact_topk",    # same ADC scan, verification mode (rerank_all)
+        "docs_bm25_topk",       # 1-row corpus-stats broadcast
+        "emb_cluster_assignments",  # 8-row centroid broadcast (k cosines/vec)
         "emb_neardup_pairs",    # bucketed pair join uses a non-equi id bound
         "docs_top_terms",       # 1-row corpus-size broadcast cross join
         "docs_unigram_familiarity",  # 1-row totals broadcast
