@@ -1473,6 +1473,8 @@ DRIVER_PRIORITY: list[str] = [
     "docs_bm25_topk",
     "docs_source_quota",
     "emb_cluster_assignments",
+    "streaming_sessionization_roundtrip",
+    "compaction_roundtrip",
     # --- padding to the 50-slot window: already-green flagships, one
     # per family (re-verification is harmless; trimmed as round-4
     # additions land above) ---

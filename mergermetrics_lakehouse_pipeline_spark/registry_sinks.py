@@ -681,6 +681,127 @@ def q_streaming_distinct_fold_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @register(
+    "streaming_sessionization_roundtrip",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), s AS (
+      SELECT user_id, session_no,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s
+      FROM sessions GROUP BY 1, 2
+    ), m AS (
+      SELECT user_id, MAX(session_no) AS last_no FROM s GROUP BY 1
+    )
+    SELECT s.user_id, s.n_events, s.session_start, s.duration_s
+    FROM s JOIN m ON s.user_id = m.user_id
+    WHERE s.session_no < m.last_no
+    """,
+    tags=["streaming", "stateful", "sessionization", "roundtrip"],
+)
+def q_streaming_sessionization_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL run of the custom stateful streaming operator
+    (streaming/stateful.py streaming_sessionize,
+    ``applyInPandasWithState``): the events stream feeds an availableNow
+    query whose per-user O(1) state folds events into open sessions and
+    emits each session the moment a gap closes it; emitted rows land in
+    a parquet sink and are read back. The oracle is the BATCH
+    sessionizer's SQL restricted to closed sessions (every session
+    except each user's last — exactly what the stateful operator emits
+    with no idle flush), so the state-machine semantics get a
+    hash-checked driver row, not just the pytest parity test.
+
+    total_value is computed in-state but projected away here: its
+    float64 accumulation order (event-time) differs from a SQL
+    decimal SUM by final-ulp amounts — counts/timestamps are the
+    deterministic comparison surface."""
+    from .streaming.jobs import read_events_stream
+    from .streaming.stateful import streaming_sessionize
+
+    landing = tempfile.mkdtemp(prefix="mm_sess_landing_")
+    # single landing file => one micro-batch: the cross-batch ordering
+    # contract (time-ordered landing files) is the multi-batch pytest's
+    # job; the driver row checks the state-machine semantics end-to-end
+    events_table(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(landing)
+    out = tempfile.mkdtemp(prefix="mm_sess_out_")
+    q = (
+        streaming_sessionize(read_events_stream(spark, landing))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mm_sess_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming sessionization did not drain in 120s")
+    back = spark.read.parquet(out)
+    return back.select(
+        "user_id",
+        "n_events",
+        F.date_format(F.timestamp_micros("start_us"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        ((F.col("end_us") - F.col("start_us")) / F.lit(1_000_000.0)).alias(
+            "duration_s"
+        ),
+    )
+
+
+@register(
+    "compaction_roundtrip",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+    tags=["sink", "maintenance", "compaction", "roundtrip"],
+)
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a driver-checked round trip
+    (sources/catalog.py compact_table — the parquet OPTIMIZE analogue):
+    lineitem lands as a 16-file table (a streaming-ingest footprint),
+    compact_table rewrites it into target-sized files via the staged
+    overwrite, and the final aggregate is hash-checked against the
+    pristine table — a row lost, duplicated or corrupted by the rewrite
+    flips the hash. The file census must strictly shrink or the query
+    raises (an err row in CORRECTNESS, not a silent no-op)."""
+    name = f"compact_rt_{uuid.uuid4().hex[:8]}"
+    from .sources.catalog import compact_table, drop_table
+
+    T(spark, sf_dir, "lineitem").repartition(16).write.format("parquet").saveAsTable(
+        name
+    )
+    try:
+        stats = compact_table(spark, name, target_file_bytes=256 * 1024 * 1024)
+        if stats["after"]["n_files"] >= stats["before"]["n_files"]:
+            raise RuntimeError(f"compaction did not shrink files: {stats}")
+        return spark.table(name).groupBy("l_returnflag").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        ).localCheckpoint()
+    finally:
+        drop_table(spark, name)
+
+
+@register(
     "time_travel_diff_roundtrip",
     """
     WITH v1 AS (SELECT n_nationkey, n_name FROM nation),
