@@ -1475,6 +1475,9 @@ DRIVER_PRIORITY: list[str] = [
     "emb_cluster_assignments",
     "streaming_sessionization_roundtrip",
     "compaction_roundtrip",
+    "orders_priority_pivot",
+    "lineitem_rollup_totals",
+    "part_measures_unpivot",
     # --- padding to the 50-slot window: already-green flagships, one
     # per family (re-verification is harmless; trimmed as round-4
     # additions land above) ---

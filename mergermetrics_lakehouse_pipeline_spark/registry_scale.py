@@ -347,3 +347,107 @@ def build_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("line_tag").alias("first_tag"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-dimensional aggregation API surface: pivot / rollup / unpivot
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "orders_priority_pivot",
+    f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           {", ".join(
+               'CAST(COUNT(*) FILTER (o_orderpriority = ' + repr(p) + ') AS BIGINT)'
+               ' AS "' + p + '"' for p in _PRIORITIES
+           )}
+    FROM orders GROUP BY 1
+    """,
+    tags=["pivot", "wide-agg"],
+)
+def q_orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: month x order-priority count matrix via
+    ``groupBy().pivot(values).count()``. The pivot VALUES are passed
+    explicitly — without them Spark runs an extra distinct-collect job
+    to discover the domain, a driver roundtrip a 100 TB job shouldn't
+    pay for a known dimension; with them the pivot is a single
+    conditional aggregation (one shuffle, map-side partials), exactly
+    the FILTER-per-column formulation the oracle runs."""
+    o = T(spark, sf_dir, "orders").withColumn(
+        "month_start",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"),
+    )
+    out = o.groupBy("month_start").pivot("o_orderpriority", _PRIORITIES).count()
+    # pivot leaves absent cells null; the oracle's FILTER counts yield 0
+    return out.select(
+        "month_start",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(p) for p in _PRIORITIES],
+    )
+
+
+@register(
+    "lineitem_rollup_totals",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=["rollup", "wide-agg"],
+)
+def q_lineitem_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (flag, status) -> (flag) -> grand total
+    in ONE aggregation pass (`df.rollup`) — the BI-subtotal shape.
+    Spark expands grouping sets map-side, so the shuffle still carries
+    partial aggregates only; NULL grouping markers are canonicalized to
+    'ALL' for the cross-engine compare (both engines mark super-rows
+    with NULL)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "part_measures_unpivot",
+    """
+    SELECT p_partkey, measure, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT p_partkey,
+             unnest(['retail_price', 'size']) AS measure,
+             unnest([CAST(p_retailprice AS DOUBLE), CAST(p_size AS DOUBLE)]) AS value
+      FROM part
+    )
+    WHERE p_partkey % 5 = 0
+    """,
+    tags=["unpivot", "melt"],
+)
+def q_part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide part measures -> long (key, measure, value)
+    rows via ``unpivot`` (the stack() shape) — zero shuffle, a pure
+    projection+generate, the standard feature-table melt before ML
+    feature stores. Filtered to every 5th part to keep the driver row
+    bounded."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retail_price"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot("p_partkey", ["retail_price", "size"], "measure", "value")
