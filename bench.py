@@ -107,6 +107,7 @@ EXTENDED_R3 = [
 #: queries land.
 EXTENDED_R4: list[str] = [
     "emb_pq_exact_topk",
+    "emb_ann_exact_topk",
     "docs_dedup_index_evolution",
     "skew_aqe_join",
     "docs_bm25_topk",

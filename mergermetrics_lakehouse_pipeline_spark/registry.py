@@ -1467,6 +1467,7 @@ DRIVER_PRIORITY: list[str] = [
     "emb_pq_topk",
     # --- round-4 additions (new surface, oracle-backed) ---
     "emb_pq_exact_topk",
+    "emb_ann_exact_topk",
     "docs_dedup_index_evolution",
     "streaming_distinct_fold_roundtrip",
     "skew_aqe_join",

@@ -474,6 +474,22 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_ann_exact_topk", _COSINE_TOPK_ORACLE, tags=["LLM-sim"])
+def q_emb_ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH search with ``prefix_bits=0``: the signature UDF,
+    bucket join and re-rank all execute, but the zero-bit prefix puts
+    the whole corpus in one bucket, so the candidate set is complete and
+    the exact re-rank reproduces brute-force cosine top-k EXACTLY.
+    Hash-checked against the emb_cosine_topk oracle — the LSH analogue
+    of emb_ivf_exact_topk / emb_pq_exact_topk, completing the set: all
+    three ANN index structures now have machine-checked exact twins."""
+    e = T(spark, sf_dir, "embeddings")
+    return sim.ann_cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_planes=12, prefix_bits=0,
+        n_tables=1, multiprobe=False,
+    )
+
+
 @register("emb_pq_exact_topk", _COSINE_TOPK_ORACLE, tags=["LLM-sim"])
 def q_emb_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ search with ``rerank_all=True``: the full train -> encode ->
