@@ -186,6 +186,56 @@ def main() -> None:
         t1, tk = timed(lambda: fn(d1)), timed(lambda: fn(dk))
         print(f"{name:20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
 
+    # ---- round-4 additions: O(batch) incremental-dedup probe / bm25 ----
+    # The probe claim is different from every case above: the BATCH stays
+    # FIXED while the INDEX scales k-fold. With the band index
+    # precomputed (amortized, off the clock), per-ingest work should
+    # grow only with collisions — far below k even though the stored
+    # corpus is k times larger.
+    import tempfile
+
+    from mergermetrics_lakehouse_pipeline_spark.operators import dedup as dd
+    from mergermetrics_lakehouse_pipeline_spark.sources.catalog import (
+        read_version,
+        write_version,
+    )
+
+    # fixed batch = replica 0's every-10th doc (dk contains replica 0
+    # verbatim-with-x0-suffix, so the batch's true collision partners —
+    # its replica-0 index mates — exist identically in both index sizes)
+    c1 = replicate_docs(d1, 1).cache()
+    is_batch = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 10_000_000)
+    batch = c1.filter(is_batch).cache()
+    batch.count(), c1.count()
+
+    def build_index(index_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        root = tempfile.mkdtemp(prefix="mm_smoke_idx_")
+        write_version(
+            dd.minhash_band_keys(index_docs, "text", "doc_id"), f"{root}/bands"
+        )
+        write_version(
+            index_docs.select(dd.content_key("text").alias("k")).distinct(),
+            f"{root}/keys",
+        )
+        return read_version(spark, f"{root}/bands"), read_version(spark, f"{root}/keys")
+
+    def probe(docs_all: DataFrame, bands: DataFrame, keys: DataFrame) -> int:
+        return dd.incremental_classify(docs_all, batch, bands, keys).count()
+
+    idx1 = build_index(c1.filter(~is_batch))
+    idxk = build_index(dk.filter(~is_batch))
+    probe(c1, *idx1)  # warm-up
+    t1 = timed(lambda: probe(c1, *idx1))
+    tk = timed(lambda: probe(dk, *idxk))
+    print(f"{'incr_dedup_probe':20s} 1x={t1:5.2f}s {k}x-index={tk:5.2f}s ratio={tk / t1:4.2f}")
+
+    def bm25(df: DataFrame) -> int:
+        return cp.bm25_topk(df, "text", "doc_id", ["spark", "query", "join", "window"]).count()
+
+    bm25(d1)  # warm-up
+    t1, tk = timed(lambda: bm25(d1)), timed(lambda: bm25(dk))
+    print(f"{'bm25_topk':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+
 
 if __name__ == "__main__":
     main()
