@@ -117,3 +117,48 @@ def test_pack_sequences_capacity_and_order(spark):
         capacity=100, n_buckets=2,
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_bm25_scores_and_ordering(spark):
+    """BM25: a doc containing query terms outscores one with none
+    (which scores exactly 0); output is descending and capped at k."""
+    from mergermetrics_lakehouse_pipeline_spark.operators import corpus as cp
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine with window functions and a join"),
+            (2, "completely unrelated text about gardening and soil"),
+            (3, "spark spark spark query join window join window spark"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = cp.bm25_topk(docs, "text", "doc_id", ["spark", "query"], k=3).collect()
+    assert len(out) == 3
+    scores = {r.doc_id: r.bm25 for r in out}
+    assert [r.bm25 for r in out] == sorted((r.bm25 for r in out), reverse=True)
+    assert scores[3] > scores[1] > 0.0  # heavier tf wins; hits beat misses
+    assert scores.get(2, 0.0) == 0.0 or 2 not in scores  # no-hit doc scores 0
+
+
+def test_source_quota_cap_and_determinism(spark):
+    """Quota sampling: never more than quota rows per source; identical
+    selection under repartitioning (hash priority, not rand())."""
+    from mergermetrics_lakehouse_pipeline_spark.operators import corpus as cp
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(100)], ["doc_id", "source"]
+    )
+    out = cp.source_quota_sample(docs, "source", "doc_id", quota=7)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+    ).collect()}
+    assert all(n <= 7 for n in per.values()) and len(per) == 3
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in cp.source_quota_sample(
+            docs.repartition(13), "source", "doc_id", quota=7
+        ).collect()
+    )
+    assert a == b

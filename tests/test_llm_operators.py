@@ -389,3 +389,29 @@ def test_incremental_dedup_plan_reads_band_index(spark, sf_dir):
     out = registry_llm.q_docs_incremental_dedup(spark, sf_dir)
     qplan = out._jdf.queryExecution().executedPlan().toString()
     assert "mm_dedup_index_" in qplan  # classification reads the index tables
+
+
+def test_cluster_assign_matches_numpy(spark, sf_dir):
+    """cosine_cluster_assign must agree with a numpy argmax brute force
+    on centroid choice for every vector (modulo exact ties, which the
+    operator breaks toward the lower centroid id, matching argmax's
+    first-max behavior on our distinct synthetic sims)."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    got = {
+        r.vec_id: r.centroid_id
+        for r in sim.cosine_cluster_assign(e, cents).collect()
+    }
+    rows = e.select("vec_id", "embedding").collect()
+    C = np.array(
+        [r.embedding for r in sorted(rows, key=lambda r: r.vec_id)[:8]], dtype="float64"
+    )
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for r in rows:
+        v = np.asarray(r.embedding, dtype="float64")
+        sims = (Cn @ (v / np.linalg.norm(v)))
+        assert got[r.vec_id] == int(np.argmax(sims))
