@@ -190,3 +190,53 @@ def test_vacuum_versions(spark, tmp_path):
         read_version(spark, root, 1).count()           # vacuumed away
     assert vacuum_versions(root, keep_last=1) == [2]
     assert sorted(e for e in os.listdir(root) if e.startswith("v=")) == ["v=3"]
+
+
+def test_staged_overwrite_keeps_staging_on_target_failure(spark, monkeypatch):
+    """Durability contract: if the final target overwrite fails, the
+    staging table (the only surviving copy of the new content) must be
+    KEPT and named in the raised error — the property the streaming
+    bitmap fold's recovery story depends on. Failure is injected by
+    failing exactly the target-table write."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.catalog import (
+        staged_overwrite,
+    )
+
+    orig = DataFrameWriter.saveAsTable
+
+    def flaky(self, name, *a, **kw):
+        if name == "so_victim":
+            raise OSError("injected executor-loss during target overwrite")
+        return orig(self, name, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "saveAsTable", flaky)
+    content = spark.range(5).selectExpr("id AS x")
+    with pytest.raises(RuntimeError, match="so_victim__stage_") as exc:
+        staged_overwrite(spark, "so_victim", content)
+    # the staging table named in the error still exists with the data
+    stage_name = str(exc.value).split("staging table '")[1].split("'")[0]
+    assert spark.catalog.tableExists(stage_name)
+    assert spark.table(stage_name).count() == 5
+    spark.sql(f"DROP TABLE IF EXISTS {stage_name}")
+    spark.sql("DROP TABLE IF EXISTS so_victim")
+
+
+def test_staged_overwrite_success_drops_staging(spark):
+    """Happy path: staging table is cleaned up after a successful
+    overwrite and the target holds the new content."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.catalog import (
+        staged_overwrite,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS so_ok")
+    spark.range(3).selectExpr("id AS x").write.saveAsTable("so_ok")
+    staged_overwrite(spark, "so_ok", spark.range(7).selectExpr("id AS x"))
+    assert spark.table("so_ok").count() == 7
+    leftovers = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("so_ok__stage_")
+    ]
+    assert leftovers == []
+    spark.sql("DROP TABLE IF EXISTS so_ok")
