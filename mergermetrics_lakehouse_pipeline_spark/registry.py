@@ -1479,6 +1479,7 @@ DRIVER_PRIORITY: list[str] = [
     "orders_priority_pivot",
     "lineitem_rollup_totals",
     "part_measures_unpivot",
+    "vacuum_versions_roundtrip",
     # --- padding to the 50-slot window: already-green flagships, one
     # per family (re-verification is harmless; trimmed as round-4
     # additions land above) ---

@@ -681,6 +681,57 @@ def q_streaming_distinct_fold_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @register(
+    "vacuum_versions_roundtrip",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_v3' ELSE n_name END
+             AS n_name
+    FROM nation
+    """,
+    tags=["time-travel", "maintenance", "vacuum", "roundtrip"],
+)
+def q_vacuum_versions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM on a versioned table, driver-checked: three snapshots are
+    committed, ``vacuum_versions(keep_last=2)`` must reclaim exactly v1
+    while v2 stays pinned-readable and the latest pointer still serves
+    v3 — whose content the oracle recomputes from the pristine table, so
+    a vacuum that deletes the wrong directory (or a pointer left dangling)
+    flips the hash or errors. Completes the in-band maintenance pair
+    with compaction_roundtrip: OPTIMIZE + VACUUM, the two jobs a real
+    lakehouse schedules nightly.
+
+    Scale: vacuum is driver-side filesystem metadata work — one listdir
+    plus per-directory removes, O(versions), no Spark job, no data read."""
+    from .sources.catalog import read_version, vacuum_versions, write_version
+
+    root = tempfile.mkdtemp(prefix="mm_vacuum_rt_") + "/nation_versions"
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_version(nation, root)  # v1
+    write_version(
+        nation.withColumn(
+            "n_name",
+            F.when(
+                F.col("n_nationkey") % 2 == 0, F.concat("n_name", F.lit("_v2"))
+            ).otherwise(F.col("n_name")),
+        ),
+        root,
+    )  # v2
+    v3 = nation.withColumn(
+        "n_name",
+        F.when(
+            F.col("n_nationkey") % 3 == 0, F.concat("n_name", F.lit("_v3"))
+        ).otherwise(F.col("n_name")),
+    )
+    write_version(v3, root)  # v3
+    removed = vacuum_versions(root, keep_last=2)
+    if removed != [1]:
+        raise RuntimeError(f"vacuum removed {removed}, expected exactly [1]")
+    if read_version(spark, root, 2).count() != nation.count():
+        raise RuntimeError("retained snapshot v2 unreadable after vacuum")
+    return read_version(spark, root)  # latest == v3
+
+
+@register(
     "streaming_sessionization_roundtrip",
     """
     WITH flagged AS (
