@@ -113,6 +113,8 @@ EXTENDED_R4: list[str] = [
     "docs_bm25_topk",
     "docs_source_quota",
     "emb_cluster_assignments",
+    "parts_association_rules",
+    "customer_rfm_segments",
 ]
 
 

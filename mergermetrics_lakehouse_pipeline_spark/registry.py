@@ -1480,6 +1480,9 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_rollup_totals",
     "part_measures_unpivot",
     "vacuum_versions_roundtrip",
+    "streaming_attribution_roundtrip",
+    "parts_association_rules",
+    "customer_rfm_segments",
     # --- padding to the 50-slot window: already-green flagships, one
     # per family (re-verification is harmless; trimmed as round-4
     # additions land above) ---

@@ -344,3 +344,142 @@ def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
     )
+
+
+@register(
+    "parts_association_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT ok) AS n_orders FROM items
+    ), cnt AS (
+      SELECT item, COUNT(*) AS n_item FROM items GROUP BY 1
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           ROUND(p.n_ab * n.n_orders / (ca.n_item * cb.n_item), 6) AS lift,
+           ROUND(p.n_ab / ca.n_item, 6) AS confidence_a_to_b
+    FROM pairs p
+    JOIN cnt ca ON ca.item = p.item_a
+    JOIN cnt cb ON cb.item = p.item_b
+    CROSS JOIN n
+    WHERE p.n_ab >= 3
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 50
+    """,
+    tags=["mining", "association-rules"],
+)
+def q_parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: top-50 part
+    pairs by LIFT with min support n_ab >= 3 — the classic co-purchase
+    affinity miner next to pagerank/triangles (which score structure,
+    not rule strength). lift = n_ab*N / (n_a*n_b): integer products +
+    one division, bit-exact cross-engine.
+
+    Scale: baskets are bounded (an order has ~4-7 parts), so the
+    in-order pair expansion is per-basket-quadratic but tiny and
+    co-located (one shuffle on the orderkey join); pair counts then
+    aggregate on the (a,b) key with map-side partials; per-item counts
+    broadcast back onto the bounded surviving pair set; top-50 is
+    TakeOrderedAndProject."""
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_orders = items.agg(
+        F.countDistinct("ok").alias("n_orders")
+    )
+    cnt = items.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = items.select("ok", F.col("item").alias("item_a"))
+    b = items.select("ok", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence_a_to_b"),
+        )
+    )
+    return out.orderBy(F.col("lift").desc(), "item_a", "item_b").limit(50)
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT c_custkey,
+             NTILE(4) OVER (ORDER BY last_order DESC, c_custkey) AS r,
+             NTILE(4) OVER (ORDER BY n_orders DESC, c_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, c_custkey) AS m,
+             CAST(n_orders AS BIGINT) AS n_orders,
+             CAST(monetary AS DOUBLE) AS monetary
+      FROM base
+    )
+    SELECT c_custkey, CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS segment,
+           n_orders, monetary
+    FROM scored
+    """,
+    tags=["mining", "rfm", "segmentation"],
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles (NTILE with full deterministic ordering — metric then
+    custkey — so bucket boundaries are engine-independent), concatenated
+    into the classic 'rfm' segment code the reference's BI layer would
+    chart.
+
+    Scale note: NTILE over a global ORDER BY is a single-reducer sort at
+    the customer grain — fine for customer-sized tables (orders of
+    magnitude below fact scale); for fact-grain percentiles use the
+    count-collapse quantile shape (docs_length_quantiles)."""
+    o = T(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    from pyspark.sql import Window
+
+    r = F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), "c_custkey"))
+    f = F.ntile(4).over(Window.orderBy(F.col("n_orders").desc(), "c_custkey"))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "c_custkey"))
+    return base.select(
+        "c_custkey",
+        r.cast("bigint").alias("r"),
+        f.cast("bigint").alias("f"),
+        m.cast("bigint").alias("m"),
+        F.concat(r.cast("string"), f.cast("string"), m.cast("string")).alias(
+            "segment"
+        ),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("monetary").cast("double").alias("monetary"),
+    )

@@ -681,6 +681,49 @@ def q_streaming_distinct_fold_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @register(
+    "streaming_attribution_roundtrip",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0 AS seconds_to_convert,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '60 minutes'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=["streaming", "stream-stream-join", "roundtrip"],
+)
+def q_streaming_attribution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join run (streaming/jobs.py
+    streaming_attribution_join): the watermarked self-join of the event
+    stream — the state-evicting shape whose join condition bounds both
+    event-time columns — executes under availableNow into a parquet
+    sink, and the emitted matches are hash-checked against the batch
+    attribution oracle. Over a bounded replay nothing is late, so the
+    streaming result must equal the batch join EXACTLY; a state-eviction
+    bug that drops a buffered row flips the hash."""
+    from .streaming.jobs import read_events_stream, streaming_attribution_join
+
+    landing = tempfile.mkdtemp(prefix="mm_attr_landing_")
+    events_table(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(landing)
+    out = tempfile.mkdtemp(prefix="mm_attr_out_")
+    q = (
+        streaming_attribution_join(read_events_stream(spark, landing))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mm_attr_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming attribution join did not drain in 120s")
+    return spark.read.parquet(out)
+
+
+@register(
     "vacuum_versions_roundtrip",
     """
     SELECT n_nationkey,
