@@ -75,3 +75,44 @@ def blocked_fuzzy_match(
             F.col("distance").cast("int").alias("distance"),
         )
     )
+
+
+def golden_records(
+    sources: DataFrame,
+    key_col: str,
+    priority_col: str,
+    *,
+    first_non_null: list[str] = (),
+    take_max: list[str] = (),
+    take_min: list[str] = (),
+) -> DataFrame:
+    """Survivorship / golden-record merge — the master-data step AFTER
+    entity resolution: duplicate records of one real-world entity (from
+    parent + child systems, already linked on ``key_col``) collapse to a
+    single best record under per-field rules:
+
+    - ``first_non_null``: value from the highest-priority source that
+      has one (``min_by`` over a null-demoting priority) — the standard
+      trusted-source rule;
+    - ``take_max`` / ``take_min``: extremum across sources — freshness
+      or conservative-balance style rules.
+
+    One aggregation on the entity key (map-side partials; no joins, no
+    windows): at 100 TB this is a single shuffle regardless of how many
+    source systems stack into ``sources``. Every rule is an associative
+    aggregate, so results are partitioning-independent and the SQL
+    oracle replays them exactly.
+    """
+    aggs = [F.count("*").cast("bigint").alias("n_sources")]
+    for c in first_non_null:
+        aggs.append(
+            F.expr(
+                f"min_by({c}, CASE WHEN {c} IS NULL THEN 999999 "
+                f"ELSE {priority_col} END)"
+            ).alias(f"golden_{c}")
+        )
+    for c in take_max:
+        aggs.append(F.max(c).alias(f"golden_{c}"))
+    for c in take_min:
+        aggs.append(F.min(c).alias(f"golden_{c}"))
+    return sources.groupBy(key_col).agg(*aggs)

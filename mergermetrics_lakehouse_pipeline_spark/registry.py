@@ -1483,6 +1483,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_attribution_roundtrip",
     "parts_association_rules",
     "customer_rfm_segments",
+    "customer_golden_record",
     # --- padding to the 50-slot window: already-green flagships, one
     # per family (re-verification is harmless; trimmed as round-4
     # additions land above) ---

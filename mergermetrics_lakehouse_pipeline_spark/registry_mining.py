@@ -483,3 +483,68 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("monetary").cast("double").alias("monetary"),
     )
+
+
+@register(
+    "customer_golden_record",
+    """
+    WITH parent AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, 1 AS priority FROM customer
+    ), child AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END
+               AS c_mktsegment,
+             c_acctbal + 100.0 AS c_acctbal,
+             2 AS priority
+      FROM customer WHERE c_custkey % 2 = 0
+    ), u AS (
+      SELECT * FROM parent UNION ALL SELECT * FROM child
+    )
+    SELECT c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           min_by(c_mktsegment,
+                  CASE WHEN c_mktsegment IS NULL THEN 999999 ELSE priority END)
+             AS golden_c_mktsegment,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS golden_acctbal
+    FROM u GROUP BY 1
+    """,
+    tags=["mining", "mdm", "survivorship"],
+)
+def q_customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/linkage.py:golden_records)
+    — the master-data merge the reference's merger-integration premise
+    implies but never implements: parent records plus a simulated child
+    feed (every even custkey, shifted balances, some segments missing)
+    collapse per customer under per-field rules — segment from the
+    highest-priority source that HAS one, balance as the max across
+    systems. One associative aggregation; hash-checked rule-for-rule."""
+    from .operators.linkage import golden_records
+
+    c = T(spark, sf_dir, "customer")
+    parent = c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal", F.lit(1).alias("priority")
+    )
+    child = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("c_mktsegment"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit(2).alias("priority"),
+    )
+    merged = golden_records(
+        parent.unionByName(child),
+        "c_custkey",
+        "priority",
+        first_non_null=["c_mktsegment"],
+        take_max=["c_acctbal"],
+    )
+    return merged.select(
+        "c_custkey",
+        "n_sources",
+        "golden_c_mktsegment",
+        F.col("golden_c_acctbal").cast("decimal(18,2)").cast("double").alias(
+            "golden_acctbal"
+        ),
+    )
