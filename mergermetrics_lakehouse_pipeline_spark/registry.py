@@ -1484,6 +1484,7 @@ DRIVER_PRIORITY: list[str] = [
     "parts_association_rules",
     "customer_rfm_segments",
     "customer_golden_record",
+    "docs_dedup_survivorship",
     # --- padding to the 50-slot window: already-green flagships, one
     # per family (re-verification is harmless; trimmed as round-4
     # additions land above) ---

@@ -903,6 +903,89 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_QUALITY = f"""ROUND((CAST(len(text) BETWEEN 50 AND 5000 AS DOUBLE)
+                + CAST((CASE WHEN len(text) = 0 THEN 0.0 ELSE {SQL_PUNCT_N} / len(text) END) < 0.15 AS DOUBLE)
+                + CAST((CASE WHEN {SQL_TC} = 0 THEN 0.0 ELSE {SQL_SW_EN} / {SQL_TC} END) BETWEEN 0.10 AND 0.60 AS DOUBLE)
+                 ) / 3.0, 4)"""
+
+
+@register(
+    "docs_dedup_survivorship",
+    _sql_minhash_lsh_cte().replace("WITH", "WITH RECURSIVE", 1)
+    + f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), shs AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM documents),
+    conf AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id
+      WHERE len(list_intersect(x.s, y.s))
+            / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS es, id_b AS ed FROM conf
+      UNION ALL
+      SELECT id_b, id_a FROM conf
+    ), walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.ed, w.lbl FROM walk w JOIN edges e ON e.es = w.node
+    ), clusters AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
+    ), scored AS (
+      SELECT c.cluster_id, c.doc_id, {_SQL_QUALITY} AS quality
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN rnk = 1 THEN doc_id END) AS canonical_id,
+           MIN(CASE WHEN rnk = 1 THEN quality END) AS canonical_quality
+    FROM ranked GROUP BY 1
+    """,
+    tags=["LLM-dedup", "survivorship", "pipeline-composition"],
+)
+def q_docs_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship: after near-dup clustering (LSH -> Jaccard
+    confirm -> connected components), each cluster keeps its BEST copy —
+    highest quality score, ties to the lowest id — not merely the
+    min-id copy. This is the curation decision the cluster labels
+    exist to serve: 'which duplicate survives into the training mix'.
+    One window per cluster on top of the hash-green clustering plan;
+    the oracle replays clustering (recursive CTE), scoring, and the
+    survivorship rule end-to-end."""
+    from .functions.text import quality_score
+
+    d = T(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(
+        d, "text", "doc_id", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+    conf = dd.ngram_jaccard_pairs(
+        d, cand, "text", "doc_id", shingle_n=3, threshold=0.5
+    )
+    clusters = dd.connected_components_star(
+        d.select("doc_id"), conf.select("id_a", "id_b"), id_col="doc_id"
+    )
+    from pyspark.sql import Window
+
+    scored = clusters.join(
+        d.select("doc_id", quality_score("text").alias("quality")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), "doc_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("canonical_id"),
+        F.min(F.when(F.col("rnk") == 1, F.col("quality"))).alias(
+            "canonical_quality"
+        ),
+    )
+
+
 @register(
     "media_payload_dedup",
     """
