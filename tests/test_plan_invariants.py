@@ -479,3 +479,38 @@ def test_aqe_skew_join_splits(spark, sf_dir):
     hot = {r.priority: r.n_lines for r in rows}["0-HOT"]
     total = sum(r.n_lines for r in rows)
     assert abs(hot / total - 0.8) < 0.02
+
+
+def test_bm25_plan_no_explode_single_stats_broadcast(spark, sf_dir):
+    """BM25 computes per-doc tf as array filters in the scan pass: the
+    plan must contain NO token explode (Generate) and exactly one
+    broadcast (the 1-row corpus-stats join)."""
+    from mergermetrics_lakehouse_pipeline_spark.operators import corpus as cp
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cp.bm25_topk(d, "text", "doc_id", ["spark", "query"], k=10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Generate" not in final  # no explode anywhere
+    assert final.count("BroadcastExchange") == 1  # stats row only
+    assert "TakeOrderedAndProject" in final  # top-k never a global sort
+
+
+def test_pivot_explicit_values_single_aggregation(spark, sf_dir):
+    """orders_priority_pivot passes pivot values explicitly, so the job
+    is ONE conditional aggregation — no distinct-collect domain
+    discovery job and a single shuffle."""
+    from mergermetrics_lakehouse_pipeline_spark import registry_scale as rs
+
+    out = rs.q_orders_priority_pivot(spark, sf_dir)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # Spark plans pivot-with-values as a two-level aggregation
+    # ((month, priority) counts -> pivotfirst by month): exactly those
+    # two exchanges, both fed by map-side partials — and NO extra
+    # distinct-collect job (which the values-less pivot would run)
+    assert final.count("Exchange hashpartitioning") == 2
+    assert "pivotfirst" in final
+    assert final.count("partial_") >= 2
