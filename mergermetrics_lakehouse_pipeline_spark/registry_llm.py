@@ -2300,12 +2300,15 @@ def q_docs_dedup_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         index0.select(dd.content_key("text").alias("k")).distinct(), keys_root
     )
 
-    # ingest 1 vs index v1 (read_version pins the version at call time)
+    # ingest 1 vs index v1 (read_version pins the version at call time);
+    # checkpointed: s1 feeds BOTH the index append and the final output,
+    # and without materialization the whole classification (probe join +
+    # Jaccard confirm) would execute twice
     s1 = dd.incremental_classify(
         d, d.filter(in_b1),
         read_version(spark, bands_root), read_version(spark, keys_root),
         num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3, threshold=0.5,
-    )
+    ).localCheckpoint(eager=True)
 
     # index evolution: append ONLY batch-1 'new' docs (v2)
     b1_new = s1.filter(F.col("status") == "new").select("doc_id")
