@@ -379,11 +379,14 @@ def bm25_topk(
     — libm log would not be)
     score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
 
-    Scale: one pass computes per-doc tf columns (JVM array filters, no
-    explode); corpus stats (N, total tokens, per-term df) collapse to a
-    SINGLE scalar row broadcast back; the top-k is sort+limit
-    (TakeOrderedAndProject — never a global sort). Query terms are the
-    bounded side (a query has tens of terms, not millions).
+    Scale: two scan passes — one aggregates the corpus stats (N, total
+    tokens, per-term df) down to a SINGLE scalar row, the second scores
+    every doc against that row broadcast back (the unavoidable shape of
+    corpus-relative scoring without caching the corpus; same as the
+    tf-idf operators). tf columns are JVM array filters, no token
+    explode; the top-k is sort+limit (TakeOrderedAndProject — never a
+    global sort). Query terms are the bounded side (a query has tens of
+    terms, not millions).
     """
     toks = tx.tokens(text_col)
     base = docs.select(

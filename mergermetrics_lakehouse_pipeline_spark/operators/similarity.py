@@ -749,10 +749,11 @@ def cosine_cluster_assign(
     is what lets a DuckDB oracle hash-verify the quantizer semantics).
 
     ``centroids_df`` must be model-sized (centroid_id, c_vec): it rides
-    a broadcast, so the per-vector cost is k cosines and the only
-    shuffle is the argmax window's partition-by-vector — and even that
-    collapses to a map-side top-1 per vector since the broadcast join
-    preserves the corpus partitioning.
+    a broadcast, so the per-vector cost is k cosines; the argmax is a
+    ``max_by`` AGGREGATION over a totally-ordered key (sim, then lower
+    centroid id) — map-side partials reduce each vector's k scored rows
+    to one before the single shuffle, where a window formulation would
+    shuffle and sort all k x N rows.
 
     Output: (vec_id, centroid_id, cosine_sim) — one row per corpus
     vector, deterministic tie-break on the lower centroid id.
@@ -765,9 +766,10 @@ def cosine_cluster_assign(
         "centroid_id",
         (dot(F.col("v"), F.col("c_vec")) / (norm(F.col("v")) * norm(F.col("c_vec")))).alias("sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "centroid_id", F.round("sim", 6).alias("cosine_sim"))
+    # total order per vector: higher sim wins, ties to the LOWER
+    # centroid id (negate it inside the comparison struct)
+    key = F.struct(F.col("sim"), (-F.col("centroid_id")).alias("_nc"))
+    return scored.groupBy("vec_id").agg(
+        F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias("centroid_id"),
+        F.round(F.max(key).getField("sim"), 6).alias("cosine_sim"),
     )
