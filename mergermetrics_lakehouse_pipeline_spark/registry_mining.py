@@ -381,25 +381,42 @@ def q_parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     not rule strength). lift = n_ab*N / (n_a*n_b): integer products +
     one division, bit-exact cross-engine.
 
-    Scale: baskets are bounded (an order has ~4-7 parts), so the
-    in-order pair expansion is per-basket-quadratic but tiny and
-    co-located (one shuffle on the orderkey join); pair counts then
-    aggregate on the (a,b) key with map-side partials; per-item counts
-    broadcast back onto the bounded surviving pair set; top-50 is
-    TakeOrderedAndProject."""
+    Scale: ONE shuffle on the orderkey collapses each order to its
+    sorted distinct-part basket (collect_set dedups in-aggregate — no
+    separate DISTINCT shuffle); the per-basket (i < j) pair expansion is
+    ARRAY-SIDE in-row (the same idiom as the LSH bucket expansion —
+    baskets are 4-7 parts, so the local quadratic is tiny and no
+    self-join ever exists in the plan); pair and item counts are two
+    more partial-aggregated shuffles; per-item counts broadcast back
+    onto the min-support-bounded pair set; top-50 is
+    TakeOrderedAndProject. Plan-checked: the basket exchange is built
+    once and ReusedExchange'd into the item-count branch; the only other
+    data-sized shuffles are the pair counts and a column-pruned
+    order-count (8-byte keys), and pair generation contains NO join
+    (was a 6-exchange self-join before this formulation)."""
     li = T(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
-    ).distinct()
-    n_orders = items.agg(
-        F.countDistinct("ok").alias("n_orders")
+    baskets = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
-    cnt = items.groupBy("item").agg(F.count("*").alias("n_item"))
-    a = items.select("ok", F.col("item").alias("item_a"))
-    b = items.select("ok", F.col("item").alias("item_b"))
+    n_orders = baskets.agg(F.count("*").alias("n_orders"))
+    cnt = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("n_item"))
+    )
+    # all (i < j) combinations within a basket, generated array-side
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size(F.col("items")) - i - 1),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("item_a") < F.col("item_b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
