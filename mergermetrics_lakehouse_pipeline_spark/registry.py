@@ -1485,9 +1485,10 @@ DRIVER_PRIORITY: list[str] = [
     "customer_rfm_segments",
     "customer_golden_record",
     "docs_dedup_survivorship",
-    # --- padding to the 50-slot window: already-green flagships, one
-    # per family (re-verification is harmless; trimmed as round-4
-    # additions land above) ---
+    # --- padding to the 50-slot window (final r4 state: 35 pending
+    # above + 15 of these fill the window): already-green flagships,
+    # one per family — their re-verification refreshes r1 rows at zero
+    # risk; everything below position 50 simply isn't re-run ---
     "star_join_denorm",
     "fact_monthly_rollup",
     "kpi_dashboard",
