@@ -1485,6 +1485,7 @@ DRIVER_PRIORITY: list[str] = [
     "customer_rfm_segments",
     "customer_golden_record",
     "docs_dedup_survivorship",
+    "streaming_dedup_roundtrip",
     # --- padding to the 50-slot window (final r4 state: 35 pending
     # above + 15 of these fill the window): already-green flagships,
     # one per family — their re-verification refreshes r1 rows at zero

@@ -681,6 +681,54 @@ def q_streaming_distinct_fold_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @register(
+    "streaming_dedup_roundtrip",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           value
+    FROM events
+    """,
+    tags=["streaming", "dedup", "exactly-once", "roundtrip"],
+)
+def q_streaming_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest dedup, driver-checked: the landing dir holds
+    the events file TWICE (an at-least-once source re-delivering every
+    record), the stream passes through
+    ``dropDuplicatesWithinWatermark(event_id)``
+    (streaming/jobs.py:streaming_dedup — watermarked, so key state
+    EVICTS past the horizon instead of growing forever), and the sink
+    must contain each event exactly once. The oracle is simply the
+    pristine events table: any duplicate that survives, or any record
+    the dedup wrongly drops, flips the hash."""
+    from .streaming.jobs import read_events_stream, run_available_now, streaming_dedup
+
+    landing = tempfile.mkdtemp(prefix="mm_dedup_landing_")
+    e = events_table(spark, sf_dir).coalesce(1)
+    e.write.mode("overwrite").parquet(landing)
+    e.write.mode("append").parquet(landing)  # the re-delivery
+    out = tempfile.mkdtemp(prefix="mm_dedup_out_")
+    q = (
+        streaming_dedup(read_events_stream(spark, landing))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mm_dedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming dedup did not drain in 120s")
+    back = spark.read.parquet(out)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "value",
+    )
+
+
+@register(
     "streaming_attribution_roundtrip",
     """
     SELECT c.user_id,
