@@ -1486,6 +1486,8 @@ DRIVER_PRIORITY: list[str] = [
     "customer_golden_record",
     "docs_dedup_survivorship",
     "streaming_dedup_roundtrip",
+    "orders_pareto_share",
+    "events_dau_stickiness",
     # --- padding to the 50-slot window (final r4 state: 35 pending
     # above + 15 of these fill the window): already-green flagships,
     # one per family — their re-verification refreshes r1 rows at zero

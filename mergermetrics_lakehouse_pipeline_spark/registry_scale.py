@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as tx
-from .registry import REVENUE, SQL_REVENUE, T, register
+from .registry import REVENUE, SQL_REVENUE, T, events_table, register
 from .registry_llm import SQL_TOKS_SAFE
 
 # ---------------------------------------------------------------------------
@@ -451,3 +451,131 @@ def q_part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("double").alias("retail_price"),
         F.col("p_size").cast("double").alias("size"),
     ).unpivot("p_partkey", ["retail_price", "size"], "measure", "value")
+
+
+@register(
+    "orders_pareto_share",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey AS c_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT SUM(revenue) AS total FROM per_cust
+    ), ranked AS (
+      SELECT c_custkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, c_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rnk
+      FROM per_cust
+    )
+    SELECT rnk, c_custkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(CAST(cum_revenue AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+             AS cum_share
+    FROM ranked CROSS JOIN tot
+    WHERE rnk <= 100
+    """,
+    tags=["pareto", "bi", "window"],
+)
+def q_orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / Lorenz curve: top-100 customers by revenue with their
+    CUMULATIVE share of total revenue (the 80/20 chart every revenue
+    dashboard opens with). Exact decimal sums; the running total is a
+    rows-frame window over the revenue-desc order.
+
+    Scale note: like RFM, the global window runs at the CUSTOMER grain
+    (orders of magnitude below fact scale) and the output is capped at
+    the top 100; the per-customer rollup below it is a partial-aggregated
+    fact-grain shuffle."""
+    o = T(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    tot = per_cust.agg(F.sum("revenue").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
+    ranked = per_cust.select(
+        "c_custkey",
+        "revenue",
+        F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_revenue"
+        ),
+        F.row_number().over(w).alias("rnk"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "c_custkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.col("cum_revenue").cast("double") / F.col("total").cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+@register(
+    "events_dau_stickiness",
+    """
+    WITH daily AS (
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS week_start,
+             CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ), weekly AS (
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS week_start,
+             COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(d.week_start, '%Y-%m-%d') AS week_start,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.dau) AS BIGINT) AS sum_dau,
+           ROUND(SUM(d.dau) / (COUNT(*) * w.wau), 6) AS stickiness
+    FROM daily d JOIN weekly w ON d.week_start = w.week_start
+    GROUP BY 1, w.wau
+    """,
+    tags=["events", "product-analytics", "distinct"],
+)
+def q_events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week — the product-analytics ratio of
+    average daily active users to weekly active users. Two exact
+    distinct-count aggregations (daily and weekly grain) joined on the
+    week; stickiness = avg(DAU)/WAU as one fixed-order division.
+
+    Scale: both distincts shuffle on (period, user) with partial
+    aggregation; at 100 TB swap COUNT(DISTINCT) for the bitmap state
+    tables (operators/ivm.py) the engine already maintains — same
+    outputs, mergeable across days."""
+    e = events_table(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    week = F.date_trunc("week", day)
+    daily = e.groupBy(
+        week.alias("week_start"), day.alias("day")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    weekly = e.groupBy(week.alias("week_start")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        daily.join(weekly, "week_start")
+        .groupBy(
+            F.date_format("week_start", "yyyy-MM-dd").alias("week_start"), "wau"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("dau").cast("bigint").alias("sum_dau"),
+        )
+        .select(
+            "week_start",
+            F.col("wau").cast("bigint").alias("wau"),
+            "n_days",
+            "sum_dau",
+            F.round(F.col("sum_dau") / (F.col("n_days") * F.col("wau")), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

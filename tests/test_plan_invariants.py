@@ -217,6 +217,7 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "emb_pq_exact_topk",    # same ADC scan, verification mode (rerank_all)
         "docs_bm25_topk",       # 1-row corpus-stats broadcast
         "parts_association_rules",  # 1-row order-count broadcast (lift scalar)
+        "orders_pareto_share",  # 1-row revenue-total broadcast (share scalar)
         "emb_cluster_assignments",  # 8-row centroid broadcast (k cosines/vec)
         "emb_neardup_pairs",    # bucketed pair join uses a non-equi id bound
         "docs_top_terms",       # 1-row corpus-size broadcast cross join
