@@ -579,3 +579,68 @@ def q_events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dpp_partition_prune_roundtrip",
+    """
+    WITH f AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             o_totalprice
+      FROM orders
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM f
+    WHERE month IN ('1995-01-01', '1995-02-01')
+    GROUP BY 1
+    """,
+    tags=["dpp", "partition-pruning", "roundtrip"],
+)
+def q_dpp_partition_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, driver-checked: orders land as a
+    month-partitioned table, then join a 2-row month dimension — at
+    plan time the fact's partition filter is UNKNOWN (it comes from the
+    dim), so Spark injects a dynamicpruning subquery that evaluates the
+    dim first and scans ONLY the two matching partitions. At 100 TB
+    this is the difference between reading 2 months and reading the
+    decade; the oracle recomputes the filtered aggregate from the
+    pristine table, so wrong pruning (missing or extra partitions)
+    flips the hash. The dynamicpruningexpression's presence in the plan
+    is asserted in tests/test_plan_invariants.py::test_dpp_triggers."""
+    agg = build_dpp_join(spark, sf_dir)
+    return agg
+
+
+def build_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partitioned-write + dim-filtered join behind
+    dpp_partition_prune_roundtrip (shared with the plan test)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="mm_dpp_")
+    root, dim_root = f"{base}/orders_by_month", f"{base}/month_dim"
+    o = T(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+    )
+    o.write.partitionBy("month").mode("overwrite").parquet(root)
+    # a real month-dimension table: DPP requires a SELECTIVE PREDICATE on
+    # the dim side of the join (a bare literal relation is folded away
+    # and never generates the pruning subquery)
+    o.select("month").distinct().write.mode("overwrite").parquet(dim_root)
+    fact = spark.read.parquet(root)
+    dim = spark.read.parquet(dim_root).filter(
+        F.col("month").isin("1995-01-01", "1995-02-01")
+    )
+    return (
+        fact.join(dim, "month")
+        # partition-directory values type-infer as DATE on read; restore
+        # the registry's ISO-string date discipline at the output
+        .groupBy(F.date_format("month", "yyyy-MM-dd").alias("month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -515,3 +515,19 @@ def test_pivot_explicit_values_single_aggregation(spark, sf_dir):
     assert final.count("Exchange hashpartitioning") == 2
     assert "pivotfirst" in final
     assert final.count("partial_") >= 2
+
+
+def test_dpp_triggers(spark, sf_dir):
+    """Dynamic partition pruning must inject the pruning subquery into
+    the partitioned fact scan when joined to a filtered dimension —
+    at 100 TB this is the difference between scanning 2 months and the
+    whole table. Asserts the dynamicpruningexpression actually appears
+    in the fact's PartitionFilters (a silently non-triggering demo would
+    be an ordinary join)."""
+    from mergermetrics_lakehouse_pipeline_spark.registry_scale import build_dpp_join
+
+    df = build_dpp_join(spark, sf_dir)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    assert {r.month for r in rows} == {"1995-01-01", "1995-02-01"}
