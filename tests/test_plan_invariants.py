@@ -531,3 +531,32 @@ def test_dpp_triggers(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan
     assert {r.month for r in rows} == {"1995-01-01", "1995-02-01"}
+
+
+def test_window_covers_all_pending_queries():
+    """Rotation guard: every registered query with NO green row in any
+    CORRECTNESS_r*.json must sit inside the driver's 50-slot window
+    (the first 50 entries of queries()) — otherwise it can never earn
+    driver evidence. Mirrors tools/window_coverage.py's ledger policy
+    (hash-match, or rows-only err-clean, = verified)."""
+    import glob
+    import json
+
+    verified = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            ok = (
+                row.get("err") is None and row.get("hash_match") is True
+            ) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if ok:
+                verified.add(name)
+    names = list(registry.queries())
+    pending_outside = [
+        n for n in names[50:] if n not in verified
+    ]
+    assert pending_outside == [], (
+        f"never-verified queries past the driver window: {pending_outside}"
+    )
