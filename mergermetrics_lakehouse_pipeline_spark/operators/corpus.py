@@ -458,3 +458,65 @@ def source_quota_sample(
     return renamed.withColumn(
         "quota_rank", F.row_number().over(w).cast("bigint")
     ).filter(F.col("quota_rank") <= quota)
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    *,
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Exact running (prefix) sums over a global order WITHOUT a global
+    single-reducer window — the two-phase parallel-scan:
+
+    1. bucket rows by ``order_col div bucket_size``; the within-bucket
+       running sum is a window over BOUNDED partitions (bucket_size
+       rows), so every reducer does O(bucket) work;
+    2. per-bucket totals (one tiny row per bucket) get their own running
+       sum on the bucket table — data-sized rows never pass through it —
+       and each bucket's EXCLUSIVE offset broadcasts back;
+    3. prefix = within-bucket running sum + bucket offset.
+
+    A naive ``SUM() OVER (ORDER BY ...)`` funnels the whole table
+    through one reducer; this shape keeps the critical path at
+    O(bucket_size + n_buckets). Requires ``order_col`` values to be
+    numeric (bucketing divides); ties within ``order_col`` are summed
+    into the same prefix row's value, so the output is one row per input
+    row with deterministic prefix values for distinct order keys.
+
+    Returns ``df`` plus ``<col>_prefix`` running-total columns.
+    """
+    from pyspark.sql import Window
+
+    b = (F.col(order_col) / F.lit(bucket_size)).cast("bigint").alias("__bucket")
+    within_w = Window.partitionBy("__bucket").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = df.withColumn("__bucket", b)
+    for c in value_cols:
+        staged = staged.withColumn(f"__within_{c}", F.sum(c).over(within_w))
+    totals = staged.groupBy("__bucket").agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in value_cols]
+    )
+    # exclusive running offset over the tiny bucket table
+    off_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bucket",
+        *[
+            F.coalesce(F.sum(f"__tot_{c}").over(off_w), F.lit(0)).alias(f"__off_{c}")
+            for c in value_cols
+        ],
+    )
+    out = staged.join(F.broadcast(offsets), "__bucket")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_prefix", F.col(f"__within_{c}") + F.col(f"__off_{c}")
+        )
+    return out.drop(
+        "__bucket",
+        *[f"__within_{c}" for c in value_cols],
+        *[f"__off_{c}" for c in value_cols],
+    )

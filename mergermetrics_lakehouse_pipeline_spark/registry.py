@@ -1489,6 +1489,7 @@ DRIVER_PRIORITY: list[str] = [
     "orders_pareto_share",
     "events_dau_stickiness",
     "dpp_partition_prune_roundtrip",
+    "docs_vocab_growth",
     # --- padding to the 50-slot window (final r4 state: 35 pending
     # above + 15 of these fill the window): already-green flagships,
     # one per family — their re-verification refreshes r1 rows at zero

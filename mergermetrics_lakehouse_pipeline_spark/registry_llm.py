@@ -2342,6 +2342,88 @@ def q_docs_dedup_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_vocab_growth",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({{toks}}) AS term FROM documents
+    ), firsts AS (
+      SELECT term, MIN(doc_id) AS doc_id FROM tok GROUP BY 1
+    ), new_per_doc AS (
+      SELECT doc_id, COUNT(*) AS new_terms FROM firsts GROUP BY 1
+    ), tok_per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY 1
+    ), base AS (
+      SELECT d.doc_id,
+             COALESCE(n.new_terms, 0) AS new_terms,
+             COALESCE(t.n_tokens, 0) AS n_tokens
+      FROM documents d
+      LEFT JOIN new_per_doc n ON n.doc_id = d.doc_id
+      LEFT JOIN tok_per_doc t ON t.doc_id = d.doc_id
+    ), cum AS (
+      SELECT doc_id,
+             SUM(new_terms) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS vocab_size,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS corpus_tokens
+      FROM base
+    )
+    SELECT doc_id, CAST(vocab_size AS BIGINT) AS vocab_size,
+           CAST(corpus_tokens AS BIGINT) AS corpus_tokens
+    FROM cum WHERE doc_id % 25 = 0
+    """.format(toks="__TOKS__").replace("__TOKS__", SQL_TOKS_SAFE),
+    tags=["LLM-text", "corpus", "prefix-sum"],
+)
+def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct-vocabulary
+    size and cumulative token count along the doc_id ingest order,
+    sampled every 25th document — the statistic that sizes a tokenizer
+    vocabulary against corpus growth.
+
+    Scale: 'running COUNT DISTINCT' decomposes exactly into each term's
+    FIRST-occurrence document (one aggregation) + a running SUM of
+    per-doc first-occurrence counts. The running sums run through
+    ``distributed_prefix_sum`` (operators/corpus.py): the two-phase
+    parallel scan whose within-bucket windows are bounded and whose
+    cross-bucket offset table is one tiny row per bucket — O(bucket +
+    n_buckets) critical path where the oracle's naive
+    ``SUM() OVER (ORDER BY ...)`` funnels every row through ONE reducer.
+    Same numbers, hash-checked — the parallel scan against the
+    sequential spec."""
+    from .operators.corpus import distributed_prefix_sum
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    new_per_doc = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    tok_per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    base = (
+        d.select("doc_id")
+        .join(new_per_doc, "doc_id", "left")
+        .join(tok_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )
+    pref = distributed_prefix_sum(
+        base, "doc_id", ["new_terms", "n_tokens"], bucket_size=64
+    )
+    return (
+        pref.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id",
+            F.col("new_terms_prefix").cast("bigint").alias("vocab_size"),
+            F.col("n_tokens_prefix").cast("bigint").alias("corpus_tokens"),
+        )
+    )
+
+
+@register(
     "docs_training_shards",
     f"""
     SELECT CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8

@@ -162,3 +162,39 @@ def test_source_quota_cap_and_determinism(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_distributed_prefix_sum_matches_naive(spark):
+    """Two-phase parallel scan == the naive global running sum, and the
+    data-sized window in its plan is PARTITIONED (by bucket) — the
+    single-reducer global window exists only over the tiny bucket-totals
+    table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mergermetrics_lakehouse_pipeline_spark.operators.corpus import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), ((F.col("id") * 7919) % 101).alias("v")
+    )
+    got = {
+        r.k: r.v_prefix
+        for r in distributed_prefix_sum(df, "k", ["v"], bucket_size=37).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.p for r in df.select("k", F.sum("v").over(w).alias("p")).collect()}
+    assert got == want
+
+    out = distributed_prefix_sum(df, "k", ["v"], bucket_size=37)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # the window over DATA rows must carry the bucket partition key
+    assert "partitionBy" not in plan  # (string form differs; check specs below)
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], \[[^\]]*\]", plan)
+    assert any("__bucket" in w_ for w_ in windows), windows
