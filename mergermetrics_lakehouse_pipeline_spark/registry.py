@@ -1490,6 +1490,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_dau_stickiness",
     "dpp_partition_prune_roundtrip",
     "docs_vocab_growth",
+    "streaming_heavy_hitters_exact",
+    "bucketed_join_roundtrip",
     # --- padding to the 50-slot window (final r4 state: 35 pending
     # above + 15 of these fill the window): already-green flagships,
     # one per family — their re-verification refreshes r1 rows at zero

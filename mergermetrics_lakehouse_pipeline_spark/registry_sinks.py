@@ -681,6 +681,119 @@ def q_streaming_distinct_fold_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @register(
+    "streaming_heavy_hitters_exact",
+    """
+    WITH counts AS (
+      SELECT event_type, user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, user_id, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rnk
+      FROM counts
+    )
+    SELECT event_type, user_id, CAST(n AS BIGINT) AS est_count,
+           CAST(0 AS BIGINT) AS max_overestimate,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=["streaming", "stateful", "heavy-hitters", "roundtrip"],
+)
+def q_streaming_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The space-saving heavy-hitter operator
+    (streaming/stateful.py:streaming_heavy_hitters) run in its EXACT
+    regime: capacity >= distinct users per type, so no eviction ever
+    fires, every counter is the true count and every overestimate bound
+    is 0 — the degenerate setting that lets a hash oracle verify the
+    sketch's counting/state machinery end-to-end (the k=8 approximate
+    setting is property-tested instead). Top-5 users per type by exact
+    count, hash-matched against a plain groupBy + row_number."""
+    from pyspark.sql import Window
+
+    from .streaming.jobs import read_events_stream
+    from .streaming.stateful import streaming_heavy_hitters
+
+    landing = tempfile.mkdtemp(prefix="mm_hh_landing_")
+    events_table(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(landing)
+    out = tempfile.mkdtemp(prefix="mm_hh_out_")
+    q = (
+        streaming_heavy_hitters(read_events_stream(spark, landing), k=1 << 15)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mm_hh_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming heavy hitters did not drain in 120s")
+    back = spark.read.parquet(out)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("est_count").desc(), F.col("item")
+    )
+    return (
+        back.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            F.col("item").alias("user_id"),
+            "est_count",
+            "max_overestimate",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "bucketed_join_roundtrip",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=["bucketing", "join", "roundtrip"],
+)
+def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join, driver-checked: lineitem and orders
+    land as 8-bucket sorted tables on the order key; with broadcast
+    disabled (scoped) the join is a bucket-aligned SortMergeJoin with NO
+    Exchange on either side — the write-time shuffle amortized across
+    every later join, the physical design that makes repeated fact-fact
+    joins affordable at 100 TB. The plan property is asserted in
+    tests/test_plan_invariants.py (test_bucketed_join_no_shuffle); this
+    round trip hash-checks that the bucketed path returns exactly the
+    plain join's rows."""
+    suffix = uuid.uuid4().hex[:8]
+    tl, to = f"bkt_li_{suffix}", f"bkt_o_{suffix}"
+    T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+    T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(tl).join(
+            spark.table(to),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        agg = j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_table(spark, tl)
+        drop_table(spark, to)
+    return agg
+
+
+@register(
     "streaming_dedup_roundtrip",
     """
     SELECT event_id, user_id, event_type,

@@ -184,12 +184,15 @@ def _heavy_hitters_group(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
+    k: int = HH_K,
 ) -> Iterator[pd.DataFrame]:
     """Metwally et al.'s SPACE-SAVING: k counters per group, smallest
     counter evicted (its count inherited as the newcomer's overestimate
     bound). Guarantees: est >= true; est - err <= true; every item with
     true count > n/k is present. State is O(k) per group — constant,
-    however long the stream runs."""
+    however long the stream runs. With ``k`` >= the group's distinct
+    item count no eviction ever fires and the counters are EXACT (the
+    property the driver's exact-twin query verifies)."""
     (etype,) = key
     if state.hasTimedOut:  # pragma: no cover - not armed in tests
         state.remove()
@@ -207,7 +210,7 @@ def _heavy_hitters_group(
             n_seen += 1
             if item in table:
                 table[item][0] += 1
-            elif len(table) < HH_K:
+            elif len(table) < k:
                 table[item] = [1, 0]
             else:
                 evict = min(table, key=lambda x: (table[x][0], x))
@@ -230,21 +233,25 @@ def _heavy_hitters_group(
     )
 
 
-def streaming_heavy_hitters(stream: DataFrame) -> DataFrame:
+def streaming_heavy_hitters(stream: DataFrame, *, k: int = HH_K) -> DataFrame:
     """events stream -> per-type top-k user table, refreshed every
     micro-batch (append mode; the row with the highest n_seen per
     (event_type, item) is the latest view).
 
     The exact batch answer needs a full groupBy over all history; this
-    keeps k counters per type in the state store — the bounded-memory
-    sketch for 'top users right now' on an unbounded stream."""
+    keeps ``k`` counters per type in the state store — the
+    bounded-memory sketch for 'top users right now' on an unbounded
+    stream. ``k`` >= distinct items per group degrades gracefully to
+    exact counting (no eviction path ever fires)."""
+    import functools
+
     from pyspark.sql import functions as F
 
     prepared = stream.select(
         "event_type", F.col("user_id").alias("item")
     )
     return prepared.groupBy("event_type").applyInPandasWithState(
-        _heavy_hitters_group,
+        functools.partial(_heavy_hitters_group, k=k),
         outputStructType=HH_SCHEMA,
         stateStructType=HH_STATE_SCHEMA,
         outputMode="append",
