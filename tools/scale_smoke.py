@@ -236,6 +236,46 @@ def main() -> None:
     t1, tk = timed(lambda: bm25(d1)), timed(lambda: bm25(dk))
     print(f"{'bm25_topk':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
 
+    # ---- round-4b: association rules (baskets) / distributed prefix sum ----
+    def assoc(df: DataFrame) -> int:
+        baskets = df.groupBy(F.col("l_orderkey").alias("ok")).agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("items")
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("items"), i + F.lit(2), F.size(F.col("items")) - i - 1
+                    ),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        return (
+            baskets.select(F.explode(pair_arr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .count()
+            .filter(F.col("count") >= 3)
+            .count()
+        )
+
+    assoc(li1)  # warm-up
+    t1, tk = timed(lambda: assoc(li1)), timed(lambda: assoc(lik))
+    print(f"{'association_pairs':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+
+    def prefix(df: DataFrame) -> int:
+        return cp.distributed_prefix_sum(
+            df.select(F.col("l_orderkey").alias("o"), F.col("l_quantity").alias("v")),
+            "o",
+            ["v"],
+            bucket_size=4096,
+        ).count()
+
+    prefix(li1)  # warm-up
+    t1, tk = timed(lambda: prefix(li1)), timed(lambda: prefix(lik))
+    print(f"{'prefix_sum':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+
 
 if __name__ == "__main__":
     main()
