@@ -56,19 +56,32 @@ def clean_customers(
     city_map: Mapping[str, str] | None = None,
     market_map: Mapping[str, str] | None = None,
     city_fixes: DataFrame | None = None,
+    platform: str = "In-Store",
+    channel: str = "Retail",
+    strict_city_map: bool = False,
 ) -> DataFrame:
     """Silver: raw child customers -> cleaned, enriched dimension rows.
 
     ``city_fixes`` is the per-customer-id rule table
     (``customer_id``, ``fixed_city``) the reference builds from a Python
     dict (S13, :181-191); joined left + coalesced, exactly once.
+
+    ``strict_city_map=True`` replays the reference's exact allowed-set
+    semantics (:118-136): a city outside the mapping keys becomes NULL
+    (so include identity entries like ``{"Austin": "Austin"}``); the
+    default keeps unmapped spellings as-is. ``platform`` / ``channel``
+    are the static parent-alignment constants (:231-232 uses
+    "PowerBite Nutrition" / "Acquisition").
     """
     city_map = dict(city_map or DEFAULT_CITY_MAP)
     market_map = dict(market_map or DEFAULT_MARKET_MAP)
 
     df = dedupe_by_keys(raw, ["customer_id"], order_by=["customer_id"])
     df = df.withColumn("customer_name", normalize_text("customer_name"))
-    df = df.withColumn("city", standardize_values("city", city_map))
+    df = df.withColumn(
+        "city",
+        standardize_values("city", city_map, keep_unmapped=not strict_city_map),
+    )
 
     if city_fixes is not None:
         df = (
@@ -89,8 +102,8 @@ def clean_customers(
                 "-", F.col("customer_name"), F.coalesce(F.col("city"), F.lit("Unknown"))
             ),
         )
-        .withColumn("platform", F.lit("In-Store"))
-        .withColumn("channel", F.lit("Retail"))
+        .withColumn("platform", F.lit(platform))
+        .withColumn("channel", F.lit(channel))
         .withColumn("market", F.coalesce(market, F.lit("Unknown")))
     )
 

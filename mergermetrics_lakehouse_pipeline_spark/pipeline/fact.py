@@ -31,12 +31,19 @@ from ..operators.incremental import recompute_affected_periods
 from ..operators.merge import merge_dataframes
 
 #: Ordered order-date formats (parity: 1_full_load_fact.py:111-125).
+#: Single-letter day/month patterns (java.time: ``d``/``M`` accept 1-2
+#: digits, ``dd``/``MM`` require exactly 2) so single-digit days parse
+#: too — the reference's exact-width formats silently NULL every
+#: "Friday, January 2, 2026" row in its own 2026-01 incremental files
+#: (verified against incremental_load/orders/orders_2026_01_0*.csv; see
+#: tests/test_golden_replay.py), an engine robustness fix over the
+#: reference, same spirit as the pricing tie-breaker (SURVEY §7).
 ORDER_DATE_FORMATS: list[str] = [
-    "MMMM dd, yyyy",
-    "dd-MM-yyyy",
-    "dd/MM/yyyy",
-    "yyyy/MM/dd",
-    "yyyy-MM-dd",
+    "MMMM d, yyyy",
+    "d-M-yyyy",
+    "d/M/yyyy",
+    "yyyy/M/d",
+    "yyyy-M-d",
 ]
 
 DAILY_KEYS = ["date", "order_id", "product_code", "customer_code"]
