@@ -388,6 +388,8 @@ def bm25_topk(
     global sort). Query terms are the bounded side (a query has tens of
     terms, not millions).
     """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     toks = tx.tokens(text_col)
     base = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("toks")
@@ -481,16 +483,19 @@ def distributed_prefix_sum(
     A naive ``SUM() OVER (ORDER BY ...)`` funnels the whole table
     through one reducer; this shape keeps the critical path at
     O(bucket_size + n_buckets). Requires ``order_col`` values to be
-    numeric (bucketing divides); ties within ``order_col`` are summed
-    into the same prefix row's value, so the output is one row per input
-    row with deterministic prefix values for distinct order keys.
+    numeric (bucketing divides); ties within ``order_col`` use RANGE
+    frame semantics — every tied row gets the same prefix value (the
+    sum through ALL rows at that key), deterministic regardless of
+    partition order. One output row per input row.
 
     Returns ``df`` plus ``<col>_prefix`` running-total columns.
     """
     from pyspark.sql import Window
 
     b = (F.col(order_col) / F.lit(bucket_size)).cast("bigint").alias("__bucket")
-    within_w = Window.partitionBy("__bucket").orderBy(order_col).rowsBetween(
+    # RANGE, not ROWS: with duplicate order keys a ROWS frame would give
+    # each tied row a partition-order-dependent (nondeterministic) value
+    within_w = Window.partitionBy("__bucket").orderBy(order_col).rangeBetween(
         Window.unboundedPreceding, 0
     )
     staged = df.withColumn("__bucket", b)

@@ -191,10 +191,23 @@ def incremental_classify(
         .union(cand.select(F.col("id_b").alias("__cand_id")))
         .distinct()
     )
-    d_cand = docs.join(
-        F.broadcast(cand_ids),
-        docs[id_col] == F.col("__cand_id"),
-        "left_semi",
+    # Confirm input must resolve BOTH sides of every candidate pair:
+    # probe ids live in batch_docs, index ids in docs. Union them before
+    # the candidate-bounded semi join — if callers pass a docs frame
+    # missing the batch, a docs-only confirm would silently drop every
+    # near-dup candidate (probe-side shingles absent from the inner
+    # join) and misclassify near-dups as 'new'.
+    text_cols = [id_col, text_col]
+    d_all = docs.select(*text_cols).unionByName(
+        batch_docs.select(*text_cols)
+    )
+    d_cand = (
+        d_all.join(
+            F.broadcast(cand_ids),
+            d_all[id_col] == F.col("__cand_id"),
+            "left_semi",
+        )
+        .dropDuplicates([id_col])  # candidate-bounded, stays O(candidates)
     )
     confirmed = ngram_jaccard_pairs(
         d_cand, cand, text_col, id_col, shingle_n=shingle_n, threshold=threshold

@@ -193,7 +193,6 @@ def test_distributed_prefix_sum_matches_naive(spark):
         "== Initial Plan =="
     )[0]
     # the window over DATA rows must carry the bucket partition key
-    assert "partitionBy" not in plan  # (string form differs; check specs below)
     import re
 
     windows = re.findall(r"Window \[[^\]]*\], \[[^\]]*\]", plan)

@@ -541,9 +541,11 @@ def test_window_covers_all_pending_queries():
     (hash-match, or rows-only err-clean, = verified)."""
     import glob
     import json
+    from pathlib import Path
 
+    repo_root = Path(__file__).resolve().parents[1]
     verified = set()
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(str(repo_root / "CORRECTNESS_r*.json"))):
         for name, row in json.load(open(path)).items():
             ok = (
                 row.get("err") is None and row.get("hash_match") is True
