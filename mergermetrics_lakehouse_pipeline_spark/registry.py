@@ -1441,13 +1441,15 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # --- ROUND-4 ROTATION: the 43 r3-green rows are durable and rotate
-    # out; the 7 rows-only queries ran err-clean in r3 (ledger policy:
-    # rows-only + err-clean once = verified — tools/window_coverage.py)
-    # and rotate out too. The head is exactly the 16 queries with no
-    # driver row ever (15 oracle-backed + rows-only emb_pq_topk),
-    # followed by this round's new oracle-backed additions. ---
-    # never-windowed oracle-backed backlog
+    # --- ROUND-5 ROTATION: after r4 the ledger reads 188/188
+    # verified-ever, pending 0 (tools/window_coverage.py), so every r4
+    # window row is durable and the full 50-slot window is free. Head =
+    # this round's new queries (each needs its first driver row); the
+    # remainder of the window re-verifies prior-round rows at zero risk.
+    # ---
+    # round-5 additions (new surface)
+    "delta_log_read_roundtrip",
+    # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",
     "lineitem_bloom_semi_revenue",

@@ -1162,3 +1162,73 @@ def q_synth_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "delta_log_read_roundtrip",
+    """
+    WITH final AS (
+      SELECT n_regionkey,
+             CAST(COUNT(*) AS BIGINT) AS n_nations,
+             CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys
+      FROM nation GROUP BY 1
+    ), v0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v0_rows
+      FROM nation WHERE n_nationkey < 15
+    )
+    SELECT final.*, v0.v0_rows FROM final CROSS JOIN v0
+    """,
+    tags=["S6", "delta", "time-travel", "roundtrip"],
+)
+def q_delta_log_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta transaction-log READ parity without delta-spark (S6): write
+    a protocol-valid Delta table (parquet data files + authored JSON
+    commits, sources/delta_log.py) in three commits — v0 overwrite of
+    the low-key nation slice, v1 append of the rest (hive-partitioned by
+    n_regionkey), v2 checkpoint — then reconstruct the snapshot from the
+    checkpoint + log, scan it distributed, and aggregate per region.
+    Time travel supplies v0's row count as a cross-joined scalar. The
+    oracle recomputes both from the pristine nation table, so a reader
+    that drops/double-counts a file, misses a remove action, or loses
+    partition-column values on the hive read flips the hash.
+
+    Parity: every reference write is Delta
+    (1_customer_data_processing.py:50-53); time travel = S6's CDF-era
+    read (VERDICT r4 next-step #2).
+
+    Scale: log parsing is O(files) driver-side metadata (the canonical
+    Delta reader shape); the data scan is one distributed parquet read
+    with basePath partition recovery, and the aggregate is a single
+    partial-agg shuffle on n_regionkey."""
+    from .sources.delta_log import read_delta, write_checkpoint, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_delta_rt_") + "/nation_delta"
+    nation = T(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_delta(
+        nation.filter("n_nationkey < 15"),
+        root,
+        mode="overwrite",
+        partition_by=["n_regionkey"],
+    )
+    write_delta(
+        nation.filter("n_nationkey >= 15"),
+        root,
+        mode="append",
+        partition_by=["n_regionkey"],
+    )
+    write_checkpoint(spark, root)
+
+    final = (
+        read_delta(spark, root)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("sum_keys"),
+        )
+    )
+    v0 = read_delta(spark, root, version=0).agg(
+        F.count("*").cast("bigint").alias("v0_rows")
+    )
+    return final.crossJoin(F.broadcast(v0))
