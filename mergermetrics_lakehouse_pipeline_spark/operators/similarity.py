@@ -773,3 +773,97 @@ def cosine_cluster_assign(
         F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias("centroid_id"),
         F.round(F.max(key).getField("sim"), 6).alias("cosine_sim"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by nearest centroid, find
+    near-duplicate pairs WITHIN clusters only, and keep one
+    representative per near-dup neighborhood.
+
+    Composition of two proven kernels — ``cosine_cluster_assign``
+    (broadcast centroids, max_by argmax) buckets the corpus, then
+    ``embedding_neardup_pairs(bucket_col=...)`` bounds pair generation
+    to intra-cluster comparisons; the global all-pairs O(N^2) never
+    appears in the plan, which is the property that makes SemDeDup
+    viable at corpus scale (pairs are |cluster|^2-bounded, clusters are
+    k-bounded slices of the shuffle).
+
+    Keep rule (deterministic, local): for every near-dup pair the
+    vector with LOWER (centroid_sim, then higher id) is dropped. A
+    greedy pairwise rule rather than connected components: one
+    aggregation instead of an iterative join loop. Guarantee: within
+    every connected component of the dup graph the max-priority member
+    survives (nobody outranks it), so no neighborhood is wiped out;
+    along priority chains intermediate members may drop even when their
+    only direct partner also dropped — same as SemDeDup's greedy
+    per-neighborhood keep.
+
+    Output: one row per corpus vector —
+    (vec_id, centroid_id, centroid_sim, dup_neighbors, kept 0/1).
+    """
+    assign = cosine_cluster_assign(
+        corpus, centroids_df, id_col=id_col, vec_col=vec_col
+    ).select(
+        "vec_id", "centroid_id", F.col("cosine_sim").alias("centroid_sim")
+    )
+    enriched = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(assign, "vec_id")
+
+    pairs = embedding_neardup_pairs(
+        enriched,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=threshold,
+        bucket_col="centroid_id",
+    )
+    sims = assign.select("vec_id", "centroid_sim")
+    scored = (
+        pairs.join(
+            sims.select(
+                F.col("vec_id").alias("id_a"), F.col("centroid_sim").alias("csim_a")
+            ),
+            "id_a",
+        ).join(
+            sims.select(
+                F.col("vec_id").alias("id_b"), F.col("centroid_sim").alias("csim_b")
+            ),
+            "id_b",
+        )
+    )
+    a_wins = (F.col("csim_a") > F.col("csim_b")) | (
+        (F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    drops = scored.select(
+        F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("vec_id")
+    ).distinct()
+    degree = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("bigint").alias("dup_neighbors"))
+    )
+    return (
+        assign.join(degree, "vec_id", "left")
+        .join(drops.withColumn("__drop", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "centroid_sim",
+            F.coalesce(F.col("dup_neighbors"), F.lit(0)).cast("bigint").alias(
+                "dup_neighbors"
+            ),
+            F.when(F.col("__drop") == 1, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("kept"),
+        )
+    )

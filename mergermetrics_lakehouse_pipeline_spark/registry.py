@@ -1449,6 +1449,7 @@ DRIVER_PRIORITY: list[str] = [
     # ---
     # round-5 additions (new surface)
     "delta_log_read_roundtrip",
+    "emb_semantic_dedup",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

@@ -2473,3 +2473,68 @@ def q_docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "emb_semantic_dedup",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT v.vec_id, c.centroid_id, {_COS.format(a="v.v", b="c.cv")} AS sim
+      FROM v CROSS JOIN c
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, centroid_id) AS rnk
+      FROM s
+    ), a AS (
+      SELECT vec_id, centroid_id, ROUND(sim, 6) AS centroid_sim
+      FROM r WHERE rnk = 1
+    ), e2 AS (
+      SELECT a.vec_id, a.centroid_id, a.centroid_sim, v.v
+      FROM a JOIN v ON v.vec_id = a.vec_id
+    ), p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             x.centroid_sim AS csim_a, y.centroid_sim AS csim_b
+      FROM e2 x JOIN e2 y
+        ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+      WHERE ROUND({_COS.format(a="x.v", b="y.v")}, 6) >= 0.30
+    ), drops AS (
+      SELECT DISTINCT CASE WHEN csim_a > csim_b
+                             OR (csim_a = csim_b AND id_a < id_b)
+                           THEN id_b ELSE id_a END AS vec_id
+      FROM p
+    ), deg AS (
+      SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS dup_neighbors
+      FROM (SELECT id_a AS vec_id FROM p UNION ALL SELECT id_b FROM p)
+      GROUP BY 1
+    )
+    SELECT a.vec_id, a.centroid_id, a.centroid_sim,
+           CAST(COALESCE(deg.dup_neighbors, 0) AS BIGINT) AS dup_neighbors,
+           CAST(CASE WHEN drops.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM a
+    LEFT JOIN deg ON deg.vec_id = a.vec_id
+    LEFT JOIN drops ON drops.vec_id = a.vec_id
+    """,
+    tags=["LLM-dedup", "LLM-sim", "semdedup"],
+)
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (VERDICT r4 next-step #3): nearest
+    of 8 deterministic centroids buckets the corpus, near-dup pairs
+    (cosine >= 0.30) are generated WITHIN clusters only, and each
+    neighborhood keeps its most-central member (deterministic
+    (centroid_sim desc, vec_id) rule). One row per vector with its
+    cluster, centroid similarity, near-dup degree and kept flag
+    (operators/similarity.py:semantic_dedup).
+
+    Scale: pair generation is cluster-bounded (the plan never contains
+    a global self-join), centroids ride a broadcast, and the keep rule
+    is one aggregation + two left joins — no iterative component loop."""
+    e = T(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    return sim.semantic_dedup(e, cents, threshold=0.30)

@@ -415,3 +415,59 @@ def test_cluster_assign_matches_numpy(spark, sf_dir):
         v = np.asarray(r.embedding, dtype="float64")
         sims = (Cn @ (v / np.linalg.norm(v)))
         assert got[r.vec_id] == int(np.argmax(sims))
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Greedy SemDeDup keep-rule guarantees: (a) dropped implies a
+    near-dup neighbor; (b) within every connected component of the
+    intra-cluster dup graph the max-(centroid_sim, -id) member is kept
+    (no neighborhood wiped out); (c) one output row per vector; (d) the
+    pair join is cluster-bounded."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    out = sim.semantic_dedup(e, cents, threshold=0.30).cache()
+    assert out.count() == e.count()
+
+    dropped = out.filter("kept = 0")
+    assert dropped.filter("dup_neighbors = 0").count() == 0
+
+    pairs = sim.embedding_neardup_pairs(
+        e.join(
+            sim.cosine_cluster_assign(e, cents).select("vec_id", "centroid_id"),
+            "vec_id",
+        ),
+        threshold=0.30,
+        bucket_col="centroid_id",
+    ).collect()
+    prio = {
+        r.vec_id: (r.centroid_sim, -r.vec_id)
+        for r in out.select("vec_id", "centroid_sim").collect()
+    }
+    kept = {r.vec_id for r in out.filter("kept = 1").collect()}
+
+    # union-find over the dup graph (test-scale driver-side check)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for v in parent:
+        comps.setdefault(find(v), []).append(v)
+    assert comps, "expected at least one dup component at threshold 0.30"
+    for members in comps.values():
+        top = max(members, key=lambda v: prio[v])
+        assert top in kept, f"component max-priority member {top} was dropped"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan  # pair join carries the cluster key
