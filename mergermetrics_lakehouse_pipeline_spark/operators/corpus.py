@@ -525,3 +525,112 @@ def distributed_prefix_sum(
         *[f"__within_{c}" for c in value_cols],
         *[f"__off_{c}" for c in value_cols],
     )
+
+
+BPE_SEP = "\x1f"  # unit separator; filtered out of input tokens
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int = 8,
+) -> list[dict]:
+    """Train ``n_merges`` BPE merge rules on the corpus (Sennrich et al.
+    2016 word-level byte-pair encoding, arXiv:1508.07909): start from
+    character symbols per distinct word, repeatedly (1) count adjacent
+    symbol pairs weighted by word frequency, (2) merge the most frequent
+    pair everywhere (ties: lexicographic (left, right)), left-to-right
+    greedy within a word.
+
+    The missing piece between ``docs_bigram_counts`` (statistics) and
+    ``docs_token_ids`` (application of a fixed vocab): this TRAINS the
+    subword vocab. Naive char-BPE: no end-of-word marker, merged symbol
+    is the string concat (so "a"+"bc" and "ab"+"c" collide — inherent
+    to the string representation, shared by any engine computing it).
+
+    Scale: the corpus is touched ONCE (token explode -> word-frequency
+    aggregation); every iteration then runs on the VOCAB table (distinct
+    words), orders of magnitude smaller, cached per round. Per-round
+    driver traffic is exactly one row (the argmax pair) — the same
+    O(1)-row convergence-collect pattern as the connected-components
+    operator. Pair application is a JVM ``aggregate`` fold (greedy
+    left-to-right, merged symbol immediately eligible for the next
+    fold step), never a Python UDF.
+
+    Returns the merge table as a list of dicts:
+    (step, left_sym, right_sym, merged, pair_count).
+    """
+    from ..functions import text as tx
+
+    words = (
+        docs.select(F.explode(tx.tokens(text_col)).alias("w"))
+        .filter((F.length("w") > 0) & ~F.col("w").contains(BPE_SEP))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    vocab = words.select(
+        "freq",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substr(F.col("w"), i, F.lit(1)),
+            ),
+            BPE_SEP,
+        ).alias("syms"),
+    ).cache()
+    vocab.count()
+
+    merges: list[dict] = []
+    for step in range(n_merges):
+        arr = F.split("syms", BPE_SEP)
+        idx = F.when(
+            F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("l"),
+                F.element_at(arr, i + 1).alias("r"),
+            ),
+        )
+        top = (
+            vocab.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, top[0].cnt
+        m = l + r
+        merges.append(
+            {
+                "step": step,
+                "left_sym": l,
+                "right_sym": r,
+                "merged": m,
+                "pair_count": cnt,
+            }
+        )
+        # greedy left-to-right merge fold; the merged symbol becomes the
+        # new "last" and is compared (not its pieces) on the next step
+        merged_syms = F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: F.when(
+                (F.element_at(F.split(acc, BPE_SEP), -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.left(acc, F.length(acc) - F.lit(len(l))), F.lit(m)
+                ),
+            ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
+        )
+        new_vocab = vocab.select("freq", merged_syms.alias("syms")).cache()
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return merges

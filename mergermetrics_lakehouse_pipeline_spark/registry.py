@@ -1450,6 +1450,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-5 additions (new surface)
     "delta_log_read_roundtrip",
     "emb_semantic_dedup",
+    "docs_bpe_merges",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

@@ -2538,3 +2538,104 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
     return sim.semantic_dedup(e, cents, threshold=0.30)
+
+
+def _sql_bpe_oracle(n_merges: int) -> str:
+    """Unrolled per-iteration CTE chain for BPE training — the same
+    exact-iteration trick parts_copurchase_pagerank uses: each merge
+    round is one CTE triple (pair counts -> argmax -> vocab rewrite via
+    list_reduce greedy fold), so DuckDB replays training exactly."""
+    sep = "chr(31)"
+    blocks = [
+        f"""
+    v0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+             array_to_string(
+               list_transform(generate_series(1, length(w)),
+                              i -> substr(w, i, 1)), {sep}) AS syms
+      FROM (SELECT unnest({{toks}}) AS w FROM documents) t
+      WHERE length(w) > 0 AND strpos(w, {sep}) = 0
+      GROUP BY w
+    )"""
+    ]
+    for k in range(n_merges):
+        blocks.append(
+            f"""
+    p{k} AS (
+      SELECT a[i] AS l, a[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq, a, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM (SELECT freq, string_split(syms, {sep}) AS a FROM v{k})
+      )
+      GROUP BY 1, 2
+    ),
+    t{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    v{k + 1} AS (
+      SELECT freq,
+             list_reduce(string_split(syms, {sep}), (acc, x) ->
+               CASE WHEN list_extract(string_split(acc, {sep}), -1) = t.l
+                         AND x = t.r
+                    THEN left(acc, length(acc) - length(t.l)) || t.l || t.r
+                    ELSE acc || {sep} || x END) AS syms
+      FROM v{k} CROSS JOIN t{k} t
+    )"""
+        )
+    finals = "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, cnt AS pair_count FROM t{k}"
+        for k in range(n_merges)
+    )
+    return (
+        "WITH " + ",".join(blocks) + "\n    " + finals
+    ).format(toks="__TOKS__").replace("__TOKS__", SQL_TOKS_SAFE)
+
+
+_BPE_N_MERGES = 8
+
+
+@register(
+    "docs_bpe_merges",
+    _sql_bpe_oracle(_BPE_N_MERGES),
+    tags=["LLM-text", "tokenizer", "bpe", "iterative"],
+)
+def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (VERDICT r4 next-step #4): 8 merge rounds
+    over the documents corpus — word-frequency table once, then each
+    round counts adjacent symbol pairs on the vocab table, merges the
+    argmax pair (ties lexicographic) with a greedy left-to-right JVM
+    aggregate fold, and collects exactly ONE row (the winning pair) to
+    the driver (operators/corpus.py:bpe_merges). The oracle unrolls the
+    same 8 rounds as CTE triples with a list_reduce fold, so the merge
+    table is hash-checked with exact integer pair counts.
+
+    Scale: corpus touched once; iterations run on the distinct-word
+    vocab (orders of magnitude smaller), cached per round; per-round
+    driver traffic is one row."""
+    from .operators import corpus as cp
+
+    merges = cp.bpe_merges(
+        T(spark, sf_dir, "documents"), "text", n_merges=_BPE_N_MERGES
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("step", LongType()),
+            StructField("left_sym", StringType()),
+            StructField("right_sym", StringType()),
+            StructField("merged", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (m["step"], m["left_sym"], m["right_sym"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        schema,
+    )

@@ -197,3 +197,48 @@ def test_distributed_prefix_sum_matches_naive(spark):
 
     windows = re.findall(r"Window \[[^\]]*\], \[[^\]]*\]", plan)
     assert any("__bucket" in w_ for w_ in windows), windows
+
+
+def test_bpe_merges_match_reference_algorithm(spark):
+    """bpe_merges reproduces a hand-rolled Sennrich-style BPE trainer on
+    a tiny corpus, including tie-breaks and greedy left-to-right
+    application (the 'aaa' overlap case)."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.corpus import bpe_merges
+
+    docs = ["low low low", "lower lower", "newest", "aaa aaa"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
+
+    def py_bpe(corpus, n):
+        from collections import Counter
+
+        freq = Counter(w for line in corpus for w in line.split())
+        vocab = {w: list(w) for w in freq}
+        out = []
+        for step in range(n):
+            counts = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] += freq[w]
+            if not counts:
+                break
+            # max count, ties to lexicographically smallest (l, r)
+            (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, l, r, l + r, c))
+            for w, syms in vocab.items():
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                vocab[w] = new
+        return out
+
+    expected = py_bpe(docs, 5)
+    got = [
+        (m["step"], m["left_sym"], m["right_sym"], m["merged"], m["pair_count"])
+        for m in bpe_merges(df, "text", n_merges=5)
+    ]
+    assert got == expected
