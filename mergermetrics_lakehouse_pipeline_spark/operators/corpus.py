@@ -634,3 +634,85 @@ def bpe_merges(
         vocab = new_vocab
     vocab.unpersist()
     return merges
+
+
+def bigram_familiarity(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    add_k: int = 1,
+    gate: float = 0.2,
+) -> DataFrame:
+    """Bigram-LM quality gate — the conditional-evidence upgrade of
+    ``unigram_familiarity`` and the standard n-gram filter next to the
+    Gopher repetition rules: score each document by how much corpus
+    bigram evidence its word transitions carry relative to their
+    context evidence, add-k smoothed.
+
+        score(d) = (Σ_bg tf_d(bg)·c(bg) + k·n_d)
+                 / (Σ_bg tf_d(bg)·c(ctx(bg)) + k·n_d·V)
+
+    where c(bg) is the corpus count of the bigram, c(ctx) the corpus
+    count of its first word as a bigram context, n_d the doc's bigram
+    token count and V the corpus vocabulary size. A pooled ratio, NOT a
+    per-bigram probability product: a true perplexity needs logs, and
+    the engine's oracle policy excludes transcendentals (libm ulps
+    differ across engines) — so both masses accumulate as exact BIGINT
+    sums and the ONE trailing division is bit-identical cross-engine.
+    Gate: ``passed = score >= gate``.
+
+    Scale: the token stream collapses to (doc, bigram, tf) before any
+    join; the bigram and context models are aggregations OF that table;
+    V is a 1-row broadcast. Same two-shuffle shape as
+    ``unigram_familiarity`` — no windows, no UDFs, no self-joins.
+    """
+    t = tx.tokens(text_col)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("ctx"),
+            F.concat_ws(" ", F.slice("t", i, F.lit(2))).alias("bg"),
+        ),
+    )
+    doc_bg = (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("p"))
+        .groupBy("doc_id", F.col("p.bg").alias("bg"), F.col("p.ctx").alias("ctx"))
+        .agg(F.count("*").cast("bigint").alias("bf"))
+    )
+    bg_model = doc_bg.groupBy("bg").agg(F.sum("bf").cast("bigint").alias("cnt"))
+    ctx_model = doc_bg.groupBy("ctx").agg(
+        F.sum("bf").cast("bigint").alias("ctx_cnt")
+    )
+    vocab = docs.select(
+        F.explode(tx.tokens(text_col)).alias("w")
+    ).agg(F.countDistinct("w").cast("bigint").alias("v_size"))
+
+    per_doc = (
+        doc_bg.join(bg_model, "bg")
+        .join(ctx_model, "ctx")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("bf") * F.col("cnt")).cast("bigint").alias("bg_mass"),
+            F.sum(F.col("bf") * F.col("ctx_cnt")).cast("bigint").alias("ctx_mass"),
+            F.sum("bf").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    k = F.lit(add_k).cast("bigint")
+    score = (F.col("bg_mass") + k * F.col("n_bigrams")) / (
+        F.col("ctx_mass") + k * F.col("n_bigrams") * F.col("v_size")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "bg_mass",
+            "ctx_mass",
+            "v_size",
+            F.round(score, 6).alias("bigram_score"),
+            (F.round(score, 6) >= gate).cast("int").alias("passed"),
+        )
+    )

@@ -1451,6 +1451,7 @@ DRIVER_PRIORITY: list[str] = [
     "delta_log_read_roundtrip",
     "emb_semantic_dedup",
     "docs_bpe_merges",
+    "docs_bigram_familiarity",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

@@ -2639,3 +2639,57 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
+
+
+@register(
+    "docs_bigram_familiarity",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {SQL_TOKS_SAFE} AS t FROM documents
+    ), bgp AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> struct_pack(ctx := t[i],
+                                     bg := array_to_string(t[i:i+1], ' ')))) AS p
+      FROM tok WHERE len(t) >= 2
+    ), doc_bg AS (
+      SELECT doc_id, p.bg AS bg, p.ctx AS ctx,
+             CAST(COUNT(*) AS BIGINT) AS bf
+      FROM bgp GROUP BY 1, 2, 3
+    ), bgm AS (
+      SELECT bg, CAST(SUM(bf) AS BIGINT) AS cnt FROM doc_bg GROUP BY 1
+    ), ctxm AS (
+      SELECT ctx, CAST(SUM(bf) AS BIGINT) AS ctx_cnt FROM doc_bg GROUP BY 1
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v_size
+      FROM (SELECT unnest({{toks}}) AS w FROM documents)
+    ), pd AS (
+      SELECT doc_bg.doc_id,
+             CAST(SUM(doc_bg.bf * bgm.cnt) AS BIGINT) AS bg_mass,
+             CAST(SUM(doc_bg.bf * ctxm.ctx_cnt) AS BIGINT) AS ctx_mass,
+             CAST(SUM(doc_bg.bf) AS BIGINT) AS n_bigrams
+      FROM doc_bg JOIN bgm USING (bg) JOIN ctxm USING (ctx)
+      GROUP BY 1
+    )
+    SELECT pd.doc_id, pd.n_bigrams, pd.bg_mass, pd.ctx_mass, v.v_size,
+           ROUND((pd.bg_mass + pd.n_bigrams) * 1.0
+                 / (pd.ctx_mass + pd.n_bigrams * v.v_size), 6) AS bigram_score,
+           CAST(CASE WHEN ROUND((pd.bg_mass + pd.n_bigrams) * 1.0
+                 / (pd.ctx_mass + pd.n_bigrams * v.v_size), 6) >= 0.0345
+                THEN 1 ELSE 0 END AS INTEGER) AS passed
+    FROM pd CROSS JOIN v
+    """.format(toks="__TOKS__").replace("__TOKS__", SQL_TOKS_SAFE),
+    tags=["LLM-text", "quality", "ngram-lm"],
+)
+def q_docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed bigram-LM quality gate (VERDICT r4 next-step #5):
+    pooled conditional-evidence ratio of each doc's word transitions —
+    exact BIGINT mass sums, ONE trailing division, no logs (oracle
+    no-transcendental policy) — gated at 0.0345, a mid-distribution
+    cut for this synthetic corpus (operators/corpus.py:bigram_familiarity). Completes the n-gram
+    quality ladder: unigram familiarity -> bigram conditional gate."""
+    from .operators import corpus as cp
+
+    return cp.bigram_familiarity(
+        T(spark, sf_dir, "documents"), "text", "doc_id", add_k=1, gate=0.0345
+    )
