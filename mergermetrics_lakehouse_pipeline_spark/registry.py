@@ -1452,6 +1452,7 @@ DRIVER_PRIORITY: list[str] = [
     "emb_semantic_dedup",
     "docs_bpe_merges",
     "docs_bigram_familiarity",
+    "docs_multi_suite_decontamination",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

@@ -2693,3 +2693,91 @@ def q_docs_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.bigram_familiarity(
         T(spark, sf_dir, "documents"), "text", "doc_id", add_k=1, gate=0.0345
     )
+
+
+_DECON_SUITES = [("mmlu_stub", 97), ("gsm_stub", 89), ("heldout_stub", 83)]
+
+
+@register(
+    "docs_multi_suite_decontamination",
+    f"""
+    WITH sh AS (SELECT doc_id, {{sh}} AS s FROM documents),
+    suites(suite_id, modulus) AS (
+      VALUES {", ".join(f"('{n}', {m})" for n, m in _DECON_SUITES)}
+    ),
+    sg AS (
+      SELECT DISTINCT su.suite_id, g
+      FROM sh JOIN suites su ON sh.doc_id % su.modulus = 0,
+           unnest(sh.s) AS t(g)
+    ),
+    cg AS (
+      SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh
+      WHERE {" AND ".join(f"doc_id % {m} <> 0" for _, m in _DECON_SUITES)}
+    ),
+    agg AS (
+      SELECT cg.doc_id, CAST(MIN(cg.n_sh) AS BIGINT) AS n_shingles,
+             {", ".join(f"CAST(COUNT(DISTINCT CASE WHEN sg.suite_id = '{n}' THEN cg.g END) AS BIGINT) AS hits_{i}" for i, (n, _) in enumerate(_DECON_SUITES))}
+      FROM cg LEFT JOIN sg ON cg.g = sg.g
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shingles,
+           {", ".join(f"hits_{i}" for i in range(len(_DECON_SUITES)))},
+           ROUND(GREATEST({", ".join(f"hits_{i}" for i in range(len(_DECON_SUITES)))}) / n_shingles, 6)
+             AS max_contamination,
+           CAST(CASE WHEN ROUND(GREATEST({", ".join(f"hits_{i}" for i in range(len(_DECON_SUITES)))}) / n_shingles, 6) < 0.5
+                THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM agg
+    """.format(sh=SQL_SHINGLES),
+    tags=["LLM-text", "contamination", "multi-suite"],
+)
+def q_docs_multi_suite_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-suite decontamination (VERDICT r4 next-step #7): N held-out
+    suites checked in ONE shingle pass — suite membership is a literal
+    (suite_id, modulus) table broadcast-joined onto the shingled corpus,
+    so the documents scan count is TWO regardless of suite count (one
+    scan builds every suite's shingle set, one scans the training side;
+    tests/test_llm_operators.py asserts the plan). Per-doc output:
+    per-suite distinct-shingle hit counts as conditional aggregates over
+    a single broadcast left join (no pivot re-join), the worst-suite
+    contamination fraction, and the decontaminated-corpus keep flag
+    (max contamination < 0.5). Suite shingle sets are eval-sized ->
+    broadcast; the corpus never self-joins."""
+    d = T(spark, sf_dir, "documents")
+    suites_df = spark.createDataFrame(_DECON_SUITES, ["suite_id", "modulus"])
+    sh = d.select("doc_id", tx.word_shingles("text", 3).alias("s"))
+
+    suite_g = (
+        sh.join(F.broadcast(suites_df), F.col("doc_id") % F.col("modulus") == 0)
+        .select("suite_id", F.explode("s").alias("g"))
+        .distinct()
+    )
+    corpus_pred = None
+    for _, m in _DECON_SUITES:
+        p = F.col("doc_id") % m != 0
+        corpus_pred = p if corpus_pred is None else (corpus_pred & p)
+
+    cg = sh.filter(corpus_pred).select(
+        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("g")
+    )
+    agg = (
+        cg.join(F.broadcast(suite_g), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_sh").cast("bigint").alias("n_shingles"),
+            *[
+                F.count_distinct(F.when(F.col("suite_id") == n, F.col("g")))
+                .cast("bigint")
+                .alias(f"hits_{i}")
+                for i, (n, _) in enumerate(_DECON_SUITES)
+            ],
+        )
+    )
+    hit_cols = [F.col(f"hits_{i}") for i in range(len(_DECON_SUITES))]
+    max_frac = F.round(F.greatest(*hit_cols) / F.col("n_shingles"), 6)
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        *[c for c in hit_cols],
+        max_frac.alias("max_contamination"),
+        (max_frac < 0.5).cast("int").alias("kept"),
+    )

@@ -471,3 +471,22 @@ def test_semantic_dedup_invariants(spark, sf_dir):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "centroid_id" in plan  # pair join carries the cluster key
+
+
+def test_multi_suite_decontamination_constant_scan_count(spark, sf_dir):
+    """The documents scan count must stay at TWO regardless of how many
+    suites are configured (suite membership rides a broadcast literal
+    table, per-suite hits are conditional aggregates — adding a suite
+    adds a CASE, never a scan/join)."""
+    from mergermetrics_lakehouse_pipeline_spark import registry
+
+    df = registry.queries()["docs_multi_suite_decontamination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 2, plan.count("documents.parquet")
+    rows = df.collect()
+    assert all(r.max_contamination <= 1.0 for r in rows)
+    # suite docs excluded from the training output
+    assert all(
+        r.doc_id % 97 != 0 and r.doc_id % 89 != 0 and r.doc_id % 83 != 0
+        for r in rows
+    )
