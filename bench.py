@@ -118,6 +118,18 @@ EXTENDED_R4: list[str] = [
 ]
 
 
+#: Round-5 additions, reported under "extended_r5" — earlier sets stay
+#: frozen so BENCH_r01..r05 compare like-for-like. Populated as round-5
+#: queries land.
+EXTENDED_R5: list[str] = [
+    "delta_log_read_roundtrip",
+    "emb_semantic_dedup",
+    "docs_bpe_merges",
+    "docs_bigram_familiarity",
+    "docs_multi_suite_decontamination",
+]
+
+
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -155,6 +167,7 @@ def main() -> None:
     extended = time_set(EXTENDED)
     extended_r3 = time_set(EXTENDED_R3)
     extended_r4 = time_set(EXTENDED_R4)
+    extended_r5 = time_set(EXTENDED_R5)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -169,6 +182,8 @@ def main() -> None:
         "extended_r3_total": round(sum(extended_r3.values()), 3),
         "extended_r4": extended_r4,
         "extended_r4_total": round(sum(extended_r4.values()), 3),
+        "extended_r5": extended_r5,
+        "extended_r5_total": round(sum(extended_r5.values()), 3),
     }
     # Full detail to a file (the driver's stdout tail capture clipped the
     # r3 single-line output, losing the headline total)...
@@ -191,6 +206,7 @@ def main() -> None:
                 "extended_total": full["extended_total"],
                 "extended_r3_total": full["extended_r3_total"],
                 "extended_r4_total": full["extended_r4_total"],
+                "extended_r5_total": full["extended_r5_total"],
                 "detail": "BENCH_LOCAL.json",
             }
         )

@@ -2711,11 +2711,12 @@ _DECON_SUITES = [("mmlu_stub", 97), ("gsm_stub", 89), ("heldout_stub", 83)]
            unnest(sh.s) AS t(g)
     ),
     cg AS (
-      SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh
+      SELECT doc_id, unnest(s) AS g FROM sh
       WHERE {" AND ".join(f"doc_id % {m} <> 0" for _, m in _DECON_SUITES)}
     ),
     agg AS (
-      SELECT cg.doc_id, CAST(MIN(cg.n_sh) AS BIGINT) AS n_shingles,
+      SELECT cg.doc_id,
+             CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_shingles,
              {", ".join(f"CAST(COUNT(DISTINCT CASE WHEN sg.suite_id = '{n}' THEN cg.g END) AS BIGINT) AS hits_{i}" for i, (n, _) in enumerate(_DECON_SUITES))}
       FROM cg LEFT JOIN sg ON cg.g = sg.g
       GROUP BY 1
@@ -2727,7 +2728,7 @@ _DECON_SUITES = [("mmlu_stub", 97), ("gsm_stub", 89), ("heldout_stub", 83)]
            CAST(CASE WHEN ROUND(GREATEST({", ".join(f"hits_{i}" for i in range(len(_DECON_SUITES)))}) / n_shingles, 6) < 0.5
                 THEN 1 ELSE 0 END AS INTEGER) AS kept
     FROM agg
-    """.format(sh=SQL_SHINGLES),
+    """.format(sh=SQL_SHINGLES_ALL),
     tags=["LLM-text", "contamination", "multi-suite"],
 )
 def q_docs_multi_suite_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2739,12 +2740,14 @@ def q_docs_multi_suite_decontamination(spark: SparkSession, sf_dir: str) -> Data
     tests/test_llm_operators.py asserts the plan). Per-doc output:
     per-suite distinct-shingle hit counts as conditional aggregates over
     a single broadcast left join (no pivot re-join), the worst-suite
-    contamination fraction, and the decontaminated-corpus keep flag
-    (max contamination < 0.5). Suite shingle sets are eval-sized ->
-    broadcast; the corpus never self-joins."""
+    contamination fraction over the doc's DISTINCT shingles, and the
+    decontaminated-corpus keep flag (max contamination < 0.5). Shingles
+    ride the codegen regex pass (word_shingles_fast, occurrences kept —
+    the COUNT DISTINCT aggregation dedups); suite shingle sets are
+    eval-sized -> broadcast; the corpus never self-joins."""
     d = T(spark, sf_dir, "documents")
     suites_df = spark.createDataFrame(_DECON_SUITES, ["suite_id", "modulus"])
-    sh = d.select("doc_id", tx.word_shingles("text", 3).alias("s"))
+    sh = d.select("doc_id", tx.word_shingles_fast("text", 3).alias("s"))
 
     suite_g = (
         sh.join(F.broadcast(suites_df), F.col("doc_id") % F.col("modulus") == 0)
@@ -2756,14 +2759,12 @@ def q_docs_multi_suite_decontamination(spark: SparkSession, sf_dir: str) -> Data
         p = F.col("doc_id") % m != 0
         corpus_pred = p if corpus_pred is None else (corpus_pred & p)
 
-    cg = sh.filter(corpus_pred).select(
-        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("g")
-    )
+    cg = sh.filter(corpus_pred).select("doc_id", F.explode("s").alias("g"))
     agg = (
         cg.join(F.broadcast(suite_g), "g", "left")
         .groupBy("doc_id")
         .agg(
-            F.min("n_sh").cast("bigint").alias("n_shingles"),
+            F.count_distinct("g").cast("bigint").alias("n_shingles"),
             *[
                 F.count_distinct(F.when(F.col("suite_id") == n, F.col("g")))
                 .cast("bigint")
