@@ -1453,6 +1453,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_bpe_merges",
     "docs_bigram_familiarity",
     "docs_multi_suite_decontamination",
+    "delta_cdf_diff",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

@@ -370,3 +370,31 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
     ) as fh:
         fh.write(json.dumps({"version": snap.version, "size": len(rows)}))
     return snap.version
+
+
+def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
+    """Remove data files no longer referenced by the CURRENT snapshot —
+    Delta VACUUM with retention 0 (the protocol's file-GC story:
+    unreferenced files are safe to delete once no retained reader needs
+    them; real deployments keep a retention window for in-flight
+    readers, which a single-process engine doesn't have). Time travel
+    to versions whose files were reclaimed fails afterwards, exactly as
+    VACUUM past the retention horizon does on Delta.
+
+    Driver-side filesystem metadata work, O(files) — no Spark job.
+    Returns the removed relative paths.
+    """
+    snap = snapshot(spark, table_path)
+    live = {os.path.normpath(p) for p in snap.files}
+    removed = []
+    for rel in _list_data_files(table_path, set()):
+        if os.path.normpath(rel) not in live:
+            os.remove(os.path.join(table_path, rel))
+            removed.append(rel)
+    # prune now-empty hive partition dirs
+    for root, dirs, names in os.walk(table_path, topdown=False):
+        if LOG_DIR in root.split(os.sep) or root == table_path:
+            continue
+        if not dirs and not names:
+            os.rmdir(root)
+    return sorted(removed)

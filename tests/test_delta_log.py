@@ -134,3 +134,22 @@ def test_missing_and_unknown_versions_raise(spark, tbl):
     write_delta(_nation(spark).select("n_nationkey"), tbl)
     with pytest.raises(ValueError, match="version 7"):
         read_delta(spark, tbl, version=7)
+
+
+def test_vacuum_reclaims_only_unreferenced_files(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import vacuum_delta
+
+    nation = _nation(spark).select("n_nationkey", "n_name")
+    write_delta(nation, tbl, mode="overwrite")
+    write_delta(nation.filter("n_nationkey < 5"), tbl, mode="overwrite")
+
+    removed = vacuum_delta(spark, tbl)
+    assert removed  # v0's files reclaimed
+    # latest version still fully readable
+    assert _rows(read_delta(spark, tbl)) == _rows(nation.filter("n_nationkey < 5"))
+    # time travel past the reclaimed files now fails (like VACUUM past
+    # the retention horizon) with a read error, not wrong rows
+    with pytest.raises(Exception):
+        read_delta(spark, tbl, version=0).collect()
+    # idempotent
+    assert vacuum_delta(spark, tbl) == []

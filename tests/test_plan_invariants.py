@@ -235,6 +235,10 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "events_daily_gap_fill",  # calendar-spine broadcast ⨯ distinct users
         "docs_boilerplate_phrases",  # 1-row corpus-count threshold broadcast
         "ddl_lineage_roundtrip",  # 1-row lineage ⨯ 1-row fixes stitch
+        "emb_semantic_dedup",   # 8-row centroid broadcast (cluster assign)
+        "docs_bigram_familiarity",  # 1-row vocab-size broadcast
+        "docs_multi_suite_decontamination",  # 3-row suite literal broadcast
+        "delta_log_read_roundtrip",  # 1-row time-travel count stitch
     }
     registry._load_extensions()
     failures = []
