@@ -716,3 +716,88 @@ def bigram_familiarity(
             (F.round(score, 6) >= gate).cast("int").alias("passed"),
         )
     )
+
+
+def bpe_apply(words: DataFrame, merges: list[dict], syms_col: str = "syms") -> DataFrame:
+    """Apply a trained BPE merge list (from ``bpe_merges``) to a word
+    table whose ``syms_col`` holds BPE_SEP-joined symbol strings — the
+    encode half of the tokenizer: each merge is one greedy
+    left-to-right JVM fold, materialized per step (cache) so the
+    expression tree stays linear instead of nesting 3^N references.
+
+    Scale: the canonical trick is to encode the VOCABULARY, not the
+    token stream — callers pass distinct words and join the result back
+    onto the corpus, so the N fold passes run over |vocab| rows."""
+    df = words
+    prev = None
+    for mrec in merges:
+        l, r, m = mrec["left_sym"], mrec["right_sym"], mrec["merged"]
+        arr = F.split(syms_col, BPE_SEP)
+        folded = F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: F.when(
+                (F.element_at(F.split(acc, BPE_SEP), -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.left(acc, F.length(acc) - F.lit(len(l))), F.lit(m)
+                ),
+            ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
+        )
+        df = df.withColumn(syms_col, folded).cache()
+        df.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = df
+    return df
+
+
+def bpe_encode_stats(
+    docs: DataFrame, text_col: str, id_col: str, merges: list[dict]
+) -> DataFrame:
+    """Per-document BPE encoding statistics under a trained merge list:
+    token count, character count, post-merge symbol count, and the
+    chars-per-symbol compression ratio (the metric a tokenizer ablation
+    reports). Tokens outside the trainable set (empty / containing the
+    separator) are skipped, matching training.
+
+    Scale: distinct words encode ONCE (``bpe_apply`` over the vocab);
+    the corpus-sized work is one token explode + a broadcast join of
+    the encoded vocab + one per-doc aggregation."""
+    words = (
+        docs.select(F.explode(tx.tokens(text_col)).alias("w"))
+        .filter((F.length("w") > 0) & ~F.col("w").contains(BPE_SEP))
+        .distinct()
+        .select(
+            "w",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substr(F.col("w"), i, F.lit(1)),
+                ),
+                BPE_SEP,
+            ).alias("syms"),
+        )
+    )
+    encoded = bpe_apply(words, merges).select(
+        "w", F.size(F.split("syms", BPE_SEP)).cast("bigint").alias("n_syms_w")
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tx.tokens(text_col)).alias("w")
+    ).filter((F.length("w") > 0) & ~F.col("w").contains(BPE_SEP))
+    return (
+        tok.join(F.broadcast(encoded), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("n_syms_w").cast("bigint").alias("n_syms"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars",
+            "n_syms",
+            F.round(F.col("n_chars") / F.col("n_syms"), 6).alias("compression"),
+        )
+    )

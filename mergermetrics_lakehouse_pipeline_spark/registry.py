@@ -1454,6 +1454,8 @@ DRIVER_PRIORITY: list[str] = [
     "docs_bigram_familiarity",
     "docs_multi_suite_decontamination",
     "delta_cdf_diff",
+    "docs_bpe_encode",
+    "docs_source_mixture",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

@@ -2540,16 +2540,18 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(e, cents, threshold=0.30)
 
 
-def _sql_bpe_oracle(n_merges: int) -> str:
-    """Unrolled per-iteration CTE chain for BPE training — the same
-    exact-iteration trick parts_copurchase_pagerank uses: each merge
-    round is one CTE triple (pair counts -> argmax -> vocab rewrite via
-    list_reduce greedy fold), so DuckDB replays training exactly."""
+def _sql_bpe_ctes(n_merges: int) -> str:
+    """Unrolled per-iteration CTE chain for BPE training (v0..t/v{n}) —
+    the same exact-iteration trick parts_copurchase_pagerank uses: each
+    merge round is one CTE triple (pair counts -> argmax -> vocab
+    rewrite via list_reduce greedy fold), so DuckDB replays training
+    exactly. Shared by docs_bpe_merges (training output) and
+    docs_bpe_encode (application output)."""
     sep = "chr(31)"
     blocks = [
         f"""
     v0 AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
              array_to_string(
                list_transform(generate_series(1, length(w)),
                               i -> substr(w, i, 1)), {sep}) AS syms
@@ -2571,7 +2573,7 @@ def _sql_bpe_oracle(n_merges: int) -> str:
     ),
     t{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
     v{k + 1} AS (
-      SELECT freq,
+      SELECT w, freq,
              list_reduce(string_split(syms, {sep}), (acc, x) ->
                CASE WHEN list_extract(string_split(acc, {sep}), -1) = t.l
                          AND x = t.r
@@ -2580,14 +2582,18 @@ def _sql_bpe_oracle(n_merges: int) -> str:
       FROM v{k} CROSS JOIN t{k} t
     )"""
         )
+    return ("WITH " + ",".join(blocks)).format(toks="__TOKS__").replace(
+        "__TOKS__", SQL_TOKS_SAFE
+    )
+
+
+def _sql_bpe_oracle(n_merges: int) -> str:
     finals = "\n      UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS step, l AS left_sym, r AS right_sym, "
         f"l || r AS merged, cnt AS pair_count FROM t{k}"
         for k in range(n_merges)
     )
-    return (
-        "WITH " + ",".join(blocks) + "\n    " + finals
-    ).format(toks="__TOKS__").replace("__TOKS__", SQL_TOKS_SAFE)
+    return _sql_bpe_ctes(n_merges) + "\n    " + finals
 
 
 _BPE_N_MERGES = 8
@@ -2781,4 +2787,95 @@ def q_docs_multi_suite_decontamination(spark: SparkSession, sf_dir: str) -> Data
         *[c for c in hit_cols],
         max_frac.alias("max_contamination"),
         (max_frac < 0.5).cast("int").alias("kept"),
+    )
+
+
+@register(
+    "docs_bpe_encode",
+    _sql_bpe_ctes(_BPE_N_MERGES)
+    + f""",
+    tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({{toks}}) AS w FROM documents
+      ) WHERE length(w) > 0 AND strpos(w, chr(31)) = 0
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(v.syms, chr(31)))) AS BIGINT) AS n_syms,
+           ROUND(SUM(length(t.w)) * 1.0
+                 / SUM(len(string_split(v.syms, chr(31)))), 6) AS compression
+    FROM tok t JOIN v{_BPE_N_MERGES} v ON v.w = t.w
+    GROUP BY 1
+    """.format(toks="__TOKS__").replace("__TOKS__", SQL_TOKS_SAFE),
+    tags=["LLM-text", "tokenizer", "bpe"],
+)
+def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: train the 8-merge vocab
+    (docs_bpe_merges' exact algorithm), encode the corpus with it, and
+    report per-doc token/char/symbol counts plus the chars-per-symbol
+    compression ratio. Encoding runs over the DISTINCT-WORD vocab (one
+    fold pass per merge, cached) and broadcast-joins back onto the
+    token stream — the corpus is never rewritten N times
+    (operators/corpus.py:bpe_apply/bpe_encode_stats). The oracle reuses
+    the training CTE chain's final vocab v8, so training + encoding are
+    hash-checked end-to-end in one query."""
+    from .operators import corpus as cp
+
+    d = T(spark, sf_dir, "documents")
+    merges = cp.bpe_merges(d, "text", n_merges=_BPE_N_MERGES)
+    return cp.bpe_encode_stats(d, "text", "doc_id", merges)
+
+
+@register(
+    "docs_source_mixture",
+    """
+    WITH per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             sqrt(CAST(COUNT(*) AS DOUBLE)) AS sq
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT list_reduce(list(sq ORDER BY source), (a, b) -> a + b) AS z
+      FROM per_src
+    )
+    SELECT p.source, p.n_docs,
+           ROUND(p.sq, 6) AS sqrt_n,
+           ROUND(p.sq / t.z, 6) AS weight,
+           CAST(FLOOR(ROUND(p.sq / t.z, 6) * 1000) AS BIGINT) AS target_docs
+    FROM per_src p CROSS JOIN tot t
+    """,
+    tags=["LLM-text", "sampling", "mixture"],
+)
+def q_docs_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture weights (alpha = 0.5): sampling
+    weight per source proportional to sqrt(count) — the standard
+    multinomial temperature reweighting (e.g. multilingual/mC4-style
+    alpha-sampling) that upweights small sources without letting giants
+    dominate. alpha=0.5 is the one temperature expressible EXACTLY
+    cross-engine: IEEE sqrt is correctly rounded (unlike pow/exp whose
+    libm ulps differ), and the normalizer folds the per-source sqrts in
+    SORTED source order (Spark: aggregate over sort_array(collect_list),
+    DuckDB: list_reduce over list(ORDER BY)), so the double sum is
+    bit-identical despite double addition being non-associative.
+
+    Scale: one aggregation to source grain (tiny), a one-row normalizer
+    stitch — nothing data-sized past the first groupBy."""
+    d = T(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    ).withColumn("sq", F.sqrt(F.col("n_docs").cast("double")))
+    tot = per_src.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "sq"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["sq"],
+        ).alias("z")
+    )
+    w = F.col("sq") / F.col("z")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round("sq", 6).alias("sqrt_n"),
+        F.round(w, 6).alias("weight"),
+        F.floor(F.round(w, 6) * 1000).cast("bigint").alias("target_docs"),
     )
