@@ -4,9 +4,10 @@ Media travels as opaque ``binary`` columns plus a typed metadata struct —
 the Spark-native shape for 100 TB multimodal corpora (payload stays
 columnar/compressed, metadata prunes without touching bytes).
 
-Decode kernels: WAV audio and non-interlaced 8-bit grayscale PNG decode
-for REAL via the stdlib (``wave``; PNG header + ``zlib`` inflate +
-de-filter) — magic bytes are sniffed per payload. Formats needing codec
+Decode kernels: WAV audio, non-interlaced 8-bit PNG (grayscale, RGB,
+RGBA; all five spec filters) and uncompressed 24-bit BMP decode for
+REAL via the stdlib (``wave``; PNG header + ``zlib`` inflate +
+de-filter; BMP struct parse) — magic bytes are sniffed per payload. Formats needing codec
 libraries absent from this container (JPEG, MP4, compressed audio) fall
 back to a clearly-marked deterministic stub derived from the payload
 digest (or raise NotImplementedError in strict mode), so the Spark-side
@@ -187,11 +188,22 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
-def _decode_png_gray8(payload: bytes) -> dict:
-    """REAL image decode for non-interlaced 8-bit grayscale PNG via the
-    stdlib: IHDR parse -> IDAT zlib inflate -> de-filter (None/Sub/Up) ->
-    per-segment mean intensity. Other PNG flavors raise (caller falls
-    back to the stub)."""
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> dict:
+    """REAL image decode for non-interlaced 8-bit PNG via the stdlib:
+    IHDR parse -> IDAT zlib inflate -> full de-filter (None/Sub/Up/
+    Average/Paeth, per the PNG spec §9) -> per-segment mean luminance.
+    Color types: 0 (grayscale), 2 (RGB), 6 (RGBA) — luminance is the
+    integer channel mean ((r+g+b)//3, alpha ignored), so features and
+    the dhash stay byte-deterministic. Other flavors (palette, 16-bit,
+    interlaced) raise and the caller falls back to the stub."""
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG")
     pos, width, height, idat = 8, None, None, b""
@@ -209,26 +221,45 @@ def _decode_png_gray8(payload: bytes) -> dict:
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + data + crc
-    if width is None or (bit_depth, color_type, interlace) != (8, 0, 0):
-        raise ValueError("only non-interlaced 8-bit grayscale PNG supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if width is None or bit_depth != 8 or interlace != 0 or channels is None:
+        raise ValueError(
+            "only non-interlaced 8-bit gray/RGB/RGBA PNG supported"
+        )
     raw = zlib.decompress(idat)
-    stride = width + 1  # leading filter byte per scanline
+    stride = width * channels + 1  # leading filter byte per scanline
     pixels: list[float] = []
     matrix: list[list[int]] = []
-    prev = [0] * width
+    prev = [0] * (width * channels)
     for y in range(height):
         line = raw[y * stride : (y + 1) * stride]
         ftype, body = line[0], list(line[1:])
         if ftype == 1:  # Sub
-            for x in range(1, width):
-                body[x] = (body[x] + body[x - 1]) & 0xFF
+            for x in range(channels, len(body)):
+                body[x] = (body[x] + body[x - channels]) & 0xFF
         elif ftype == 2:  # Up
-            body = [(body[x] + prev[x]) & 0xFF for x in range(width)]
+            body = [(body[x] + prev[x]) & 0xFF for x in range(len(body))]
+        elif ftype == 3:  # Average
+            for x in range(len(body)):
+                left = body[x - channels] if x >= channels else 0
+                body[x] = (body[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(len(body)):
+                left = body[x - channels] if x >= channels else 0
+                ul = prev[x - channels] if x >= channels else 0
+                body[x] = (body[x] + _paeth(left, prev[x], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unsupported PNG filter {ftype}")
         prev = body
-        matrix.append(body)
-        pixels.extend(v / 255.0 for v in body)
+        if channels == 1:
+            lum = body
+        else:
+            lum = [
+                (body[i] + body[i + 1] + body[i + 2]) // 3
+                for i in range(0, len(body), channels)
+            ]
+        matrix.append(lum)
+        pixels.extend(v / 255.0 for v in lum)
     return {
         "decoder": "png",
         "dec_width": width,
@@ -239,14 +270,57 @@ def _decode_png_gray8(payload: bytes) -> dict:
     }
 
 
+def _decode_bmp(payload: bytes) -> dict:
+    """REAL image decode for uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BI_RGB) via struct alone: bottom-up BGR rows, 4-byte row padding.
+    Same luminance convention as the PNG path ((r+g+b)//3)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError("BMP core header not supported")
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0 or width <= 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    matrix: list[list[int]] = []
+    pixels: list[float] = []
+    for row in range(height):
+        src_row = (height - 1 - row) if bottom_up else row
+        base = data_off + src_row * row_bytes
+        line = payload[base : base + width * 3]
+        lum = [
+            (line[x * 3] + line[x * 3 + 1] + line[x * 3 + 2]) // 3
+            for x in range(width)
+        ]
+        matrix.append(lum)
+        pixels.extend(v / 255.0 for v in lum)
+    return {
+        "decoder": "bmp",
+        "dec_width": width,
+        "dec_height": height,
+        "dec_duration_ms": None,
+        "feature": _segment_means(pixels),
+        "phash": _dhash64(matrix, width, height),
+    }
+
+
 def _decode_payload(payload: bytes, *, strict: bool = False) -> dict:
     """Sniff magic bytes and decode for real where the stdlib can (WAV,
-    gray8 PNG); otherwise the deterministic stub (or raise when strict)."""
+    8-bit gray/RGB/RGBA PNG, 24-bit BMP); otherwise the deterministic
+    stub (or raise when strict)."""
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _decode_wav(payload)
         if payload[:8] == _PNG_MAGIC:
-            return _decode_png_gray8(payload)
+            return _decode_png(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
     except Exception:
         if strict:
             raise
@@ -269,9 +343,9 @@ def extract_features(
     media: DataFrame, *, strict: bool = False, batch_limit: int | None = None
 ) -> DataFrame:
     """Decode + feature-extract every media row via Arrow-batched
-    ``mapInPandas``. Payload magic bytes pick the kernel per row: WAV and
-    gray8 PNG decode for REAL (stdlib), other formats use the
-    deterministic stub. ``strict=True`` makes the stub fallback raise
+    ``mapInPandas``. Payload magic bytes pick the kernel per row: WAV,
+    8-bit gray/RGB/RGBA PNG and 24-bit BMP decode for REAL (stdlib),
+    other formats use the deterministic stub. ``strict=True`` makes the stub fallback raise
     NotImplementedError (task failure) instead.
 
     ``batch_limit`` caps rows per Arrow batch (payload bytes x batch rows
@@ -439,3 +513,81 @@ def payload_dedup_groups(media: DataFrame, *, id_col: str = "media_id") -> DataF
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+def png_payload(
+    pixels: list[list[tuple]] | list[list[int]],
+    *,
+    color_type: int = 2,
+    filter_type: int = 0,
+) -> bytes:
+    """A VALID non-interlaced 8-bit PNG from a pixel matrix — gray
+    (color_type 0, int pixels), RGB (2) or RGBA (6) tuples — with every
+    scanline FORWARD-filtered using ``filter_type`` (0-4), so tests can
+    exercise each de-filter branch of ``_decode_png`` against known
+    pixels. Pure stdlib."""
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    height, width = len(pixels), len(pixels[0])
+
+    def flat(row):
+        if channels == 1:
+            return list(row)
+        return [c for px in row for c in px]
+
+    raw = b""
+    prev = [0] * (width * channels)
+    for row in pixels:
+        body = flat(row)
+        filt = list(body)
+        if filter_type == 1:
+            for x in range(len(body) - 1, channels - 1, -1):
+                filt[x] = (body[x] - body[x - channels]) & 0xFF
+        elif filter_type == 2:
+            filt = [(body[x] - prev[x]) & 0xFF for x in range(len(body))]
+        elif filter_type == 3:
+            for x in range(len(body)):
+                left = body[x - channels] if x >= channels else 0
+                filt[x] = (body[x] - (left + prev[x]) // 2) & 0xFF
+        elif filter_type == 4:
+            for x in range(len(body)):
+                left = body[x - channels] if x >= channels else 0
+                ul = prev[x - channels] if x >= channels else 0
+                filt[x] = (body[x] - _paeth(left, prev[x], ul)) & 0xFF
+        raw += bytes([filter_type]) + bytes(filt)
+        prev = body
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def bmp24_payload(pixels: list[list[tuple]]) -> bytes:
+    """A VALID uncompressed bottom-up 24-bit BMP from an RGB pixel
+    matrix (BITMAPINFOHEADER, BGR byte order, 4-byte row padding)."""
+    height, width = len(pixels), len(pixels[0])
+    row_bytes = (width * 3 + 3) & ~3
+    body = b""
+    for row in reversed(pixels):  # bottom-up storage
+        line = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)
+        body += line.ljust(row_bytes, b"\x00")
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+    )
+    return header + body

@@ -181,26 +181,26 @@ def test_mixed_batch_routes_per_row(spark):
 
 def test_png_payload_roundtrip_and_phash(spark):
     from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
-        _decode_png_gray8,
+        _decode_png,
         png_gray8_payload,
     )
 
     data = bytes((50 + (i * 7) % 100) for i in range(256))
-    d = _decode_png_gray8(png_gray8_payload(data, width=16))
+    d = _decode_png(png_gray8_payload(data, width=16))
     assert (d["decoder"], d["dec_width"], d["dec_height"]) == ("png", 16, 16)
     assert d["phash"] is not None
 
 
 def test_dhash_brightness_invariant_and_noise_tolerant(spark):
     from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
-        _decode_png_gray8,
+        _decode_png,
         png_gray8_payload,
     )
 
     base = bytes((60 + (i % 16) * 5 + (i // 16) * 3) for i in range(256))
 
     def ph(b):
-        return _decode_png_gray8(png_gray8_payload(b, width=16))["phash"]
+        return _decode_png(png_gray8_payload(b, width=16))["phash"]
 
     def ham(a, b):
         return bin((a ^ b) & (2**64 - 1)).count("1")
@@ -248,3 +248,98 @@ def test_media_phash_pairs_finds_exact_payload_dups(spark):
     rows = q.fn(spark, "/root/testdata/sf0.001").collect()
     assert rows, "expected at least the exact-duplicate image pairs"
     assert any(r.hamming == 0 for r in rows)
+
+
+def test_png_rgb_all_filters_decode_identically():
+    """The five PNG filter types are encodings of the SAME pixels — the
+    de-filter branches must all reconstruct the identical luminance
+    matrix (features + dhash equal across filter types)."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+        _decode_png,
+        png_payload,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    pixels = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(12)]
+        for _ in range(9)
+    ]
+    decoded = [
+        _decode_png(png_payload(pixels, color_type=2, filter_type=ft))
+        for ft in range(5)
+    ]
+    base = decoded[0]
+    assert base["decoder"] == "png"
+    assert (base["dec_width"], base["dec_height"]) == (12, 9)
+    for d in decoded[1:]:
+        assert d["feature"] == base["feature"]
+        assert d["phash"] == base["phash"]
+    # luminance convention: integer channel mean
+    expected_first = sum(pixels[0][0]) // 3 / 255.0
+    assert abs(base["feature"][0] - expected_first) < 0.25  # segment mean sanity
+
+
+def test_png_rgba_ignores_alpha_and_bmp_matches_png():
+    from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_png,
+        bmp24_payload,
+        png_payload,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rgb = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(8)]
+        for _ in range(8)
+    ]
+    rgba = [[(r, g, b, rng.randrange(256)) for (r, g, b) in row] for row in rgb]
+    d_rgb = _decode_png(png_payload(rgb, color_type=2, filter_type=4))
+    d_rgba = _decode_png(png_payload(rgba, color_type=6, filter_type=3))
+    assert d_rgba["feature"] == d_rgb["feature"]  # alpha ignored
+
+    d_bmp = _decode_bmp(bmp24_payload(rgb))
+    assert d_bmp["decoder"] == "bmp"
+    assert d_bmp["feature"] == d_rgb["feature"]  # same luminance pipeline
+    assert d_bmp["phash"] == d_rgb["phash"]
+
+
+def test_unsupported_png_falls_back_to_stub_and_strict_raises(spark):
+    """Palette PNG (color type 3) is outside the stdlib decoder: the
+    mapInPandas pipeline must mark it decoder='stub' (lenient) and fail
+    the task in strict mode."""
+    import struct as st
+    import zlib as zl
+
+    from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        extract_features,
+    )
+
+    def chunk(ctype, body):
+        return st.pack(">I", len(body)) + ctype + body + st.pack(
+            ">I", zl.crc32(ctype + body) & 0xFFFFFFFF
+        )
+
+    ihdr = st.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)  # palette
+    payload = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", b"\x00\x00\x00\xff\xff\xff")
+        + chunk(b"IDAT", zl.compress(b"\x00\x00\x01"))
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [(1, "image", "png", bytearray(payload), None, None, None)],
+        "media_id long, media_type string, format string, content binary,"
+        "width int, height int, duration_ms long",
+    )
+    out = extract_features(media).collect()
+    assert out[0].decoder == "stub"
+    import pytest as pt
+
+    with pt.raises(Exception):
+        extract_features(media, strict=True).collect()
