@@ -99,3 +99,38 @@ def distinct_from_state(state: DataFrame, *, keys: list[str]) -> DataFrame:
     return state.groupBy(*keys).agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_distinct")
     )
+
+
+def maintain_join_view(
+    view: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incrementally maintain a materialized INNER-join view under
+    append-only deltas on both sides — the classic delta-join rule:
+
+        V' = V  ∪  (ΔA ⋈ B)  ∪  (A ⋈ ΔB)  ∪  (ΔA ⋈ ΔB)
+
+    with A/B the PRE-delta sides. Every maintenance join has a delta as
+    one input, so the work per refresh is O(|Δ| x match rate) — the full
+    A ⋈ B recompute never appears, which is the property that makes a
+    materialized join view affordable at 100 TB (deltas are
+    batch-sized; the stored sides are probed via their join index, and
+    Catalyst broadcasts whichever delta side is small).
+
+    Correctness contract (the IVM invariant the registry query
+    hash-checks): the maintained view equals the from-scratch join of
+    (A ∪ ΔA) ⋈ (B ∪ ΔB) for append-only deltas with no key overlap
+    constraints — duplicates on the join key multiply in both
+    formulations identically.
+    """
+    da_b = delta_a.join(b_old, keys)
+    a_db = a_old.join(delta_b, keys)
+    da_db = delta_a.join(delta_b, keys)
+    out = view
+    for piece in (da_b, a_db, da_db):
+        out = out.unionByName(piece.select(*view.columns))
+    return out

@@ -1456,6 +1456,7 @@ DRIVER_PRIORITY: list[str] = [
     "delta_cdf_diff",
     "docs_bpe_encode",
     "docs_source_mixture",
+    "ivm_join_view_maintenance",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

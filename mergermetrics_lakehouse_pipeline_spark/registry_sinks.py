@@ -1323,3 +1323,64 @@ def q_delta_cdf_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_bal",
         )
     )
+
+
+@register(
+    "ivm_join_view_maintenance",
+    """
+    SELECT c.c_mktsegment,
+           strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=["ivm", "incremental", "join"],
+)
+def q_ivm_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN view maintained under two-sided append deltas
+    (operators/ivm.py:maintain_join_view): 80% of orders ⋈ 90% of
+    customers stand in for the stored view; the remaining slices arrive
+    as ΔA and ΔB and fold in via the delta-join rule
+    V ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — every maintenance join is
+    delta-bounded, the full recompute never runs. The oracle IS the
+    from-scratch join over all rows aggregated to (segment, month), so
+    a missed or double-counted delta term flips the hash (DECIMAL sums
+    keep the aggregation associative)."""
+    from .operators.ivm import maintain_join_view
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a_old = o.filter(F.col("o_orderkey") % 5 != 0)
+    delta_a = o.filter(F.col("o_orderkey") % 5 == 0)
+    b_old = c.filter(F.col("c_custkey") % 10 != 0)
+    delta_b = c.filter(F.col("c_custkey") % 10 == 0)
+
+    keys = ["o_custkey"]
+    view = a_old.join(
+        b_old.withColumnRenamed("c_custkey", "o_custkey"), keys
+    )
+    maintained = maintain_join_view(
+        view,
+        a_old,
+        b_old.withColumnRenamed("c_custkey", "o_custkey"),
+        delta_a,
+        delta_b.withColumnRenamed("c_custkey", "o_custkey"),
+        keys,
+    )
+    return (
+        maintained.groupBy(
+            "c_mktsegment",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
