@@ -15,9 +15,10 @@ assigns each event to exactly the buckets ``b`` and ``b - 30min`` where
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import events as ev
-from .registry import events_table, register
+from .registry import T, events_table, register
 
 _TS_FMT = "%Y-%m-%d %H:%M:%S"
 
@@ -1010,3 +1011,79 @@ def q_events_window_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1_000_000
     ).cast("bigint")
     return joined.select("a_id", "b_id", overlap_s.alias("overlap_seconds"))
+
+
+@register(
+    "orders_daily_anomalies",
+    """
+    WITH daily AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    ), stats AS (
+      SELECT month_start,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,2)) * CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+      FROM daily GROUP BY 1
+    )
+    SELECT d.day, d.month_start, d.revenue,
+           ROUND((d.revenue - s.sx / s.n_days)
+                 / sqrt(GREATEST((s.n_days * s.sx2 - s.sx * s.sx)
+                                 / (CAST(s.n_days AS DOUBLE) * s.n_days), 1e-12)), 6)
+             AS zscore,
+           CAST(CASE WHEN ABS(ROUND((d.revenue - s.sx / s.n_days)
+                 / sqrt(GREATEST((s.n_days * s.sx2 - s.sx * s.sx)
+                                 / (CAST(s.n_days AS DOUBLE) * s.n_days), 1e-12)), 6)) >= 2.0
+                THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM daily d JOIN stats s ON s.month_start = d.month_start
+    """,
+    tags=["anomaly", "quality", "window-free"],
+)
+def q_orders_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month z-score anomaly flag on daily revenue — the standard
+    BI outlier monitor, computed cross-engine-exactly: daily sums
+    accumulate as DECIMAL (associative), per-month moments (n, Σx, Σx²)
+    come from ONE aggregation of the day table, the population variance
+    is the fixed-order double expression (n·Σx² − (Σx)²)/n² clamped at
+    1e-12, and the only irrational op is IEEE sqrt (correctly rounded —
+    portable, unlike stddev built-ins whose accumulation order varies).
+
+    Scale: two hash aggregations (day grain, then month grain — each a
+    partial-agg shuffle) and a broadcast join of the month stats back
+    onto days. No windows, so no skew-prone single-partition sorts."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    stats = daily.groupBy("month_start").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(
+            F.col("revenue").cast("decimal(18,2)")
+            * F.col("revenue").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("sx2"),
+    )
+    var = F.greatest(
+        (F.col("n_days") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        / (F.col("n_days").cast("double") * F.col("n_days")),
+        F.lit(1e-12),
+    )
+    z = F.round((F.col("revenue") - F.col("sx") / F.col("n_days")) / F.sqrt(var), 6)
+    return daily.join(F.broadcast(stats), "month_start").select(
+        "day",
+        "month_start",
+        "revenue",
+        z.alias("zscore"),
+        (F.abs(z) >= 2.0).cast("int").alias("is_anomaly"),
+    )
