@@ -1457,6 +1457,8 @@ DRIVER_PRIORITY: list[str] = [
     "docs_bpe_encode",
     "docs_source_mixture",
     "ivm_join_view_maintenance",
+    "orders_daily_anomalies",
+    "events_linear_interpolation",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

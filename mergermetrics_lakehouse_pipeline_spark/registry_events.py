@@ -1087,3 +1087,120 @@ def q_orders_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) >= 2.0).cast("int").alias("is_anomaly"),
     )
+
+
+@register(
+    "events_linear_interpolation",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE user_id % 7 = 0
+    ), daily AS (
+      SELECT user_id, day,
+             ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS val
+      FROM e GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ), j AS (
+      SELECT g.user_id, g.day, d.val,
+             CASE WHEN d.val IS NULL THEN 0 ELSE 1 END AS observed
+      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    ), w AS (
+      SELECT *,
+             last_value(val IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(val IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, observed,
+           CASE WHEN observed = 1 THEN val
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE ROUND(pv + (nv - pv) * (day - pd) / (nd - pd), 6) END
+             AS value_filled
+    FROM w
+    """,
+    tags=["events", "time-series", "interpolation"],
+)
+def q_events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a per-user daily grid — the resample +
+    interpolate step that turns irregular event values into a dense
+    panel (the upgrade over events_daily_gap_fill's step-function
+    forward fill): observed days keep their (decimal-exact) daily mean,
+    interior gaps take pv + (nv-pv)·Δt/ΔT between the bracketing
+    observations, edges stay NULL. All doubles flow through the same
+    fixed-order expression in both engines; day arithmetic is integer.
+
+    Scale: the grid is built from per-user min/max spans (sequence +
+    explode — dimensional, bounded per user), and the four
+    bracketing-observation columns are ignore-nulls frame windows over
+    the user partition — one shuffle on user_id, no self-joins, no
+    as-of probes."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir).filter(F.col("user_id") % 7 == 0)
+    daily = (
+        e.select("user_id", F.col("ts").cast("date").alias("day"),
+                 F.col("value").cast("decimal(18,6)").alias("v"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.round(
+                F.sum("v").cast("double") / F.count("*"), 6
+            ).alias("val")
+        )
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left").withColumn(
+        "observed", F.when(F.col("val").isNull(), 0).otherwise(1)
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("val").isNotNull(), F.col("day"))
+    w = (
+        j.withColumn("pv", F.last("val", ignorenulls=True).over(back))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("val", ignorenulls=True).over(fwd))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    interp = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * F.datediff("day", "pd")
+        / F.datediff("nd", "pd"),
+        6,
+    )
+    return w.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "observed",
+        F.when(F.col("observed") == 1, F.col("val"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(interp)
+        .alias("value_filled"),
+    )
