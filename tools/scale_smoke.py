@@ -276,6 +276,62 @@ def main() -> None:
     t1, tk = timed(lambda: prefix(li1)), timed(lambda: prefix(lik))
     print(f"{'prefix_sum':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
 
+    # ---- round-5: decontamination / bigram gate / semantic dedup ----
+    from mergermetrics_lakehouse_pipeline_spark.functions import text as tx
+    from mergermetrics_lakehouse_pipeline_spark.operators import (  # noqa: E402
+        similarity as sim,
+    )
+
+    def decontam(df: DataFrame) -> int:
+        sh = df.select("doc_id", tx.word_shingles_fast("text", 3).alias("s"))
+        suite = (
+            sh.filter(F.col("doc_id") % 97 == 0)
+            .select(F.explode("s").alias("g"))
+            .distinct()
+        )
+        cg = sh.filter(F.col("doc_id") % 97 != 0).select(
+            "doc_id", F.explode("s").alias("g")
+        )
+        return (
+            cg.join(F.broadcast(suite).withColumn("__h", F.lit(1)), "g", "left")
+            .groupBy("doc_id")
+            .agg(F.count_distinct(F.when(F.col("__h") == 1, F.col("g"))).alias("h"))
+            .count()
+        )
+
+    decontam(d1)  # warm-up
+    t1, tk = timed(lambda: decontam(d1)), timed(lambda: decontam(dk))
+    print(f"{'decontamination':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+
+    def bigram_gate(df: DataFrame) -> int:
+        return cp.bigram_familiarity(df, "text", "doc_id").count()
+
+    bigram_gate(d1)  # warm-up
+    t1, tk = timed(lambda: bigram_gate(d1)), timed(lambda: bigram_gate(dk))
+    print(f"{'bigram_familiarity':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def replicate_emb(e: DataFrame, kk: int) -> DataFrame:
+        out = None
+        for i in range(kk):
+            # offset ids; nudge one dimension so replicas aren't identical
+            r = e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            out = r if out is None else out.unionByName(r)
+        return out
+
+    e1, ek = emb, replicate_emb(emb, k)
+
+    def semdedup(df: DataFrame) -> int:
+        cents = df.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+        )
+        return sim.semantic_dedup(df, cents, threshold=0.30).count()
+
+    semdedup(e1)  # warm-up
+    t1, tk = timed(lambda: semdedup(e1)), timed(lambda: semdedup(ek))
+    print(f"{'semantic_dedup':20s} 1x={t1:5.2f}s {k}x={tk:5.2f}s ratio={tk / t1:4.2f}")
+
 
 if __name__ == "__main__":
     main()
