@@ -164,3 +164,40 @@ def count_triangles(edges: DataFrame, *, eager: bool = False) -> DataFrame:
             cached.unpersist()
         return edges.sparkSession.createDataFrame(rows, out.schema)
     return out
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    deterministic tie-break — community detection, the second iterative
+    graph kernel next to ``pagerank_int``.
+
+    ``edges`` must be symmetric. Round 0 labels every node with its own
+    id; each round every node adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label (classic LPA breaks ties
+    randomly — the min rule makes the result engine-independent and
+    lets an unrolled SQL oracle replay it exactly).
+
+    Scale per round: one join of the edge list to the label table (both
+    keyed on the node — co-partitions after the first shuffle), one
+    count aggregation on (node, label), one ``max_by`` argmax
+    aggregation on node — no windows over data-sized relations, O(1)
+    driver traffic. Edge list cached once.
+    """
+    edges = edges.persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iterations):
+        counts = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # most frequent label, ties to the smallest label id:
+        # maximize (cnt, -label)
+        labels = counts.groupBy("node").agg(
+            F.expr("max_by(label, struct(cnt, -label))").alias("label")
+        )
+    return labels

@@ -1459,6 +1459,7 @@ DRIVER_PRIORITY: list[str] = [
     "ivm_join_view_maintenance",
     "orders_daily_anomalies",
     "events_linear_interpolation",
+    "parts_label_propagation",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

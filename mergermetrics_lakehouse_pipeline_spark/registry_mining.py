@@ -565,3 +565,61 @@ def q_customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "golden_acctbal"
         ),
     )
+
+
+def _sql_lpa_rounds(n: int) -> str:
+    rounds = []
+    for k in range(n):
+        rounds.append(
+            f"""
+    c{k + 1} AS (
+      SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+      FROM edges e JOIN l{k} l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    l{k + 1} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{k + 1}
+      ) WHERE rn = 1
+    )"""
+        )
+    return ",".join(rounds)
+
+
+@register(
+    "parts_label_propagation",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_sql_lpa_rounds(3)}
+    SELECT l.node AS p_partkey, l.label AS community,
+           CAST(COUNT(*) OVER (PARTITION BY l.label) AS BIGINT) AS community_size
+    FROM l3 l
+    """,
+    tags=["graph", "iterative", "community", "extension"],
+)
+def q_parts_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous label propagation over the part co-purchase
+    graph — community detection with the deterministic min-label
+    tie-break, so the iterative Spark result hash-matches the oracle's
+    unrolled rounds exactly (operators/graph.py:label_propagation).
+    Per round: one edge⋈label join + two aggregations, O(1) driver
+    traffic; the community_size window runs at community grain."""
+    from .operators import graph as gr
+    from pyspark.sql import Window
+
+    edges = gr.copurchase_edges(T(spark, sf_dir, "lineitem"))
+    labels = gr.label_propagation(edges, iterations=3)
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("p_partkey"),
+        F.col("label").alias("community"),
+        F.count("*").over(w).cast("bigint").alias("community_size"),
+    )
