@@ -127,6 +127,13 @@ EXTENDED_R5: list[str] = [
     "docs_bpe_merges",
     "docs_bigram_familiarity",
     "docs_multi_suite_decontamination",
+    "delta_cdf_diff",
+    "docs_bpe_encode",
+    "docs_source_mixture",
+    "ivm_join_view_maintenance",
+    "orders_daily_anomalies",
+    "events_linear_interpolation",
+    "parts_label_propagation",
 ]
 
 
