@@ -134,6 +134,7 @@ EXTENDED_R5: list[str] = [
     "orders_daily_anomalies",
     "events_linear_interpolation",
     "parts_label_propagation",
+    "events_variant_extract",
 ]
 
 

@@ -1460,6 +1460,7 @@ DRIVER_PRIORITY: list[str] = [
     "orders_daily_anomalies",
     "events_linear_interpolation",
     "parts_label_propagation",
+    "events_variant_extract",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

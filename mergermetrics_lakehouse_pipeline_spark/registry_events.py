@@ -1204,3 +1204,70 @@ def q_events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(interp)
         .alias("value_filled"),
     )
+
+
+@register(
+    "events_variant_extract",
+    """
+    WITH payloads AS (
+      SELECT to_json(struct_pack(
+               user_id := user_id,
+               event_type := event_type,
+               value := CAST(value AS DOUBLE),
+               day := strftime(CAST(ts AS DATE), '%Y-%m-%d')
+             )) AS payload
+      FROM events
+    ), extracted AS (
+      SELECT CAST(json_extract(payload, '$.user_id') AS BIGINT) AS user_id,
+             json_extract_string(payload, '$.event_type') AS event_type,
+             CAST(json_extract(payload, '$.value') AS DOUBLE) AS value,
+             json_extract_string(payload, '$.day') AS day
+      FROM payloads
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM extracted
+    GROUP BY 1, 2
+    """,
+    tags=["semi-structured", "variant", "json"],
+)
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over semi-structured payloads via Spark 4's
+    VARIANT type: events round-trip through a JSON landing payload
+    (the shape raw clickstream arrives in), get parsed ONCE with
+    ``parse_json`` into the binary variant encoding, and typed fields
+    come out with ``try_variant_get`` path extraction — no
+    schema-inference scan, no per-field JSON re-parse (the variant
+    encoding is parsed once per row, then each path access is a cheap
+    binary probe; N string json_extracts would re-tokenize the payload
+    N times). Malformed rows yield NULLs via the try_ variant, not task
+    failures. Each engine extracts from its OWN serialization, so the
+    check pins extraction semantics, not JSON text formatting.
+
+    Scale: map-side parse + one partial-agg shuffle on
+    (event_type, day); count_distinct(user_id) rides the same shuffle."""
+    e = events_table(spark, sf_dir)
+    payloads = e.select(
+        F.to_json(
+            F.struct(
+                "user_id",
+                "event_type",
+                F.col("value").cast("double").alias("value"),
+                F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            )
+        ).alias("payload")
+    )
+    v = payloads.select(F.parse_json("payload").alias("var"))
+    extracted = v.select(
+        F.try_variant_get("var", "$.user_id", "bigint").alias("user_id"),
+        F.try_variant_get("var", "$.event_type", "string").alias("event_type"),
+        F.try_variant_get("var", "$.value", "double").alias("value"),
+        F.try_variant_get("var", "$.day", "string").alias("day"),
+    )
+    return extracted.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
