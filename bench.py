@@ -135,6 +135,7 @@ EXTENDED_R5: list[str] = [
     "events_linear_interpolation",
     "parts_label_propagation",
     "events_variant_extract",
+    "customer_table_profile",
 ]
 
 

@@ -1461,6 +1461,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_linear_interpolation",
     "parts_label_propagation",
     "events_variant_extract",
+    "customer_table_profile",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

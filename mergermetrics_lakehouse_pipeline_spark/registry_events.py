@@ -1271,3 +1271,69 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "customer_table_profile",
+    """
+    WITH base AS (
+      SELECT c_mktsegment, c_nationkey, c_acctbal FROM customer
+    ), scalar AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM base
+    ), colstats AS (
+      SELECT 'c_mktsegment' AS "column",
+             CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct,
+             CAST(MIN(c_mktsegment) AS VARCHAR) AS min_value,
+             CAST(MAX(c_mktsegment) AS VARCHAR) AS max_value
+      FROM base
+      UNION ALL
+      SELECT 'c_nationkey',
+             CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+             CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+      FROM base
+      UNION ALL
+      SELECT 'c_acctbal',
+             CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+             CAST(MIN(c_acctbal) AS VARCHAR), CAST(MAX(c_acctbal) AS VARCHAR)
+      FROM base
+    ), stacked AS (
+      SELECT 'c_mktsegment' AS "column", CAST(c_mktsegment AS VARCHAR) AS value FROM base
+      UNION ALL
+      SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM base
+      UNION ALL
+      SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM base
+    ), counts AS (
+      SELECT "column", value, CAST(COUNT(*) AS BIGINT) AS value_count
+      FROM stacked WHERE value IS NOT NULL GROUP BY 1, 2
+    ), topk AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY "column"
+                 ORDER BY value_count DESC, value ASC) AS INTEGER) AS value_rank
+      FROM counts
+    )
+    SELECT t."column", s.n_rows, c.n_nulls, c.n_distinct,
+           c.min_value, c.max_value,
+           t.value AS top_value, t.value_count, t.value_rank
+    FROM topk t
+    JOIN colstats c ON c."column" = t."column"
+    CROSS JOIN scalar s
+    WHERE t.value_rank <= 3
+    """,
+    tags=["profiling", "quality", "analyze"],
+)
+def q_customer_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile (operators/profiling.py): per-column
+    nulls, exact distinct, typed min/max and top-3 frequent values for
+    three customer columns in TWO passes total — one 1-row aggregate
+    holding every per-column scalar (adding a column adds expressions,
+    not scans) and one map-side unpivot into (column, value) rows with
+    a single count shuffle + per-column window over the collapsed
+    counts. The reference does this workflow by hand across notebook
+    cells (distinct().show(), null filters —
+    1_customer_data_processing.py:62-90)."""
+    from .operators.profiling import profile_table
+
+    c = T(spark, sf_dir, "customer")
+    return profile_table(c, ["c_mktsegment", "c_nationkey", "c_acctbal"], top_k=3)
