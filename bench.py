@@ -136,6 +136,7 @@ EXTENDED_R5: list[str] = [
     "parts_label_propagation",
     "events_variant_extract",
     "customer_table_profile",
+    "delta_merge_roundtrip",
 ]
 
 

@@ -1462,6 +1462,7 @@ DRIVER_PRIORITY: list[str] = [
     "parts_label_propagation",
     "events_variant_extract",
     "customer_table_profile",
+    "delta_merge_roundtrip",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

@@ -1384,3 +1384,63 @@ def q_ivm_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "delta_merge_roundtrip",
+    """
+    WITH src AS (
+      SELECT n_nationkey, 'UPD_' || n_name AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey % 2 = 0
+      UNION ALL
+      SELECT n_nationkey + 100, 'NEW_' || n_name, n_regionkey FROM nation
+    ), merged AS (
+      SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM src s
+      UNION ALL
+      SELECT n.n_nationkey, n.n_name, n.n_regionkey
+      FROM nation n
+      WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.n_nationkey = n.n_nationkey)
+    )
+    SELECT n_nationkey, n_name, n_regionkey FROM merged
+    """,
+    tags=["S6", "J5", "delta", "merge", "roundtrip"],
+)
+def q_delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE update-all/insert-all executed against a REAL Delta table
+    (J5 ⨯ S6): nation committed through the protocol writer, a source of
+    updates (even keys) + inserts (+100 keys) merged via the engine's
+    MERGE semantics, the result committed as the next Delta version, and
+    the final state read back from the transaction log. The oracle is
+    the textbook MERGE expansion (source rows ∪ unmatched target rows),
+    so a wrong update, lost insert, or stale snapshot flips the hash;
+    v0 remains time-travel-readable after the merge commit (asserted
+    in-query).
+
+    Scale: the merge itself is the documented one-join rewrite
+    (operators/merge.py); the Delta commit adds O(files) metadata."""
+    from .operators.merge import merge_dataframes
+    from .sources.delta_log import read_delta, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_dmerge_rt_") + "/nation_delta"
+    nation = T(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_delta(nation, root, mode="overwrite")  # v0
+
+    src = nation.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey",
+        F.concat(F.lit("UPD_"), F.col("n_name")).alias("n_name"),
+        "n_regionkey",
+    ).unionByName(
+        nation.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+            "n_regionkey",
+        )
+    )
+    merged = merge_dataframes(read_delta(spark, root), src, ["n_nationkey"])
+    write_delta(merged, root, mode="overwrite")  # v1
+
+    if read_delta(spark, root, version=0).count() != nation.count():
+        raise RuntimeError("pre-merge version no longer time-travel-readable")
+    return read_delta(spark, root)

@@ -72,6 +72,9 @@ class DeltaSnapshot:
     #: add-action dicts keyed by (decoded) relative path
     files: dict[str, dict[str, Any]] = field(default_factory=dict)
     configuration: dict[str, str] = field(default_factory=dict)
+    #: streaming-writer watermarks: appId -> highest committed version
+    #: (the protocol's `txn` action — Delta's idempotent-sink mechanism)
+    txns: dict[str, int] = field(default_factory=dict)
 
 
 def _log_path(table_path: str) -> str:
@@ -127,6 +130,10 @@ def _apply_action(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
         snap.configuration = conf
     elif "protocol" in action:
         _check_protocol(action["protocol"])
+    elif "txn" in action:
+        t = action["txn"]
+        prev = snap.txns.get(t["appId"], -1)
+        snap.txns[t["appId"]] = max(prev, int(t["version"]))
 
 
 def _read_checkpoint(
@@ -136,10 +143,14 @@ def _read_checkpoint(
     add/remove/metaData/protocol) into the snapshot. Read JVM-side,
     collected as JSON rows — checkpoint size is O(live files)."""
     df = spark.read.parquet(ckpt_file)
-    for col in ("protocol", "metaData", "add", "remove"):
+    for col in ("protocol", "metaData", "add", "remove", "txn"):
         if col not in df.columns:
             continue
-        probe = f"{col}.path" if col in ("add", "remove") else col
+        probe = (
+            f"{col}.path" if col in ("add", "remove")
+            else f"{col}.appId" if col == "txn"
+            else col
+        )
         rows = (
             df.filter(F.col(probe).isNotNull())
             .select(F.to_json(col).alias("j"))
@@ -251,6 +262,7 @@ def write_delta(
     *,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as a protocol-valid Delta commit; returns the version.
 
@@ -260,6 +272,12 @@ def write_delta(
     are written by Spark's distributed parquet sink (hive-style dirs
     when partitioned); only the metadata-sized commit JSON is authored
     driver-side.
+
+    ``txn=(app_id, version)`` stamps the commit with the protocol's
+    ``txn`` action — Delta's idempotent-streaming-sink mechanism: a
+    restarted writer consults ``last_txn_version`` and skips batches it
+    already committed, giving exactly-once table contents over
+    at-least-once batch delivery.
     """
     partition_by = list(partition_by or [])
     spark = df.sparkSession
@@ -319,6 +337,8 @@ def write_delta(
                 }
             }
         )
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}})
     actions.append(
         {
             "commitInfo": {
@@ -340,18 +360,25 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
     JSON commits. Checkpoint rows carry the same action structs as the
     JSON lines (protocol, metaData, one add per live file)."""
     snap = snapshot(spark, table_path)
-    rows = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {
-            "metaData": {
-                "id": str(uuid.uuid4()),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": snap.schema.json(),
-                "partitionColumns": snap.partition_columns,
-                "configuration": snap.configuration,
-            }
-        },
-    ] + [{"add": a} for a in snap.files.values()]
+    rows = (
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema.json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": snap.configuration,
+                }
+            },
+        ]
+        + [{"add": a} for a in snap.files.values()]
+        + [
+            {"txn": {"appId": app, "version": v}}
+            for app, v in sorted(snap.txns.items())
+        ]
+    )
     jdf = spark.read.json(
         spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1)
     )
@@ -398,3 +425,13 @@ def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
         if not dirs and not names:
             os.rmdir(root)
     return sorted(removed)
+
+
+def last_txn_version(spark: SparkSession, table_path: str, app_id: str) -> int:
+    """Highest batch version the writer ``app_id`` has committed to this
+    table (-1 if none) — the restart probe of the idempotent-sink
+    protocol: skip every batch with version <= this."""
+    try:
+        return snapshot(spark, table_path).txns.get(app_id, -1)
+    except FileNotFoundError:
+        return -1

@@ -310,3 +310,39 @@ def streaming_hourly_ohlc(
             "volume",
         )
     )
+
+
+def foreach_batch_delta_append(
+    stream: DataFrame,
+    *,
+    table_path: str,
+    app_id: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+) -> None:
+    """Stream -> idempotent append into a protocol-authored Delta table.
+
+    Each micro-batch commits with the Delta ``txn`` action
+    (appId=``app_id``, version=batch_id) — the protocol's
+    streaming-sink watermark. On restart/replay the handler consults
+    ``last_txn_version`` and SKIPS any batch id it already committed,
+    so at-least-once batch delivery yields exactly-once table contents
+    (the same mechanism delta-spark's streaming sink uses; here over
+    sources/delta_log.py). Checkpoint + txn stamp are belt-and-braces:
+    either alone suffices, together a wiped checkpoint still cannot
+    double-append.
+    """
+    from ..sources.delta_log import last_txn_version, write_delta
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_txn_version(batch.sparkSession, table_path, app_id):
+            return  # already committed by a previous incarnation
+        write_delta(batch, table_path, mode="append", txn=(app_id, batch_id))
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s, f"delta-append->{table_path}")

@@ -153,3 +153,91 @@ def test_vacuum_reclaims_only_unreferenced_files(spark, tbl):
         read_delta(spark, tbl, version=0).collect()
     # idempotent
     assert vacuum_delta(spark, tbl) == []
+
+
+def test_txn_idempotent_append_under_replay(spark, tbl):
+    """The protocol txn action makes appends exactly-once under
+    at-least-once delivery: a restarted writer that replays batches it
+    already committed must skip them (last_txn_version gate), and the
+    txn watermark survives checkpointing + log truncation."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        last_txn_version,
+        vacuum_delta,
+    )
+
+    nation = _nation(spark).select("n_nationkey", "n_name")
+    batches = [nation.filter(f"n_nationkey % 3 = {i}") for i in range(3)]
+
+    def deliver(batch_ids):
+        for bid in batch_ids:
+            if bid <= last_txn_version(spark, tbl, "job-42"):
+                continue
+            write_delta(batches[bid], tbl, mode="append", txn=("job-42", bid))
+
+    deliver([0, 1])
+    deliver([0, 1, 2])  # restart replays 0 and 1
+    assert last_txn_version(spark, tbl, "job-42") == 2
+    assert read_delta(spark, tbl).count() == nation.count()  # no double-append
+    assert _rows(read_delta(spark, tbl)) == _rows(nation)
+
+    # watermark survives checkpoint + truncation + vacuum
+    v = write_checkpoint(spark, tbl)
+    for k in range(v + 1):
+        os.remove(os.path.join(tbl, "_delta_log", f"{k:020d}.json"))
+    assert last_txn_version(spark, tbl, "job-42") == 2
+    assert last_txn_version(spark, tbl, "other-app") == -1
+    vacuum_delta(spark, tbl)
+    assert _rows(read_delta(spark, tbl)) == _rows(nation)
+
+
+def test_streaming_foreach_batch_delta_sink(spark, tbl, tmp_path):
+    """End-to-end: a file stream appended into the protocol Delta table
+    via foreach_batch_delta_append; a full re-run with a FRESH streaming
+    checkpoint (worst-case redelivery of every batch) must not change
+    the table contents."""
+    import json as js
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        last_txn_version,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.streaming.jobs import (
+        foreach_batch_delta_append,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(3):
+        (landing / f"f{i}.json").write_text(
+            "\n".join(js.dumps({"k": i * 10 + j, "s": f"r{i}"}) for j in range(5))
+        )
+    schema = "k long, s string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    foreach_batch_delta_append(
+        stream,
+        table_path=tbl,
+        app_id="stream-sink",
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    first = _rows(read_delta(spark, tbl))
+    assert len(first) == 15
+    hwm = last_txn_version(spark, tbl, "stream-sink")
+
+    # fresh checkpoint = Spark replays every file as new batches 0..N;
+    # the txn gate must swallow all of them
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    foreach_batch_delta_append(
+        stream2,
+        table_path=tbl,
+        app_id="stream-sink",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert _rows(read_delta(spark, tbl)) == first
+    assert last_txn_version(spark, tbl, "stream-sink") == hwm
