@@ -387,3 +387,59 @@ class TestChildIncremental:
         )
         assert again_daily.count() == new_daily.count()
         assert _rows(again_monthly) == _rows(new_monthly)
+
+
+class TestDenormalizedBIView:
+    """The Tableau surface (denormalise_table_query_fmcg.txt:1-51) over
+    the MERGED parent+child star: the 4-way left join must preserve the
+    fact grain and fully enrich both parent and child slices."""
+
+    def test_bi_view_over_merged_star(self, spark, gold, parent):
+        from mergermetrics_lakehouse_pipeline_spark.functions.dates import (
+            build_dim_date,
+        )
+        from mergermetrics_lakehouse_pipeline_spark.plans.star import (
+            denormalized_view,
+        )
+
+        dim_c = merge_dataframes(
+            parent["dim_customers"], gold["customers"], ["customer_code"]
+        )
+        dim_p = merge_dataframes(
+            parent["dim_products"], gold["products"], ["product_code"]
+        )
+        dim_g = merge_dataframes(
+            parent["dim_gross_price"], gold["prices"], ["product_code", "year"]
+        )
+        fact = merge_dataframes(
+            parent["fact_orders"],
+            gold["monthly"],
+            ["date", "product_code", "customer_code"],
+        )
+        dim_date = build_dim_date(spark, "2024-01-01", "2026-01-01")
+
+        view = denormalized_view(fact, dim_date, dim_c, dim_p, dim_g).cache()
+
+        n_fact = fact.count()
+        assert view.count() == n_fact  # left joins keep the fact grain
+
+        # every fact row resolves its calendar and product rows
+        assert view.filter(F.col("year").isNull()).count() == 0
+        assert view.filter(F.col("division").isNull()).count() == 0
+        # every CHILD row (sha2 code) enriches from the merged dims with
+        # the child company's constants
+        child = view.filter(F.col("product_code").rlike("^[0-9a-f]{64}$"))
+        assert child.count() == gold["monthly"].count()
+        assert child.filter(F.col("platform") != "PowerBite Nutrition").count() == 0
+        # amount = qty * price wherever a price resolved
+        bad = view.filter(
+            F.col("price_usd").isNotNull()
+            & (
+                F.abs(
+                    F.col("total_amount")
+                    - F.col("sold_quantity") * F.col("price_usd")
+                )
+                > 1e-6
+            )
+        )
+        assert bad.count() == 0
