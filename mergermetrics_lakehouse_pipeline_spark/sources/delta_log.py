@@ -214,11 +214,16 @@ def read_delta(
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table_path, p) for p in snap.files]
+    # mergeSchema: files written before a column was added lack it; the
+    # unified read schema fills NULLs, then the committed schema pins
+    # column order/presence
+    reader = spark.read.option("mergeSchema", "true")
     if snap.partition_columns:
-        df = spark.read.option("basePath", table_path).parquet(*paths)
-    else:
-        df = spark.read.parquet(*paths)
-    # enforce the committed schema's column order/presence
+        reader = reader.option("basePath", table_path)
+    df = reader.parquet(*paths)
+    missing = [f for f in snap.schema.fields if f.name not in df.columns]
+    for f in missing:  # every live file predates the column
+        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
     return df.select(*[F.col(f.name) for f in snap.schema.fields])
 
 
@@ -287,8 +292,41 @@ def write_delta(
     new_version = max(known_versions) + 1 if known_versions else 0
 
     prev_files: dict[str, dict] = {}
-    if new_version > 0 and mode == "overwrite":
-        prev_files = snapshot(spark, table_path).files
+    evolved_schema: StructType | None = None
+    if new_version > 0:
+        prev = snapshot(spark, table_path)
+        if mode == "overwrite":
+            prev_files = prev.files
+        # mergeSchema-style evolution (S5 over the real format): an
+        # append/overwrite whose frame adds columns re-commits metaData
+        # with the widened schema; dropping or retyping columns is
+        # rejected (Delta requires explicit overwriteSchema for that).
+        old_fields = {f.name: f.dataType for f in prev.schema.fields}
+        new_fields = {f.name: f.dataType for f in df.schema.fields}
+        for name, dt in old_fields.items():
+            if name in new_fields and new_fields[name] != dt:
+                raise DeltaProtocolError(
+                    f"column {name!r} type change {dt} -> {new_fields[name]} "
+                    "needs an explicit schema overwrite"
+                )
+        if set(old_fields) - set(new_fields):
+            raise DeltaProtocolError(
+                f"{mode} is missing existing columns "
+                f"{sorted(set(old_fields) - set(new_fields))}; Delta writes "
+                "may add columns (mergeSchema) but dropping needs an "
+                "explicit schema overwrite"
+            )
+        added_cols = [f for f in df.schema.fields if f.name not in old_fields]
+        if added_cols:
+            evolved = StructType(
+                list(prev.schema.fields if mode == "append" else [])
+                + (
+                    [f for f in df.schema.fields]
+                    if mode == "overwrite"
+                    else added_cols
+                )
+            )
+            evolved_schema = evolved
 
     before = set(_list_data_files(table_path, set()))
     writer = df.write.mode("append").format("parquet")
@@ -310,6 +348,18 @@ def write_delta(
                     "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": now_ms,
+                }
+            }
+        )
+    elif evolved_schema is not None:
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": evolved_schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
                 }
             }
         )

@@ -241,3 +241,39 @@ def test_streaming_foreach_batch_delta_sink(spark, tbl, tmp_path):
     )
     assert _rows(read_delta(spark, tbl)) == first
     assert last_txn_version(spark, tbl, "stream-sink") == hwm
+
+
+def test_schema_evolution_append_adds_column(spark, tbl):
+    """mergeSchema-style evolution over the real format (S5): an append
+    with a new column re-commits metaData with the widened schema; old
+    files read the column as NULL; type changes and column drops are
+    rejected."""
+    nation = _nation(spark).select("n_nationkey", "n_name")
+    write_delta(nation.filter("n_nationkey < 10"), tbl, mode="overwrite")
+    widened = nation.filter("n_nationkey >= 10").withColumn(
+        "ingest_tag", F.lit("batch2")
+    )
+    write_delta(widened, tbl, mode="append")
+
+    snap = snapshot(spark, tbl)
+    assert [f.name for f in snap.schema.fields] == [
+        "n_nationkey",
+        "n_name",
+        "ingest_tag",
+    ]
+    out = read_delta(spark, tbl)
+    assert out.count() == nation.count()
+    tags = {r.ingest_tag for r in out.filter("n_nationkey < 10").collect()}
+    assert tags == {None}  # pre-evolution files surface NULL
+    assert {
+        r.ingest_tag for r in out.filter("n_nationkey >= 10").collect()
+    } == {"batch2"}
+
+    with pytest.raises(DeltaProtocolError, match="type change"):
+        write_delta(
+            nation.withColumn("n_nationkey", F.col("n_nationkey").cast("string")),
+            tbl,
+            mode="append",
+        )
+    with pytest.raises(DeltaProtocolError, match="dropping needs"):
+        write_delta(nation.select("n_nationkey"), tbl, mode="append")
