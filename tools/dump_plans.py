@@ -45,6 +45,17 @@ SHOWCASE = {
     "emb_cluster_assignments": "8-row centroid broadcast; k cosines per vector; map-side top-1 window",
     "orders_priority_pivot": "pivot with explicit values == one conditional aggregation, no domain-discovery job",
     "lineitem_rollup_totals": "ROLLUP grouping sets expanded map-side, one exchange",
+    # round 5
+    "emb_semantic_dedup": "SemDeDup: centroid broadcast assign; pair join carries the cluster key — no global self-join",
+    "docs_multi_suite_decontamination": "N suites, TWO document scans: broadcast suite shingles + conditional distinct counts",
+    "docs_bigram_familiarity": "bigram/context models as aggregations of the (doc,bigram,tf) table; vocab 1-row broadcast",
+    "orders_daily_anomalies": "moments in one month-grain aggregation; z-scores via broadcast stats join — window-free",
+    "events_linear_interpolation": "per-user span grid + four ignore-nulls frame windows on ONE user shuffle",
+    "parts_label_propagation": "LPA round = edge-label join + count + max_by argmax; no windows over data",
+    "events_variant_extract": "parse_json once per row; typed variant path probes; one partial-agg shuffle",
+    "customer_table_profile": "ANALYZE in two passes: 1-row scalar agg + map-side unpivot -> one count shuffle",
+    "ivm_join_view_maintenance": "delta-join maintenance: three delta-bounded joins, no full recompute",
+    "delta_log_read_roundtrip": "Delta snapshot scan: live-file parquet read with hive partition recovery",
 }
 
 
