@@ -374,19 +374,22 @@ def write_delta(
                     }
                 }
             )
+    stat_cols = [
+        f.name for f in df.schema.fields if f.name not in partition_by
+    ][:32]  # Delta's default dataSkippingNumIndexedCols
     for rel in added:
         full = os.path.join(table_path, rel)
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": _partition_values_from_path(rel, partition_by),
-                    "size": os.path.getsize(full),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        add: dict[str, Any] = {
+            "path": rel,
+            "partitionValues": _partition_values_from_path(rel, partition_by),
+            "size": os.path.getsize(full),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        st = _file_stats(full, stat_cols)
+        if st is not None:
+            add["stats"] = json.dumps(st)
+        actions.append({"add": add})
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}})
     actions.append(
@@ -485,3 +488,164 @@ def last_txn_version(spark: SparkSession, table_path: str, app_id: str) -> int:
         return snapshot(spark, table_path).txns.get(app_id, -1)
     except FileNotFoundError:
         return -1
+
+
+def _file_stats(full_path: str, stat_cols: list[str]) -> dict | None:
+    """Per-file column stats for the add action's ``stats`` field
+    (Delta's data-skipping JSON: numRecords / minValues / maxValues),
+    read from the parquet footer via pyarrow — driver-side O(files)
+    metadata work, no data scan."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full_path).metadata
+        schema_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for c in stat_cols:
+            if c not in schema_names:
+                continue
+            col_idx = schema_names[c]
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    return None  # stats unavailable -> no skipping claim
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                mins[c], maxs[c] = _json_safe(lo), _json_safe(hi)
+        return {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+    except Exception:
+        return None
+
+
+def _json_safe(v: Any) -> Any:
+    import datetime
+
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def prune_files_by_stats(
+    snap: DeltaSnapshot, col: str, lo: Any = None, hi: Any = None
+) -> tuple[list[str], int]:
+    """Data skipping: the subset of the snapshot's files whose stats
+    interval [min, max] for ``col`` can intersect [lo, hi] — files with
+    disjoint intervals are eliminated WITHOUT being opened, the Delta
+    stats-skipping read path. Files lacking stats are conservatively
+    kept. Returns (relative paths, n_skipped)."""
+    keep, skipped = [], 0
+    for rel, a in snap.files.items():
+        st = a.get("stats")
+        if isinstance(st, str):
+            st = json.loads(st)
+        fmin = (st or {}).get("minValues", {}).get(col)
+        fmax = (st or {}).get("maxValues", {}).get(col)
+        if fmin is None or fmax is None:
+            keep.append(rel)
+            continue
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            skipped += 1
+            continue
+        keep.append(rel)
+    return keep, skipped
+
+
+def read_delta_pruned(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo: Any = None,
+    hi: Any = None,
+) -> tuple[DataFrame, int]:
+    """Stats-pruned Delta scan: plan only the files whose [min,max] for
+    ``col`` intersects [lo, hi] (the caller still applies the exact row
+    filter — skipping is a superset guarantee). Returns (frame,
+    n_files_skipped)."""
+    snap = snapshot(spark, table_path)
+    keep, skipped = prune_files_by_stats(snap, col, lo, hi)
+    if not keep:
+        return spark.createDataFrame([], snap.schema), skipped
+    reader = spark.read.option("mergeSchema", "true")
+    if snap.partition_columns:
+        reader = reader.option("basePath", table_path)
+    df = reader.parquet(*[os.path.join(table_path, p) for p in keep])
+    for f in snap.schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[F.col(f.name) for f in snap.schema.fields]), skipped
+
+
+def overwrite_partitions_delta(
+    df: DataFrame,
+    table_path: str,
+    *,
+    partition_by: list[str],
+) -> int:
+    """Dynamic partition overwrite (Delta ``replaceWhere`` semantics for
+    the partitions present in ``df``): remove actions are emitted ONLY
+    for files whose partitionValues match a partition the incoming
+    frame carries; every other partition's files are untouched — the
+    incremental-pipeline write pattern where refresh cost tracks the
+    affected partitions, not the table.
+    """
+    spark = df.sparkSession
+    snap = snapshot(spark, table_path)
+    if snap.partition_columns != partition_by:
+        raise DeltaProtocolError(
+            f"table is partitioned by {snap.partition_columns}, not {partition_by}"
+        )
+    new_parts = {
+        tuple(str(r[c]) for c in partition_by)
+        for r in df.select(*partition_by).distinct().collect()
+    }
+    doomed = [
+        rel
+        for rel, a in snap.files.items()
+        if tuple(str(a.get("partitionValues", {}).get(c)) for c in partition_by)
+        in new_parts
+    ]
+
+    before = set(_list_data_files(table_path, set()))
+    writer = df.write.mode("append").format("parquet").partitionBy(*partition_by)
+    writer.save(table_path)
+    added = _list_data_files(table_path, before)
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    for rel in doomed:
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+        )
+    for rel in added:
+        full = os.path.join(table_path, rel)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": _partition_values_from_path(rel, partition_by),
+                    "size": os.path.getsize(full),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "OVERWRITE", "predicate": "dynamic"},
+            }
+        }
+    )
+    commits, checkpoints = _list_versions(table_path)
+    new_version = max(set(commits) | set(checkpoints)) + 1
+    with open(_commit_file(table_path, new_version), "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return new_version

@@ -277,3 +277,71 @@ def test_schema_evolution_append_adds_column(spark, tbl):
         )
     with pytest.raises(DeltaProtocolError, match="dropping needs"):
         write_delta(nation.select("n_nationkey"), tbl, mode="append")
+
+
+def test_stats_skipping_prunes_files(spark, tbl):
+    """Data skipping: add actions carry parquet-footer min/max stats;
+    a range probe plans only the files whose interval intersects — and
+    the pruned scan returns exactly the rows the full scan + filter
+    does (superset guarantee + exact residual)."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        read_delta_pruned,
+        snapshot,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    # range-partitioned files -> disjoint l_orderkey intervals per file
+    write_delta(li.repartitionByRange(8, "l_orderkey"), tbl, mode="overwrite")
+
+    snap = snapshot(spark, tbl)
+    assert all("stats" in a for a in snap.files.values())
+
+    lo, hi = 100, 500
+    pruned, skipped = read_delta_pruned(spark, tbl, "l_orderkey", lo, hi)
+    assert skipped > 0  # most of the 8 range files cannot intersect
+    got = _rows(pruned.filter(F.col("l_orderkey").between(lo, hi)))
+    want = _rows(
+        read_delta(spark, tbl).filter(F.col("l_orderkey").between(lo, hi))
+    )
+    assert got == want
+
+
+def test_dynamic_partition_overwrite_touches_only_matching_partitions(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        overwrite_partitions_delta,
+        snapshot,
+    )
+
+    nation = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    write_delta(nation, tbl, mode="overwrite", partition_by=["n_regionkey"])
+    before = snapshot(spark, tbl)
+    untouched_before = {
+        rel
+        for rel, a in before.files.items()
+        if a["partitionValues"]["n_regionkey"] not in ("1", "2")
+    }
+
+    refresh = nation.filter("n_regionkey IN (1, 2)").withColumn(
+        "n_name", F.concat(F.lit("R_"), F.col("n_name"))
+    )
+    overwrite_partitions_delta(refresh, tbl, partition_by=["n_regionkey"])
+
+    after = snapshot(spark, tbl)
+    untouched_after = {
+        rel
+        for rel, a in after.files.items()
+        if a["partitionValues"]["n_regionkey"] not in ("1", "2")
+    }
+    # file IDENTITY preserved outside the refreshed partitions
+    assert untouched_after == untouched_before
+
+    out = read_delta(spark, tbl)
+    assert out.count() == nation.count()
+    assert out.filter(
+        F.col("n_regionkey").isin(1, 2) & ~F.col("n_name").startswith("R_")
+    ).count() == 0
+    assert out.filter(
+        ~F.col("n_regionkey").isin(1, 2) & F.col("n_name").startswith("R_")
+    ).count() == 0
