@@ -137,6 +137,7 @@ EXTENDED_R5: list[str] = [
     "events_variant_extract",
     "customer_table_profile",
     "delta_merge_roundtrip",
+    "delta_skipping_roundtrip",
 ]
 
 

@@ -1463,6 +1463,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_variant_extract",
     "customer_table_profile",
     "delta_merge_roundtrip",
+    "delta_skipping_roundtrip",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

@@ -1444,3 +1444,53 @@ def q_delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if read_delta(spark, root, version=0).count() != nation.count():
         raise RuntimeError("pre-merge version no longer time-travel-readable")
     return read_delta(spark, root)
+
+
+@register(
+    "delta_skipping_roundtrip",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 5000
+    GROUP BY 1
+    """,
+    tags=["S6", "delta", "data-skipping", "roundtrip"],
+)
+def q_delta_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping over the protocol log: lineitem written
+    range-partitioned into 16 files (disjoint l_orderkey intervals),
+    each add action stamped with parquet-footer min/max stats; the
+    range probe plans ONLY the files whose interval intersects — the
+    query raises unless skipping actually eliminated files — and the
+    exact residual filter + aggregate run on the pruned scan. The
+    oracle computes the same aggregate from the pristine table, so a
+    wrongly-skipped file (lost rows) or a stats bug flips the hash.
+
+    Scale: file elimination is O(files) driver metadata; the scan reads
+    only surviving files — the mechanism that turns a 100 TB table into
+    a GB-scale read for range-bounded queries without a partition
+    scheme."""
+    from .sources.delta_log import read_delta_pruned, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_skip_rt_") + "/li_delta"
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    write_delta(li.repartitionByRange(16, "l_orderkey"), root, mode="overwrite")
+
+    lo, hi = 1000, 5000
+    pruned, skipped = read_delta_pruned(spark, root, "l_orderkey", lo, hi)
+    if skipped == 0:
+        raise RuntimeError("stats skipping eliminated no files")
+    return (
+        pruned.filter(F.col("l_orderkey").between(lo, hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
