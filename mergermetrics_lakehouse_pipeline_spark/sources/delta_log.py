@@ -649,3 +649,92 @@ def overwrite_partitions_delta(
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     return new_version
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    target_files: int = 4,
+    zorder_by: tuple[str, str] | None = None,
+) -> int:
+    """OPTIMIZE (bin-packing compaction, optionally ZORDER BY two
+    columns): rewrite the current snapshot's data as ``target_files``
+    files per partition and commit remove+add with
+    ``dataChange: false`` — the protocol's marker that the transaction
+    reorganizes bytes without changing table content (streaming readers
+    may skip it). Old files stay on disk for time travel until
+    ``vacuum_delta``.
+
+    With ``zorder_by``, rows are clustered along the Morton curve of
+    the two columns before the rewrite (operators/layout.py), so each
+    new file has bounded min/max footers in BOTH dimensions and
+    ``read_delta_pruned`` skips on either column — the OPTIMIZE
+    ZORDER BY mechanism.
+
+    Scale: one distributed read+write of the live data; the commit is
+    O(files) metadata.
+    """
+    from ..operators.layout import _ZKEY, zorder_key
+
+    snap = snapshot(spark, table_path)
+    current = read_delta(spark, table_path)
+    if zorder_by is not None:
+        keyed = zorder_key(current, *zorder_by)
+        current = (
+            keyed.repartitionByRange(target_files, F.col(_ZKEY))
+            .sortWithinPartitions(_ZKEY)
+            .drop(_ZKEY)
+        )
+    elif snap.partition_columns:
+        current = current.repartition(target_files, *snap.partition_columns)
+    else:
+        current = current.coalesce(target_files)
+
+    before = set(_list_data_files(table_path, set()))
+    writer = current.write.mode("append").format("parquet")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.save(table_path)
+    added = _list_data_files(table_path, before)
+
+    now_ms = int(time.time() * 1000)
+    stat_cols = [
+        f.name for f in snap.schema.fields if f.name not in snap.partition_columns
+    ][:32]
+    actions: list[dict[str, Any]] = [
+        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": False}}
+        for rel in snap.files
+    ]
+    for rel in added:
+        full = os.path.join(table_path, rel)
+        add: dict[str, Any] = {
+            "path": rel,
+            "partitionValues": _partition_values_from_path(
+                rel, snap.partition_columns
+            ),
+            "size": os.path.getsize(full),
+            "modificationTime": now_ms,
+            "dataChange": False,
+        }
+        st = _file_stats(full, stat_cols)
+        if st is not None:
+            add["stats"] = json.dumps(st)
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "zOrderBy": list(zorder_by) if zorder_by else []
+                },
+            }
+        }
+    )
+    commits, checkpoints = _list_versions(table_path)
+    new_version = max(set(commits) | set(checkpoints)) + 1
+    with open(_commit_file(table_path, new_version), "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return new_version

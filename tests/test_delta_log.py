@@ -345,3 +345,39 @@ def test_dynamic_partition_overwrite_touches_only_matching_partitions(spark, tbl
     assert out.filter(
         ~F.col("n_regionkey").isin(1, 2) & F.col("n_name").startswith("R_")
     ).count() == 0
+
+
+def test_optimize_compacts_and_zorder_skips_both_dims(spark, tbl):
+    """OPTIMIZE: fewer files, identical content, dataChange=false,
+    pre-optimize version still readable; ZORDER BY gives stats skipping
+    on BOTH clustered columns."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        optimize_delta,
+        read_delta_pruned,
+        snapshot,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    write_delta(li.repartition(24), tbl, mode="overwrite")
+    v0_files = len(snapshot(spark, tbl).files)
+    assert v0_files >= 16
+
+    v = optimize_delta(spark, tbl, target_files=4, zorder_by=("l_orderkey", "l_partkey"))
+    snap = snapshot(spark, tbl)
+    assert len(snap.files) <= 6 < v0_files
+    assert _rows(read_delta(spark, tbl)) == _rows(li)
+    # time travel to pre-optimize still works (old files not vacuumed)
+    assert read_delta(spark, tbl, version=v - 1).count() == li.count()
+
+    # z-clustering: range probes on EITHER dimension skip files
+    ok = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    pk = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    _, skip_o = read_delta_pruned(
+        spark, tbl, "l_orderkey", ok[0], ok[0] + (ok[1] - ok[0]) // 10
+    )
+    _, skip_p = read_delta_pruned(
+        spark, tbl, "l_partkey", pk[0], pk[0] + (pk[1] - pk[0]) // 10
+    )
+    assert skip_o > 0 and skip_p > 0
