@@ -738,3 +738,90 @@ def optimize_delta(
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     return new_version
+
+
+def delete_delta(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+) -> tuple[int, int]:
+    """Copy-on-write DELETE of rows with ``col`` in [lo, hi]: stats
+    pruning first selects the files that CAN contain matches; only
+    those are rewritten (matching rows dropped), every other file keeps
+    its identity — the surgical-rewrite DML shape that makes deletes on
+    a 100 TB table cost O(affected files), not a table rewrite. UPDATE
+    is the same mechanism with a projection instead of a drop.
+
+    Returns (new_version, n_files_rewritten). Old files survive for
+    time travel until vacuum.
+    """
+    snap = snapshot(spark, table_path)
+    # rewrite candidates = files whose stats interval intersects
+    # [lo, hi] (plus stat-less files, conservatively)
+    candidates, _ = prune_files_by_stats(snap, col, lo, hi)
+
+    if not candidates:
+        return snap.version, 0
+
+    reader = spark.read.option("mergeSchema", "true")
+    if snap.partition_columns:
+        reader = reader.option("basePath", table_path)
+    affected = reader.parquet(
+        *[os.path.join(table_path, p) for p in candidates]
+    )
+    for f in snap.schema.fields:
+        if f.name not in affected.columns:
+            affected = affected.withColumn(f.name, F.lit(None).cast(f.dataType))
+    survivors = affected.select(
+        *[F.col(f.name) for f in snap.schema.fields]
+    ).filter(~F.col(col).between(lo, hi))
+
+    before = set(_list_data_files(table_path, set()))
+    writer = survivors.write.mode("append").format("parquet")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.save(table_path)
+    added = _list_data_files(table_path, before)
+
+    now_ms = int(time.time() * 1000)
+    stat_cols = [
+        f.name for f in snap.schema.fields if f.name not in snap.partition_columns
+    ][:32]
+    actions: list[dict[str, Any]] = [
+        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+        for rel in candidates
+    ]
+    for rel in added:
+        full = os.path.join(table_path, rel)
+        add: dict[str, Any] = {
+            "path": rel,
+            "partitionValues": _partition_values_from_path(
+                rel, snap.partition_columns
+            ),
+            "size": os.path.getsize(full),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        st = _file_stats(full, stat_cols)
+        if st is not None:
+            add["stats"] = json.dumps(st)
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": f"{col} BETWEEN {lo} AND {hi}"
+                },
+            }
+        }
+    )
+    commits, checkpoints = _list_versions(table_path)
+    new_version = max(set(commits) | set(checkpoints)) + 1
+    with open(_commit_file(table_path, new_version), "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return new_version, len(candidates)

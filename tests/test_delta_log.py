@@ -381,3 +381,30 @@ def test_optimize_compacts_and_zorder_skips_both_dims(spark, tbl):
         spark, tbl, "l_partkey", pk[0], pk[0] + (pk[1] - pk[0]) // 10
     )
     assert skip_o > 0 and skip_p > 0
+
+
+def test_copy_on_write_delete_rewrites_only_intersecting_files(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        delete_delta,
+        snapshot,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_delta(li.repartitionByRange(8, "l_orderkey"), tbl, mode="overwrite")
+    files_before = set(snapshot(spark, tbl).files)
+
+    keys = sorted(r.l_orderkey for r in li.select("l_orderkey").distinct().collect())
+    lo, hi = keys[len(keys) // 3], keys[len(keys) // 2]
+    v, rewritten = delete_delta(spark, tbl, "l_orderkey", lo, hi)
+    assert 0 < rewritten < 8  # surgical: only intersecting files
+
+    snap = snapshot(spark, tbl)
+    # untouched files keep identity
+    assert len(files_before & set(snap.files)) == 8 - rewritten
+    got = _rows(read_delta(spark, tbl))
+    want = _rows(li.filter(~F.col("l_orderkey").between(lo, hi)))
+    assert got == want
+    # pre-delete version intact
+    assert read_delta(spark, tbl, version=v - 1).count() == li.count()
