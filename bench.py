@@ -138,6 +138,7 @@ EXTENDED_R5: list[str] = [
     "customer_table_profile",
     "delta_merge_roundtrip",
     "delta_skipping_roundtrip",
+    "delta_lifecycle_roundtrip",
 ]
 
 

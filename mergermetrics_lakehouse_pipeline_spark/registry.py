@@ -1464,6 +1464,7 @@ DRIVER_PRIORITY: list[str] = [
     "customer_table_profile",
     "delta_merge_roundtrip",
     "delta_skipping_roundtrip",
+    "delta_lifecycle_roundtrip",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

@@ -1494,3 +1494,59 @@ def q_delta_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@register(
+    "delta_lifecycle_roundtrip",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey NOT BETWEEN 2000 AND 4000
+    GROUP BY 1
+    """,
+    tags=["S6", "delta", "optimize", "dml", "vacuum", "roundtrip"],
+)
+def q_delta_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Delta maintenance lifecycle under the hash gate: 24
+    small-file commits -> OPTIMIZE ZORDER BY (dataChange=false
+    compaction) -> copy-on-write DELETE of an l_orderkey range
+    (stats-pruned file surgery; the query raises unless the delete left
+    some files untouched) -> retention-0 VACUUM -> final scan+aggregate.
+    The oracle recomputes the post-delete aggregate from the pristine
+    table, so a compaction that loses rows, a delete that rewrites the
+    wrong files, or a vacuum that reclaims a live file flips the hash
+    or errors."""
+    from .sources.delta_log import (
+        delete_delta,
+        optimize_delta,
+        read_delta,
+        snapshot,
+        vacuum_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="mm_dlc_rt_") + "/li_delta"
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    write_delta(li.repartition(24), root, mode="overwrite")
+    optimize_delta(spark, root, target_files=8, zorder_by=("l_orderkey", "l_quantity"))
+    n_before = len(snapshot(spark, root).files)
+    _, rewritten = delete_delta(spark, root, "l_orderkey", 2000, 4000)
+    if not (0 < rewritten < n_before):
+        raise RuntimeError(
+            f"delete rewrote {rewritten}/{n_before} files — expected surgical"
+        )
+    vacuum_delta(spark, root)
+    return (
+        read_delta(spark, root)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
