@@ -1499,11 +1499,15 @@ def q_delta_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "delta_lifecycle_roundtrip",
     """
+    WITH b AS (
+      SELECT MAX(l_orderkey) // 16 AS lo, MAX(l_orderkey) // 8 AS hi
+      FROM lineitem
+    )
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    WHERE l_orderkey NOT BETWEEN 2000 AND 4000
+    FROM lineitem CROSS JOIN b
+    WHERE l_orderkey NOT BETWEEN b.lo AND b.hi
     GROUP BY 1
     """,
     tags=["S6", "delta", "optimize", "dml", "vacuum", "roundtrip"],
@@ -1534,7 +1538,12 @@ def q_delta_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_delta(li.repartition(24), root, mode="overwrite")
     optimize_delta(spark, root, target_files=8, zorder_by=("l_orderkey", "l_quantity"))
     n_before = len(snapshot(spark, root).files)
-    _, rewritten = delete_delta(spark, root, "l_orderkey", 2000, 4000)
+    # scale-relative low-quadrant delete range (integer-exact in both
+    # engines: floor division of the max key); narrow enough that the
+    # z-clustered files mostly fall outside it
+    mx = li.agg(F.max("l_orderkey")).first()[0]
+    lo, hi = mx // 16, mx // 8
+    _, rewritten = delete_delta(spark, root, "l_orderkey", lo, hi)
     if not (0 < rewritten < n_before):
         raise RuntimeError(
             f"delete rewrote {rewritten}/{n_before} files — expected surgical"
