@@ -1097,8 +1097,10 @@ def q_orders_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(value AS DECIMAL(18,6)) AS v
       FROM events WHERE user_id % 7 = 0
     ), daily AS (
+      -- full-precision mean: rounding BEFORE interpolation would seed
+      -- engine-divergent ties that propagate into the interpolated values
       SELECT user_id, day,
-             ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS val
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS val
       FROM e GROUP BY 1, 2
     ), span AS (
       SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
@@ -1126,7 +1128,7 @@ def q_orders_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j
     )
     SELECT user_id, strftime(day, '%Y-%m-%d') AS day, observed,
-           CASE WHEN observed = 1 THEN val
+           CASE WHEN observed = 1 THEN ROUND(val, 6)
                 WHEN pv IS NULL OR nv IS NULL THEN NULL
                 ELSE ROUND(pv + (nv - pv) * (day - pd) / (nd - pd), 6) END
              AS value_filled
@@ -1155,11 +1157,7 @@ def q_events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
         e.select("user_id", F.col("ts").cast("date").alias("day"),
                  F.col("value").cast("decimal(18,6)").alias("v"))
         .groupBy("user_id", "day")
-        .agg(
-            F.round(
-                F.sum("v").cast("double") / F.count("*"), 6
-            ).alias("val")
-        )
+        .agg((F.sum("v").cast("double") / F.count("*")).alias("val"))
     )
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -1199,7 +1197,7 @@ def q_events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "observed",
-        F.when(F.col("observed") == 1, F.col("val"))
+        F.when(F.col("observed") == 1, F.round("val", 6))
         .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
         .otherwise(interp)
         .alias("value_filled"),

@@ -239,6 +239,7 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "docs_bigram_familiarity",  # 1-row vocab-size broadcast
         "docs_multi_suite_decontamination",  # 3-row suite literal broadcast
         "delta_log_read_roundtrip",  # 1-row time-travel count stitch
+        "docs_source_mixture",  # 1-row normalizer-fold broadcast
     }
     registry._load_extensions()
     failures = []
