@@ -825,3 +825,50 @@ def delete_delta(
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     return new_version, len(candidates)
+
+
+def stream_commit_batches(
+    spark: SparkSession, table_path: str, *, from_version: int = 0
+):
+    """Replay a Delta table's commit history as (version, DataFrame)
+    micro-batches — the append-only Delta-as-streaming-source semantics:
+    each yielded frame holds exactly the rows ADDED by that commit's
+    dataChange files; OPTIMIZE/compaction commits (dataChange: false)
+    yield nothing, which is precisely why the protocol carries the flag
+    — a streaming reader must not re-emit reorganized bytes. Removes
+    with dataChange are rejected (a streaming source over a table with
+    updates/deletes needs CDF files; this reader supports the
+    append-only contract delta-spark's default source enforces too).
+
+    Each batch is a bounded distributed parquet read; the generator
+    itself touches only log metadata.
+    """
+    commits, _ = _list_versions(table_path)
+    snap_schema = snapshot(spark, table_path).schema
+    for v in sorted(c for c in commits if c >= from_version):
+        adds, removes_changed = [], False
+        with open(_commit_file(table_path, v), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get("dataChange", True):
+                    adds.append(unquote(action["add"]["path"]))
+                elif "remove" in action and action["remove"].get("dataChange", True):
+                    removes_changed = True
+        if removes_changed and v > from_version:
+            raise DeltaProtocolError(
+                f"commit {v} removes data (update/delete/overwrite); the "
+                "append-only streaming source cannot represent it — "
+                "consume a CDF diff instead (delta_cdf_diff pattern)"
+            )
+        if not adds:
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_path, p) for p in adds]
+        )
+        for f in snap_schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        yield v, df.select(*[F.col(f.name) for f in snap_schema.fields])

@@ -408,3 +408,32 @@ def test_copy_on_write_delete_rewrites_only_intersecting_files(spark, tbl):
     assert got == want
     # pre-delete version intact
     assert read_delta(spark, tbl, version=v - 1).count() == li.count()
+
+
+def test_stream_commit_batches_replays_appends_and_skips_optimize(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        optimize_delta,
+        stream_commit_batches,
+    )
+
+    nation = _nation(spark).select("n_nationkey", "n_name")
+    write_delta(nation.filter("n_nationkey < 5"), tbl, mode="overwrite")  # v0
+    write_delta(nation.filter("n_nationkey >= 5 and n_nationkey < 15"), tbl, mode="append")  # v1
+    optimize_delta(spark, tbl, target_files=2)  # v2: dataChange=false
+    write_delta(nation.filter("n_nationkey >= 15"), tbl, mode="append")  # v3
+
+    batches = list(stream_commit_batches(spark, tbl))
+    assert [v for v, _ in batches] == [0, 1, 3]  # optimize yields nothing
+    assert _rows(batches[0][1]) == _rows(nation.filter("n_nationkey < 5"))
+    union = None
+    for _, b in batches:
+        union = b if union is None else union.unionByName(b)
+    assert _rows(union) == _rows(nation)
+
+    # from_version resumes mid-log
+    assert [v for v, _ in stream_commit_batches(spark, tbl, from_version=3)] == [3]
+
+    # an overwrite breaks the append-only contract -> loud error
+    write_delta(nation.filter("n_nationkey = 1"), tbl, mode="overwrite")  # v4
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        list(stream_commit_batches(spark, tbl, from_version=3))
