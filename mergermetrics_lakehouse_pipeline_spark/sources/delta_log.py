@@ -85,22 +85,39 @@ def _commit_file(table_path: str, version: int) -> str:
     return os.path.join(_log_path(table_path), f"{version:020d}.json")
 
 
-def _list_versions(table_path: str) -> tuple[list[int], dict[int, str]]:
-    """Commit versions present as JSON, and checkpoint version -> file."""
+def _list_versions(table_path: str) -> tuple[list[int], dict[int, list[str]]]:
+    """Commit versions present as JSON, and checkpoint version -> its
+    parquet part files (one for single-part checkpoints; the complete
+    ``<v>.checkpoint.<i>.<n>.parquet`` set for multi-part ones, which
+    other engines write for large tables — an incomplete set raises
+    rather than silently reading half the state)."""
     commits: list[int] = []
-    checkpoints: dict[int, str] = {}
+    checkpoints: dict[int, list[str]] = {}
+    multi: dict[int, dict[int, tuple[int, str]]] = {}
     log_dir = _log_path(table_path)
     for name in os.listdir(log_dir):
         if name.endswith(".json") and name[:20].isdigit():
             commits.append(int(name[:20]))
         elif name.endswith(".checkpoint.parquet") and name[:20].isdigit():
-            # single-part checkpoints only (multi-part is a writer choice
-            # we never make; reject rather than half-read below)
-            checkpoints[int(name[:20])] = os.path.join(log_dir, name)
+            checkpoints[int(name[:20])] = [os.path.join(log_dir, name)]
         elif ".checkpoint." in name and name.endswith(".parquet"):
+            # <version>.checkpoint.<part>.<n_parts>.parquet
+            bits = name.split(".")
+            if len(bits) == 5 and bits[0].isdigit() and bits[2].isdigit():
+                multi.setdefault(int(bits[0]), {})[int(bits[2])] = (
+                    int(bits[3]),
+                    os.path.join(log_dir, name),
+                )
+            else:
+                raise DeltaProtocolError(f"unrecognized checkpoint {name!r}")
+    for v, parts in multi.items():
+        n_parts = next(iter(parts.values()))[0]
+        if sorted(parts) != list(range(1, n_parts + 1)):
             raise DeltaProtocolError(
-                f"multi-part checkpoint {name!r} not supported"
+                f"multi-part checkpoint v{v} incomplete: have parts "
+                f"{sorted(parts)} of {n_parts}"
             )
+        checkpoints[v] = [p for _, (_, p) in sorted(parts.items())]
     return sorted(commits), checkpoints
 
 
@@ -137,12 +154,13 @@ def _apply_action(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
 
 
 def _read_checkpoint(
-    spark: SparkSession, snap: DeltaSnapshot, ckpt_file: str
+    spark: SparkSession, snap: DeltaSnapshot, ckpt_files: list[str]
 ) -> None:
-    """Fold a checkpoint parquet (one action per row, struct columns
-    add/remove/metaData/protocol) into the snapshot. Read JVM-side,
-    collected as JSON rows — checkpoint size is O(live files)."""
-    df = spark.read.parquet(ckpt_file)
+    """Fold a checkpoint (one action per row, struct columns
+    add/remove/metaData/protocol; one or many parquet parts) into the
+    snapshot. Read JVM-side, collected as JSON rows — checkpoint size
+    is O(live files)."""
+    df = spark.read.option("mergeSchema", "true").parquet(*ckpt_files)
     for col in ("protocol", "metaData", "add", "remove", "txn"):
         if col not in df.columns:
             continue

@@ -437,3 +437,48 @@ def test_stream_commit_batches_replays_appends_and_skips_optimize(spark, tbl):
     write_delta(nation.filter("n_nationkey = 1"), tbl, mode="overwrite")  # v4
     with pytest.raises(DeltaProtocolError, match="append-only"):
         list(stream_commit_batches(spark, tbl, from_version=3))
+
+
+def test_multipart_checkpoint_reads_and_incomplete_raises(spark, tbl):
+    """Other engines write <v>.checkpoint.<i>.<n>.parquet sets for large
+    tables; the reader must fold ALL parts and refuse incomplete sets."""
+    import shutil
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        write_checkpoint,
+    )
+
+    nation = _nation(spark).select("n_nationkey", "n_name")
+    write_delta(nation.filter("n_nationkey < 12"), tbl, mode="overwrite")
+    write_delta(nation.filter("n_nationkey >= 12"), tbl, mode="append")
+    v = write_checkpoint(spark, tbl)
+    log = os.path.join(tbl, "_delta_log")
+    single = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+
+    # split the single-part checkpoint into a 2-part set by re-writing
+    # its rows as two parquet files (same action schema)
+    rows = spark.read.parquet(single)
+    a, b = rows.limit(2), rows.subtract(rows.limit(2))
+    for i, part in enumerate((a, b), start=1):
+        tmp = os.path.join(log, f"__part{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        pf = next(
+            n for n in os.listdir(tmp) if n.endswith(".parquet") and not n.startswith(".")
+        )
+        os.replace(
+            os.path.join(tmp, pf),
+            os.path.join(log, f"{v:020d}.checkpoint.{i:010d}.{2:010d}.parquet"),
+        )
+        shutil.rmtree(tmp)
+    os.remove(single)
+    for k in range(v + 1):
+        os.remove(os.path.join(log, f"{k:020d}.json"))
+
+    assert _rows(read_delta(spark, tbl)) == _rows(nation)
+
+    # dropping a part must raise, never half-read
+    os.remove(
+        os.path.join(log, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    )
+    with pytest.raises(DeltaProtocolError, match="incomplete"):
+        read_delta(spark, tbl)
