@@ -443,3 +443,80 @@ class TestDenormalizedBIView:
             )
         )
         assert bad.count() == 0
+
+
+class TestPhysicalPartitionedReplay:
+    """The incremental cycle against PHYSICAL month-partitioned catalog
+    tables, on the reference's real batches: refresh work bounded to
+    the affected months, untouched partitions' files byte-identical,
+    result equal to the in-memory incremental path."""
+
+    def test_partitioned_cycle_on_real_batches(self, spark, gold):
+        import pathlib
+
+        from mergermetrics_lakehouse_pipeline_spark.pipeline.fact import (
+            incremental_fact_cycle_partitioned,
+            monthly_rollup,
+        )
+        from mergermetrics_lakehouse_pipeline_spark.sources.catalog import (
+            write_table,
+        )
+
+        DAILY, MONTHLY = "t_golden_daily", "t_golden_monthly"
+        for t in (DAILY, MONTHLY):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        daily = gold["daily"].withColumn("month_start", F.trunc("date", "MM"))
+        write_table(daily, DAILY, partition_by=["month_start"])
+        write_table(gold["monthly"], MONTHLY, partition_by=["date"])
+
+        def files(table):
+            loc = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+                .filter(F.col("col_name") == "Location")
+                .first()[1]
+            )
+            root = pathlib.Path(loc.removeprefix("file:"))
+            return {
+                str(p.relative_to(root)): (p.stat().st_size, p.stat().st_mtime)
+                for p in root.rglob("*.parquet")
+            }
+
+        before = files(DAILY)
+
+        batch_raw = _read_csv(spark, CHILD / "incremental_load/orders/orders_*.csv")
+        batch_daily = daily_fact(
+            clean_orders(batch_raw),
+            clean_products(
+                _read_csv(spark, CHILD / "full_load/products/products.csv"),
+                division_map=REF_DIVISION_MAP,
+            ),
+        )
+        months = incremental_fact_cycle_partitioned(
+            spark,
+            daily_table=DAILY,
+            monthly_table=MONTHLY,
+            batch_clean_daily=batch_daily,
+        )
+        assert sorted(str(m) for m in months) == ["2025-12-01", "2026-01-01"]
+
+        after = files(DAILY)
+        untouched = {
+            k: v for k, v in before.items() if "month_start=2025-12" not in k
+            and "month_start=2026-01" not in k
+        }
+        assert untouched.items() <= after.items()  # files untouched, byte-for-byte
+
+        # physical result == the in-memory incremental path
+        _, mem_monthly = incremental_fact_load(
+            gold["daily"], gold["monthly"], batch_daily
+        )
+        got = {
+            tuple(r)
+            for r in spark.table(MONTHLY)
+            .select("date", "product_code", "customer_code", "sold_quantity")
+            .collect()
+        }
+        want = {tuple(r) for r in mem_monthly.collect()}
+        assert got == want
+        for t in (DAILY, MONTHLY):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
