@@ -814,35 +814,40 @@ def semantic_dedup(
     ).select(
         "vec_id", "centroid_id", F.col("cosine_sim").alias("centroid_sim")
     )
-    enriched = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).join(assign, "vec_id")
+    # materialize the assignment (SemDeDup's own first stage is a stored
+    # cluster-assignment table): the subtree otherwise re-executes for
+    # each pair side and the final output — 3 scans of the k-cosine agg
+    assign = assign.cache()
 
-    pairs = embedding_neardup_pairs(
-        enriched,
-        id_col="vec_id",
-        vec_col="embedding",
-        threshold=threshold,
-        bucket_col="centroid_id",
-    )
-    sims = assign.select("vec_id", "centroid_sim")
-    scored = (
-        pairs.join(
-            sims.select(
-                F.col("vec_id").alias("id_a"), F.col("centroid_sim").alias("csim_a")
-            ),
-            "id_a",
-        ).join(
-            sims.select(
-                F.col("vec_id").alias("id_b"), F.col("centroid_sim").alias("csim_b")
-            ),
-            "id_b",
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("n"),
+    ).join(assign, "vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    # pair join carries BOTH sides' centroid_sim — no post-hoc joins
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.centroid_sim").alias("csim_a"),
+            F.col("b.centroid_sim").alias("csim_b"),
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.n") * F.col("b.n")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
     )
     a_wins = (F.col("csim_a") > F.col("csim_b")) | (
         (F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") < F.col("id_b"))
     )
-    drops = scored.select(
+    drops = pairs.select(
         F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("vec_id")
     ).distinct()
     degree = (
