@@ -242,7 +242,21 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "docs_source_mixture",  # 1-row normalizer-fold broadcast
     }
     registry._load_extensions()
+
+    # plan-fingerprint regression baseline (tools/plan_fingerprints.py):
+    # counts of the features that decide 100 TB behavior per query. A
+    # drifted fingerprint means an edit changed a plan's shuffle/join/
+    # scan structure — fail here, not as a bench surprise two rounds on.
+    import json
+    from pathlib import Path
+
+    from tools.plan_fingerprints import fingerprint
+
+    fp_path = Path(__file__).resolve().parents[1] / "PLAN_FP.json"
+    baseline = json.loads(fp_path.read_text()) if fp_path.exists() else {}
+
     failures = []
+    drift = []
     for q in registry.QUERIES:
         df = q.fn(spark, sf_dir)
         df.collect()
@@ -254,7 +268,15 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
             failures.append((q.name, "BroadcastNestedLoopJoin"))
         if "BatchEvalPython" in final:
             failures.append((q.name, "row-at-a-time Python UDF"))
+        if q.name in baseline and fingerprint(plan) != baseline[q.name]:
+            drift.append(
+                (q.name, {"was": baseline[q.name], "now": fingerprint(plan)})
+            )
     assert not failures, failures
+    assert not drift, (
+        "plan fingerprints drifted — if intentional, regenerate with "
+        f"`python tools/plan_fingerprints.py`: {drift}"
+    )
 
 
 def test_driver_priority_window_exactly_50(spark):
