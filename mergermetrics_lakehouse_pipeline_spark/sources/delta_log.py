@@ -564,6 +564,16 @@ def prune_files_by_stats(
         fmin = (st or {}).get("minValues", {}).get(col)
         fmax = (st or {}).get("maxValues", {}).get(col)
         if fmin is None or fmax is None:
+            # partition columns carry no footer stats; their single
+            # value IS the file's [min, max]
+            pv = a.get("partitionValues", {}).get(col)
+            if pv is not None:
+                try:
+                    pv_t = type(lo if lo is not None else hi)(pv)
+                    fmin = fmax = pv_t
+                except (TypeError, ValueError):
+                    fmin = fmax = pv
+        if fmin is None or fmax is None:
             keep.append(rel)
             continue
         if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
@@ -696,6 +706,12 @@ def optimize_delta(
     from ..operators.layout import _ZKEY, zorder_key
 
     snap = snapshot(spark, table_path)
+    if zorder_by is not None and snap.partition_columns:
+        raise DeltaProtocolError(
+            "ZORDER BY on a hive-partitioned table would break the "
+            "partition-directory layout this reader relies on; compact "
+            "without zorder_by, or zorder within an unpartitioned table"
+        )
     current = read_delta(spark, table_path)
     if zorder_by is not None:
         keyed = zorder_key(current, *zorder_by)

@@ -482,3 +482,25 @@ def test_multipart_checkpoint_reads_and_incomplete_raises(spark, tbl):
     )
     with pytest.raises(DeltaProtocolError, match="incomplete"):
         read_delta(spark, tbl)
+
+
+def test_partition_value_pruning_and_zorder_partition_guard(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        optimize_delta,
+        prune_files_by_stats,
+        snapshot,
+    )
+
+    nation = _nation(spark).select("n_nationkey", "n_name", "n_regionkey")
+    write_delta(nation, tbl, mode="overwrite", partition_by=["n_regionkey"])
+
+    snap = snapshot(spark, tbl)
+    keep, skipped = prune_files_by_stats(snap, "n_regionkey", 2, 2)
+    assert skipped > 0  # other regions' files eliminated by partition value
+    kept_regions = {
+        snap.files[rel]["partitionValues"]["n_regionkey"] for rel in keep
+    }
+    assert kept_regions == {"2"}
+
+    with pytest.raises(DeltaProtocolError, match="ZORDER"):
+        optimize_delta(spark, tbl, target_files=2, zorder_by=("n_nationkey", "n_regionkey"))
