@@ -1025,7 +1025,7 @@ def q_events_window_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT month_start,
              CAST(COUNT(*) AS BIGINT) AS n_days,
              CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(revenue AS DECIMAL(18,2)) * CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+             CAST(SUM(CAST(revenue AS DECIMAL(19,2)) * CAST(revenue AS DECIMAL(19,2))) AS DOUBLE) AS sx2
       FROM daily GROUP BY 1
     )
     SELECT d.day, d.month_start, d.revenue,
@@ -1067,9 +1067,11 @@ def q_orders_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.groupBy("month_start").agg(
         F.count("*").cast("bigint").alias("n_days"),
         F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("sx"),
+        # (19,2) x (19,2) -> DECIMAL(38,4) in BOTH engines: 18-digit
+        # operands overflow DuckDB's width-capped multiply at sf0.1
         F.sum(
-            F.col("revenue").cast("decimal(18,2)")
-            * F.col("revenue").cast("decimal(18,2)")
+            F.col("revenue").cast("decimal(19,2)")
+            * F.col("revenue").cast("decimal(19,2)")
         )
         .cast("double")
         .alias("sx2"),

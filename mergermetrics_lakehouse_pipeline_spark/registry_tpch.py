@@ -50,30 +50,36 @@ def _eligible_suppliers(spark: SparkSession, sf_dir: str, region: str) -> DataFr
     """
     WITH cost AS (
       SELECT l.l_partkey AS p_key, l.l_suppkey AS s_key,
-             ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
-               AS unit_cost
+             CAST((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   * 1000000)
+                  // CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+                  AS BIGINT)
+               AS unit_cost_micro
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
       GROUP BY 1, 2
     ), ranked AS (
-      SELECT *, MIN(unit_cost) OVER (PARTITION BY p_key) AS min_cost FROM cost
+      SELECT *, MIN(unit_cost_micro) OVER (PARTITION BY p_key) AS min_cost
+      FROM cost
     )
-    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, ranked.unit_cost
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, ranked.unit_cost_micro
     FROM ranked
     JOIN part p ON ranked.p_key = p.p_partkey
      AND p.p_type = 'STANDARD' AND p.p_size <= 10
     JOIN supplier s ON ranked.s_key = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE ranked.unit_cost = ranked.min_cost
+    WHERE ranked.unit_cost_micro = ranked.min_cost
     """,
     tags=["tpch-q2", "correlated-min", "window-decorrelation"],
 )
 def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per part, the EUROPE supplier(s) with the lowest
-    observed unit cost (ties kept — deterministic set semantics).
+    observed unit cost (ties kept — deterministic set semantics). Unit
+    cost is exact integer micro-units — floor(1e6 * price_cents /
+    qty_cents) in BIGINT arithmetic — because a double quotient rounded
+    to 4dp hit an engine-divergent rounding tie at sf0.1 (954.29875).
 
     Scale: the correlated ``MIN per part`` runs as a window over the
     (partkey, suppkey) aggregate — |distinct pairs| rows, ~30× smaller
@@ -92,21 +98,31 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("p_key"), F.col("l_suppkey").alias("s_key")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-                / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
-                4,
-            ).alias("unit_cost")
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("__num_cents"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("__den_cents"),
+        )
+        # integer `div`, not `/`: double division then cast loses
+        # exactness once num*1e6 exceeds 2^53
+        .select(
+            "p_key",
+            "s_key",
+            F.expr("(__num_cents * 1000000L) div __den_cents").alias(
+                "unit_cost_micro"
+            ),
         )
     )
     w = Window.partitionBy("p_key")
-    best = cost.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
-        F.col("unit_cost") == F.col("min_cost")
+    best = cost.withColumn("min_cost", F.min("unit_cost_micro").over(w)).filter(
+        F.col("unit_cost_micro") == F.col("min_cost")
     )
     return (
         best.join(F.broadcast(p), best.p_key == p.p_partkey)
         .join(F.broadcast(elig), best.s_key == F.col("s_suppkey"))
-        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost_micro")
     )
 
 
