@@ -392,9 +392,7 @@ def write_delta(
                     }
                 }
             )
-    stat_cols = [
-        f.name for f in df.schema.fields if f.name not in partition_by
-    ][:32]  # Delta's default dataSkippingNumIndexedCols
+    stat_cols = _stats_columns(df.schema, partition_by)
     for rel in added:
         full = os.path.join(table_path, rel)
         add: dict[str, Any] = {
@@ -506,6 +504,26 @@ def last_txn_version(spark: SparkSession, table_path: str, app_id: str) -> int:
         return snapshot(spark, table_path).txns.get(app_id, -1)
     except FileNotFoundError:
         return -1
+
+
+#: column types whose parquet footer stats are JSON-safe AND whose
+#: Python min/max compare correctly against probe values in
+#: prune_files_by_stats (DECIMAL min/max arrive as decimal.Decimal —
+#: not JSON-serializable and type-unsafe to compare — so decimal
+#: columns simply carry no stats and are conservatively kept)
+_STATS_SAFE_TYPES = {
+    "byte", "short", "integer", "long", "float", "double",
+    "string", "date", "timestamp", "timestamp_ntz", "boolean",
+}
+
+
+def _stats_columns(schema: StructType, partition_by: list[str]) -> list[str]:
+    return [
+        f.name
+        for f in schema.fields
+        if f.name not in partition_by
+        and f.dataType.typeName() in _STATS_SAFE_TYPES
+    ][:32]  # Delta's default dataSkippingNumIndexedCols
 
 
 def _file_stats(full_path: str, stat_cols: list[str]) -> dict | None:
@@ -733,9 +751,7 @@ def optimize_delta(
     added = _list_data_files(table_path, before)
 
     now_ms = int(time.time() * 1000)
-    stat_cols = [
-        f.name for f in snap.schema.fields if f.name not in snap.partition_columns
-    ][:32]
+    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
     actions: list[dict[str, Any]] = [
         {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": False}}
         for rel in snap.files
@@ -820,9 +836,7 @@ def delete_delta(
     added = _list_data_files(table_path, before)
 
     now_ms = int(time.time() * 1000)
-    stat_cols = [
-        f.name for f in snap.schema.fields if f.name not in snap.partition_columns
-    ][:32]
+    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
     actions: list[dict[str, Any]] = [
         {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
         for rel in candidates

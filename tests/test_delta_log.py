@@ -504,3 +504,36 @@ def test_partition_value_pruning_and_zorder_partition_guard(spark, tbl):
 
     with pytest.raises(DeltaProtocolError, match="ZORDER"):
         optimize_delta(spark, tbl, target_files=2, zorder_by=("n_nationkey", "n_regionkey"))
+
+
+def test_decimal_columns_write_without_stats_and_stay_readable(spark, tbl):
+    """DECIMAL footer stats are not JSON-safe; such columns must carry
+    no stats (conservatively kept by pruning) while the write succeeds
+    and round-trips exactly."""
+    import json as js
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        read_delta_pruned,
+        snapshot,
+    )
+
+    df = (
+        spark.range(20)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id").cast("decimal(18,2)") * 7 / 3).alias("amt"),
+        )
+    )
+    write_delta(df.repartitionByRange(4, "k"), tbl, mode="overwrite")
+    snap = snapshot(spark, tbl)
+    for a in snap.files.values():
+        st = js.loads(a["stats"])
+        assert "amt" not in st["minValues"]  # decimal excluded
+        assert "k" in st["minValues"]
+    assert _rows(read_delta(spark, tbl)) == _rows(df)
+    # pruning on the stat-less decimal column keeps everything (safe)
+    _, skipped = read_delta_pruned(spark, tbl, "amt", 0, 1)
+    assert skipped == 0
+    # pruning on the stat-carrying long column still works
+    _, skipped_k = read_delta_pruned(spark, tbl, "k", 0, 3)
+    assert skipped_k > 0
