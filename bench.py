@@ -139,6 +139,7 @@ EXTENDED_R5: list[str] = [
     "delta_merge_roundtrip",
     "delta_skipping_roundtrip",
     "delta_lifecycle_roundtrip",
+    "delta_stream_fold_roundtrip",
 ]
 
 

@@ -1559,3 +1559,87 @@ def q_delta_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@register(
+    "delta_stream_fold_roundtrip",
+    """
+    WITH tagged AS (
+      SELECT n_regionkey,
+             CASE WHEN n_nationkey < 8 THEN 0
+                  WHEN n_nationkey < 16 THEN 1
+                  ELSE 2 END AS batch_version
+      FROM nation
+    )
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(batch_version) AS BIGINT) AS version_mass,
+           CAST(MIN(batch_version) AS BIGINT) AS first_seen_batch
+    FROM tagged GROUP BY 1
+    """,
+    tags=["S6", "delta", "streaming-source", "roundtrip"],
+)
+def q_delta_stream_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-as-streaming-source round trip: three append commits over
+    the protocol log, replayed with ``stream_commit_batches`` (an
+    OPTIMIZE in the middle must yield NOTHING — dataChange=false), each
+    batch tagged with its commit index and folded into per-region
+    counts + the version mass + first-seen batch. The oracle recomputes
+    all three from the pristine table via the same key-slice CASE, so a
+    source that drops a commit, re-emits compacted bytes, or misorders
+    versions flips the hash. Commit indexes are normalized to
+    0/1/2 (the optimize commit shifts raw version numbers).
+
+    Scale: each batch is a bounded scan of that commit's added files;
+    the fold is one aggregation per batch at region grain."""
+    from .sources.delta_log import optimize_delta, stream_commit_batches, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_dstream_rt_") + "/nation_delta"
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    write_delta(nation.filter("n_nationkey < 8"), root, mode="overwrite")
+    write_delta(
+        nation.filter("n_nationkey >= 8 and n_nationkey < 16"), root, mode="append"
+    )
+    optimize_delta(spark, root, target_files=2)
+    write_delta(nation.filter("n_nationkey >= 16"), root, mode="append")
+
+    folded = None
+    for i, (_, batch) in enumerate(stream_commit_batches(spark, root)):
+        agg = batch.groupBy("n_regionkey").agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.sum(F.lit(i)).cast("bigint").alias("version_mass"),
+            F.min(F.lit(i)).cast("bigint").alias("first_seen_batch"),
+        )
+        if folded is None:
+            folded = agg
+        else:
+            prev = folded.select(
+                "n_regionkey",
+                F.col("n_nations").alias("p_n"),
+                F.col("version_mass").alias("p_vm"),
+                F.col("first_seen_batch").alias("p_fs"),
+            )
+            folded = (
+                agg.join(prev, "n_regionkey", "full_outer")
+                .select(
+                    "n_regionkey",
+                    (F.coalesce("n_nations", F.lit(0)) + F.coalesce("p_n", F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_nations"),
+                    (
+                        F.coalesce("version_mass", F.lit(0))
+                        + F.coalesce("p_vm", F.lit(0))
+                    )
+                    .cast("bigint")
+                    .alias("version_mass"),
+                    F.least(
+                        F.coalesce("first_seen_batch", F.lit(99)),
+                        F.coalesce("p_fs", F.lit(99)),
+                    )
+                    .cast("bigint")
+                    .alias("first_seen_batch"),
+                )
+            )
+    if folded is None:
+        raise RuntimeError("streaming source yielded no batches")
+    return folded
