@@ -226,9 +226,15 @@ class TestPublishedDataShape:
 class TestChildFullLoad:
     def test_customers_gold_real_dirt(self, gold):
         cust = gold["customers"]
-        # 39 raw rows -> dedupe on customer_id
+        # 39 raw rows -> 35 after customer_id dedupe (4 exact-dup ids)
         n = cust.count()
+        assert n == 35
         assert cust.select("customer_code").distinct().count() == n
+        # every city resolved: zero Unknown markets on the real data
+        assert sorted(
+            (r.market, r["count"])
+            for r in cust.groupBy("market").count().collect()
+        ) == [("Midwest", 11), ("Northeast", 13), ("South", 11)]
         # every published null-city repair resolved: fixed ids get a market
         fixed = cust.filter(
             F.col("customer_code").isin([str(k) for k in REF_CITY_FIXES])
@@ -244,9 +250,22 @@ class TestChildFullLoad:
 
     def test_products_gold_real_dirt(self, gold):
         prod = gold["products"]
+        # 20 raw rows -> 18 after product_id dedupe
         n = prod.count()
-        # 20 raw rows; XYZ123 id -> sentinel, codes are sha2 hex
+        assert n == 18
+        # XYZ123 id -> sentinel, codes are sha2 hex
         assert n == prod.select("product_code").distinct().count()
+        # every category maps through the reference division CASE
+        assert sorted(
+            (r.division, r["count"])
+            for r in prod.groupBy("division").count().collect()
+        ) == [
+            ("Breakfast Foods", 3),
+            ("Dairy & Recovery", 3),
+            ("Healthy Snacks", 3),
+            ("Hydration & Electrolytes", 3),
+            ("Nutrition Bars", 6),
+        ]
         assert prod.filter(~F.col("product_code").rlike("^[0-9a-f]{64}$")).count() == 0
         # 'Protien' typo repaired everywhere
         assert prod.filter(F.col("product").rlike("(?i)protien")).count() == 0
@@ -257,6 +276,7 @@ class TestChildFullLoad:
 
     def test_prices_gold_one_per_product_year(self, gold):
         prices = gold["prices"]
+        assert prices.count() == 17  # (product, year) grain on real data
         assert (
             prices.groupBy("product_code", "year")
             .count()
