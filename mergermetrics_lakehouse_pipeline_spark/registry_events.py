@@ -1234,17 +1234,15 @@ def q_events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=["semi-structured", "variant", "json"],
 )
 def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-on-read over semi-structured payloads via Spark 4's
-    VARIANT type: events round-trip through a JSON landing payload
-    (the shape raw clickstream arrives in), get parsed ONCE with
-    ``parse_json`` into the binary variant encoding, and typed fields
-    come out with ``try_variant_get`` path extraction — no
-    schema-inference scan, no per-field JSON re-parse (the variant
-    encoding is parsed once per row, then each path access is a cheap
-    binary probe; N string json_extracts would re-tokenize the payload
-    N times). Malformed rows yield NULLs via the try_ variant, not task
-    failures. Each engine extracts from its OWN serialization, so the
-    check pins extraction semantics, not JSON text formatting.
+    """The TOLERANT + AGGREGATING half of the VARIANT surface
+    (events_variant_props covers per-row variant_get extraction): here
+    typed fields come out with ``try_variant_get`` — malformed or
+    missing paths yield NULLs instead of task failures, the ingest-side
+    contract — and the extracted columns immediately feed a grouped
+    aggregation (count/count-distinct/decimal sum), proving the
+    variant columns compose with the relational operators downstream.
+    Each engine extracts from its OWN serialization, so the check pins
+    extraction semantics, not JSON text formatting.
 
     Scale: map-side parse + one partial-agg shuffle on
     (event_type, day); count_distinct(user_id) rides the same shuffle."""
