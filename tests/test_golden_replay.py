@@ -540,3 +540,31 @@ class TestPhysicalPartitionedReplay:
         assert got == want
         for t in (DAILY, MONTHLY):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestDataSummaryParity:
+    """Cross-check ingestion against the reference's own published
+    per-file metadata (DATA_SUMMARY.md): every landing CSV we extract
+    must carry exactly the row count the reference recorded for it."""
+
+    def test_landing_row_counts_match_published_metadata(self, spark, landing_dir):
+        import re
+
+        text = (REF / "DATA_SUMMARY.md").read_text()
+        published: dict[str, int] = {}
+        for m in re.finditer(
+            r"full_load/orders/landing/(orders_[\d_]+\.csv)\n- \*\*Total Rows:\*\* (\d+)",
+            text,
+        ):
+            published[m.group(1)] = int(m.group(2))
+        assert len(published) == 151
+
+        got = {
+            r.file: r.n
+            for r in spark.read.option("header", True)
+            .csv(str(landing_dir / "orders_*.csv"))
+            .groupBy(F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == published
