@@ -568,3 +568,29 @@ class TestDataSummaryParity:
             .collect()
         }
         assert got == published
+
+    def test_incremental_row_counts_match_published_metadata(self, spark):
+        import re
+
+        text = (REF / "DATA_SUMMARY.md").read_text()
+        published: dict[str, int] = {}
+        for m in re.finditer(
+            r"incremental_load/orders/(orders_[\d_]+\.csv)\n- \*\*Total Rows:\*\* (\d+)",
+            text,
+        ):
+            published[m.group(1)] = int(m.group(2))
+        assert len(published) == 34
+
+        got = {
+            r.file: r.n
+            for r in spark.read.option("header", True)
+            .csv(str(CHILD / "incremental_load/orders/orders_*.csv"))
+            .groupBy(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("file")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == published
