@@ -140,6 +140,7 @@ EXTENDED_R5: list[str] = [
     "delta_skipping_roundtrip",
     "delta_lifecycle_roundtrip",
     "delta_stream_fold_roundtrip",
+    "streaming_threshold_alerts_roundtrip",
 ]
 
 

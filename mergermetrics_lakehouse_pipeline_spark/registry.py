@@ -1466,6 +1466,7 @@ DRIVER_PRIORITY: list[str] = [
     "delta_skipping_roundtrip",
     "delta_lifecycle_roundtrip",
     "delta_stream_fold_roundtrip",
+    "streaming_threshold_alerts_roundtrip",
     # --- r4 head (all verified r4; re-verification is free) ---
     "docs_incremental_dedup",
     "docs_training_shards",

@@ -1643,3 +1643,73 @@ def q_delta_stream_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     if folded is None:
         raise RuntimeError("streaming source yielded no batches")
     return folded
+
+
+@register(
+    "streaming_threshold_alerts_roundtrip",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    ), a AS (
+      SELECT x.user_id, x.event_id, x.ts_us,
+             (SELECT COUNT(*) FROM e y
+              WHERE y.user_id = x.user_id
+                AND y.ts_us >= x.ts_us - 86400000000
+                AND (y.ts_us < x.ts_us
+                     OR (y.ts_us = x.ts_us AND y.event_id <= x.event_id)))
+               AS n_in_window
+      FROM e x
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_alerts,
+           CAST(MAX(n_in_window) AS BIGINT) AS peak_rate,
+           CAST(MIN(ts_us) AS BIGINT) AS first_alert_us
+    FROM a WHERE n_in_window >= 3
+    GROUP BY 1
+    """,
+    tags=["streaming", "stateful", "cep", "alerts", "roundtrip"],
+)
+def q_streaming_threshold_alerts_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CEP rate detector round trip (streaming/stateful.py:
+    streaming_threshold_alerts): the click stream replayed through the
+    applyInPandasWithState sliding-window operator — alert on every
+    click that is the 3rd+ for its user within a trailing 24h — then
+    alerts aggregated per user. The oracle recomputes the exact
+    trailing-window counts with a (ts, event_id)-tie-exact self-join,
+    so an eviction bug (window boundary off by one microsecond), a
+    dropped alert, or a state row lost across micro-batches flips the
+    hash. State per user = stamps inside the window, evicted as event
+    time advances."""
+    from .streaming.jobs import read_events_stream
+    from .streaming.stateful import streaming_threshold_alerts
+
+    landing = tempfile.mkdtemp(prefix="mm_alert_landing_")
+    events_table(spark, sf_dir).orderBy("ts", "event_id").coalesce(
+        1
+    ).write.mode("overwrite").parquet(landing)
+    out = tempfile.mkdtemp(prefix="mm_alert_out_")
+    q = (
+        streaming_threshold_alerts(
+            read_events_stream(spark, landing),
+            event_type="click",
+            k=3,
+            window_s=86400,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mm_alert_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming threshold alerts did not drain in 120s")
+    back = spark.read.parquet(out)
+    return back.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_alerts"),
+        F.max("n_in_window").cast("bigint").alias("peak_rate"),
+        F.min("ts_us").cast("bigint").alias("first_alert_us"),
+    )

@@ -257,3 +257,103 @@ def streaming_heavy_hitters(stream: DataFrame, *, k: int = HH_K) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window threshold alerts (CEP-style rate detector)
+# ---------------------------------------------------------------------------
+
+#: one row per alerting event
+ALERT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("n_in_window", LongType()),
+    ]
+)
+
+#: state: event-time stamps still inside the trailing window
+ALERT_STATE_SCHEMA = StructType(
+    [StructField("stamps", ArrayType(LongType()))]
+)
+
+
+def _threshold_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    k: int,
+    window_us: int,
+) -> Iterator[pd.DataFrame]:
+    """Per user: fold events in (ts, event_id) order; each event first
+    evicts stamps older than ``ts - window_us`` (inclusive lower bound),
+    then counts itself — emit an alert row whenever the trailing-window
+    count reaches ``k``. State is the stamp list inside the window:
+    bounded by window x per-user arrival rate, evicted as time advances
+    (the CEP rate-detector state discipline). The same ordering contract
+    as sessionization: cross-batch event-time order per user."""
+    (uid,) = key
+    if state.hasTimedOut:  # pragma: no cover
+        state.remove()
+        return
+    stamps: list[int] = list(state.get[0]) if state.exists else []
+
+    out = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, eid in zip(pdf["ts_us"], pdf["event_id"]):
+            ts_us = int(ts_us)
+            lo = ts_us - window_us
+            stamps = [s for s in stamps if s >= lo]
+            stamps.append(ts_us)
+            if len(stamps) >= k:
+                out.append((int(uid), int(eid), ts_us, len(stamps)))
+    state.update(([s for s in stamps],))
+    yield pd.DataFrame(
+        out, columns=["user_id", "event_id", "ts_us", "n_in_window"]
+    )
+
+
+def streaming_threshold_alerts(
+    stream: DataFrame,
+    *,
+    event_type: str = "click",
+    k: int = 5,
+    window_s: int = 3600,
+) -> DataFrame:
+    """CEP-style rate detector: alert on every ``event_type`` event that
+    is the k-th (or later) for its user within the trailing
+    ``window_s`` seconds — the fraud/abuse/alerting primitive (N failed
+    logins in M minutes) that needs true sliding-window state, not
+    tumbling buckets.
+
+    Exact contract (hash-checkable against a batch self-join oracle):
+    the window is event-time [ts - W, ts], inclusive; within equal
+    timestamps the (ts, event_id) processing order decides which event
+    sees which — identical to the oracle's
+    ``ts2 >= ts - W AND (ts2 < ts OR (ts2 = ts AND id2 <= id))`` count.
+    """
+    from pyspark.sql import functions as F
+
+    prepared = (
+        stream.filter(F.col("event_type") == event_type)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+
+    def fn(key, batches, state):
+        yield from _threshold_group(
+            key, batches, state, k=k, window_us=window_s * 1_000_000
+        )
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -367,3 +367,76 @@ def test_streaming_heavy_hitters_space_saving_guarantees(spark, tmp_path, events
         for item, c in true.items():
             if c > n / HH_K:
                 assert item in kept, (etype, item, c)
+
+
+def test_threshold_alerts_state_survives_micro_batches(spark, tmp_path):
+    """The sliding-window alert state must carry ACROSS micro-batches:
+    time-ordered event files delivered one per trigger yield exactly
+    the alerts a single-batch replay yields."""
+    import pandas as pd
+
+    from mergermetrics_lakehouse_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.streaming.stateful import (
+        streaming_threshold_alerts,
+    )
+
+    base = 1_700_000_000_000_000
+    rows = []
+    for i in range(12):  # user 1: a click every 10 min -> alerts from the 3rd on
+        rows.append((1, 100 + i, base + i * 600_000_000, "click", 1.0))
+    for i in range(4):  # user 2: one click every 2 days -> never alerts (W=1h)
+        rows.append((2, 200 + i, base + i * 172_800_000_000, "click", 1.0))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # three time-ordered files -> three micro-batches under maxFilesPerTrigger=1
+    chunks = [rows[:5], rows[5:10], rows[10:]]
+    for j, chunk in enumerate(sorted(chunks, key=lambda c: c[0][2])):
+        pd.DataFrame(
+            [
+                {
+                    "event_id": e,
+                    "user_id": u,
+                    "ts": pd.Timestamp(t, unit="us"),
+                    "event_type": et,
+                    "value": v,
+                }
+                for (u, e, t, et, v) in chunk
+            ]
+        ).to_parquet(landing / f"f{j}.parquet")
+
+    def run(max_files):
+        out = tmp_path / f"out{max_files}"
+        q = (
+            streaming_threshold_alerts(
+                read_events_stream(
+                    spark, str(landing), max_files_per_trigger=max_files
+                ),
+                event_type="click",
+                k=3,
+                window_s=3600,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt{max_files}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {
+            (r.user_id, r.event_id, r.n_in_window)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    single = run(99)
+    split = run(1)
+    assert split == single
+    # user 1 alerts from its 3rd click on, every time (window never empties)
+    assert {(u, e) for (u, e, _) in single if u == 1} == {
+        (1, 100 + i) for i in range(2, 12)
+    }
+    assert not any(u == 2 for (u, _, _) in single)
