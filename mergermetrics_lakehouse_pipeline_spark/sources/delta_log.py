@@ -920,3 +920,96 @@ def stream_commit_batches(
             if f.name not in df.columns:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         yield v, df.select(*[F.col(f.name) for f in snap_schema.fields])
+
+
+def update_delta(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+    set_exprs: dict[str, str],
+) -> tuple[int, int]:
+    """Copy-on-write UPDATE of rows with ``col`` in [lo, hi]: the same
+    stats-pruned file surgery as ``delete_delta`` — only files whose
+    footer stats (or partition value) can intersect the predicate are
+    rewritten, matching rows projected through ``set_exprs``
+    (column -> SQL expression over the row), everything else untouched.
+
+    Returns (new_version, n_files_rewritten). Old files survive for
+    time travel until vacuum.
+    """
+    snap = snapshot(spark, table_path)
+    candidates, _ = prune_files_by_stats(snap, col, lo, hi)
+    if not candidates:
+        return snap.version, 0
+
+    reader = spark.read.option("mergeSchema", "true")
+    if snap.partition_columns:
+        reader = reader.option("basePath", table_path)
+    affected = reader.parquet(
+        *[os.path.join(table_path, p) for p in candidates]
+    )
+    for f in snap.schema.fields:
+        if f.name not in affected.columns:
+            affected = affected.withColumn(f.name, F.lit(None).cast(f.dataType))
+    affected = affected.select(*[F.col(f.name) for f in snap.schema.fields])
+
+    pred = F.col(col).between(lo, hi)
+    rewritten = affected.select(
+        *[
+            F.when(pred, F.expr(set_exprs[f.name]))
+            .otherwise(F.col(f.name))
+            .cast(f.dataType)
+            .alias(f.name)
+            if f.name in set_exprs
+            else F.col(f.name)
+            for f in snap.schema.fields
+        ]
+    )
+
+    before = set(_list_data_files(table_path, set()))
+    writer = rewritten.write.mode("append").format("parquet")
+    if snap.partition_columns:
+        writer = writer.partitionBy(*snap.partition_columns)
+    writer.save(table_path)
+    added = _list_data_files(table_path, before)
+
+    now_ms = int(time.time() * 1000)
+    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
+    actions: list[dict[str, Any]] = [
+        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+        for rel in candidates
+    ]
+    for rel in added:
+        full = os.path.join(table_path, rel)
+        add: dict[str, Any] = {
+            "path": rel,
+            "partitionValues": _partition_values_from_path(
+                rel, snap.partition_columns
+            ),
+            "size": os.path.getsize(full),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        st = _file_stats(full, stat_cols)
+        if st is not None:
+            add["stats"] = json.dumps(st)
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {
+                    "predicate": f"{col} BETWEEN {lo} AND {hi}"
+                },
+            }
+        }
+    )
+    commits, checkpoints = _list_versions(table_path)
+    new_version = max(set(commits) | set(checkpoints)) + 1
+    with open(_commit_file(table_path, new_version), "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return new_version, len(candidates)

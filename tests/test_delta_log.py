@@ -537,3 +537,35 @@ def test_decimal_columns_write_without_stats_and_stay_readable(spark, tbl):
     # pruning on the stat-carrying long column still works
     _, skipped_k = read_delta_pruned(spark, tbl, "k", 0, 3)
     assert skipped_k > 0
+
+
+def test_copy_on_write_update_rewrites_only_intersecting_files(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        snapshot,
+        update_delta,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_delta(li.repartitionByRange(8, "l_orderkey"), tbl, mode="overwrite")
+    files_before = set(snapshot(spark, tbl).files)
+
+    keys = sorted(r.l_orderkey for r in li.select("l_orderkey").distinct().collect())
+    lo, hi = keys[len(keys) // 8], keys[len(keys) // 4]
+    v, rewritten = update_delta(
+        spark, tbl, "l_orderkey", lo, hi, {"l_quantity": "l_quantity * 2"}
+    )
+    assert 0 < rewritten < 8
+    snap = snapshot(spark, tbl)
+    assert len(files_before & set(snap.files)) == 8 - rewritten
+
+    got = read_delta(spark, tbl)
+    want = li.withColumn(
+        "l_quantity",
+        F.when(
+            F.col("l_orderkey").between(lo, hi), F.col("l_quantity") * 2
+        ).otherwise(F.col("l_quantity")),
+    )
+    assert _rows(got) == _rows(want)
+    assert read_delta(spark, tbl, version=v - 1).count() == li.count()
