@@ -1500,28 +1500,36 @@ def q_delta_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_lifecycle_roundtrip",
     """
     WITH b AS (
-      SELECT MAX(l_orderkey) // 16 AS lo, MAX(l_orderkey) // 8 AS hi
+      SELECT MAX(l_orderkey) // 16 AS lo, MAX(l_orderkey) // 8 AS hi,
+             (MAX(l_orderkey) * 3) // 4 AS ulo, (MAX(l_orderkey) * 7) // 8 AS uhi
       FROM lineitem
+    ), survivors AS (
+      SELECT l_returnflag,
+             CASE WHEN l_orderkey BETWEEN b.ulo AND b.uhi
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) * 2
+                  ELSE CAST(l_quantity AS DECIMAL(18,2)) END AS qty
+      FROM lineitem CROSS JOIN b
+      WHERE l_orderkey NOT BETWEEN b.lo AND b.hi
     )
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem CROSS JOIN b
-    WHERE l_orderkey NOT BETWEEN b.lo AND b.hi
+           CAST(SUM(qty) AS DOUBLE) AS sum_qty
+    FROM survivors
     GROUP BY 1
     """,
     tags=["S6", "delta", "optimize", "dml", "vacuum", "roundtrip"],
 )
 def q_delta_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full Delta maintenance lifecycle under the hash gate: 24
+    """Full Delta maintenance + DML lifecycle under the hash gate: 24
     small-file commits -> OPTIMIZE ZORDER BY (dataChange=false
-    compaction) -> copy-on-write DELETE of an l_orderkey range
-    (stats-pruned file surgery; the query raises unless the delete left
-    some files untouched) -> retention-0 VACUUM -> final scan+aggregate.
-    The oracle recomputes the post-delete aggregate from the pristine
-    table, so a compaction that loses rows, a delete that rewrites the
-    wrong files, or a vacuum that reclaims a live file flips the hash
-    or errors."""
+    compaction) -> copy-on-write DELETE of a low l_orderkey range ->
+    copy-on-write UPDATE doubling quantities in a high range (both
+    stats-pruned file surgery; the query raises unless each left some
+    files untouched) -> retention-0 VACUUM -> final scan+aggregate.
+    The oracle recomputes the post-delete post-update aggregate from
+    the pristine table, so a compaction that loses rows, DML that
+    rewrites the wrong files or values, or a vacuum that reclaims a
+    live file flips the hash or errors."""
     from .sources.delta_log import (
         delete_delta,
         optimize_delta,
@@ -1547,6 +1555,18 @@ def q_delta_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (0 < rewritten < n_before):
         raise RuntimeError(
             f"delete rewrote {rewritten}/{n_before} files — expected surgical"
+        )
+    from .sources.delta_log import snapshot as _snap, update_delta
+
+    n_mid = len(_snap(spark, root).files)
+    ulo, uhi = (mx * 3) // 4, (mx * 7) // 8
+    _, u_rewritten = update_delta(
+        spark, root, "l_orderkey", ulo, uhi,
+        {"l_quantity": "l_quantity * 2"},
+    )
+    if not (0 < u_rewritten < n_mid):
+        raise RuntimeError(
+            f"update rewrote {u_rewritten}/{n_mid} files — expected surgical"
         )
     vacuum_delta(spark, root)
     return (
