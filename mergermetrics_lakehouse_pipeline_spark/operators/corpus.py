@@ -728,6 +728,11 @@ def bpe_apply(words: DataFrame, merges: list[dict], syms_col: str = "syms") -> D
     Scale: the canonical trick is to encode the VOCABULARY, not the
     token stream — callers pass distinct words and join the result back
     onto the corpus, so the N fold passes run over |vocab| rows."""
+    # the final per-merge cache is returned lazily (callers join it), so
+    # it cannot be unpersisted here; stale caches from PREVIOUS
+    # invocations are released instead, bounding the leak to one table
+    while _BPE_APPLY_CACHES:
+        _BPE_APPLY_CACHES.pop().unpersist()
     df = words
     prev = None
     for mrec in merges:
@@ -749,7 +754,13 @@ def bpe_apply(words: DataFrame, merges: list[dict], syms_col: str = "syms") -> D
         if prev is not None:
             prev.unpersist()
         prev = df
+    if prev is not None:
+        _BPE_APPLY_CACHES.append(prev)
     return df
+
+
+#: last invocation's cached result, released on the next bpe_apply call
+_BPE_APPLY_CACHES: list[DataFrame] = []
 
 
 def bpe_encode_stats(

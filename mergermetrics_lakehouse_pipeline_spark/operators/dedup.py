@@ -197,17 +197,20 @@ def incremental_classify(
     # missing the batch, a docs-only confirm would silently drop every
     # near-dup candidate (probe-side shingles absent from the inner
     # join) and misclassify near-dups as 'new'.
+    # deterministic precedence when an id exists on BOTH sides with
+    # different text (a re-ingest): the BATCH row wins — an arbitrary
+    # dropDuplicates pick would make the near-dup classification
+    # partition-order-dependent
     text_cols = [id_col, text_col]
-    d_all = docs.select(*text_cols).unionByName(
-        batch_docs.select(*text_cols)
+    batch_side = batch_docs.select(*text_cols)
+    docs_side = docs.select(*text_cols).join(
+        batch_side.select(id_col), id_col, "left_anti"
     )
-    d_cand = (
-        d_all.join(
-            F.broadcast(cand_ids),
-            d_all[id_col] == F.col("__cand_id"),
-            "left_semi",
-        )
-        .dropDuplicates([id_col])  # candidate-bounded, stays O(candidates)
+    d_all = batch_side.unionByName(docs_side)
+    d_cand = d_all.join(
+        F.broadcast(cand_ids),
+        d_all[id_col] == F.col("__cand_id"),
+        "left_semi",
     )
     confirmed = ngram_jaccard_pairs(
         d_cand, cand, text_col, id_col, shingle_n=shingle_n, threshold=threshold

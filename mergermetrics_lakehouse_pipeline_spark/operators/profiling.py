@@ -81,7 +81,10 @@ def profile_table(df: DataFrame, columns: list[str], *, top_k: int = 3) -> DataF
     topk = counts.withColumn("value_rank", F.row_number().over(w)).filter(
         F.col("value_rank") <= top_k
     )
-    return topk.join(F.broadcast(melted), "column").select(
+    # LEFT from the stats side: an all-NULL column has no counted
+    # values, but its n_nulls/n_distinct row is exactly what a profiler
+    # exists to surface — it must not vanish in the join
+    return melted.join(topk, "column", "left").select(
         "column",
         "n_rows",
         "n_nulls",

@@ -844,6 +844,9 @@ def semantic_dedup(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+    # the pair join + per-pair dots is the dominant stage and feeds two
+    # consumers (drops, degree) — materialize it once
+    pairs = pairs.cache()
     a_wins = (F.col("csim_a") > F.col("csim_b")) | (
         (F.col("csim_a") == F.col("csim_b")) & (F.col("id_a") < F.col("id_b"))
     )

@@ -1311,13 +1311,12 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY value_count DESC, value ASC) AS INTEGER) AS value_rank
       FROM counts
     )
-    SELECT t."column", s.n_rows, c.n_nulls, c.n_distinct,
+    SELECT c."column", s.n_rows, c.n_nulls, c.n_distinct,
            c.min_value, c.max_value,
            t.value AS top_value, t.value_count, t.value_rank
-    FROM topk t
-    JOIN colstats c ON c."column" = t."column"
+    FROM colstats c
+    LEFT JOIN topk t ON t."column" = c."column" AND t.value_rank <= 3
     CROSS JOIN scalar s
-    WHERE t.value_rank <= 3
     """,
     tags=["profiling", "quality", "analyze"],
 )

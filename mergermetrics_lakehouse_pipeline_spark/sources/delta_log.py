@@ -311,8 +311,21 @@ def write_delta(
 
     prev_files: dict[str, dict] = {}
     evolved_schema: StructType | None = None
+    prev_configuration: dict[str, str] = {}
     if new_version > 0:
         prev = snapshot(spark, table_path)
+        prev_configuration = prev.configuration
+        # partitioning is a TABLE property, not a per-write choice:
+        # inherit it when the caller omits partition_by, reject a
+        # conflicting spec (files written outside the hive layout would
+        # be unreadable / metaData would be clobbered)
+        if not partition_by:
+            partition_by = list(prev.partition_columns)
+        elif partition_by != prev.partition_columns and prev.partition_columns:
+            raise DeltaProtocolError(
+                f"table is partitioned by {prev.partition_columns}; "
+                f"cannot write with partition_by={partition_by}"
+            )
         if mode == "overwrite":
             prev_files = prev.files
         # mergeSchema-style evolution (S5 over the real format): an
@@ -376,8 +389,10 @@ def write_delta(
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": evolved_schema.json(),
+                    # carry the table's partitioning/config forward — an
+                    # evolution commit widens the schema, nothing else
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": prev_configuration,
                 }
             }
         )
@@ -574,6 +589,8 @@ def prune_files_by_stats(
     disjoint intervals are eliminated WITHOUT being opened, the Delta
     stats-skipping read path. Files lacking stats are conservatively
     kept. Returns (relative paths, n_skipped)."""
+    lo, hi = _json_safe(lo), _json_safe(hi)  # dates/timestamps compare
+    # as ISO strings, matching the serialized stats form
     keep, skipped = [], 0
     for rel, a in snap.files.items():
         st = a.get("stats")
@@ -645,8 +662,13 @@ def overwrite_partitions_delta(
         raise DeltaProtocolError(
             f"table is partitioned by {snap.partition_columns}, not {partition_by}"
         )
+    def _hive_val(v) -> str:
+        # Spark writes NULL partition values to the
+        # __HIVE_DEFAULT_PARTITION__ directory
+        return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+
     new_parts = {
-        tuple(str(r[c]) for c in partition_by)
+        tuple(_hive_val(r[c]) for c in partition_by)
         for r in df.select(*partition_by).distinct().collect()
     }
     doomed = [
@@ -667,19 +689,20 @@ def overwrite_partitions_delta(
         actions.append(
             {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
         )
+    stat_cols = _stats_columns(snap.schema, partition_by)
     for rel in added:
         full = os.path.join(table_path, rel)
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": _partition_values_from_path(rel, partition_by),
-                    "size": os.path.getsize(full),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        add: dict[str, Any] = {
+            "path": rel,
+            "partitionValues": _partition_values_from_path(rel, partition_by),
+            "size": os.path.getsize(full),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        st = _file_stats(full, stat_cols)
+        if st is not None:
+            add["stats"] = json.dumps(st)
+        actions.append({"add": add})
     actions.append(
         {
             "commitInfo": {
@@ -824,9 +847,11 @@ def delete_delta(
     for f in snap.schema.fields:
         if f.name not in affected.columns:
             affected = affected.withColumn(f.name, F.lit(None).cast(f.dataType))
+    # NULL predicate rows are NOT matched by DELETE WHERE c BETWEEN
+    # (predicate not TRUE) — they must survive the rewrite
     survivors = affected.select(
         *[F.col(f.name) for f in snap.schema.fields]
-    ).filter(~F.col(col).between(lo, hi))
+    ).filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
 
     before = set(_list_data_files(table_path, set()))
     writer = survivors.write.mode("append").format("parquet")
@@ -893,7 +918,18 @@ def stream_commit_batches(
     """
     commits, _ = _list_versions(table_path)
     snap_schema = snapshot(spark, table_path).schema
-    for v in sorted(c for c in commits if c >= from_version):
+    wanted = sorted(c for c in commits if c >= from_version)
+    # truncated history (commits checkpointed away) cannot be replayed
+    # as batches — fail loudly instead of silently undercounting
+    expected = list(range(from_version, (wanted[-1] + 1) if wanted else from_version))
+    if wanted != expected:
+        missing = sorted(set(expected) - set(wanted))
+        raise DeltaProtocolError(
+            f"commits {missing} are missing from the log (truncated past a "
+            "checkpoint?) — the commit-stream source cannot replay them; "
+            "start from the first available commit or consume a snapshot"
+        )
+    for v in wanted:
         adds, removes_changed = [], False
         with open(_commit_file(table_path, v), encoding="utf-8") as fh:
             for line in fh:

@@ -242,3 +242,24 @@ def test_bpe_merges_match_reference_algorithm(spark):
         for m in bpe_merges(df, "text", n_merges=5)
     ]
     assert got == expected
+
+
+def test_profile_table_preserves_all_null_columns(spark):
+    """An entirely-NULL column must still get its stats row (null
+    top_value) — the most broken column is what a profiler exists to
+    surface."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.profiling import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "a int, b string"
+    )
+    out = profile_table(df, ["a", "b"], top_k=2).collect()
+    b_rows = [r for r in out if r.column == "b"]
+    assert len(b_rows) == 1
+    r = b_rows[0]
+    assert (r.n_rows, r.n_nulls, r.n_distinct) == (3, 3, 0)
+    assert r.top_value is None and r.value_rank is None
+    a_rows = [r for r in out if r.column == "a"]
+    assert len(a_rows) == 2  # top-2 of three distinct values
