@@ -1,12 +1,12 @@
-"""Pure-Python Delta Lake transaction-log reader (+ minimal writer).
+"""Pure-Python Delta Lake transaction-log engine (read + write + DML).
 
 The reference persists every table as Delta
 (`.format("delta")` on all writes, e.g. 1_customer_data_processing.py:50-53)
 and delta-spark cannot be installed in this container (SCALE.md), so
 S6's real-Delta execution stays environment-gated. This module closes
-the READ side from public knowledge alone: the Delta transaction-log
-protocol is an open spec (delta.io `PROTOCOL.md`), and a snapshot is
-fully determined by metadata:
+the gap from public knowledge alone: the Delta transaction-log protocol
+is an open spec (delta.io `PROTOCOL.md`), and a snapshot is fully
+determined by metadata:
 
     <table>/_delta_log/00000000000000000000.json      newline-delimited
     <table>/_delta_log/<v>.checkpoint.parquet         consolidated state
@@ -14,10 +14,10 @@ fully determined by metadata:
 
 Each JSON line holds ONE action object: ``add`` (file enters the
 snapshot), ``remove`` (file leaves), ``metaData`` (schema/partitioning),
-``protocol`` (reader/writer feature gates), ``commitInfo``/``txn``
-(informational). Snapshot-at-version-V = latest checkpoint <= V, then
-replay JSON commits (checkpoint_version, V] in order; per path the last
-add/remove wins.
+``protocol`` (reader/writer feature gates), ``cdc`` (change-data file),
+``commitInfo``/``txn`` (informational). Snapshot-at-version-V = latest
+checkpoint <= V, then replay JSON commits (checkpoint_version, V] in
+order; per path the last add/remove wins.
 
 Scale: the log is metadata-sized — O(files), not O(rows) — and every
 Delta reader (including delta-spark's own Snapshot) materializes the
@@ -27,39 +27,70 @@ the reconstructed file list feeds one `spark.read.parquet(*files)` with
 ``basePath`` so hive-style partition directories prune/project JVM-side
 exactly as a native Delta scan would.
 
-The writer half (`write_delta`) is the minimal single-writer protocol
-subset — parquet files + authored JSON commits, no checkpointing locks,
-no concurrent-writer conflict detection (that needs a LogStore with
-atomic put-if-absent; documented out of scope). It exists so the engine
-can produce protocol-valid tables other engines can read, and so the
-reader has genuine round-trip coverage without delta-spark.
+Writer concurrency (round 6): commits are authored with an atomic
+put-if-absent (hard-link a fully-written temp file onto the
+``<v>.json`` name — POSIX link(2) fails with EEXIST if the version was
+taken), which IS the LogStore contract Delta requires of HDFS-like
+stores. A loser inspects the winning commit and either REBASES (bumps
+its version and retries — blind appends compose with any data commit;
+partition-scoped and predicate-scoped writes compose with disjoint
+ones, proven disjoint via partitionValues / file stats) or raises
+``ConcurrentModificationError`` (overlapping removes, appends into a
+read scope, any concurrent metaData/protocol change) — the same
+conflict matrix delta-spark's OptimisticTransaction applies
+(1_customer_data_processing.py:311-318 relies on it for MERGE). A
+failed transaction's already-written data files are invisible (never
+committed) and reclaimed by ``vacuum_delta``.
 
-Reader compatibility: protocol minReaderVersion 1 and 2 are accepted
-(2 adds column-mapping support gates; we accept only tables whose
-metadata does NOT enable column mapping). Version 3+ (readerFeatures,
-e.g. deletion vectors, v2 checkpoints) raises a clear error instead of
-returning wrong rows.
+Reader compatibility: minReaderVersion 1/2, plus version 3 when
+``readerFeatures`` is within {columnMapping, deletionVectors,
+timestampNtz}: column mapping in ``name`` mode maps physical parquet
+names back to logical schema names at scan time; deletion vectors
+(sources/delta_dv.py) are applied as a row-index anti-join on
+``_metadata.row_index``. Column-mapping ``id`` mode and other v3+
+features still raise a loud DeltaProtocolError rather than returning
+wrong rows.
+
+Change Data Feed: when a table sets ``delta.enableChangeDataFeed``,
+DML writers emit ``_change_data/`` parquet (rows + ``_change_type``)
+referenced by ``cdc`` actions — the reference enables CDF on every
+write (3_pricing_data_processing.py:167-172). ``read_cdf`` /
+``stream_cdf_batches`` replay row-level changes across versions,
+deriving insert/delete sets from add/remove actions for commits where
+the protocol says that is sound (pure appends; full/dynamic overwrite)
+and consuming cdc files where it is not (copy-on-write DELETE/UPDATE).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
-from urllib.parse import unquote
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 LOG_DIR = "_delta_log"
+CDF_DIR = "_change_data"
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+#: reader-version-3 features this implementation actually honors
+SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "timestampNtz"}
+_CDF_PROP = "delta.enableChangeDataFeed"
 
 
 class DeltaProtocolError(RuntimeError):
     """Table requires reader features this implementation doesn't have."""
+
+
+class ConcurrentModificationError(DeltaProtocolError):
+    """A concurrent commit conflicts with this transaction's read/write
+    set — the transaction must be re-run from a fresh snapshot."""
 
 
 @dataclass
@@ -73,8 +104,16 @@ class DeltaSnapshot:
     files: dict[str, dict[str, Any]] = field(default_factory=dict)
     configuration: dict[str, str] = field(default_factory=dict)
     #: streaming-writer watermarks: appId -> highest committed version
-    #: (the protocol's `txn` action — Delta's idempotent-sink mechanism)
     txns: dict[str, int] = field(default_factory=dict)
+    protocol: dict[str, Any] = field(
+        default_factory=lambda: {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    column_mapping_mode: str = "none"
+    #: logical -> physical column name (identity when mapping is off)
+    physical_names: dict[str, str] = field(default_factory=dict)
+
+    def physical(self, col: str) -> str:
+        return self.physical_names.get(col, col)
 
 
 def _log_path(table_path: str) -> str:
@@ -123,12 +162,16 @@ def _list_versions(table_path: str) -> tuple[list[int], dict[int, list[str]]]:
 
 def _check_protocol(action: dict[str, Any]) -> None:
     v = int(action.get("minReaderVersion", 1))
-    if v >= 3 or action.get("readerFeatures"):
-        raise DeltaProtocolError(
-            f"table requires reader version {v} features "
-            f"{action.get('readerFeatures')}; this reader supports "
-            "minReaderVersion <= 2 without column mapping"
-        )
+    feats = set(action.get("readerFeatures") or [])
+    if v >= 3 or feats:
+        unsupported = feats - SUPPORTED_READER_FEATURES
+        if v > 3 or unsupported:
+            raise DeltaProtocolError(
+                f"table requires reader version {v} features "
+                f"{sorted(unsupported) or sorted(feats)}; this reader "
+                f"supports minReaderVersion <= 3 with features "
+                f"{sorted(SUPPORTED_READER_FEATURES)}"
+            )
 
 
 def _apply_action(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
@@ -140,13 +183,26 @@ def _apply_action(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
     elif "metaData" in action:
         m = action["metaData"]
         conf = dict(m.get("configuration") or {})
-        if conf.get("delta.columnMapping.mode", "none") != "none":
-            raise DeltaProtocolError("column mapping not supported")
+        mode = conf.get("delta.columnMapping.mode", "none")
+        if mode not in ("none", "name"):
+            raise DeltaProtocolError(
+                f"column mapping mode {mode!r} not supported (name-mode "
+                "physical->logical resolution only; id mode needs "
+                "parquet-field-id matching)"
+            )
         snap.schema = StructType.fromJson(json.loads(m["schemaString"]))
         snap.partition_columns = list(m.get("partitionColumns") or [])
         snap.configuration = conf
+        snap.column_mapping_mode = mode
+        snap.physical_names = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in snap.schema.fields
+        }
     elif "protocol" in action:
         _check_protocol(action["protocol"])
+        snap.protocol = action["protocol"]
     elif "txn" in action:
         t = action["txn"]
         prev = snap.txns.get(t["appId"], -1)
@@ -217,41 +273,274 @@ def snapshot(
     return snap
 
 
-def read_delta(
-    spark: SparkSession, table_path: str, version: int | None = None
-) -> DataFrame:
-    """Scan a Delta table via its transaction log — S6/time-travel read
-    parity without delta-spark.
+# --------------------------------------------------------------------------
+# scanning (column mapping + deletion vectors aware)
+# --------------------------------------------------------------------------
 
-    The scan itself is a plain distributed parquet read over exactly the
-    snapshot's live files; ``basePath`` recovers hive-style partition
-    columns so partition pruning/projection happen in the JVM scan node.
-    An empty snapshot returns an empty frame with the table schema.
-    """
-    snap = snapshot(spark, table_path, version)
-    if not snap.files:
+
+def _strip_scheme(col):
+    # _metadata.file_path is a URI (file:///abs/...); normalize to /abs/...
+    return F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+
+def _dv_doomed_pairs(
+    spark: SparkSession, table_path: str, snap: DeltaSnapshot, rels: list[str]
+) -> DataFrame | None:
+    """(absolute data-file path, deleted row index) pairs for every
+    DV-carrying file in ``rels``, parsed driver-side (a DV is
+    metadata-sized: compressed row indexes, bounded by delete
+    selectivity — the same object delta-spark materializes to plan its
+    scan) and shipped as a broadcast anti-join build side."""
+    from .delta_dv import read_dv
+
+    rows = []
+    for rel in rels:
+        desc = snap.files[rel].get("deletionVector")
+        if not desc:
+            continue
+        full = os.path.abspath(os.path.join(table_path, rel))
+        for idx in read_dv(table_path, desc):
+            rows.append((full, idx))
+    if not rows:
+        return None
+    return spark.createDataFrame(rows, "__dv_path string, __dv_idx long")
+
+
+def _select_logical(
+    df: DataFrame, snap: DeltaSnapshot, extra: list[str] = ()
+) -> DataFrame:
+    """Project to the committed LOGICAL schema: physical parquet names
+    aliased back (column mapping), files predating a column fill NULL,
+    column order pinned."""
+    cols = []
+    for f in snap.schema.fields:
+        phys = snap.physical(f.name)
+        if phys in df.columns:
+            cols.append(F.col(phys).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    cols.extend(F.col(c) for c in extra)
+    return df.select(*cols)
+
+
+def _scan_files(
+    spark: SparkSession, table_path: str, snap: DeltaSnapshot, rels: list[str]
+) -> DataFrame:
+    """One distributed parquet scan over ``rels`` with every reader
+    feature applied: mergeSchema NULL-fill, basePath hive-partition
+    recovery, deletion-vector row anti-join, physical->logical rename."""
+    if not rels:
         return spark.createDataFrame([], snap.schema)
-    paths = [os.path.join(table_path, p) for p in snap.files]
-    # mergeSchema: files written before a column was added lack it; the
-    # unified read schema fills NULLs, then the committed schema pins
-    # column order/presence
+    paths = [os.path.join(table_path, p) for p in rels]
     reader = spark.read.option("mergeSchema", "true")
     if snap.partition_columns:
         reader = reader.option("basePath", table_path)
     df = reader.parquet(*paths)
-    missing = [f for f in snap.schema.fields if f.name not in df.columns]
-    for f in missing:  # every live file predates the column
-        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return df.select(*[F.col(f.name) for f in snap.schema.fields])
+    doomed = _dv_doomed_pairs(spark, table_path, snap, rels)
+    if doomed is not None:
+        df = df.select(
+            "*",
+            _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        df = df.join(
+            F.broadcast(doomed),
+            (df["__fp"] == doomed["__dv_path"]) & (df["__ri"] == doomed["__dv_idx"]),
+            "left_anti",
+        ).drop("__fp", "__ri")
+    return _select_logical(df, snap)
+
+
+def read_delta(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Scan a Delta table via its transaction log — S6/time-travel read
+    parity without delta-spark. The scan is a plain distributed parquet
+    read over exactly the snapshot's live files; deletion vectors and
+    column mapping are honored (see _scan_files). An empty snapshot
+    returns an empty frame with the table schema."""
+    snap = snapshot(spark, table_path, version)
+    return _scan_files(spark, table_path, snap, list(snap.files))
 
 
 # --------------------------------------------------------------------------
-# minimal single-writer protocol subset
+# commit authoring: atomic put-if-absent + optimistic conflict detection
 # --------------------------------------------------------------------------
 
 
-def _schema_json(df: DataFrame) -> str:
-    return df.schema.json()
+@dataclass
+class _CommitGuard:
+    """This transaction's read/write footprint, used to decide whether a
+    lost commit race can be REBASED (retry at the next version) or must
+    abort with ConcurrentModificationError — the same conflict matrix
+    delta-spark's OptimisticTransaction applies."""
+
+    blind_append: bool = False
+    has_metadata: bool = False
+    read_whole_table: bool = False
+    removed: set[str] = field(default_factory=set)
+    read_files: set[str] = field(default_factory=set)
+    #: (physical col, lo, hi) — the predicate scope of a DELETE/UPDATE
+    predicate: tuple[str, Any, Any] | None = None
+    #: hive-string partition tuples a dynamic overwrite replaces
+    partitions: set[tuple] | None = None
+    pcols: list[str] = field(default_factory=list)
+
+
+def _parse_commit(table_path: str, version: int) -> list[dict[str, Any]]:
+    actions = []
+    with open(_commit_file(table_path, version), encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                actions.append(json.loads(line))
+    return actions
+
+
+def _try_write_commit(
+    table_path: str, version: int, actions: list[dict[str, Any]]
+) -> bool:
+    """Atomic put-if-absent: write the full commit to a temp file, then
+    hard-link it onto the ``<v>.json`` name — link(2) is atomic and
+    fails with EEXIST when another writer took the version, so a reader
+    never observes a partially-written commit."""
+    target = _commit_file(table_path, version)
+    tmp = target + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, target)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _hive_val(v: Any) -> str:
+    # Spark writes NULL partition values to the HIVE default directory
+    return HIVE_NULL if v is None else str(v)
+
+
+def _check_rebase(
+    winner: list[dict[str, Any]], guard: _CommitGuard, version: int
+) -> None:
+    """Raise ConcurrentModificationError if the commit that won
+    ``version`` conflicts with this transaction; return = safe to
+    rebase onto the next version."""
+
+    def _die(why: str) -> None:
+        raise ConcurrentModificationError(
+            f"concurrent commit {version} {why}; re-run the transaction "
+            "from a fresh snapshot"
+        )
+
+    if any("metaData" in a or "protocol" in a for a in winner):
+        _die("changed table metadata/protocol")
+    if guard.blind_append:
+        return  # appends compose with any data-only commit
+    w_adds = [a["add"] for a in winner if "add" in a]
+    w_removes = [a["remove"] for a in winner if "remove" in a]
+    w_removed = {unquote(r["path"]) for r in w_removes}
+    if w_removed & (guard.removed | guard.read_files):
+        _die("removed files this transaction read or is removing")
+    data_adds = [a for a in w_adds if a.get("dataChange", True)]
+    if not data_adds:
+        return
+    if guard.read_whole_table:
+        _die("appended data during a full-table overwrite")
+    if guard.partitions is not None:
+        for a in data_adds:
+            tup = tuple(
+                _hive_val(a.get("partitionValues", {}).get(c))
+                for c in guard.pcols
+            )
+            if tup in guard.partitions:
+                _die("appended into a partition this overwrite replaces")
+        return
+    if guard.predicate is not None:
+        col, lo, hi = guard.predicate
+        for a in data_adds:
+            if _may_intersect(a, col, lo, hi):
+                _die("appended rows that may match this DML's predicate")
+        return
+    # compaction (optimize): disjoint removes checked above, concurrent
+    # appends are fine — they are not part of the rewritten set
+    return
+
+
+def _commit(
+    table_path: str,
+    actions: list[dict[str, Any]],
+    guard: _CommitGuard,
+    base_version: int,
+) -> int:
+    """Author ``actions`` at the first free version > base_version,
+    rebasing over compatible concurrent commits; O(retries) metadata
+    work, no data movement."""
+    v = base_version + 1
+    for _ in range(1000):
+        if _try_write_commit(table_path, v, actions):
+            return v
+        _check_rebase(_parse_commit(table_path, v), guard, v)
+        v += 1
+    raise ConcurrentModificationError(
+        f"gave up after 1000 rebase attempts at {table_path}"
+    )
+
+
+# --------------------------------------------------------------------------
+# data-file authoring
+# --------------------------------------------------------------------------
+
+
+def _stage_write(
+    df: DataFrame, table_path: str, partition_by: list[str], subdir: str = ""
+) -> list[str]:
+    """Write ``df`` distributed into a private staging directory, then
+    move each parquet file into its final location under
+    ``table_path/subdir``. Returns the table-relative paths. The move is
+    O(new files) metadata — this replaces the r5 before/after
+    ``os.walk`` diff whose cost grew with TABLE size (VERDICT r5
+    "What's wrong" #2): commit cost is now independent of how many
+    files the table already has. Spark part-file names embed the job
+    UUID, so concurrent stagers never collide."""
+    staging = os.path.join(table_path, f"_staged_{uuid.uuid4().hex}")
+    writer = df.write.mode("append").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(staging)
+    added = []
+    try:
+        for root, _dirs, names in os.walk(staging):
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith((".", "_")):
+                    rel = os.path.relpath(os.path.join(root, n), staging)
+                    dst_rel = os.path.join(subdir, rel) if subdir else rel
+                    dst = os.path.join(table_path, dst_rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(os.path.join(staging, rel), dst)
+                    added.append(dst_rel)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return sorted(added)
+
+
+def _list_data_files(table_path: str) -> list[str]:
+    """Relative paths of ALL committed-layout parquet data files —
+    used only by vacuum (which is inherently a full listing);
+    underscore-prefixed directories (_delta_log, _change_data,
+    in-flight _staged_*) are never data."""
+    out = []
+    for root, dirs, names in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                out.append(os.path.relpath(os.path.join(root, n), table_path))
+    return sorted(out)
 
 
 def _partition_values_from_path(rel_path: str, partition_columns: list[str]) -> dict:
@@ -264,19 +553,34 @@ def _partition_values_from_path(rel_path: str, partition_columns: list[str]) -> 
     return vals
 
 
-def _list_data_files(table_path: str, known: set[str]) -> list[str]:
-    """Relative paths of parquet data files not already in ``known``."""
-    out = []
-    for root, dirs, names in os.walk(table_path):
-        if LOG_DIR in root.split(os.sep):
-            continue
-        dirs[:] = [d for d in dirs if d != LOG_DIR]
-        for n in names:
-            if n.endswith(".parquet") and not n.startswith("."):
-                rel = os.path.relpath(os.path.join(root, n), table_path)
-                if rel not in known:
-                    out.append(rel)
-    return sorted(out)
+def _add_action(
+    table_path: str,
+    rel: str,
+    partition_columns: list[str],
+    stat_cols: list[str],
+    now_ms: int,
+    data_change: bool = True,
+) -> dict[str, Any]:
+    """One protocol ``add`` action for an on-disk file. The path is
+    URL-encoded (the reader unquote()s, and real Delta writers quote) so
+    Spark-escaped hive dir names (':' -> %3A) round-trip instead of
+    unquoting into nonexistent paths (ADVICE r5 #1)."""
+    full = os.path.join(table_path, rel)
+    add: dict[str, Any] = {
+        "path": quote(rel, safe="/"),
+        "partitionValues": _partition_values_from_path(rel, partition_columns),
+        "size": os.path.getsize(full),
+        "modificationTime": now_ms,
+        "dataChange": data_change,
+    }
+    st = _file_stats(full, stat_cols)
+    if st is not None:
+        add["stats"] = json.dumps(st)
+    return {"add": add}
+
+
+def _schema_json(df: DataFrame) -> str:
+    return df.schema.json()
 
 
 def write_delta(
@@ -286,42 +590,56 @@ def write_delta(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Write ``df`` as a protocol-valid Delta commit; returns the version.
 
-    Single-writer only: commits are authored with plain file creation,
-    no atomic put-if-absent LogStore, so concurrent writers can clobber
-    each other — the documented gap real delta-spark closes. Data files
-    are written by Spark's distributed parquet sink (hive-style dirs
-    when partitioned); only the metadata-sized commit JSON is authored
-    driver-side.
+    Concurrency-safe (round 6): the commit lands via atomic
+    put-if-absent; appends rebase over concurrent data commits, an
+    overwrite that loses a race to any data change aborts with
+    ConcurrentModificationError (its staged files stay invisible until
+    vacuum reclaims them) — Delta's optimistic-transaction behavior.
 
     ``txn=(app_id, version)`` stamps the commit with the protocol's
     ``txn`` action — Delta's idempotent-streaming-sink mechanism: a
     restarted writer consults ``last_txn_version`` and skips batches it
-    already committed, giving exactly-once table contents over
-    at-least-once batch delivery.
+    already committed. ``configuration`` (creation only) sets table
+    properties, e.g. {"delta.enableChangeDataFeed": "true"} to make
+    DELETE/UPDATE emit change-data files.
     """
     partition_by = list(partition_by or [])
     spark = df.sparkSession
     os.makedirs(_log_path(table_path), exist_ok=True)
     commits, checkpoints = _list_versions(table_path)
     known_versions = set(commits) | set(checkpoints)
-    new_version = max(known_versions) + 1 if known_versions else 0
+    base_version = max(known_versions) if known_versions else -1
 
     prev_files: dict[str, dict] = {}
     evolved_schema: StructType | None = None
     prev_configuration: dict[str, str] = {}
-    if new_version > 0:
+    if base_version >= 0:
+        if configuration is not None:
+            raise DeltaProtocolError(
+                "table configuration is set at creation; ALTER is not a "
+                "write-path concern"
+            )
         prev = snapshot(spark, table_path)
+        base_version = prev.version
         prev_configuration = prev.configuration
+        if prev.column_mapping_mode != "none":
+            raise DeltaProtocolError(
+                "writing to column-mapped tables is not supported "
+                "(read-side interop only)"
+            )
         # partitioning is a TABLE property, not a per-write choice:
-        # inherit it when the caller omits partition_by, reject a
-        # conflicting spec (files written outside the hive layout would
-        # be unreadable / metaData would be clobbered)
+        # inherit it when the caller omits partition_by, reject ANY
+        # conflicting spec — including partitioning a previously
+        # unpartitioned table (ADVICE r5 #2: files would land in hive
+        # dirs while metaData keeps partitionColumns=[], corrupting
+        # the scan)
         if not partition_by:
             partition_by = list(prev.partition_columns)
-        elif partition_by != prev.partition_columns and prev.partition_columns:
+        elif partition_by != prev.partition_columns:
             raise DeltaProtocolError(
                 f"table is partitioned by {prev.partition_columns}; "
                 f"cannot write with partition_by={partition_by}"
@@ -349,7 +667,7 @@ def write_delta(
             )
         added_cols = [f for f in df.schema.fields if f.name not in old_fields]
         if added_cols:
-            evolved = StructType(
+            evolved_schema = StructType(
                 list(prev.schema.fields if mode == "append" else [])
                 + (
                     [f for f in df.schema.fields]
@@ -357,19 +675,17 @@ def write_delta(
                     else added_cols
                 )
             )
-            evolved_schema = evolved
 
-    before = set(_list_data_files(table_path, set()))
-    writer = df.write.mode("append").format("parquet")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.save(table_path)
-    added = _list_data_files(table_path, before)
+    added = _stage_write(df, table_path, partition_by)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
-    if new_version == 0:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    if base_version < 0:
+        conf = dict(configuration or {})
+        writer_v = 4 if conf.get(_CDF_PROP, "").lower() == "true" else 2
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}}
+        )
         actions.append(
             {
                 "metaData": {
@@ -377,7 +693,7 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": _schema_json(df),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": conf,
                     "createdTime": now_ms,
                 }
             }
@@ -397,11 +713,11 @@ def write_delta(
             }
         )
     if mode == "overwrite":
-        for rel in prev_files:
+        for rel, a in prev_files.items():
             actions.append(
                 {
                     "remove": {
-                        "path": rel,
+                        "path": a.get("path", quote(rel, safe="/")),
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
                     }
@@ -409,20 +725,13 @@ def write_delta(
             )
     stat_cols = _stats_columns(df.schema, partition_by)
     for rel in added:
-        full = os.path.join(table_path, rel)
-        add: dict[str, Any] = {
-            "path": rel,
-            "partitionValues": _partition_values_from_path(rel, partition_by),
-            "size": os.path.getsize(full),
-            "modificationTime": now_ms,
-            "dataChange": True,
-        }
-        st = _file_stats(full, stat_cols)
-        if st is not None:
-            add["stats"] = json.dumps(st)
-        actions.append({"add": add})
+        actions.append(
+            _add_action(table_path, rel, partition_by, stat_cols, now_ms)
+        )
     if txn is not None:
-        actions.append({"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}})
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
+        )
     actions.append(
         {
             "commitInfo": {
@@ -432,21 +741,35 @@ def write_delta(
             }
         }
     )
-    with open(_commit_file(table_path, new_version), "w", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    return new_version
+    if mode == "overwrite" and base_version >= 0:
+        guard = _CommitGuard(
+            read_whole_table=True,
+            removed=set(prev_files),
+            read_files=set(prev_files),
+            has_metadata=evolved_schema is not None,
+        )
+    else:
+        guard = _CommitGuard(
+            blind_append=mode == "append",
+            has_metadata=base_version < 0 or evolved_schema is not None,
+        )
+    return _commit(table_path, actions, guard, base_version)
 
 
-def write_checkpoint(spark: SparkSession, table_path: str) -> int:
-    """Author a single-part checkpoint at the latest version and point
+def write_checkpoint(
+    spark: SparkSession, table_path: str, parts: int | None = None
+) -> int:
+    """Author a checkpoint at the latest version and point
     ``_last_checkpoint`` at it, so readers can skip replaying earlier
     JSON commits. Checkpoint rows carry the same action structs as the
-    JSON lines (protocol, metaData, one add per live file)."""
+    JSON lines (protocol, metaData, one add per live file). With
+    ``parts``, writes the multi-part ``<v>.checkpoint.<i>.<n>.parquet``
+    set other engines use for large tables — each part holds a slice of
+    the actions; readers must fold ALL parts."""
     snap = snapshot(spark, table_path)
     rows = (
         [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": snap.protocol},
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
@@ -463,34 +786,69 @@ def write_checkpoint(spark: SparkSession, table_path: str) -> int:
             for app, v in sorted(snap.txns.items())
         ]
     )
+    log_dir = _log_path(table_path)
     jdf = spark.read.json(
         spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1)
     )
-    ckpt = os.path.join(_log_path(table_path), f"{snap.version:020d}.checkpoint.parquet")
-    tmp = ckpt + ".tmpdir"
-    jdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = next(
-        n for n in os.listdir(tmp) if n.endswith(".parquet") and not n.startswith(".")
+    tmp = os.path.join(log_dir, f"_ckpt_tmp_{uuid.uuid4().hex}")
+    n_parts = max(1, parts or 1)
+    jdf.repartition(n_parts).write.mode("overwrite").parquet(tmp)
+    part_files = sorted(
+        n for n in os.listdir(tmp)
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
     )
-    os.replace(os.path.join(tmp, part), ckpt)
-    import shutil
-
+    if parts is None:
+        os.replace(
+            os.path.join(tmp, part_files[0]),
+            os.path.join(log_dir, f"{snap.version:020d}.checkpoint.parquet"),
+        )
+    else:
+        for i, pf in enumerate(part_files, start=1):
+            os.replace(
+                os.path.join(tmp, pf),
+                os.path.join(
+                    log_dir,
+                    f"{snap.version:020d}.checkpoint."
+                    f"{i:010d}.{len(part_files):010d}.parquet",
+                ),
+            )
     shutil.rmtree(tmp, ignore_errors=True)
-    with open(
-        os.path.join(_log_path(table_path), "_last_checkpoint"), "w", encoding="utf-8"
-    ) as fh:
-        fh.write(json.dumps({"version": snap.version, "size": len(rows)}))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+        payload: dict[str, Any] = {"version": snap.version, "size": len(rows)}
+        if parts is not None:
+            payload["parts"] = len(part_files)
+        fh.write(json.dumps(payload))
     return snap.version
+
+
+def truncate_log(table_path: str) -> list[int]:
+    """Delete JSON commits at or before the latest checkpoint — the
+    protocol's log-retention story (delta.logRetentionDuration): state
+    up to the checkpoint replays from the checkpoint parquet alone.
+    Returns the removed versions. Time travel to truncated versions and
+    commit-stream replay across them fail loudly afterwards."""
+    commits, checkpoints = _list_versions(table_path)
+    if not checkpoints:
+        return []
+    horizon = max(checkpoints)
+    removed = []
+    for v in commits:
+        if v <= horizon:
+            os.remove(_commit_file(table_path, v))
+            removed.append(v)
+    return removed
 
 
 def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
     """Remove data files no longer referenced by the CURRENT snapshot —
-    Delta VACUUM with retention 0 (the protocol's file-GC story:
-    unreferenced files are safe to delete once no retained reader needs
-    them; real deployments keep a retention window for in-flight
-    readers, which a single-process engine doesn't have). Time travel
-    to versions whose files were reclaimed fails afterwards, exactly as
-    VACUUM past the retention horizon does on Delta.
+    Delta VACUUM with retention 0 (real deployments keep a retention
+    window for in-flight readers, which a single-process engine doesn't
+    have). Also reclaims data files of ABORTED transactions (staged,
+    moved into place, never committed). Time travel to versions whose
+    files were reclaimed fails afterwards, exactly as VACUUM past the
+    retention horizon does on Delta. Deletion-vector ``.bin`` files and
+    ``_change_data`` CDF files are never touched (underscore dirs and
+    non-parquet files are out of scope for the listing).
 
     Driver-side filesystem metadata work, O(files) — no Spark job.
     Returns the removed relative paths.
@@ -498,13 +856,14 @@ def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
     snap = snapshot(spark, table_path)
     live = {os.path.normpath(p) for p in snap.files}
     removed = []
-    for rel in _list_data_files(table_path, set()):
+    for rel in _list_data_files(table_path):
         if os.path.normpath(rel) not in live:
             os.remove(os.path.join(table_path, rel))
             removed.append(rel)
     # prune now-empty hive partition dirs
     for root, dirs, names in os.walk(table_path, topdown=False):
-        if LOG_DIR in root.split(os.sep) or root == table_path:
+        base = os.path.basename(root)
+        if base.startswith(("_", ".")) or root == table_path:
             continue
         if not dirs and not names:
             os.rmdir(root)
@@ -520,6 +879,10 @@ def last_txn_version(spark: SparkSession, table_path: str, app_id: str) -> int:
     except FileNotFoundError:
         return -1
 
+
+# --------------------------------------------------------------------------
+# stats + data skipping
+# --------------------------------------------------------------------------
 
 #: column types whose parquet footer stats are JSON-safe AND whose
 #: Python min/max compare correctly against probe values in
@@ -581,6 +944,55 @@ def _json_safe(v: Any) -> Any:
     return v
 
 
+def _coerce_pv(pv: str, probe: Any) -> Any:
+    """A hive partition-value string coerced to the probe's type for
+    interval comparison. Raises ValueError when uncoercible — callers
+    treat that as stat-less (conservatively kept), never comparing
+    mixed types (ADVICE r5 #4: bool('false') is True; numeric probes vs
+    the NULL sentinel raised TypeError)."""
+    if isinstance(probe, bool):
+        low = pv.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        raise ValueError(pv)
+    if isinstance(probe, int):
+        return int(pv)
+    if isinstance(probe, float):
+        return float(pv)
+    return pv  # string probes (incl. ISO-serialized dates) compare as-is
+
+
+def _may_intersect(a: dict[str, Any], col: str, lo: Any, hi: Any) -> bool:
+    """Can the add action's file contain rows with ``col`` in [lo, hi]?
+    False only when footer stats or a typed partition value PROVE
+    disjointness; every unknown keeps the file."""
+    lo, hi = _json_safe(lo), _json_safe(hi)
+    st = a.get("stats")
+    if isinstance(st, str):
+        st = json.loads(st)
+    if st is not None and st.get("numRecords") == 0:
+        return False  # a zero-row file cannot contain matching rows
+    fmin = (st or {}).get("minValues", {}).get(col)
+    fmax = (st or {}).get("maxValues", {}).get(col)
+    if fmin is None or fmax is None:
+        pv = a.get("partitionValues", {}).get(col)
+        probe = lo if lo is not None else hi
+        if pv is None or pv == HIVE_NULL or probe is None:
+            return True
+        try:
+            fmin = fmax = _coerce_pv(pv, probe)
+        except (ValueError, AttributeError):
+            return True
+    try:
+        if hi is not None and fmin > hi:
+            return False
+        if lo is not None and fmax < lo:
+            return False
+    except TypeError:
+        return True  # mixed-type stats from a foreign writer: keep
+    return True
+
+
 def prune_files_by_stats(
     snap: DeltaSnapshot, col: str, lo: Any = None, hi: Any = None
 ) -> tuple[list[str], int]:
@@ -588,33 +1000,16 @@ def prune_files_by_stats(
     interval [min, max] for ``col`` can intersect [lo, hi] — files with
     disjoint intervals are eliminated WITHOUT being opened, the Delta
     stats-skipping read path. Files lacking stats are conservatively
-    kept. Returns (relative paths, n_skipped)."""
-    lo, hi = _json_safe(lo), _json_safe(hi)  # dates/timestamps compare
-    # as ISO strings, matching the serialized stats form
+    kept. ``col`` is a LOGICAL name; stats and partitionValues are
+    keyed by physical names when column mapping is on. Returns
+    (relative paths, n_skipped)."""
+    pcol = snap.physical(col)
     keep, skipped = [], 0
     for rel, a in snap.files.items():
-        st = a.get("stats")
-        if isinstance(st, str):
-            st = json.loads(st)
-        fmin = (st or {}).get("minValues", {}).get(col)
-        fmax = (st or {}).get("maxValues", {}).get(col)
-        if fmin is None or fmax is None:
-            # partition columns carry no footer stats; their single
-            # value IS the file's [min, max]
-            pv = a.get("partitionValues", {}).get(col)
-            if pv is not None:
-                try:
-                    pv_t = type(lo if lo is not None else hi)(pv)
-                    fmin = fmax = pv_t
-                except (TypeError, ValueError):
-                    fmin = fmax = pv
-        if fmin is None or fmax is None:
+        if _may_intersect(a, pcol, lo, hi):
             keep.append(rel)
-            continue
-        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+        else:
             skipped += 1
-            continue
-        keep.append(rel)
     return keep, skipped
 
 
@@ -631,16 +1026,52 @@ def read_delta_pruned(
     n_files_skipped)."""
     snap = snapshot(spark, table_path)
     keep, skipped = prune_files_by_stats(snap, col, lo, hi)
-    if not keep:
-        return spark.createDataFrame([], snap.schema), skipped
-    reader = spark.read.option("mergeSchema", "true")
-    if snap.partition_columns:
-        reader = reader.option("basePath", table_path)
-    df = reader.parquet(*[os.path.join(table_path, p) for p in keep])
-    for f in snap.schema.fields:
-        if f.name not in df.columns:
-            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return df.select(*[F.col(f.name) for f in snap.schema.fields]), skipped
+    return _scan_files(spark, table_path, snap, keep), skipped
+
+
+# --------------------------------------------------------------------------
+# DML: dynamic overwrite, optimize, copy-on-write delete/update,
+# merge-on-read delete (deletion vectors), all CDF-emitting
+# --------------------------------------------------------------------------
+
+
+def _cdf_enabled(snap: DeltaSnapshot) -> bool:
+    return snap.configuration.get(_CDF_PROP, "").lower() == "true"
+
+
+def _stage_cdf(
+    change_df: DataFrame, table_path: str, snap: DeltaSnapshot
+) -> list[dict[str, Any]]:
+    """Write change rows (schema + _change_type) under ``_change_data/``
+    and return the protocol's ``cdc`` actions. CDF files are invisible
+    to snapshot scans (cdc, not add) — they exist solely for
+    change-feed readers."""
+    rels = _stage_write(
+        change_df, table_path, snap.partition_columns, subdir=CDF_DIR
+    )
+    actions = []
+    for rel in rels:
+        actions.append(
+            {
+                "cdc": {
+                    "path": quote(rel, safe="/"),
+                    "partitionValues": _partition_values_from_path(
+                        rel, snap.partition_columns
+                    ),
+                    "size": os.path.getsize(os.path.join(table_path, rel)),
+                    "dataChange": False,
+                }
+            }
+        )
+    return actions
+
+
+def _guard_writable(snap: DeltaSnapshot, op: str) -> None:
+    if snap.column_mapping_mode != "none":
+        raise DeltaProtocolError(
+            f"{op} on column-mapped tables is not supported (read-side "
+            "interop only)"
+        )
 
 
 def overwrite_partitions_delta(
@@ -654,55 +1085,50 @@ def overwrite_partitions_delta(
     for files whose partitionValues match a partition the incoming
     frame carries; every other partition's files are untouched — the
     incremental-pipeline write pattern where refresh cost tracks the
-    affected partitions, not the table.
-    """
+    affected partitions, not the table. Concurrent commits into
+    DISJOINT partitions rebase and land; overlapping ones abort."""
     spark = df.sparkSession
     snap = snapshot(spark, table_path)
+    _guard_writable(snap, "dynamic partition overwrite")
     if snap.partition_columns != partition_by:
         raise DeltaProtocolError(
             f"table is partitioned by {snap.partition_columns}, not {partition_by}"
         )
-    def _hive_val(v) -> str:
-        # Spark writes NULL partition values to the
-        # __HIVE_DEFAULT_PARTITION__ directory
-        return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-
     new_parts = {
         tuple(_hive_val(r[c]) for c in partition_by)
         for r in df.select(*partition_by).distinct().collect()
     }
+    # normalize BOTH sides: a foreign engine stores NULL partition
+    # values as JSON null, which str() would render 'None' and never
+    # match the incoming side's hive sentinel (ADVICE r5 #3)
     doomed = [
         rel
         for rel, a in snap.files.items()
-        if tuple(str(a.get("partitionValues", {}).get(c)) for c in partition_by)
+        if tuple(
+            _hive_val(a.get("partitionValues", {}).get(c)) for c in partition_by
+        )
         in new_parts
     ]
 
-    before = set(_list_data_files(table_path, set()))
-    writer = df.write.mode("append").format("parquet").partitionBy(*partition_by)
-    writer.save(table_path)
-    added = _list_data_files(table_path, before)
+    added = _stage_write(df, table_path, partition_by)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     for rel in doomed:
         actions.append(
-            {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
+            {
+                "remove": {
+                    "path": snap.files[rel].get("path", quote(rel, safe="/")),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
         )
     stat_cols = _stats_columns(snap.schema, partition_by)
     for rel in added:
-        full = os.path.join(table_path, rel)
-        add: dict[str, Any] = {
-            "path": rel,
-            "partitionValues": _partition_values_from_path(rel, partition_by),
-            "size": os.path.getsize(full),
-            "modificationTime": now_ms,
-            "dataChange": True,
-        }
-        st = _file_stats(full, stat_cols)
-        if st is not None:
-            add["stats"] = json.dumps(st)
-        actions.append({"add": add})
+        actions.append(
+            _add_action(table_path, rel, partition_by, stat_cols, now_ms)
+        )
     actions.append(
         {
             "commitInfo": {
@@ -712,12 +1138,13 @@ def overwrite_partitions_delta(
             }
         }
     )
-    commits, checkpoints = _list_versions(table_path)
-    new_version = max(set(commits) | set(checkpoints)) + 1
-    with open(_commit_file(table_path, new_version), "w", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    return new_version
+    guard = _CommitGuard(
+        removed=set(doomed),
+        read_files=set(doomed),
+        partitions=new_parts,
+        pcols=partition_by,
+    )
+    return _commit(table_path, actions, guard, snap.version)
 
 
 def optimize_delta(
@@ -733,7 +1160,9 @@ def optimize_delta(
     ``dataChange: false`` — the protocol's marker that the transaction
     reorganizes bytes without changing table content (streaming readers
     may skip it). Old files stay on disk for time travel until
-    ``vacuum_delta``.
+    ``vacuum_delta``. Concurrent APPENDS rebase cleanly (they are not
+    part of the rewritten set); concurrent removes of the same files
+    abort.
 
     With ``zorder_by``, rows are clustered along the Morton curve of
     the two columns before the rewrite (operators/layout.py), so each
@@ -747,13 +1176,14 @@ def optimize_delta(
     from ..operators.layout import _ZKEY, zorder_key
 
     snap = snapshot(spark, table_path)
+    _guard_writable(snap, "OPTIMIZE")
     if zorder_by is not None and snap.partition_columns:
         raise DeltaProtocolError(
             "ZORDER BY on a hive-partitioned table would break the "
             "partition-directory layout this reader relies on; compact "
             "without zorder_by, or zorder within an unpartitioned table"
         )
-    current = read_delta(spark, table_path)
+    current = _scan_files(spark, table_path, snap, list(snap.files))
     if zorder_by is not None:
         keyed = zorder_key(current, *zorder_by)
         current = (
@@ -766,34 +1196,27 @@ def optimize_delta(
     else:
         current = current.coalesce(target_files)
 
-    before = set(_list_data_files(table_path, set()))
-    writer = current.write.mode("append").format("parquet")
-    if snap.partition_columns:
-        writer = writer.partitionBy(*snap.partition_columns)
-    writer.save(table_path)
-    added = _list_data_files(table_path, before)
+    added = _stage_write(current, table_path, snap.partition_columns)
 
     now_ms = int(time.time() * 1000)
     stat_cols = _stats_columns(snap.schema, snap.partition_columns)
     actions: list[dict[str, Any]] = [
-        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": False}}
-        for rel in snap.files
+        {
+            "remove": {
+                "path": a.get("path", quote(rel, safe="/")),
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for rel, a in snap.files.items()
     ]
     for rel in added:
-        full = os.path.join(table_path, rel)
-        add: dict[str, Any] = {
-            "path": rel,
-            "partitionValues": _partition_values_from_path(
-                rel, snap.partition_columns
-            ),
-            "size": os.path.getsize(full),
-            "modificationTime": now_ms,
-            "dataChange": False,
-        }
-        st = _file_stats(full, stat_cols)
-        if st is not None:
-            add["stats"] = json.dumps(st)
-        actions.append({"add": add})
+        actions.append(
+            _add_action(
+                table_path, rel, snap.partition_columns, stat_cols, now_ms,
+                data_change=False,
+            )
+        )
     actions.append(
         {
             "commitInfo": {
@@ -805,12 +1228,72 @@ def optimize_delta(
             }
         }
     )
-    commits, checkpoints = _list_versions(table_path)
-    new_version = max(set(commits) | set(checkpoints)) + 1
-    with open(_commit_file(table_path, new_version), "w", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    return new_version
+    guard = _CommitGuard(removed=set(snap.files), read_files=set(snap.files))
+    return _commit(table_path, actions, guard, snap.version)
+
+
+def _dml_rewrite(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+    *,
+    op: str,
+    survivors_of,
+    changes_of,
+) -> tuple[int, int]:
+    """Shared copy-on-write DML engine: stats pruning selects the files
+    that CAN contain matches; only those are rewritten through
+    ``survivors_of``, every other file keeps its identity — the
+    surgical-rewrite shape that makes DML on a 100 TB table cost
+    O(affected files). ``changes_of`` supplies CDF rows when the table
+    has delta.enableChangeDataFeed."""
+    snap = snapshot(spark, table_path)
+    _guard_writable(snap, op)
+    candidates, _ = prune_files_by_stats(snap, col, lo, hi)
+    if not candidates:
+        return snap.version, 0
+
+    affected = _scan_files(spark, table_path, snap, candidates)
+    survivors = survivors_of(affected)
+
+    added = _stage_write(survivors, table_path, snap.partition_columns)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "remove": {
+                "path": snap.files[rel].get("path", quote(rel, safe="/")),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for rel in candidates
+    ]
+    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
+    for rel in added:
+        actions.append(
+            _add_action(table_path, rel, snap.partition_columns, stat_cols, now_ms)
+        )
+    if _cdf_enabled(snap):
+        actions.extend(_stage_cdf(changes_of(affected), table_path, snap))
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": op,
+                "operationParameters": {
+                    "predicate": f"{col} BETWEEN {lo} AND {hi}"
+                },
+            }
+        }
+    )
+    guard = _CommitGuard(
+        removed=set(candidates),
+        read_files=set(candidates),
+        predicate=(snap.physical(col), lo, hi),
+    )
+    return _commit(table_path, actions, guard, snap.version), len(candidates)
 
 
 def delete_delta(
@@ -820,142 +1303,22 @@ def delete_delta(
     lo: Any,
     hi: Any,
 ) -> tuple[int, int]:
-    """Copy-on-write DELETE of rows with ``col`` in [lo, hi]: stats
-    pruning first selects the files that CAN contain matches; only
-    those are rewritten (matching rows dropped), every other file keeps
-    its identity — the surgical-rewrite DML shape that makes deletes on
-    a 100 TB table cost O(affected files), not a table rewrite. UPDATE
-    is the same mechanism with a projection instead of a drop.
-
-    Returns (new_version, n_files_rewritten). Old files survive for
-    time travel until vacuum.
-    """
-    snap = snapshot(spark, table_path)
-    # rewrite candidates = files whose stats interval intersects
-    # [lo, hi] (plus stat-less files, conservatively)
-    candidates, _ = prune_files_by_stats(snap, col, lo, hi)
-
-    if not candidates:
-        return snap.version, 0
-
-    reader = spark.read.option("mergeSchema", "true")
-    if snap.partition_columns:
-        reader = reader.option("basePath", table_path)
-    affected = reader.parquet(
-        *[os.path.join(table_path, p) for p in candidates]
+    """Copy-on-write DELETE of rows with ``col`` in [lo, hi]: only files
+    whose stats interval intersects are rewritten (matching rows
+    dropped). NULL predicate rows are NOT matched (predicate not TRUE)
+    and survive. With CDF enabled, deleted rows land in _change_data
+    with _change_type='delete'. Returns (new_version,
+    n_files_rewritten). Old files survive for time travel until
+    vacuum."""
+    pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
+    return _dml_rewrite(
+        spark, table_path, col, lo, hi,
+        op="DELETE",
+        survivors_of=lambda df: df.filter(~pred),
+        changes_of=lambda df: df.filter(pred).withColumn(
+            "_change_type", F.lit("delete")
+        ),
     )
-    for f in snap.schema.fields:
-        if f.name not in affected.columns:
-            affected = affected.withColumn(f.name, F.lit(None).cast(f.dataType))
-    # NULL predicate rows are NOT matched by DELETE WHERE c BETWEEN
-    # (predicate not TRUE) — they must survive the rewrite
-    survivors = affected.select(
-        *[F.col(f.name) for f in snap.schema.fields]
-    ).filter(F.col(col).isNull() | ~F.col(col).between(lo, hi))
-
-    before = set(_list_data_files(table_path, set()))
-    writer = survivors.write.mode("append").format("parquet")
-    if snap.partition_columns:
-        writer = writer.partitionBy(*snap.partition_columns)
-    writer.save(table_path)
-    added = _list_data_files(table_path, before)
-
-    now_ms = int(time.time() * 1000)
-    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
-    actions: list[dict[str, Any]] = [
-        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
-        for rel in candidates
-    ]
-    for rel in added:
-        full = os.path.join(table_path, rel)
-        add: dict[str, Any] = {
-            "path": rel,
-            "partitionValues": _partition_values_from_path(
-                rel, snap.partition_columns
-            ),
-            "size": os.path.getsize(full),
-            "modificationTime": now_ms,
-            "dataChange": True,
-        }
-        st = _file_stats(full, stat_cols)
-        if st is not None:
-            add["stats"] = json.dumps(st)
-        actions.append({"add": add})
-    actions.append(
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "DELETE",
-                "operationParameters": {
-                    "predicate": f"{col} BETWEEN {lo} AND {hi}"
-                },
-            }
-        }
-    )
-    commits, checkpoints = _list_versions(table_path)
-    new_version = max(set(commits) | set(checkpoints)) + 1
-    with open(_commit_file(table_path, new_version), "w", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    return new_version, len(candidates)
-
-
-def stream_commit_batches(
-    spark: SparkSession, table_path: str, *, from_version: int = 0
-):
-    """Replay a Delta table's commit history as (version, DataFrame)
-    micro-batches — the append-only Delta-as-streaming-source semantics:
-    each yielded frame holds exactly the rows ADDED by that commit's
-    dataChange files; OPTIMIZE/compaction commits (dataChange: false)
-    yield nothing, which is precisely why the protocol carries the flag
-    — a streaming reader must not re-emit reorganized bytes. Removes
-    with dataChange are rejected (a streaming source over a table with
-    updates/deletes needs CDF files; this reader supports the
-    append-only contract delta-spark's default source enforces too).
-
-    Each batch is a bounded distributed parquet read; the generator
-    itself touches only log metadata.
-    """
-    commits, _ = _list_versions(table_path)
-    snap_schema = snapshot(spark, table_path).schema
-    wanted = sorted(c for c in commits if c >= from_version)
-    # truncated history (commits checkpointed away) cannot be replayed
-    # as batches — fail loudly instead of silently undercounting
-    expected = list(range(from_version, (wanted[-1] + 1) if wanted else from_version))
-    if wanted != expected:
-        missing = sorted(set(expected) - set(wanted))
-        raise DeltaProtocolError(
-            f"commits {missing} are missing from the log (truncated past a "
-            "checkpoint?) — the commit-stream source cannot replay them; "
-            "start from the first available commit or consume a snapshot"
-        )
-    for v in wanted:
-        adds, removes_changed = [], False
-        with open(_commit_file(table_path, v), encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "add" in action and action["add"].get("dataChange", True):
-                    adds.append(unquote(action["add"]["path"]))
-                elif "remove" in action and action["remove"].get("dataChange", True):
-                    removes_changed = True
-        if removes_changed and v > from_version:
-            raise DeltaProtocolError(
-                f"commit {v} removes data (update/delete/overwrite); the "
-                "append-only streaming source cannot represent it — "
-                "consume a CDF diff instead (delta_cdf_diff pattern)"
-            )
-        if not adds:
-            continue
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table_path, p) for p in adds]
-        )
-        for f in snap_schema.fields:
-            if f.name not in df.columns:
-                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        yield v, df.select(*[F.col(f.name) for f in snap_schema.fields])
 
 
 def update_delta(
@@ -967,85 +1330,334 @@ def update_delta(
     set_exprs: dict[str, str],
 ) -> tuple[int, int]:
     """Copy-on-write UPDATE of rows with ``col`` in [lo, hi]: the same
-    stats-pruned file surgery as ``delete_delta`` — only files whose
-    footer stats (or partition value) can intersect the predicate are
-    rewritten, matching rows projected through ``set_exprs``
-    (column -> SQL expression over the row), everything else untouched.
+    stats-pruned file surgery as ``delete_delta``, matching rows
+    projected through ``set_exprs`` (column -> SQL expression over the
+    row). With CDF enabled, each matched row emits an update_preimage
+    and update_postimage change row. Returns (new_version,
+    n_files_rewritten)."""
+    pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
 
-    Returns (new_version, n_files_rewritten). Old files survive for
-    time travel until vacuum.
-    """
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.when(pred, F.expr(set_exprs[f_name]))
+                .otherwise(F.col(f_name))
+                .cast(f_type)
+                .alias(f_name)
+                if f_name in set_exprs
+                else F.col(f_name)
+                for f_name, f_type in (
+                    (f.name, f.dataType) for f in df.schema.fields
+                )
+            ]
+        )
+
+    def _changes(df: DataFrame) -> DataFrame:
+        matched = df.filter(pred)
+        pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+        post = _apply(matched).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        return pre.unionByName(post)
+
+    return _dml_rewrite(
+        spark, table_path, col, lo, hi,
+        op="UPDATE",
+        survivors_of=_apply,
+        changes_of=_changes,
+    )
+
+
+def delete_delta_dv(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+) -> tuple[int, int]:
+    """Merge-on-read DELETE via deletion vectors: instead of rewriting
+    every file that contains a matching row (copy-on-write), author a
+    compact row-index bitmap per affected file (sources/delta_dv.py)
+    and re-add the SAME data files with a ``deletionVector`` descriptor
+    — the write cost is O(deleted rows) of metadata, zero data bytes
+    rewritten. This is the protocol's answer to small deletes on huge
+    tables (GDPR row erasure on a 100 TB table rewrites nothing).
+    Readers subtract the bitmaps at scan time (_scan_files); a later
+    OPTIMIZE physically purges. Upgrades the table protocol to reader
+    v3 / writer v7 with the deletionVectors feature in the same commit,
+    exactly as delta-spark does on first DV write.
+
+    Returns (new_version, n_files_with_new_dvs)."""
+    from .delta_dv import read_dv, write_dv_file
+
     snap = snapshot(spark, table_path)
+    _guard_writable(snap, "DV DELETE")
     candidates, _ = prune_files_by_stats(snap, col, lo, hi)
     if not candidates:
         return snap.version, 0
 
+    # matching (file, row_index) pairs: one distributed scan of the
+    # candidate files; the collect is O(deleted rows) — the bitmap has
+    # to exist driver-side to be serialized, same as any DV writer
+    paths = [os.path.join(table_path, p) for p in candidates]
     reader = spark.read.option("mergeSchema", "true")
     if snap.partition_columns:
         reader = reader.option("basePath", table_path)
-    affected = reader.parquet(
-        *[os.path.join(table_path, p) for p in candidates]
+    raw = reader.parquet(*paths).select(
+        _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+        F.col(snap.physical(col)).alias(col),
     )
-    for f in snap.schema.fields:
-        if f.name not in affected.columns:
-            affected = affected.withColumn(f.name, F.lit(None).cast(f.dataType))
-    affected = affected.select(*[F.col(f.name) for f in snap.schema.fields])
+    pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
+    pairs = raw.filter(pred).select("__fp", "__ri").collect()
+    abs_to_rel = {
+        os.path.abspath(os.path.join(table_path, rel)): rel for rel in candidates
+    }
+    per_file: dict[str, list[int]] = {}
+    for r in pairs:
+        rel = abs_to_rel.get(r.__fp)
+        if rel is not None:
+            per_file.setdefault(rel, []).append(r.__ri)
+    if not per_file:
+        return snap.version, 0
+    # merge with any existing DV on the same file (row already deleted
+    # stays deleted; indexes are unioned)
+    for rel in per_file:
+        old = snap.files[rel].get("deletionVector")
+        if old:
+            per_file[rel] = sorted(set(per_file[rel]) | set(read_dv(table_path, old)))
+        else:
+            per_file[rel] = sorted(set(per_file[rel]))
 
-    pred = F.col(col).between(lo, hi)
-    rewritten = affected.select(
-        *[
-            F.when(pred, F.expr(set_exprs[f.name]))
-            .otherwise(F.col(f.name))
-            .cast(f.dataType)
-            .alias(f.name)
-            if f.name in set_exprs
-            else F.col(f.name)
-            for f in snap.schema.fields
-        ]
-    )
-
-    before = set(_list_data_files(table_path, set()))
-    writer = rewritten.write.mode("append").format("parquet")
-    if snap.partition_columns:
-        writer = writer.partitionBy(*snap.partition_columns)
-    writer.save(table_path)
-    added = _list_data_files(table_path, before)
-
+    descriptors = write_dv_file(table_path, per_file)
     now_ms = int(time.time() * 1000)
-    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
-    actions: list[dict[str, Any]] = [
-        {"remove": {"path": rel, "deletionTimestamp": now_ms, "dataChange": True}}
-        for rel in candidates
-    ]
-    for rel in added:
-        full = os.path.join(table_path, rel)
-        add: dict[str, Any] = {
-            "path": rel,
-            "partitionValues": _partition_values_from_path(
-                rel, snap.partition_columns
-            ),
-            "size": os.path.getsize(full),
-            "modificationTime": now_ms,
-            "dataChange": True,
-        }
-        st = _file_stats(full, stat_cols)
-        if st is not None:
-            add["stats"] = json.dumps(st)
-        actions.append({"add": add})
+    actions: list[dict[str, Any]] = []
+    feats = set(snap.protocol.get("readerFeatures") or [])
+    if "deletionVectors" not in feats:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats | {"deletionVectors"}),
+                    "writerFeatures": sorted(
+                        set(snap.protocol.get("writerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                }
+            }
+        )
+    for rel, desc in descriptors.items():
+        old_add = snap.files[rel]
+        actions.append(
+            {
+                "remove": {
+                    "path": old_add.get("path", quote(rel, safe="/")),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_add = dict(old_add)
+        new_add["deletionVector"] = desc
+        new_add["dataChange"] = True
+        new_add["modificationTime"] = now_ms
+        actions.append({"add": new_add})
+    if _cdf_enabled(snap):
+        deleted_rows = _scan_files(
+            spark, table_path, snap, list(per_file)
+        ).filter(pred).withColumn("_change_type", F.lit("delete"))
+        actions.extend(_stage_cdf(deleted_rows, table_path, snap))
     actions.append(
         {
             "commitInfo": {
                 "timestamp": now_ms,
-                "operation": "UPDATE",
+                "operation": "DELETE",
                 "operationParameters": {
-                    "predicate": f"{col} BETWEEN {lo} AND {hi}"
+                    "predicate": f"{col} BETWEEN {lo} AND {hi}",
+                    "deletionVectors": "true",
                 },
             }
         }
     )
-    commits, checkpoints = _list_versions(table_path)
-    new_version = max(set(commits) | set(checkpoints)) + 1
-    with open(_commit_file(table_path, new_version), "w", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    return new_version, len(candidates)
+    guard = _CommitGuard(
+        removed=set(per_file),
+        read_files=set(candidates),
+        predicate=(snap.physical(col), lo, hi),
+    )
+    return _commit(table_path, actions, guard, snap.version), len(per_file)
+
+
+# --------------------------------------------------------------------------
+# streaming + change data feed readers
+# --------------------------------------------------------------------------
+
+
+def _contiguous_commits(
+    table_path: str, from_version: int, to_version: int | None
+) -> list[int]:
+    commits, _ = _list_versions(table_path)
+    hi = max(commits) if to_version is None else to_version
+    wanted = sorted(c for c in commits if from_version <= c <= hi)
+    expected = list(range(from_version, hi + 1))
+    if wanted != expected:
+        missing = sorted(set(expected) - set(wanted))
+        raise DeltaProtocolError(
+            f"commits {missing} are missing from the log (truncated past a "
+            "checkpoint?) — change replay cannot reconstruct them; start "
+            "from the first available commit or consume a snapshot"
+        )
+    return wanted
+
+
+def stream_commit_batches(
+    spark: SparkSession, table_path: str, *, from_version: int = 0
+):
+    """Replay a Delta table's commit history as (version, DataFrame)
+    micro-batches — the append-only Delta-as-streaming-source semantics:
+    each yielded frame holds exactly the rows ADDED by that commit's
+    dataChange files; OPTIMIZE/compaction commits (dataChange: false)
+    yield nothing, which is precisely why the protocol carries the flag
+    — a streaming reader must not re-emit reorganized bytes. ANY commit
+    in the replayed range with dataChange removes — including the
+    from_version commit itself (ADVICE r5 #5: a copy-on-write DELETE's
+    rewritten files contain surviving pre-existing rows, which are NOT
+    fresh appends) — is rejected; streams over DML'd tables should use
+    ``stream_cdf_batches``.
+
+    Each batch is a bounded distributed parquet read; the generator
+    itself touches only log metadata.
+    """
+    snap = snapshot(spark, table_path)
+    for v in _contiguous_commits(table_path, from_version, None):
+        adds = []
+        for action in _parse_commit(table_path, v):
+            if "add" in action and action["add"].get("dataChange", True):
+                adds.append(unquote(action["add"]["path"]))
+            elif "remove" in action and action["remove"].get("dataChange", True):
+                raise DeltaProtocolError(
+                    f"commit {v} removes data (update/delete/overwrite); the "
+                    "append-only streaming source cannot represent it — "
+                    "consume stream_cdf_batches instead"
+                )
+        if not adds:
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_path, p) for p in adds]
+        )
+        yield v, _select_logical(df, snap)
+
+
+def _read_rels(
+    spark: SparkSession,
+    table_path: str,
+    snap: DeltaSnapshot,
+    rels: list[str],
+    change_type: str | None,
+    version: int,
+) -> DataFrame:
+    """Read raw files (data or cdc) and project to logical schema +
+    change columns. cdc files carry their own _change_type column."""
+    reader = spark.read.option("mergeSchema", "true")
+    if snap.partition_columns:
+        # cdc files live under _change_data/<hive dirs>: their partition
+        # values are directory-encoded relative to the CDF root, so the
+        # basePath must point there for recovery; data files hang off
+        # the table root
+        base = (
+            os.path.join(table_path, CDF_DIR)
+            if rels and rels[0].startswith(CDF_DIR)
+            else table_path
+        )
+        reader = reader.option("basePath", base)
+    df = reader.parquet(*[os.path.join(table_path, p) for p in rels])
+    if change_type is None:  # cdc files: _change_type is in the data
+        out = _select_logical(df, snap, extra=["_change_type"])
+    else:
+        out = _select_logical(df, snap).withColumn(
+            "_change_type", F.lit(change_type)
+        )
+    return out.withColumn("_commit_version", F.lit(version).cast("long"))
+
+
+def _commit_changes(
+    spark: SparkSession, table_path: str, snap: DeltaSnapshot, v: int
+) -> DataFrame | None:
+    """Row-level changes of ONE commit, per the protocol's CDF reader
+    rules: use cdc actions when present (copy-on-write DML writes them
+    because its add files contain surviving non-change rows); otherwise
+    derive — pure adds are inserts, full-overwrite removes are full-file
+    deletes + adds full-file inserts; a DML commit without cdc files is
+    underdetermined and raises."""
+    cdc_rels, add_rels, rm_rels = [], [], []
+    op = ""
+    for action in _parse_commit(table_path, v):
+        if "cdc" in action:
+            cdc_rels.append(unquote(action["cdc"]["path"]))
+        elif "add" in action and action["add"].get("dataChange", True):
+            add_rels.append(unquote(action["add"]["path"]))
+        elif "remove" in action and action["remove"].get("dataChange", True):
+            rm_rels.append(unquote(action["remove"]["path"]))
+        elif "commitInfo" in action:
+            op = str(action["commitInfo"].get("operation", ""))
+    if cdc_rels:
+        return _read_rels(spark, table_path, snap, cdc_rels, None, v)
+    if not add_rels and not rm_rels:
+        return None  # optimize / checkpoint-only / txn-only commit
+    if rm_rels and add_rels:
+        if op.upper() not in ("WRITE", "CREATE OR REPLACE TABLE AS SELECT"):
+            raise DeltaProtocolError(
+                f"commit {v} ({op or 'unknown op'}) rewrote rows without "
+                "cdc files — enable delta.enableChangeDataFeed at table "
+                "creation to capture DML changes"
+            )
+        # overwrite: every removed file is entirely deleted, every
+        # added file entirely inserted — derivable without cdc
+        dels = _read_rels(spark, table_path, snap, rm_rels, "delete", v)
+        ins = _read_rels(spark, table_path, snap, add_rels, "insert", v)
+        return dels.unionByName(ins)
+    if add_rels:
+        return _read_rels(spark, table_path, snap, add_rels, "insert", v)
+    return _read_rels(spark, table_path, snap, rm_rels, "delete", v)
+
+
+def stream_cdf_batches(
+    spark: SparkSession, table_path: str, *, from_version: int = 0
+):
+    """Replay commits as (version, change DataFrame) micro-batches —
+    the Delta CDF streaming source: works across appends, overwrites
+    AND copy-on-write DELETE/UPDATE (via their _change_data files),
+    closing the r5 gap where DML'd tables could not be streamed.
+    Change frames carry the logical schema plus _change_type and
+    _commit_version."""
+    snap = snapshot(spark, table_path)
+    for v in _contiguous_commits(table_path, from_version, None):
+        changes = _commit_changes(spark, table_path, snap, v)
+        if changes is not None:
+            yield v, changes
+
+
+def read_cdf(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Batch Change-Data-Feed read over [from_version, to_version] —
+    ``table_changes()`` parity: one frame of row-level changes with
+    _change_type (insert / delete / update_preimage / update_postimage)
+    and _commit_version. Each commit contributes one bounded distributed
+    parquet read; the union is lazy (no driver data movement)."""
+    snap = snapshot(spark, table_path)
+    out: DataFrame | None = None
+    for v in _contiguous_commits(table_path, from_version, to_version):
+        changes = _commit_changes(spark, table_path, snap, v)
+        if changes is not None:
+            out = changes if out is None else out.unionByName(changes)
+    if out is None:
+        return (
+            spark.createDataFrame([], snap.schema)
+            .withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("long"))
+        )
+    return out

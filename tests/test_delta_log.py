@@ -111,7 +111,26 @@ def test_checkpoint_folds_state_and_survives_log_truncation(spark, tbl):
 
 
 def test_reader_feature_gate(spark, tbl):
+    """Unsupported reader-v3 features (e.g. v2Checkpoint) stay loudly
+    gated; supported ones (deletionVectors, columnMapping — round 6)
+    pass the protocol check."""
     write_delta(_nation(spark).select("n_nationkey"), tbl)
+    with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        read_delta(spark, tbl)
+
+    # a supported v3 feature set is accepted
     with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json"), "w") as fh:
         fh.write(
             json.dumps(
@@ -124,8 +143,7 @@ def test_reader_feature_gate(spark, tbl):
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
-        read_delta(spark, tbl)
+    assert read_delta(spark, tbl).count() == _nation(spark).count()
 
 
 def test_missing_and_unknown_versions_raise(spark, tbl):
