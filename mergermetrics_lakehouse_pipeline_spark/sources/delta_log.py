@@ -1415,9 +1415,9 @@ def delete_delta_dv(
     }
     per_file: dict[str, list[int]] = {}
     for r in pairs:
-        rel = abs_to_rel.get(r.__fp)
+        rel = abs_to_rel.get(r["__fp"])
         if rel is not None:
-            per_file.setdefault(rel, []).append(r.__ri)
+            per_file.setdefault(rel, []).append(r["__ri"])
     if not per_file:
         return snap.version, 0
     # merge with any existing DV on the same file (row already deleted

@@ -1,0 +1,432 @@
+"""Round-6 Delta reader/writer features over the public protocol:
+Change Data Feed (write path + batch/stream readers), column mapping
+(name mode) reads, deletion vectors (read + merge-on-read DELETE),
+URL-quoted paths, NULL-partition interop, multi-part checkpoint WRITE
+and log truncation. Parity targets: the reference enables CDF on every
+write (3_pricing_data_processing.py:167-172) and its platform defaults
+to column mapping + deletion vectors on modern tables."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+    DeltaProtocolError,
+    delete_delta,
+    delete_delta_dv,
+    optimize_delta,
+    overwrite_partitions_delta,
+    read_cdf,
+    read_delta,
+    read_delta_pruned,
+    snapshot,
+    stream_cdf_batches,
+    stream_commit_batches,
+    truncate_log,
+    update_delta,
+    vacuum_delta,
+    write_checkpoint,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _kv(spark, n=40):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+# --------------------------------------------------------------------------
+# Change Data Feed
+# --------------------------------------------------------------------------
+
+
+def test_cdf_capture_and_batch_read(spark, tbl):
+    """DELETE/UPDATE on a CDF-enabled table emit _change_data rows;
+    read_cdf returns the full row-level change history with preimages
+    and postimages."""
+    df = _kv(spark).repartitionByRange(4, "k")
+    write_delta(
+        df, tbl, mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # v0: 40 inserts
+    delete_delta(spark, tbl, "k", 0, 9)  # v1: 10 deletes
+    update_delta(spark, tbl, "k", 10, 14, {"v": "v + 1"})  # v2: 5 pre + 5 post
+
+    cdf = read_cdf(spark, tbl)
+    counts = {
+        (r["_change_type"], r["_commit_version"]): r["n"]
+        for r in cdf.groupBy("_change_type", "_commit_version")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {
+        ("insert", 0): 40,
+        ("delete", 1): 10,
+        ("update_preimage", 2): 5,
+        ("update_postimage", 2): 5,
+    }
+    # postimage values reflect the SET expression
+    post = cdf.filter("_change_type = 'update_postimage'")
+    assert _rows(post.select("k", "v")) == {(k, k * 10 + 1) for k in range(10, 15)}
+    # cdc files are invisible to snapshot scans
+    assert read_delta(spark, tbl).count() == 30
+
+
+def test_cdf_stream_folds_to_final_state(spark, tbl):
+    """stream_cdf_batches replays appends AND copy-on-write DML — the
+    r5 gap where DML'd tables could not be streamed. Folding the change
+    stream (apply inserts/deletes, replace preimage with postimage)
+    reproduces the final snapshot exactly."""
+    df = _kv(spark).repartitionByRange(4, "k")
+    write_delta(
+        df.filter("k < 30"), tbl, mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # v0
+    write_delta(df.filter("k >= 30"), tbl, mode="append")  # v1
+    delete_delta(spark, tbl, "k", 5, 9)  # v2
+    update_delta(spark, tbl, "k", 20, 24, {"v": "v * 2"})  # v3
+
+    state: set[tuple] = set()
+    versions = []
+    for v, batch in stream_cdf_batches(spark, tbl):
+        versions.append(v)
+        for r in batch.collect():
+            row = (r["k"], r["v"])
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state.add(row)
+            elif r["_change_type"] in ("delete", "update_preimage"):
+                state.discard(row)
+    assert versions == [0, 1, 2, 3]
+    assert state == _rows(read_delta(spark, tbl))
+
+    # the plain append-only source refuses the DML'd history...
+    with pytest.raises(DeltaProtocolError, match="stream_cdf_batches"):
+        list(stream_commit_batches(spark, tbl))
+    # ...even when starting exactly AT the DML commit (ADVICE r5 #5)
+    with pytest.raises(DeltaProtocolError, match="stream_cdf_batches"):
+        list(stream_commit_batches(spark, tbl, from_version=2))
+
+
+def test_cdf_derives_overwrite_without_cdc_files(spark, tbl):
+    """Full overwrite is derivable without cdc files (every removed file
+    entirely deleted, every added file entirely inserted)."""
+    df = _kv(spark, 10)
+    write_delta(df, tbl, mode="overwrite")  # v0 (CDF off)
+    write_delta(df.withColumn("v", F.col("v") + 1), tbl, mode="overwrite")  # v1
+
+    cdf = read_cdf(spark, tbl, from_version=1)
+    counts = dict(
+        (r["_change_type"], r["n"])
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts == {"delete": 10, "insert": 10}
+
+
+def test_cdf_requires_capture_for_dml_without_cdc(spark, tbl):
+    df = _kv(spark, 10)
+    write_delta(df, tbl, mode="overwrite")  # CDF off
+    delete_delta(spark, tbl, "k", 0, 3)
+    with pytest.raises(DeltaProtocolError, match="enableChangeDataFeed"):
+        read_cdf(spark, tbl).collect()
+
+
+def test_cdf_on_partitioned_table_recovers_partition_values(spark, tbl):
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    write_delta(
+        df, tbl, mode="overwrite", partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta(spark, tbl, "k", 0, 5)
+    dels = read_cdf(spark, tbl, from_version=1).filter(
+        "_change_type = 'delete'"
+    )
+    # partition column p must come back from the _change_data hive dirs
+    assert _rows(dels.select("k", "p")) == {(k, k % 2) for k in range(6)}
+
+
+# --------------------------------------------------------------------------
+# column mapping (name mode)
+# --------------------------------------------------------------------------
+
+
+def _author_column_mapped_table(spark, tbl, partitioned: bool):
+    """Author a table the way a modern engine with
+    delta.columnMapping.mode=name would: parquet files carry PHYSICAL
+    column names, the committed schema carries logical names with
+    physicalName metadata."""
+    phys = spark.range(12).select(
+        F.col("id").alias("col-aaa111"),
+        F.concat(F.lit("u"), F.col("id")).alias("col-bbb222"),
+        (F.col("id") % 3).alias("col-ccc333"),
+    )
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+    writer = phys.write.mode("append").format("parquet")
+    if partitioned:
+        writer = writer.partitionBy("col-ccc333")
+    writer.save(tbl)
+    adds = []
+    for root, dirs, names in os.walk(tbl):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                rel = os.path.relpath(os.path.join(root, n), tbl)
+                pv = {}
+                if partitioned:
+                    pv = {"col-ccc333": rel.split("=")[1].split("/")[0]}
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": pv,
+                            "size": os.path.getsize(os.path.join(tbl, rel)),
+                            "dataChange": True,
+                        }
+                    }
+                )
+    schema = StructType(
+        [
+            StructField(
+                "user_id", LongType(), True,
+                {"delta.columnMapping.id": 1,
+                 "delta.columnMapping.physicalName": "col-aaa111"},
+            ),
+            StructField(
+                "user_name", StringType(), True,
+                {"delta.columnMapping.id": 2,
+                 "delta.columnMapping.physicalName": "col-bbb222"},
+            ),
+            StructField(
+                "bucket", LongType(), True,
+                {"delta.columnMapping.id": 3,
+                 "delta.columnMapping.physicalName": "col-ccc333"},
+            ),
+        ]
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": ["bucket"] if partitioned else [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+            }
+        },
+    ] + adds
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_column_mapping_name_mode_reads_logical_schema(spark, tbl, partitioned):
+    _author_column_mapped_table(spark, tbl, partitioned)
+    out = read_delta(spark, tbl)
+    assert out.columns == ["user_id", "user_name", "bucket"]
+    assert _rows(out) == {(i, f"u{i}", i % 3) for i in range(12)}
+    snap = snapshot(spark, tbl)
+    assert snap.column_mapping_mode == "name"
+    assert snap.physical("user_id") == "col-aaa111"
+
+
+def test_column_mapping_pruning_uses_physical_stats_keys(spark, tbl):
+    _author_column_mapped_table(spark, tbl, partitioned=True)
+    # prune on the LOGICAL partition column name
+    pruned, skipped = read_delta_pruned(spark, tbl, "bucket", 1, 1)
+    assert skipped > 0
+    assert _rows(pruned.select("user_id")) == {
+        (i,) for i in range(12) if i % 3 == 1
+    }
+
+
+def test_column_mapping_id_mode_and_writes_rejected(spark, tbl):
+    _author_column_mapped_table(spark, tbl, partitioned=False)
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        write_delta(_kv(spark, 5), tbl, mode="append")
+    # id mode stays loudly gated
+    log = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    with open(log) as fh:
+        lines = [json.loads(line) for line in fh if line.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="'id' not supported"):
+        read_delta(spark, tbl)
+
+
+# --------------------------------------------------------------------------
+# deletion vectors
+# --------------------------------------------------------------------------
+
+
+def test_dv_delete_rewrites_zero_data_files(spark, tbl):
+    """Merge-on-read DELETE: data files keep their identity, only a
+    bitmap is written; reads subtract the deleted rows; time travel to
+    the pre-delete version still sees them."""
+    df = _kv(spark).repartitionByRange(4, "k")
+    write_delta(df, tbl, mode="overwrite")  # v0
+    files_v0 = dict(snapshot(spark, tbl).files)
+
+    v, n_dv = delete_delta_dv(spark, tbl, "k", 5, 14)
+    assert v == 1 and n_dv >= 1
+    snap = snapshot(spark, tbl)
+    assert set(snap.files) == set(files_v0)  # SAME data files
+    assert snap.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    dv_files = [a for a in snap.files.values() if a.get("deletionVector")]
+    assert len(dv_files) == n_dv
+
+    got = _rows(read_delta(spark, tbl).select("k"))
+    assert got == {(k,) for k in range(40) if not 5 <= k <= 14}
+    assert read_delta(spark, tbl, version=0).count() == 40
+
+    # second DV delete on an overlapping range merges bitmaps
+    delete_delta_dv(spark, tbl, "k", 10, 19)
+    got2 = _rows(read_delta(spark, tbl).select("k"))
+    assert got2 == {(k,) for k in range(40) if not 5 <= k <= 19}
+
+    # pruned reads subtract DVs too
+    pruned, _ = read_delta_pruned(spark, tbl, "k", 0, 24)
+    assert _rows(pruned.filter("k <= 24").select("k")) == {
+        (k,) for k in range(25) if not 5 <= k <= 19
+    }
+
+
+def test_dv_then_optimize_purges_physically(spark, tbl):
+    df = _kv(spark).repartitionByRange(4, "k")
+    write_delta(df, tbl, mode="overwrite")
+    delete_delta_dv(spark, tbl, "k", 0, 9)
+    optimize_delta(spark, tbl, target_files=2)
+    snap = snapshot(spark, tbl)
+    assert all(not a.get("deletionVector") for a in snap.files.values())
+    assert read_delta(spark, tbl).count() == 30
+    # copy-on-write DML over a DV'd snapshot honors the bitmaps too
+    tbl2 = tbl + "_cow"
+    write_delta(df, tbl2, mode="overwrite")
+    delete_delta_dv(spark, tbl2, "k", 0, 9)
+    update_delta(spark, tbl2, "k", 10, 14, {"v": "v + 7"})
+    got = _rows(read_delta(spark, tbl2))
+    want = {
+        (k, k * 10 + (7 if 10 <= k <= 14 else 0)) for k in range(10, 40)
+    }
+    assert got == want
+
+
+def test_dv_noop_when_no_rows_match(spark, tbl):
+    write_delta(_kv(spark, 10), tbl, mode="overwrite")
+    v, n = delete_delta_dv(spark, tbl, "k", 100, 200)
+    assert (v, n) == (0, 0)
+
+
+# --------------------------------------------------------------------------
+# path quoting + NULL partitions (ADVICE r5 #1/#3)
+# --------------------------------------------------------------------------
+
+
+def test_special_char_partition_values_roundtrip_and_survive_vacuum(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "p%q"), (3, "plain"), (4, None)],
+        "k long, part string",
+    )
+    write_delta(df, tbl, mode="overwrite", partition_by=["part"])
+    assert _rows(read_delta(spark, tbl)) == _rows(df)
+    # vacuum must recognize every live file (a quoting mismatch would
+    # DELETE live data)
+    assert vacuum_delta(spark, tbl) == []
+    assert _rows(read_delta(spark, tbl)) == _rows(df)
+    # partitionValues carry the decoded logical value
+    snap = snapshot(spark, tbl)
+    vals = {a["partitionValues"]["part"] for a in snap.files.values()}
+    assert vals == {"a:b", "p%q", "plain", "__HIVE_DEFAULT_PARTITION__"}
+
+
+def test_null_partition_overwrite_replaces_foreign_null_files(spark, tbl):
+    """A foreign engine stores NULL partitionValues as JSON null; a
+    dynamic overwrite carrying NULL-partition rows must still replace
+    those files instead of duplicating them (ADVICE r5 #3)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], "k long, part string"
+    )
+    write_delta(df, tbl, mode="overwrite", partition_by=["part"])
+    # rewrite the log the way a foreign writer stores NULL partitions
+    log = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    with open(log) as fh:
+        lines = [json.loads(line) for line in fh if line.strip()]
+    for a in lines:
+        if "add" in a and a["add"]["partitionValues"]["part"] == (
+            "__HIVE_DEFAULT_PARTITION__"
+        ):
+            a["add"]["partitionValues"]["part"] = None
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+
+    refresh = spark.createDataFrame([(9, None)], "k long, part string")
+    overwrite_partitions_delta(refresh, tbl, partition_by=["part"])
+    got = _rows(read_delta(spark, tbl))
+    assert got == {(1, "x"), (9, None)}  # old NULL rows replaced, not kept
+
+
+def test_numeric_probe_on_null_partition_keeps_file(spark, tbl):
+    """ADVICE r5 #4: a numeric range probe against a NULL-partition file
+    must keep it conservatively, not raise TypeError."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k long, part int"
+    )
+    write_delta(df, tbl, mode="overwrite", partition_by=["part"])
+    pruned, skipped = read_delta_pruned(spark, tbl, "part", 5, 15)
+    kept = _rows(pruned.select("k"))
+    assert (1,) in kept and (2,) in kept  # NULL file kept, match kept
+    assert skipped >= 1  # part=30 provably disjoint
+
+
+# --------------------------------------------------------------------------
+# multi-part checkpoint WRITE + log truncation
+# --------------------------------------------------------------------------
+
+
+def test_multipart_checkpoint_write_and_truncated_replay(spark, tbl):
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    write_delta(nation.filter("n_nationkey < 10"), tbl, mode="overwrite")
+    write_delta(nation.filter("n_nationkey >= 10"), tbl, mode="append")
+    v = write_checkpoint(spark, tbl, parts=3)
+    log = os.path.join(tbl, "_delta_log")
+    parts = [n for n in os.listdir(log) if ".checkpoint." in n]
+    assert len(parts) == 3
+    assert json.loads(open(os.path.join(log, "_last_checkpoint")).read()) == {
+        "version": v,
+        "size": 2 + len(snapshot(spark, tbl).files),
+        "parts": 3,
+    }
+
+    assert truncate_log(tbl) == [0, 1]
+    assert _rows(read_delta(spark, tbl)) == _rows(nation)
+    # commits continue on top of the truncated log
+    write_delta(nation.filter("n_nationkey = 0"), tbl, mode="append")
+    assert read_delta(spark, tbl).count() == nation.count() + 1
