@@ -19,14 +19,17 @@ so concurrent or repeated driver invocations never collide.
 
 from __future__ import annotations
 
+import json
+import os
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline.customers import build_city_fixes
-from .registry import T, events_table, register
+from .registry import T, dsum, events_table, register, sql_dsum
 from .session import BRONZE, GOLD, SILVER, ensure_medallion_schemas
 from .sources.catalog import (
     copy_into,
@@ -1732,4 +1735,491 @@ def q_streaming_threshold_alerts_roundtrip(
         F.count("*").cast("bigint").alias("n_alerts"),
         F.max("n_in_window").cast("bigint").alias("peak_rate"),
         F.min("ts_us").cast("bigint").alias("first_alert_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# round 6: optimistic concurrency, CDF, column mapping, deletion vectors,
+# checkpoint retention
+# --------------------------------------------------------------------------
+
+
+@register(
+    "delta_concurrent_writers_roundtrip",
+    f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum("c_acctbal", "bal_mass")}
+    FROM customer GROUP BY 1
+    """,
+    tags=["S6", "delta", "concurrency", "roundtrip"],
+)
+def q_delta_concurrent_writers_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Concurrent Delta writers (VERDICT r5 next-step #1): three threads
+    append disjoint customer slices to the same table AT THE SAME TIME.
+    Commits land via atomic put-if-absent (hard-link) and blind appends
+    REBASE over each other (sources/delta_log.py:_commit), so all three
+    must land, versions must be dense 0..3 (a clobbered commit JSON
+    would leave a gap or lose a slice), and the final snapshot must hold
+    the exact union — which the oracle recomputes from the pristine
+    customer table. The reference gets this from Delta's
+    OptimisticTransaction on every MERGE
+    (1_customer_data_processing.py:311-318).
+
+    Scale: conflict handling is O(retries) driver-side metadata; each
+    writer's data path is an independent distributed parquet write."""
+    from .sources.delta_log import read_delta, snapshot, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_dconc_rt_") + "/cust_delta"
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_delta(cust.filter("c_custkey % 4 = 0"), root, mode="overwrite")  # v0
+
+    errors: list[Exception] = []
+
+    def appender(i: int) -> None:
+        try:
+            write_delta(cust.filter(f"c_custkey % 4 = {i}"), root, mode="append")
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in (1, 2, 3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    snap = snapshot(spark, root)
+    if snap.version != 3:
+        raise RuntimeError(
+            f"expected dense versions 0..3, got latest {snap.version}"
+        )
+    return (
+        read_delta(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("c_acctbal", "bal_mass"),
+        )
+    )
+
+
+@register(
+    "delta_cdf_stream_roundtrip",
+    """
+    WITH allr AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal FROM customer
+    ), final AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey BETWEEN 500 AND 800 THEN bal + 100.0
+                  ELSE bal END AS bal
+      FROM allr WHERE c_custkey NOT BETWEEN 100 AND 400
+    ), buckets AS (
+      SELECT c_custkey % 7 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_mass
+      FROM final GROUP BY 1
+    ), chg AS (
+      SELECT CAST((SELECT COUNT(*) FROM allr) AS BIGINT) AS n_inserts,
+             CAST((SELECT COUNT(*) FROM allr
+                   WHERE c_custkey BETWEEN 100 AND 400) AS BIGINT) AS n_deletes,
+             CAST((SELECT COUNT(*) FROM final
+                   WHERE c_custkey BETWEEN 500 AND 800) AS BIGINT) AS n_updates
+    )
+    SELECT buckets.*, chg.* FROM buckets CROSS JOIN chg
+    """,
+    tags=["S6", "delta", "cdf", "streaming-source", "roundtrip"],
+)
+def q_delta_cdf_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF write path + streaming over a DML'd table (VERDICT r5
+    next-step #2): a CDF-enabled table takes two appends, a
+    copy-on-write DELETE and an UPDATE — the DML commits emit
+    _change_data parquet (delete rows, update pre/postimages) referenced
+    by cdc actions, exactly what the reference turns on for every write
+    (3_pricing_data_processing.py:167-172). ``stream_cdf_batches``
+    replays all four commits (the r5 append-only source REJECTED this
+    history); the change stream is folded back into table state via
+    per-batch key anti-join + union, and the fold must reproduce the
+    final snapshot the oracle recomputes from scratch. Change-type
+    counts ride along as cross-joined scalars, so a missed preimage or
+    double-fed postimage flips the hash.
+
+    Scale: each batch reads only that commit's cdc/add files; the fold
+    joins are delta-bounded; nothing collects row data."""
+    from .sources.delta_log import (
+        delete_delta,
+        stream_cdf_batches,
+        update_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="mm_dcdfs_rt_") + "/cust_delta"
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("bal")
+    )
+    write_delta(
+        cust.filter("c_custkey % 10 < 8"),
+        root,
+        mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # v0
+    write_delta(cust.filter("c_custkey % 10 >= 8"), root, mode="append")  # v1
+    delete_delta(spark, root, "c_custkey", 100, 400)  # v2
+    update_delta(spark, root, "c_custkey", 500, 800, {"bal": "bal + 100.0"})  # v3
+
+    state: DataFrame | None = None
+    all_types: DataFrame | None = None
+    for _v, batch in stream_cdf_batches(spark, root):
+        ins = batch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select("c_custkey", "bal")
+        rem = batch.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select("c_custkey")
+        state = (
+            ins
+            if state is None
+            else state.join(rem, "c_custkey", "left_anti").unionByName(ins)
+        )
+        types = batch.select("_change_type")
+        all_types = types if all_types is None else all_types.unionByName(types)
+    if state is None or all_types is None:
+        raise RuntimeError("CDF stream yielded no batches")
+
+    chg = all_types.agg(
+        F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserts"),
+        F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes"),
+        F.sum(
+            F.when(F.col("_change_type") == "update_postimage", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_updates"),
+    )
+    return (
+        state.groupBy((F.col("c_custkey") % 7).alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("bal", "bal_mass"),
+        )
+        .crossJoin(F.broadcast(chg))
+    )
+
+
+@register(
+    "delta_column_mapping_read",
+    """
+    WITH pruned AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS pruned_rows
+      FROM nation WHERE n_regionkey = 2
+    )
+    SELECT n.n_regionkey AS region_key,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS key_mass,
+           p.pruned_rows
+    FROM nation n CROSS JOIN pruned p
+    GROUP BY 1, p.pruned_rows
+    """,
+    tags=["S6", "delta", "column-mapping", "roundtrip"],
+)
+def q_delta_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping (name mode) read interop (VERDICT r5 next-step
+    #3): the fixture is authored the way a modern engine with
+    delta.columnMapping.mode=name writes — parquet files and hive
+    partition dirs carry PHYSICAL names (col-xxx), the committed schema
+    carries logical names with delta.columnMapping.physicalName
+    metadata, add.partitionValues are keyed by physical name. The reader
+    must resolve physical->logical at scan time (read_delta), and stats
+    pruning must translate the LOGICAL probe column to its physical
+    stats/partitionValues key (read_delta_pruned) — the pruned count
+    rides along as a cross-joined scalar. Without this, tables written
+    by current Databricks defaults are unreadable.
+
+    Scale: mapping is pure metadata; the scan/prune path is unchanged."""
+    from .sources.delta_log import read_delta, read_delta_pruned
+
+    root = tempfile.mkdtemp(prefix="mm_dcm_rt_") + "/nation_cm"
+    nation = T(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    phys = nation.select(
+        F.col("n_nationkey").alias("col-a1"),
+        F.col("n_name").alias("col-b2"),
+        F.col("n_regionkey").alias("col-c3"),
+    )
+    os.makedirs(os.path.join(root, "_delta_log"))
+    phys.write.mode("append").format("parquet").partitionBy("col-c3").save(root)
+    adds = []
+    for walk_root, dirs, names in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                rel = os.path.relpath(os.path.join(walk_root, n), root)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": {
+                                "col-c3": rel.split("=")[1].split("/")[0]
+                            },
+                            "size": os.path.getsize(os.path.join(root, rel)),
+                            "dataChange": True,
+                        }
+                    }
+                )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    logical = StructType(
+        [
+            StructField(
+                "nation_key", LongType(), True,
+                {"delta.columnMapping.id": 1,
+                 "delta.columnMapping.physicalName": "col-a1"},
+            ),
+            StructField(
+                "nation_name", StringType(), True,
+                {"delta.columnMapping.id": 2,
+                 "delta.columnMapping.physicalName": "col-b2"},
+            ),
+            StructField(
+                "region_key", LongType(), True,
+                {"delta.columnMapping.id": 3,
+                 "delta.columnMapping.physicalName": "col-c3"},
+            ),
+        ]
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": logical.json(),
+                "partitionColumns": ["region_key"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+            }
+        },
+    ] + adds
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w", encoding="utf-8"
+    ) as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    out = read_delta(spark, root)
+    pruned, skipped = read_delta_pruned(spark, root, "region_key", 2, 2)
+    if skipped == 0:
+        raise RuntimeError("column-mapped pruning eliminated no files")
+    pr = pruned.filter("region_key = 2").agg(
+        F.count("*").cast("bigint").alias("pruned_rows")
+    )
+    return (
+        out.groupBy("region_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.sum("nation_key").cast("bigint").alias("key_mass"),
+        )
+        .crossJoin(F.broadcast(pr))
+    )
+
+
+@register(
+    "delta_deletion_vectors_roundtrip",
+    f"""
+    WITH kept AS (
+      SELECT * FROM orders
+      WHERE NOT (o_orderkey BETWEEN 1000 AND 5000)
+        AND NOT (o_orderkey BETWEEN 4000 AND 8000)
+    ), tt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_at_v0 FROM orders
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", "price_mass")},
+           tt.rows_at_v0
+    FROM kept CROSS JOIN tt GROUP BY 1, tt.rows_at_v0
+    """,
+    tags=["S6", "delta", "deletion-vectors", "dml", "roundtrip"],
+)
+def q_delta_deletion_vectors_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (VERDICT r5 next-step
+    #4): two overlapping range deletes on an orders table write ONLY
+    row-index bitmaps (z85 + RoaringBitmapArray, sources/delta_dv.py) —
+    the snapshot must keep the IDENTICAL data-file set (asserted; a
+    rewrite would be copy-on-write, not merge-on-read), the second
+    delete must MERGE bitmaps on files both ranges touch, reads must
+    subtract the union, and time travel to v0 must still see every row
+    (cross-joined rows_at_v0 scalar). This is the protocol's answer to
+    small deletes on huge tables: O(deleted rows) of metadata, zero
+    data bytes rewritten.
+
+    Scale: the bitmap is driver-side metadata bounded by delete
+    selectivity; the read-side subtraction is one broadcast anti-join
+    on (file, row_index)."""
+    from .sources.delta_log import delete_delta_dv, read_delta, snapshot, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_ddv_rt_") + "/orders_delta"
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_delta(o.repartitionByRange(8, "o_orderkey"), root, mode="overwrite")
+    files_v0 = set(snapshot(spark, root).files)
+
+    delete_delta_dv(spark, root, "o_orderkey", 1000, 5000)
+    delete_delta_dv(spark, root, "o_orderkey", 4000, 8000)
+
+    snap = snapshot(spark, root)
+    if set(snap.files) != files_v0:
+        raise RuntimeError("DV delete rewrote data files (expected none)")
+    if not any(a.get("deletionVector") for a in snap.files.values()):
+        raise RuntimeError("no deletionVector descriptors were written")
+
+    v0_count = read_delta(spark, root, version=0).agg(
+        F.count("*").cast("bigint").alias("rows_at_v0")
+    )
+    return (
+        read_delta(spark, root)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "price_mass"),
+        )
+        .crossJoin(F.broadcast(v0_count))
+    )
+
+
+@register(
+    "delta_checkpoint_truncate_replay",
+    """
+    WITH final AS (
+      SELECT s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(s_suppkey) AS BIGINT) AS key_mass
+      FROM supplier GROUP BY 1
+    ), extra AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS low_rows
+      FROM supplier WHERE s_suppkey % 3 = 0
+    )
+    SELECT final.*, extra.low_rows FROM final CROSS JOIN extra
+    """,
+    tags=["S6", "delta", "checkpoint", "retention", "roundtrip"],
+)
+def q_delta_checkpoint_truncate_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-part checkpoint WRITE + log retention (VERDICT r5 next-step
+    #6): three supplier commits, then a 2-part
+    ``<v>.checkpoint.<i>.<n>.parquet`` set is authored and every JSON
+    commit at or before it deleted (truncate_log — the
+    delta.logRetentionDuration story). The snapshot must rebuild from
+    the checkpoint parts alone, a NEW append must land on top, and a
+    time-travel read pinned at the checkpoint version supplies the
+    cross-joined low_rows scalar. The oracle recomputes both from the
+    pristine supplier table, so a half-read checkpoint part or a replay
+    that loses the post-truncation commit flips the hash.
+
+    Scale: checkpoint size is O(live files); truncation is O(commits)
+    unlink metadata."""
+    from .sources.delta_log import (
+        read_delta,
+        truncate_log,
+        write_checkpoint,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="mm_dckpt_rt_") + "/supp_delta"
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    write_delta(s.filter("s_suppkey % 3 = 0"), root, mode="overwrite")  # v0
+    write_delta(s.filter("s_suppkey % 3 = 1"), root, mode="append")  # v1
+    ckpt_v = write_checkpoint(spark, root, parts=2)  # checkpoint at v1
+    removed = truncate_log(root)
+    if removed != list(range(ckpt_v + 1)):
+        raise RuntimeError(f"truncate_log removed {removed}, wanted 0..{ckpt_v}")
+    write_delta(s.filter("s_suppkey % 3 = 2"), root, mode="append")  # v2
+
+    low = read_delta(spark, root, version=ckpt_v).filter("s_suppkey % 3 = 0").agg(
+        F.count("*").cast("bigint").alias("low_rows")
+    )
+    return (
+        read_delta(spark, root)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("s_suppkey").cast("bigint").alias("key_mass"),
+        )
+        .crossJoin(F.broadcast(low))
+    )
+
+
+@register(
+    "delta_cdf_bloom_dim_join",
+    f"""
+    WITH changed AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_custkey % 5 = 4 OR o_orderkey BETWEEN 2000 AND 6000
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_affected,
+           {sql_dsum("c.c_acctbal", "bal_mass")}
+    FROM customer c
+    WHERE c.c_custkey IN (SELECT o_custkey FROM changed)
+    GROUP BY 1
+    """,
+    tags=["S6", "delta", "cdf", "bloom", "join"],
+)
+def q_delta_cdf_bloom_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered CDF dimension join (VERDICT r5 next-step #6): the
+    change feed of a CDF-enabled orders table (append commit + DELETE
+    commit) yields the changed order keys; the affected CUSTOMERS are
+    found with ``bloom_semi_join`` — the bitmap digest of the changed
+    custkeys prefilters the customer probe before the exact semi-join,
+    the incremental-refresh pattern where a 100 TB dim is filtered by a
+    delta-sized bloom bitmap instead of shuffling whole. The oracle
+    recomputes the affected set relationally (IN subquery), so a bloom
+    false NEGATIVE (the one failure a bloom must never have) or a
+    missed/spurious change row flips the hash.
+
+    Scale: changes are delta-bounded scans of cdc/add files; the bloom
+    bitmap is <=8 MB; the residual semi-join shuffles only prefilter
+    survivors."""
+    from .operators.bloomjoin import bloom_semi_join
+    from .sources.delta_log import delete_delta, read_cdf, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_dcbj_rt_") + "/orders_delta"
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    write_delta(
+        o.filter("o_custkey % 5 < 4"),
+        root,
+        mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # v0
+    write_delta(o.filter("o_custkey % 5 = 4"), root, mode="append")  # v1
+    delete_delta(spark, root, "o_orderkey", 2000, 6000)  # v2
+
+    changed_keys = (
+        read_cdf(spark, root, from_version=1)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    affected = bloom_semi_join(cust, changed_keys, "c_custkey")
+    return affected.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_affected"),
+        dsum("c_acctbal", "bal_mass"),
     )
