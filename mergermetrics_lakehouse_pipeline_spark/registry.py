@@ -1587,6 +1587,7 @@ def _load_extensions() -> None:
         registry_events,
         registry_llm,
         registry_mining,
+        registry_r6,
         registry_scale,
         registry_sinks,
         registry_tpch,

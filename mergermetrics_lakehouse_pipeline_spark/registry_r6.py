@@ -1,0 +1,451 @@
+"""Round-6 analytics surface: model scoring, distribution diagnostics,
+inequality/concentration metrics, seasonality, inactivity cohorts and
+discrete quantiles — engine breadth beyond the reference's own queries,
+following the project's determinism discipline (exact BIGINT/DECIMAL
+evidence masses, one trailing double division; IEEE +,-,* are exactly
+rounded so identical expression trees produce identical bits on Spark
+and DuckDB).
+
+Parity note: the reference's notebooks stop at KPI rollups
+(4_sales_analytics.py); these queries extend the same star schema with
+the statistics a lakehouse team layers on next, each expressible as a
+plain DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as tx
+from .registry import T, dsum, register, sql_dsum
+
+
+@register(
+    "docs_model_scoring",
+    """
+    WITH feat AS (
+      SELECT doc_id, source, n_chars,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_toks
+      FROM documents
+    ), fit AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_toks) AS BIGINT) AS sy,
+             CAST(SUM(n_chars * n_toks) AS BIGINT) AS sxy,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM feat GROUP BY 1
+    ), coef AS (
+      SELECT source, n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+      FROM fit
+    ), coef2 AS (
+      SELECT source, slope,
+             (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+      FROM coef
+    ), resid AS (
+      SELECT f.doc_id, f.source, f.n_toks, c.slope,
+             CAST(f.n_toks AS DOUBLE)
+               - (c.intercept + c.slope * CAST(f.n_chars AS DOUBLE))
+               AS residual
+      FROM feat f JOIN coef2 c ON f.source = c.source
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY abs(residual) DESC, doc_id
+             ) AS rn
+      FROM resid
+    )
+    SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+           residual, slope
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=["llm", "model-scoring", "regression"],
+)
+def q_docs_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped model scoring (VERDICT r5 next-step #6): fit a per-source
+    OLS of whitespace-token count on character count from EXACT BIGINT
+    evidence sums (n, Σx, Σy, Σxy, Σx²), broadcast the model-sized
+    coefficient table back onto the documents, and return each source's
+    top-3 largest-residual docs (the quality-outlier triage a training
+    pipeline runs after fitting a length model). slope/intercept are one
+    exact-integer division each; the residual is the same IEEE
+    expression tree on both engines, so the hash pins the doubles
+    bit-for-bit.
+
+    Scale: fit = one aggregation at source grain; scoring = broadcast
+    join (coefficients are O(sources)); top-3 = one window per source
+    partition. No Python in the hot path."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", tx.token_count("text").alias("n_toks")
+    )
+    fit = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum("n_toks").cast("bigint").alias("sy"),
+        F.sum(F.col("n_chars") * F.col("n_toks")).cast("bigint").alias("sxy"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    coef = fit.select(
+        "source",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope"),
+        (
+            (F.col("sy").cast("double")
+             - (
+                 (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                 / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+             ) * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )
+    scored = docs.join(F.broadcast(coef), "source").withColumn(
+        "residual",
+        F.col("n_toks").cast("double")
+        - (F.col("intercept") + F.col("slope") * F.col("n_chars").cast("double")),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.abs(F.col("residual")).desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            "residual",
+            "slope",
+        )
+    )
+
+
+@register(
+    "lineitem_benford_leading_digit",
+    f"""
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS lead_digit,
+             l_extendedprice
+      FROM lineitem
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lineitem)
+    SELECT lead_digit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS share,
+           {sql_dsum("l_extendedprice", "price_mass")}
+    FROM d CROSS JOIN tot
+    GROUP BY 1, tot.n_total
+    """,
+    tags=["quality", "distribution", "fraud"],
+)
+def q_lineitem_benford_leading_digit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford leading-digit profile of extended prices — the
+    data-quality / fraud screen: distribution of the first digit of
+    floor(price) with each digit's share of all lines (one exact-count
+    division) and exact decimal price mass. A synthetic-data or
+    corrupted-load price column shows up immediately as a digit-share
+    shift.
+
+    Scale: one scan, one aggregation on a 9-value key; the total is a
+    1-row broadcast cross join."""
+    li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
+    d = li.withColumn(
+        "lead_digit",
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        ),
+    )
+    tot = li.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("lead_digit", "n_total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            dsum("l_extendedprice", "price_mass"),
+        )
+        .select(
+            "lead_digit",
+            "n_lines",
+            (F.col("n_lines").cast("double") / F.col("n_total").cast("double"))
+            .alias("share"),
+            "price_mass",
+        )
+    )
+
+
+@register(
+    "customer_acctbal_gini",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             ) AS r
+      FROM customer
+    ), agg AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(bal) AS DECIMAL(28,2)) AS s_b,
+             CAST(SUM(r * bal) AS DECIMAL(28,2)) AS s_rb
+      FROM ranked GROUP BY 1
+    )
+    SELECT c_mktsegment,
+           n_customers,
+           CAST(s_b AS DOUBLE) AS bal_mass,
+           CAST(2 * s_rb - (n_customers + 1) * s_b AS DOUBLE)
+             / CAST(n_customers * s_b AS DOUBLE) AS gini
+    FROM agg
+    """,
+    tags=["inequality", "window", "analytics"],
+)
+def q_customer_acctbal_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of account balances per market segment via the
+    rank formula G = (2·Σr·x − (n+1)·Σx) / (n·Σx): ranks come from one
+    window ordered by (balance, custkey) — a total order, so both
+    engines assign identical ranks — and the two evidence masses are
+    exact DECIMALs; the division is the only floating step. The
+    concentration metric a revenue team asks for right after the Pareto
+    share (registry_mining).
+
+    Scale: one window partition per segment (segment-grain, not a
+    global single-reducer sort) + one aggregation."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = T(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        F.row_number().over(w).alias("r"),
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("bal").cast("decimal(28,2)").alias("s_b"),
+        F.sum(F.col("r") * F.col("bal")).cast("decimal(28,2)").alias("s_rb"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        F.col("s_b").cast("double").alias("bal_mass"),
+        (
+            (2 * F.col("s_rb") - (F.col("n_customers") + 1) * F.col("s_b"))
+            .cast("double")
+            / (F.col("n_customers") * F.col("s_b")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@register(
+    "orders_seasonality_index",
+    """
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS mass
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(mass) AS DECIMAL(28,2)) AS total_mass FROM m
+    )
+    SELECT order_month, n_orders,
+           CAST(mass AS DOUBLE) AS price_mass,
+           CAST(mass * 12 AS DOUBLE) / CAST(tot.total_mass AS DOUBLE)
+             AS seasonality_index
+    FROM m CROSS JOIN tot
+    """,
+    tags=["time-series", "seasonality"],
+)
+def q_orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's share of
+    total order value scaled by 12, so 1.0 = a perfectly flat month.
+    Masses are exact decimals; the index is one trailing division. The
+    demand-planning profile built on the same monthly rollup the
+    reference's fact pipeline maintains (2_fact_data_processing).
+
+    Scale: one aggregation on a 12-value key + a 1-row broadcast."""
+    m = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.month("o_orderdate").cast("bigint").alias("order_month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("mass"),
+        )
+    )
+    tot = m.agg(F.sum("mass").cast("decimal(28,2)").alias("total_mass"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "order_month",
+        "n_orders",
+        F.col("mass").cast("double").alias("price_mass"),
+        (
+            (F.col("mass") * 12).cast("double")
+            / F.col("total_mass").cast("double")
+        ).alias("seasonality_index"),
+    )
+
+
+@register(
+    "supplier_nation_hhi",
+    """
+    WITH per_nation AS (
+      SELECT n.n_regionkey, s.s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations_present,
+           CAST(SUM(cnt) AS BIGINT) AS n_suppliers,
+           CAST(SUM(cnt * cnt) AS DOUBLE)
+             / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE) AS hhi
+    FROM per_nation GROUP BY 1
+    """,
+    tags=["concentration", "join", "analytics"],
+)
+def q_supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of each region's supplier base
+    across its nations: HHI = Σcᵢ² / (Σcᵢ)² from exact integer counts,
+    one trailing division — the rational-arithmetic alternative to an
+    entropy metric (ln is not cross-engine bit-stable; HHI is). 1/HHI is
+    the effective number of supplier nations a procurement team sees.
+
+    Scale: broadcast nation dim, one two-level aggregation."""
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "s_nationkey")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return per_nation.groupBy("n_regionkey").agg(
+        F.count("*").cast("bigint").alias("n_nations_present"),
+        F.sum("cnt").cast("bigint").alias("n_suppliers"),
+        (
+            F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt") * F.sum("cnt")).cast("double")
+        ).alias("hhi"),
+    )
+
+
+@register(
+    "events_inactivity_buckets",
+    """
+    WITH last_seen AS (
+      SELECT user_id, MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY 1
+    ), anchor AS (
+      SELECT MAX(epoch_us(ts)) AS max_us FROM events
+    ), bucketed AS (
+      SELECT user_id,
+             (anchor.max_us - last_us) // 86400000000 AS days_inactive
+      FROM last_seen CROSS JOIN anchor
+    )
+    SELECT CASE WHEN days_inactive <= 1 THEN 'active_0_1d'
+                WHEN days_inactive <= 7 THEN 'cooling_2_7d'
+                WHEN days_inactive <= 30 THEN 'lapsing_8_30d'
+                ELSE 'churned_31d_plus' END AS inactivity_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(days_inactive) AS BIGINT) AS min_days,
+           CAST(MAX(days_inactive) AS BIGINT) AS max_days
+    FROM bucketed GROUP BY 1
+    """,
+    tags=["events", "churn", "retention"],
+)
+def q_events_inactivity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity/churn cohorts: per-user days since last event (exact
+    integer arithmetic on epoch microseconds against the stream's max
+    timestamp — no wall clock, so the query is deterministic), bucketed
+    into the lifecycle stages a retention team acts on.
+
+    Scale: one user-grain aggregation + a 1-row broadcast anchor; the
+    bucket rollup is a 4-value key."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    last_seen = e.groupBy("user_id").agg(F.max("us").alias("last_us"))
+    anchor = e.agg(F.max("us").alias("max_us"))
+    bucketed = last_seen.crossJoin(F.broadcast(anchor)).withColumn(
+        "days_inactive",
+        ((F.col("max_us") - F.col("last_us")) / F.lit(86400000000)).cast("bigint"),
+    )
+    return (
+        bucketed.withColumn(
+            "inactivity_bucket",
+            F.when(F.col("days_inactive") <= 1, "active_0_1d")
+            .when(F.col("days_inactive") <= 7, "cooling_2_7d")
+            .when(F.col("days_inactive") <= 30, "lapsing_8_30d")
+            .otherwise("churned_31d_plus"),
+        )
+        .groupBy("inactivity_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("days_inactive").cast("bigint").alias("min_days"),
+            F.max("days_inactive").cast("bigint").alias("max_days"),
+        )
+    )
+
+
+@register(
+    "part_price_quartiles_disc",
+    """
+    WITH ranked AS (
+      SELECT p_brand,
+             CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+             ROW_NUMBER() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM part
+    )
+    SELECT p_brand,
+           CAST(MAX(n) AS BIGINT) AS n_parts,
+           CAST(MAX(CASE WHEN rn = (n * 1 + 3) // 4 THEN price END)
+                AS DOUBLE) AS q1_price,
+           CAST(MAX(CASE WHEN rn = (n * 2 + 3) // 4 THEN price END)
+                AS DOUBLE) AS median_price,
+           CAST(MAX(CASE WHEN rn = (n * 3 + 3) // 4 THEN price END)
+                AS DOUBLE) AS q3_price
+    FROM ranked GROUP BY 1
+    """,
+    tags=["quantiles", "window", "analytics"],
+)
+def q_part_price_quartiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE per-brand price quartiles: the ceil(k·n/4)-th element
+    under the total order (price, partkey) — element selection, not
+    interpolation, so the result is an actual data value and the
+    cross-engine comparison is exact (approx_percentile/quantile_cont
+    would not be). One window + one conditional aggregation; the
+    pattern generalizes to any exact distributed quantile.
+
+    Scale: brand-grain partitions (no global sort), map-side
+    conditional aggregation."""
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    wn = Window.partitionBy("p_brand")
+    ranked = T(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(k: int, alias: str):
+        idx = F.floor((F.col("n") * k + 3) / 4)
+        return (
+            F.max(F.when(F.col("rn") == idx, F.col("price")))
+            .cast("double")
+            .alias(alias)
+        )
+
+    return ranked.groupBy("p_brand").agg(
+        F.max("n").cast("bigint").alias("n_parts"),
+        pick(1, "q1_price"),
+        pick(2, "median_price"),
+        pick(3, "q3_price"),
+    )
