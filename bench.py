@@ -144,6 +144,25 @@ EXTENDED_R5: list[str] = [
 ]
 
 
+#: Round-6 additions, reported under "extended_r6" — earlier sets stay
+#: frozen so BENCH_r01..r06 compare like-for-like.
+EXTENDED_R6: list[str] = [
+    "delta_concurrent_writers_roundtrip",
+    "delta_cdf_stream_roundtrip",
+    "delta_column_mapping_read",
+    "delta_deletion_vectors_roundtrip",
+    "delta_checkpoint_truncate_replay",
+    "delta_cdf_bloom_dim_join",
+    "docs_model_scoring",
+    "lineitem_benford_leading_digit",
+    "customer_acctbal_gini",
+    "orders_seasonality_index",
+    "supplier_nation_hhi",
+    "events_inactivity_buckets",
+    "part_price_quartiles_disc",
+]
+
+
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -182,6 +201,7 @@ def main() -> None:
     extended_r3 = time_set(EXTENDED_R3)
     extended_r4 = time_set(EXTENDED_R4)
     extended_r5 = time_set(EXTENDED_R5)
+    extended_r6 = time_set(EXTENDED_R6)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -198,6 +218,8 @@ def main() -> None:
         "extended_r4_total": round(sum(extended_r4.values()), 3),
         "extended_r5": extended_r5,
         "extended_r5_total": round(sum(extended_r5.values()), 3),
+        "extended_r6": extended_r6,
+        "extended_r6_total": round(sum(extended_r6.values()), 3),
     }
     # Full detail to a file (the driver's stdout tail capture clipped the
     # r3 single-line output, losing the headline total)...

@@ -1441,13 +1441,25 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # --- ROUND-5 ROTATION: after r4 the ledger reads 188/188
-    # verified-ever, pending 0 (tools/window_coverage.py), so every r4
-    # window row is durable and the full 50-slot window is free. Head =
-    # this round's new queries (each needs its first driver row); the
-    # remainder of the window re-verifies prior-round rows at zero risk.
-    # ---
-    # round-5 additions (new surface)
+    # --- ROUND-6 ROTATION: after r5 the ledger reads 207/207
+    # verified-ever, pending 0, so the full 50-slot window is free
+    # again. Head = this round's 13 new queries (first driver rows);
+    # the remainder re-verifies prior-round rows at zero risk. ---
+    # round-6 additions (new surface)
+    "delta_concurrent_writers_roundtrip",
+    "delta_cdf_stream_roundtrip",
+    "delta_column_mapping_read",
+    "delta_deletion_vectors_roundtrip",
+    "delta_checkpoint_truncate_replay",
+    "delta_cdf_bloom_dim_join",
+    "docs_model_scoring",
+    "lineitem_benford_leading_digit",
+    "customer_acctbal_gini",
+    "orders_seasonality_index",
+    "supplier_nation_hhi",
+    "events_inactivity_buckets",
+    "part_price_quartiles_disc",
+    # --- round-5 additions (re-verification) ---
     "delta_log_read_roundtrip",
     "emb_semantic_dedup",
     "docs_bpe_merges",

@@ -240,6 +240,14 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "docs_multi_suite_decontamination",  # 3-row suite literal broadcast
         "delta_log_read_roundtrip",  # 1-row time-travel count stitch
         "docs_source_mixture",  # 1-row normalizer-fold broadcast
+        # round 6: all 1-row scalar broadcast cross joins (documented)
+        "delta_cdf_stream_roundtrip",  # 1-row change-type counts stitch
+        "delta_column_mapping_read",  # 1-row pruned-count stitch
+        "delta_deletion_vectors_roundtrip",  # 1-row rows_at_v0 stitch
+        "delta_checkpoint_truncate_replay",  # 1-row low_rows stitch
+        "lineitem_benford_leading_digit",  # 1-row total-count broadcast
+        "orders_seasonality_index",  # 1-row total-mass broadcast
+        "events_inactivity_buckets",  # 1-row max-ts anchor broadcast
     }
     registry._load_extensions()
 
