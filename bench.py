@@ -153,6 +153,7 @@ EXTENDED_R6: list[str] = [
     "delta_deletion_vectors_roundtrip",
     "delta_checkpoint_truncate_replay",
     "delta_cdf_bloom_dim_join",
+    "delta_restore_roundtrip",
     "docs_model_scoring",
     "lineitem_benford_leading_digit",
     "customer_acctbal_gini",

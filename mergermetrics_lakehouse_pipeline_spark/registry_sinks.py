@@ -2223,3 +2223,60 @@ def q_delta_cdf_bloom_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_affected"),
         dsum("c_acctbal", "bal_mass"),
     )
+
+
+@register(
+    "delta_restore_roundtrip",
+    """
+    WITH v0 AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(p_size) AS BIGINT) AS size_mass
+      FROM part WHERE p_partkey % 10 < 6 GROUP BY 1
+    ), pre AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_before_restore
+      FROM part
+      WHERE (p_partkey % 10 < 6 OR p_partkey % 10 >= 6)
+        AND NOT (p_partkey BETWEEN 100 AND 900)
+    )
+    SELECT v0.*, pre.rows_before_restore FROM v0 CROSS JOIN pre
+    """,
+    tags=["S6", "delta", "restore", "time-travel", "roundtrip"],
+)
+def q_delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION AS OF over the protocol log: a part
+    table takes an append and a copy-on-write DELETE, then is RESTORED
+    to v0 — a new commit that re-adds v0's files and removes everything
+    since, zero data movement (sources/delta_log.py:restore_delta). The
+    final read must equal v0 exactly (per-brand aggregate), while the
+    pre-restore state remains time-travel-readable and supplies the
+    cross-joined rows_before_restore scalar. The oracle recomputes both
+    from the pristine part table, so a restore that loses a v0 file,
+    keeps a deleted one, or clobbers history flips the hash.
+
+    Scale: restore is an O(files) metadata diff; both reads are plain
+    distributed scans."""
+    from .sources.delta_log import delete_delta, read_delta, restore_delta, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_drestore_rt_") + "/part_delta"
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    write_delta(
+        p.filter("p_partkey % 10 < 6").repartitionByRange(4, "p_partkey"),
+        root,
+        mode="overwrite",
+    )  # v0
+    write_delta(p.filter("p_partkey % 10 >= 6"), root, mode="append")  # v1
+    delete_delta(spark, root, "p_partkey", 100, 900)  # v2
+    v = restore_delta(spark, root, 0)  # v3
+
+    pre = read_delta(spark, root, version=v - 1).agg(
+        F.count("*").cast("bigint").alias("rows_before_restore")
+    )
+    return (
+        read_delta(spark, root)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("p_size").cast("bigint").alias("size_mass"),
+        )
+        .crossJoin(F.broadcast(pre))
+    )

@@ -583,6 +583,69 @@ def _schema_json(df: DataFrame) -> str:
     return df.schema.json()
 
 
+def _finish_overwrite_schema_commit(
+    table_path: str,
+    df: DataFrame,
+    prev: DeltaSnapshot,
+    partition_by: list[str],
+    added: list[str],
+    txn: tuple[str, int] | None,
+) -> int:
+    """Author the commit for an explicit schema-replacing overwrite:
+    new metaData (schema AND partitioning may change), every previous
+    file removed, staged files added."""
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _schema_json(df),
+                "partitionColumns": partition_by,
+                "configuration": prev.configuration,
+            }
+        }
+    ]
+    for rel, a in prev.files.items():
+        actions.append(
+            {
+                "remove": {
+                    "path": a.get("path", quote(rel, safe="/")),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    stat_cols = _stats_columns(df.schema, partition_by)
+    for rel in added:
+        actions.append(
+            _add_action(table_path, rel, partition_by, stat_cols, now_ms)
+        )
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "OVERWRITE",
+                    "overwriteSchema": "true",
+                },
+            }
+        }
+    )
+    guard = _CommitGuard(
+        read_whole_table=True,
+        removed=set(prev.files),
+        read_files=set(prev.files),
+        has_metadata=True,
+    )
+    return _commit(table_path, actions, guard, prev.version)
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
@@ -591,6 +654,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     configuration: dict[str, str] | None = None,
+    overwrite_schema: bool = False,
 ) -> int:
     """Write ``df`` as a protocol-valid Delta commit; returns the version.
 
@@ -630,6 +694,19 @@ def write_delta(
             raise DeltaProtocolError(
                 "writing to column-mapped tables is not supported "
                 "(read-side interop only)"
+            )
+        if overwrite_schema:
+            # Delta's .option("overwriteSchema", "true"): an explicit
+            # full replacement of schema AND partitioning — the one
+            # sanctioned way to drop/retype columns. Only meaningful
+            # with a full overwrite (append would corrupt old files).
+            if mode != "overwrite":
+                raise DeltaProtocolError(
+                    "overwrite_schema requires mode='overwrite'"
+                )
+            added = _stage_write(df, table_path, partition_by)
+            return _finish_overwrite_schema_commit(
+                table_path, df, prev, partition_by, added, txn
             )
         # partitioning is a TABLE property, not a per-write choice:
         # inherit it when the caller omits partition_by, reject ANY
@@ -754,6 +831,72 @@ def write_delta(
             has_metadata=base_version < 0 or evolved_schema is not None,
         )
     return _commit(table_path, actions, guard, base_version)
+
+
+def restore_delta(spark: SparkSession, table_path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — Delta's time-travel rollback
+    as a NEW commit (history is preserved; nothing is rewritten): files
+    live at the target version but not now are re-added (their original
+    add actions, stats included), files live now but not then are
+    removed, and the target metaData is re-committed when the schema or
+    partitioning evolved since. Fails naturally at scan time if the
+    target's files were vacuumed, exactly like RESTORE past the
+    retention horizon. Returns the new version.
+
+    Scale: O(files) metadata diff driver-side; zero data movement."""
+    cur = snapshot(spark, table_path)
+    tgt = snapshot(spark, table_path, version)
+    _guard_writable(cur, "RESTORE")
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    if (
+        tgt.schema != cur.schema
+        or tgt.partition_columns != cur.partition_columns
+        or tgt.configuration != cur.configuration
+    ):
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": tgt.schema.json(),
+                    "partitionColumns": tgt.partition_columns,
+                    "configuration": tgt.configuration,
+                }
+            }
+        )
+    for rel, a in cur.files.items():
+        if rel not in tgt.files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": a.get("path", quote(rel, safe="/")),
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for rel, a in tgt.files.items():
+        if rel not in cur.files:
+            restored = dict(a)
+            restored["dataChange"] = True
+            actions.append({"add": restored})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        }
+    )
+    guard = _CommitGuard(
+        read_whole_table=True,
+        removed=set(cur.files),
+        read_files=set(cur.files),
+        has_metadata=bool(actions and "metaData" in actions[0]),
+    )
+    return _commit(table_path, actions, guard, cur.version)
 
 
 def write_checkpoint(

@@ -430,3 +430,73 @@ def test_multipart_checkpoint_write_and_truncated_replay(spark, tbl):
     # commits continue on top of the truncated log
     write_delta(nation.filter("n_nationkey = 0"), tbl, mode="append")
     assert read_delta(spark, tbl).count() == nation.count() + 1
+
+
+# --------------------------------------------------------------------------
+# RESTORE + explicit schema overwrite (round 6)
+# --------------------------------------------------------------------------
+
+
+def test_restore_rolls_back_as_new_commit(spark, tbl):
+    """RESTORE TO VERSION AS OF: the snapshot equals the target version,
+    history is preserved (restore is itself a commit), and a vacuumed
+    target fails at scan, not silently."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        restore_delta,
+    )
+
+    df = _kv(spark, 30)
+    write_delta(df.filter("k < 10"), tbl, mode="overwrite")  # v0
+    write_delta(df.filter("k >= 10 and k < 20"), tbl, mode="append")  # v1
+    delete_delta(spark, tbl, "k", 0, 4)  # v2
+    write_delta(df.filter("k >= 20"), tbl, mode="append")  # v3
+
+    v = restore_delta(spark, tbl, 1)
+    assert v == 4
+    assert _rows(read_delta(spark, tbl)) == _rows(df.filter("k < 20"))
+    # pre-restore state still time-travels
+    assert read_delta(spark, tbl, version=3).count() == 25
+    # restore of a restore works too
+    restore_delta(spark, tbl, 3)
+    assert read_delta(spark, tbl).count() == 25
+
+
+def test_restore_recommits_old_schema(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        restore_delta,
+    )
+
+    df = _kv(spark, 10)
+    write_delta(df, tbl, mode="overwrite")  # v0
+    write_delta(
+        df.withColumn("extra", F.lit("x")), tbl, mode="append"
+    )  # v1: schema evolves
+    restore_delta(spark, tbl, 0)
+    out = read_delta(spark, tbl)
+    assert out.columns == ["k", "v"]  # evolved column gone again
+    assert out.count() == 10
+
+
+def test_overwrite_schema_replaces_schema_and_partitioning(spark, tbl):
+    df = _kv(spark, 12)
+    write_delta(df, tbl, mode="overwrite")  # v0: (k, v) unpartitioned
+    with pytest.raises(DeltaProtocolError, match="type change"):
+        write_delta(
+            df.withColumn("v", F.col("v").cast("string")), tbl, mode="overwrite"
+        )
+
+    replaced = df.select(
+        F.col("k").cast("string").alias("k"), (F.col("k") % 3).alias("p")
+    )
+    v = write_delta(
+        replaced, tbl, mode="overwrite",
+        partition_by=["p"], overwrite_schema=True,
+    )
+    snap = snapshot(spark, tbl)
+    assert [f.name for f in snap.schema.fields] == ["k", "p"]
+    assert snap.partition_columns == ["p"]
+    assert _rows(read_delta(spark, tbl)) == _rows(replaced)
+    # old schema still readable via time travel
+    assert read_delta(spark, tbl, version=v - 1).columns == ["k", "v"]
+    with pytest.raises(DeltaProtocolError, match="overwrite_schema requires"):
+        write_delta(replaced, tbl, mode="append", overwrite_schema=True)
