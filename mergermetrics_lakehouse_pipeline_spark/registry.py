@@ -1453,6 +1453,7 @@ DRIVER_PRIORITY: list[str] = [
     "delta_checkpoint_truncate_replay",
     "delta_cdf_bloom_dim_join",
     "delta_restore_roundtrip",
+    "ivm_cdf_retraction_fold",
     "docs_model_scoring",
     "lineitem_benford_leading_digit",
     "customer_acctbal_gini",

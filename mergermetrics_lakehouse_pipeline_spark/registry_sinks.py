@@ -2280,3 +2280,91 @@ def q_delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(pre))
     )
+
+
+@register(
+    "ivm_cdf_retraction_fold",
+    """
+    WITH allr AS (
+      SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+    ), final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey BETWEEN 9000 AND 12000 THEN price + 50.0
+                  ELSE price END AS price
+      FROM allr WHERE o_orderkey NOT BETWEEN 2000 AND 6000
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_mass
+    FROM final GROUP BY 1
+    """,
+    tags=["ivm", "cdf", "incremental", "retraction"],
+)
+def q_ivm_cdf_retraction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete/update-aware incremental view maintenance driven by the
+    Change Data Feed: a SUM/COUNT view over a CDF-enabled orders table
+    is maintained purely from ``stream_cdf_batches`` — inserts and
+    update_postimages contribute +1/+price, deletes and
+    update_preimages contribute -1/-price (retractions), each batch
+    folds as a signed partial aggregate at view grain and the running
+    state re-aggregates. The full recompute never runs; the oracle IS
+    the full recompute, so a missed retraction (the classic IVM bug
+    class appends-only systems hit when DML arrives) flips the hash.
+
+    Scale: every fold touches one commit's change rows aggregated to
+    priority grain — maintenance cost tracks the delta, not the table;
+    exact DECIMAL masses keep the fold order-insensitive."""
+    from .sources.delta_log import (
+        delete_delta,
+        stream_cdf_batches,
+        update_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="mm_ivmcdf_rt_") + "/orders_delta"
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    write_delta(
+        o.filter("o_orderkey % 5 < 4"),
+        root,
+        mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # v0
+    write_delta(o.filter("o_orderkey % 5 = 4"), root, mode="append")  # v1
+    delete_delta(spark, root, "o_orderkey", 2000, 6000)  # v2
+    update_delta(
+        spark, root, "o_orderkey", 9000, 12000, {"price": "price + 50.0"}
+    )  # v3
+
+    state: DataFrame | None = None
+    for _v, batch in stream_cdf_batches(spark, root):
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        signed = batch.groupBy("o_orderpriority").agg(
+            F.sum(sign).cast("bigint").alias("n_orders"),
+            F.sum(
+                sign.cast("decimal(18,2)") * F.col("price").cast("decimal(18,2)")
+            )
+            .cast("decimal(28,2)")
+            .alias("mass"),
+        )
+        state = signed if state is None else (
+            state.unionByName(signed)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_orders").cast("bigint").alias("n_orders"),
+                F.sum("mass").cast("decimal(28,2)").alias("mass"),
+            )
+        )
+    if state is None:
+        raise RuntimeError("CDF stream yielded no batches")
+    return state.filter(F.col("n_orders") > 0).select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("mass").cast("double").alias("price_mass"),
+    )
