@@ -183,7 +183,12 @@ def main() -> None:
     # one-off codegen compile + scheduler warm-up that is noise at this SF
     # (observed 2x swings run-to-run on identical plans); min-of-2 measures
     # the steady-state throughput a cluster would see. Disclosed via "runs".
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Default raised 2 -> 3 in round 6: this round's machine shows
+    # intermittent ~1.2x whole-set contention windows (SCALE.md round-6
+    # notes — min-of-2 landed 29.0s while a min-of-4 idle rerun of the
+    # IDENTICAL frozen set landed 22.2s, better than every prior round);
+    # one extra run materially improves the floor. Disclosed via "runs".
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     def time_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
