@@ -1454,6 +1454,7 @@ DRIVER_PRIORITY: list[str] = [
     "delta_cdf_bloom_dim_join",
     "delta_restore_roundtrip",
     "ivm_cdf_retraction_fold",
+    "delta_pysource_stream_roundtrip",
     "docs_model_scoring",
     "lineitem_benford_leading_digit",
     "customer_acctbal_gini",

@@ -2368,3 +2368,82 @@ def q_ivm_cdf_retraction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("mass").cast("double").alias("price_mass"),
     )
+
+
+@register(
+    "delta_pysource_stream_roundtrip",
+    """
+    WITH tagged AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_custkey % 3 = 0 THEN 0
+                  WHEN c_custkey % 3 = 1 THEN 1
+                  ELSE 2 END AS commit_v,
+             CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(commit_v) AS BIGINT) AS version_mass,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_mass
+    FROM tagged GROUP BY 1
+    """,
+    tags=["S6", "delta", "streaming-source", "pydatasource", "roundtrip"],
+)
+def q_delta_pysource_stream_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Delta commit log as a REAL Structured Streaming source
+    (sources/delta_pysource.py, Spark 4 Python DataSource API): three
+    customer commits stream through
+    ``spark.readStream.format("delta_pylog")`` in CDF mode — offsets
+    are commit versions, each input partition decodes one parquet file
+    executor-side into Arrow batches — into a memory sink under
+    Trigger.AvailableNow. The sink is aggregated per segment with the
+    commit-version mass riding along, so a source that drops a commit,
+    re-emits one, misorders versions, or mangles a value in the Arrow
+    path flips the hash against the oracle's recomputation from the
+    pristine table. This closes the loop the generator-based
+    stream_cdf_batches cannot: checkpointed, engine-scheduled streaming
+    over the engine's own tables.
+
+    Scale: planning is O(files-per-commit) driver metadata; all row
+    decoding is executor-side Arrow; the sink aggregate is one
+    partial-agg shuffle at segment grain."""
+    from .sources.delta_pysource import DeltaLogDataSource
+    from .sources.delta_log import write_delta
+
+    spark.dataSource.register(DeltaLogDataSource)
+    root = tempfile.mkdtemp(prefix="mm_dpys_rt_") + "/cust_delta"
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    for i in range(3):
+        write_delta(
+            cust.filter(f"c_custkey % 3 = {i}"),
+            root,
+            mode="overwrite" if i == 0 else "append",
+        )
+
+    qname = f"dpys_rt_{uuid.uuid4().hex[:12]}"
+    q = (
+        spark.readStream.format("delta_pylog")
+        .option("path", root)
+        .option("mode", "cdf")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("_commit_version").cast("bigint").alias("version_mass"),
+            dsum("bal", "bal_mass"),
+        )
+    )
