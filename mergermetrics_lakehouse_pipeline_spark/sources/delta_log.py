@@ -753,13 +753,22 @@ def write_delta(
                 )
             )
 
+    if base_version >= 0:
+        _enforce_constraints(df, prev_configuration)
+    else:
+        _enforce_constraints(df, configuration or {})
     added = _stage_write(df, table_path, partition_by)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     if base_version < 0:
         conf = dict(configuration or {})
-        writer_v = 4 if conf.get(_CDF_PROP, "").lower() == "true" else 2
+        if conf.get(_CDF_PROP, "").lower() == "true":
+            writer_v = 4
+        elif any(k.startswith(_CONSTRAINT_PREFIX) for k in conf):
+            writer_v = 3
+        else:
+            writer_v = 2
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}}
         )
@@ -982,22 +991,130 @@ def truncate_log(table_path: str) -> list[int]:
     return removed
 
 
-def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
-    """Remove data files no longer referenced by the CURRENT snapshot —
-    Delta VACUUM with retention 0 (real deployments keep a retention
-    window for in-flight readers, which a single-process engine doesn't
-    have). Also reclaims data files of ABORTED transactions (staged,
-    moved into place, never committed). Time travel to versions whose
-    files were reclaimed fails afterwards, exactly as VACUUM past the
-    retention horizon does on Delta. Deletion-vector ``.bin`` files and
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _enforce_constraints(df: DataFrame, configuration: dict[str, str]) -> None:
+    """Delta CHECK-constraint semantics (writer version 3): a write must
+    not commit any row for which a constraint expression evaluates to
+    FALSE (NULL passes, as in SQL CHECK). One distributed pass over the
+    incoming frame regardless of constraint count."""
+    constraints = {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in (configuration or {}).items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+    if not constraints:
+        return
+    violated = None
+    for expr in constraints.values():
+        bad = ~F.coalesce(F.expr(expr), F.lit(True))
+        violated = bad if violated is None else (violated | bad)
+    n_bad = df.filter(violated).limit(1).count()
+    if n_bad:
+        # identify the failing constraint(s) for the error message
+        flags = df.select(
+            *[
+                F.max(
+                    (~F.coalesce(F.expr(e), F.lit(True))).cast("int")
+                ).alias(name)
+                for name, e in constraints.items()
+            ]
+        ).first()
+        failing = [name for name in constraints if flags[name]]
+        raise DeltaProtocolError(
+            f"CHECK constraint(s) {failing} violated by incoming rows: "
+            + "; ".join(f"{n}: {constraints[n]}" for n in failing)
+        )
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): validates the
+    EXISTING rows in one distributed pass, then commits metaData with
+    ``delta.constraints.<name>`` and a protocol upgrade to writer
+    version 3 — every subsequent write_delta enforces it.
+
+    Scale: one scan of live data (Delta pays the same on ADD
+    CONSTRAINT); afterwards each write validates only its own rows."""
+    snap = snapshot(spark, table_path)
+    _guard_writable(snap, "ADD CONSTRAINT")
+    key = _CONSTRAINT_PREFIX + name
+    if key in snap.configuration:
+        raise DeltaProtocolError(f"constraint {name!r} already exists")
+    new_conf = dict(snap.configuration)
+    new_conf[key] = expr
+    current = _scan_files(spark, table_path, snap, list(snap.files))
+    _enforce_constraints(current, {key: expr})
+
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = []
+    if int(snap.protocol.get("minWriterVersion", 2)) < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": snap.protocol.get("minReaderVersion", 1),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
+    actions.append(
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": new_conf,
+            }
+        }
+    )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+            }
+        }
+    )
+    guard = _CommitGuard(
+        read_whole_table=True,
+        read_files=set(snap.files),
+        has_metadata=True,
+    )
+    return _commit(table_path, actions, guard, snap.version)
+
+
+def vacuum_delta(
+    spark: SparkSession, table_path: str, retain_last: int = 1
+) -> list[str]:
+    """Remove data files referenced by NONE of the last ``retain_last``
+    snapshots — Delta VACUUM, with the retention window expressed in
+    VERSIONS instead of hours (the deterministic analogue of
+    ``deltaRetentionDuration``: a single-process engine has no
+    in-flight readers to age out, but time travel across the retained
+    window must keep working). ``retain_last=1`` is retention 0: only
+    the current snapshot survives. Also reclaims data files of ABORTED
+    transactions (staged, moved into place, never committed). Time
+    travel past the retained horizon fails afterwards with a read
+    error, never wrong rows. Deletion-vector ``.bin`` files and
     ``_change_data`` CDF files are never touched (underscore dirs and
     non-parquet files are out of scope for the listing).
 
-    Driver-side filesystem metadata work, O(files) — no Spark job.
-    Returns the removed relative paths.
+    Driver-side filesystem metadata work, O(files x retained versions)
+    — no Spark job. Returns the removed relative paths.
     """
-    snap = snapshot(spark, table_path)
-    live = {os.path.normpath(p) for p in snap.files}
+    commits, checkpoints = _list_versions(table_path)
+    versions = sorted(set(commits) | set(checkpoints))
+    live: set[str] = set()
+    for v in versions[-max(1, retain_last):]:
+        try:
+            snap_v = snapshot(spark, table_path, v)
+        except (DeltaProtocolError, FileNotFoundError):
+            continue  # pre-checkpoint version already unreachable
+        live |= {os.path.normpath(p) for p in snap_v.files}
     removed = []
     for rel in _list_data_files(table_path):
         if os.path.normpath(rel) not in live:

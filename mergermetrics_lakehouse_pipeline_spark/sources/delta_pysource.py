@@ -331,6 +331,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self.table_path = options["path"]
         self.cdf = options.get("mode", "append").lower() == "cdf"
         self.from_version = int(options.get("fromversion", 0))
+        #: admission control: at most this many commits per micro-batch
+        #: (0 = unbounded). The rate-limiting knob every production
+        #: stream needs — a backfill over 10k commits must not become
+        #: one giant batch.
+        self.max_commits = int(options.get("maxcommitsperbatch", 0))
+        self._cursor: int | None = None
         self.schema = schema
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
@@ -339,7 +345,18 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:  # noqa: N802 (API name)
         commits, checkpoints = _list_versions(self.table_path)
         latest = max(commits + list(checkpoints), default=-1)
-        return {"version": latest}
+        if not self.max_commits:
+            return {"version": latest}
+        base = (
+            self._cursor if self._cursor is not None else self.from_version - 1
+        )
+        capped = max(base, min(latest, base + self.max_commits))
+        self._cursor = capped
+        # after a checkpoint restart the cursor re-bases from
+        # from_version and advances max_commits per poll until it passes
+        # the committed offset; the interim short batches are empty
+        # (partitions() yields the marker), never re-emitted data
+        return {"version": capped}
 
     def partitions(self, start: dict, end: dict):
         commits, _ = _list_versions(self.table_path)

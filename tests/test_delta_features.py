@@ -500,3 +500,83 @@ def test_overwrite_schema_replaces_schema_and_partitioning(spark, tbl):
     assert read_delta(spark, tbl, version=v - 1).columns == ["k", "v"]
     with pytest.raises(DeltaProtocolError, match="overwrite_schema requires"):
         write_delta(replaced, tbl, mode="append", overwrite_schema=True)
+
+
+# --------------------------------------------------------------------------
+# version-window VACUUM + CHECK constraints (round 6)
+# --------------------------------------------------------------------------
+
+
+def test_vacuum_retention_window_keeps_time_travel(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        vacuum_delta,
+    )
+
+    df = _kv(spark, 30)
+    write_delta(df.filter("k < 10"), tbl, mode="overwrite")  # v0
+    write_delta(df.filter("k < 20"), tbl, mode="overwrite")  # v1
+    write_delta(df.filter("k < 5"), tbl, mode="overwrite")  # v2
+
+    removed = vacuum_delta(spark, tbl, retain_last=2)
+    assert removed  # v0's files reclaimed
+    # the retained window still time-travels
+    assert read_delta(spark, tbl, version=1).count() == 20
+    assert read_delta(spark, tbl).count() == 5
+    with pytest.raises(Exception):
+        read_delta(spark, tbl, version=0).collect()
+    # retention 0 then reclaims v1
+    assert vacuum_delta(spark, tbl, retain_last=1)
+    with pytest.raises(Exception):
+        read_delta(spark, tbl, version=1).collect()
+    assert read_delta(spark, tbl).count() == 5
+
+
+def test_check_constraints_enforced_on_write(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        add_check_constraint,
+        snapshot,
+    )
+
+    df = _kv(spark, 20)
+    write_delta(df, tbl, mode="overwrite")
+    v = add_check_constraint(spark, tbl, "v_nonneg", "v >= 0")
+    snap = snapshot(spark, tbl)
+    assert snap.configuration["delta.constraints.v_nonneg"] == "v >= 0"
+    assert snap.protocol["minWriterVersion"] >= 3
+
+    # conforming append lands
+    write_delta(
+        spark.createDataFrame([(100, 1)], "k long, v long"), tbl, mode="append"
+    )
+    # violating append is rejected BEFORE any commit
+    with pytest.raises(DeltaProtocolError, match="v_nonneg"):
+        write_delta(
+            spark.createDataFrame([(101, -5)], "k long, v long"),
+            tbl,
+            mode="append",
+        )
+    assert read_delta(spark, tbl).count() == 21  # no partial write visible
+    # NULL passes (SQL CHECK semantics)
+    write_delta(
+        spark.createDataFrame([(102, None)], "k long, v long"),
+        tbl,
+        mode="append",
+    )
+    assert read_delta(spark, tbl).count() == 22
+    # adding a constraint the EXISTING data violates is rejected
+    with pytest.raises(DeltaProtocolError, match="k_small"):
+        add_check_constraint(spark, tbl, "k_small", "k < 50")
+    # constraint created at table creation is enforced too
+    tbl2 = tbl + "_c2"
+    write_delta(
+        df, tbl2, mode="overwrite",
+        configuration={"delta.constraints.pos": "k >= 0"},
+    )
+    with pytest.raises(DeltaProtocolError, match="pos"):
+        write_delta(
+            spark.createDataFrame([(-1, 0)], "k long, v long"),
+            tbl2,
+            mode="append",
+        )
+    assert snapshot(spark, tbl2).protocol["minWriterVersion"] == 3
+    assert v == 1

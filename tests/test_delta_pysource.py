@@ -164,3 +164,41 @@ def test_cdf_stream_folds_dml_history(spark, tbl, tmp_path):
         else:
             state.discard((r["k"], r["v"]))
     assert state == _rows(read_delta(spark, tbl))
+
+
+def test_stream_admission_control_caps_commits_per_batch(spark, tbl):
+    """maxcommitsperbatch bounds each micro-batch's offset range — the
+    reader-level unit check drives the same latestOffset/partitions
+    protocol the engine does."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_pysource import (
+        DeltaLogStreamReader,
+        _table_schema,
+    )
+
+    df = _kv(spark, 40)
+    for i in range(4):
+        write_delta(
+            df.filter(f"k % 4 = {i}"), tbl,
+            mode="overwrite" if i == 0 else "append",
+        )
+
+    schema, _ = _table_schema(tbl)
+    r = DeltaLogStreamReader(
+        {"path": tbl, "maxcommitsperbatch": "1"}, schema
+    )
+    start = r.initialOffset()
+    seen = []
+    for _ in range(4):
+        end = r.latestOffset()
+        seen.append((int(start["version"]), int(end["version"])))
+        parts = r.partitions(start, end)
+        assert all(p.change != "empty" for p in parts)
+        start = end
+    # one commit per batch: offsets advance 0,1,2,3
+    assert [e for _s, e in seen] == [0, 1, 2, 3]
+    # caught up: next poll does not advance
+    assert int(r.latestOffset()["version"]) == 3
+
+    # unbounded reader takes everything in one range
+    r2 = DeltaLogStreamReader({"path": tbl}, schema)
+    assert int(r2.latestOffset()["version"]) == 3
