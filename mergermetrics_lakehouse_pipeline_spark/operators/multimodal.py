@@ -310,6 +310,215 @@ def _decode_bmp(payload: bytes) -> dict:
     }
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, variable code width
+    starting at min+1, CLEAR/END codes, deferred width growth at table
+    size 2^width, 12-bit cap (the published GIF89a spec, appendix F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out.extend(entry)
+            prev = entry
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _gif_lzw_encode(min_code_size: int, stream: list[int]) -> bytes:
+    """Dict-based GIF LZW encoder, width-synchronized with the decoder
+    above (grow after assigning code 2^width; CLEAR + reset at 4096)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    prev: tuple = ()
+    for s in stream:
+        cur = prev + (s,)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], code_size)
+        if next_code <= 4095:
+            table[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:  # table full: reset, as real encoders do
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        prev = (s,)
+    if prev:
+        emit(table[prev], code_size)
+    emit(end, code_size)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    # GIF89a appendix E: four passes (every 8th from 0, every 8th from
+    # 4, every 4th from 2, every 2nd from 1)
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """REAL image decode for GIF87a/GIF89a via pure stdlib struct + the
+    LZW kernel above: logical screen descriptor, global/local color
+    tables, extension-block skipping, interlace reordering; the FIRST
+    image frame becomes the luminance matrix ((r+g+b)//3 through the
+    color table), same feature/phash convention as the PNG/BMP paths."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh, flags = struct.unpack("<HHB", payload[6:11])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label byte + data sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            ct = gct
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 7) + 1)
+                ct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(min_code, bytes(data))
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF image data")
+            rows_seq = [idx[y * w : (y + 1) * w] for y in range(h)]
+            if iflags & 0x40:  # interlaced: rows arrive in pass order
+                matrix_rows: list[list[int] | None] = [None] * h
+                for src, y in enumerate(_gif_interlace_order(h)):
+                    matrix_rows[y] = rows_seq[src]
+                rows_seq = matrix_rows  # type: ignore[assignment]
+            matrix = [
+                [(ct[i * 3] + ct[i * 3 + 1] + ct[i * 3 + 2]) // 3 for i in row]
+                for row in rows_seq
+            ]
+            pixels = [v / 255.0 for row in matrix for v in row]
+            return {
+                "decoder": "gif",
+                "dec_width": w,
+                "dec_height": h,
+                "dec_duration_ms": None,
+                "feature": _segment_means(pixels),
+                "phash": _dhash64(matrix, w, h),
+            }
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contained no image block")
+
+
+def gif_payload(
+    pixels: list[list[int]], *, interlaced: bool = False
+) -> bytes:
+    """A VALID single-frame GIF89a whose pixels are the given grayscale
+    matrix (256-entry grayscale global color table, real LZW, optional
+    interlacing) — the fixture builder twin of ``png_payload``."""
+    h, w = len(pixels), len(pixels[0])
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    header = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+        + gct
+    )
+    rows = (
+        [pixels[y] for y in _gif_interlace_order(h)] if interlaced else pixels
+    )
+    stream = [v for row in rows for v in row]
+    min_code = 8
+    data = _gif_lzw_encode(min_code, stream)
+    sub = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    img = (
+        b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+        + bytes([min_code])
+        + sub
+        + b"\x00"
+    )
+    return header + img + b"\x3b"
+
+
 def _decode_payload(payload: bytes, *, strict: bool = False) -> dict:
     """Sniff magic bytes and decode for real where the stdlib can (WAV,
     8-bit gray/RGB/RGBA PNG, 24-bit BMP); otherwise the deterministic
@@ -321,6 +530,8 @@ def _decode_payload(payload: bytes, *, strict: bool = False) -> dict:
             return _decode_png(payload)
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif(payload)
     except Exception:
         if strict:
             raise
@@ -471,27 +682,45 @@ def wav_container(data: F.Column) -> F.Column:
     return F.concat(header, data)
 
 
+def gif_gray8_payload(data: bytes, *, width: int = 16) -> bytes:
+    """A VALID grayscale GIF89a whose pixels are the input bytes,
+    row-major at the given width — the GIF twin of
+    ``png_gray8_payload``."""
+    if not data:
+        data = b"\x00"
+    height = (len(data) + width - 1) // width
+    padded = data.ljust(width * height, b"\x00")
+    matrix = [
+        list(padded[y * width : (y + 1) * width]) for y in range(height)
+    ]
+    return gif_payload(matrix)
+
+
 def synthesize_decodable_media(docs: DataFrame) -> DataFrame:
     """Like ``synthesize_media_from_documents`` but audio rows carry REAL
-    WAV payloads (text bytes as PCM samples inside a valid RIFF header),
-    so the per-row decoder routing — real wav decode vs stub — runs
-    against driver testdata, not only against unit-test fixtures."""
+    WAV payloads (text bytes as PCM samples inside a valid RIFF header)
+    and image rows REAL containers — gray8 PNG for even media ids, gray
+    GIF89a for odd (round 6) — so the per-row decoder routing runs
+    against driver testdata across three real formats, not only against
+    unit-test fixtures."""
     base = synthesize_media_from_documents(docs)
 
-    def _png_batches(batches):
-        import pandas as pd
-
+    def _img_batches(batches):
         for pdf in batches:
             is_img = pdf["media_type"] == "image"
-            pdf.loc[is_img, "content"] = pdf.loc[is_img, "content"].map(
-                lambda b: png_gray8_payload(bytes(b))
-            )
+            sub = pdf.loc[is_img]
+            pdf.loc[is_img, "content"] = [
+                png_gray8_payload(bytes(b))
+                if mid % 2 == 0
+                else gif_gray8_payload(bytes(b))
+                for mid, b in zip(sub["media_id"], sub["content"])
+            ]
             yield pdf
 
-    # image rows: REAL gray8 PNG containers (Python-side — PNG framing
-    # has no JVM-expression form, unlike the WAV RIFF header below)
-    as_png = base.mapInPandas(_png_batches, schema=base.schema)
-    return as_png.withColumn(
+    # image rows: REAL containers (Python-side — PNG/GIF framing has no
+    # JVM-expression form, unlike the WAV RIFF header below)
+    as_img = base.mapInPandas(_img_batches, schema=base.schema)
+    return as_img.withColumn(
         "content",
         F.when(
             F.col("media_type") == "audio", wav_container(F.col("content"))

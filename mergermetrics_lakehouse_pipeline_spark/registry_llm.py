@@ -1766,7 +1766,13 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_decodable_media(T(spark, sf_dir, "documents"))
     feats = extract_features(media)
-    keyed = feats.filter(F.col("decoder") == "png").select("media_id", "phash")
+    # round 6: image rows decode as PNG (even ids) or GIF (odd ids);
+    # both real decoders emit the same dHash convention, so the
+    # perceptual pair space spans container formats — exactly what a
+    # byte-level dedup cannot do
+    keyed = feats.filter(F.col("decoder").isin("png", "gif")).select(
+        "media_id", "phash"
+    )
     return hamming_neardup_pairs(
         keyed, id_col="media_id", key_col="phash", max_hamming=6, key_bits=64
     )

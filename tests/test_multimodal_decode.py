@@ -161,7 +161,9 @@ def test_synthesized_audio_rows_really_decode(spark, sf_dir):
     for r in rows:
         by_type.setdefault(r.media_type, set()).add(r.decoder)
     assert by_type["audio"] == {"wav"}  # every audio row really decoded
-    assert by_type["image"] == {"png"}  # image rows carry REAL gray8 PNGs now
+    # image rows carry REAL containers: gray8 PNG (even ids) and
+    # grayscale GIF89a (odd ids) since round 6
+    assert by_type["image"] == {"png", "gif"}
     assert by_type["video"] == {"stub"}
     audio = [r for r in rows if r.media_type == "audio"]
     assert all(r.dec_duration_ms is not None and r.dec_duration_ms >= 0 for r in audio)
@@ -343,3 +345,53 @@ def test_unsupported_png_falls_back_to_stub_and_strict_raises(spark):
 
     with pt.raises(Exception):
         extract_features(media, strict=True).collect()
+
+
+def test_gif_payload_roundtrip_known_pixels(spark):
+    """REAL GIF decode (round 6): LZW + color table + interlace against
+    known pixels, matching the PNG path's feature/phash conventions."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+        _decode_gif,
+        _dhash64,
+        _segment_means,
+        gif_payload,
+    )
+
+    px = [[(x * 7 + y * 13) % 256 for x in range(23)] for y in range(17)]
+    for interlaced in (False, True):
+        d = _decode_gif(gif_payload(px, interlaced=interlaced))
+        assert (d["decoder"], d["dec_width"], d["dec_height"]) == ("gif", 23, 17)
+        flat = [v / 255.0 for row in px for v in row]
+        assert d["feature"] == _segment_means(flat)
+        assert d["phash"] == _dhash64(px, 23, 17)
+
+
+def test_gif_lzw_table_growth_and_reset(spark):
+    from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    # long repetitive stream: forces width growth to 12 bits and a
+    # CLEAR-code table reset mid-stream
+    stream = ([1, 2, 3] * 4000) + list(range(256)) * 30
+    assert _gif_lzw_decode(8, _gif_lzw_encode(8, stream)) == stream
+
+
+def test_gif_routes_in_mixed_batch(spark):
+    from mergermetrics_lakehouse_pipeline_spark.operators.multimodal import (
+        gif_gray8_payload,
+    )
+
+    rows = [
+        (20, "image", gif_gray8_payload(bytes(range(64)), width=8)),
+        (21, "image", make_png_gray8(8, 8)),
+        (22, "video", b"not-an-image"),
+    ]
+    got = {
+        r.media_id: (r.decoder, r.dec_width)
+        for r in extract_features(_media_df(spark, rows)).collect()
+    }
+    assert got[20] == ("gif", 8)
+    assert got[21][0] == "png"
+    assert got[22][0] == "stub"
