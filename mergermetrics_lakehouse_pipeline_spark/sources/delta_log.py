@@ -1492,6 +1492,33 @@ def optimize_delta(
     return _commit(table_path, actions, guard, snap.version)
 
 
+def _matched_files(
+    spark: SparkSession, table_path: str, snap: DeltaSnapshot, pred
+) -> list[str]:
+    """Relative paths of files containing >= 1 row matching ``pred`` —
+    Delta's touched-file discovery scan for arbitrary-predicate DML:
+    one distributed pass over the table projecting only the file path,
+    collecting O(matched files) strings."""
+    if not snap.files:
+        return []
+    paths = [os.path.join(table_path, p) for p in snap.files]
+    reader = spark.read.option("mergeSchema", "true")
+    if snap.partition_columns:
+        reader = reader.option("basePath", table_path)
+    raw = reader.parquet(*paths).select(
+        "*", _strip_scheme(F.col("_metadata.file_path")).alias("__fp")
+    )
+    logical = _select_logical(raw, snap, extra=["__fp"])
+    hits = logical.filter(pred).select("__fp").distinct().collect()
+    abs_to_rel = {
+        os.path.abspath(os.path.join(table_path, rel)): rel
+        for rel in snap.files
+    }
+    return sorted(
+        abs_to_rel[r["__fp"]] for r in hits if r["__fp"] in abs_to_rel
+    )
+
+
 def _dml_rewrite(
     spark: SparkSession,
     table_path: str,
@@ -1515,6 +1542,36 @@ def _dml_rewrite(
     if not candidates:
         return snap.version, 0
 
+    guard = _CommitGuard(
+        removed=set(candidates),
+        read_files=set(candidates),
+        predicate=(snap.physical(col), lo, hi),
+    )
+    return (
+        _dml_commit(
+            spark, table_path, snap, candidates,
+            survivors_of=survivors_of, changes_of=changes_of,
+            op=op, pred_desc=f"{col} BETWEEN {lo} AND {hi}", guard=guard,
+        ),
+        len(candidates),
+    )
+
+
+def _dml_commit(
+    spark: SparkSession,
+    table_path: str,
+    snap: DeltaSnapshot,
+    candidates: list[str],
+    *,
+    survivors_of,
+    changes_of,
+    op: str,
+    pred_desc: str,
+    guard: _CommitGuard,
+) -> int:
+    """Rewrite ``candidates`` through ``survivors_of`` and author the
+    remove+add (+cdc) commit — the shared tail of every copy-on-write
+    DML front end."""
     affected = _scan_files(spark, table_path, snap, candidates)
     survivors = survivors_of(affected)
 
@@ -1542,18 +1599,97 @@ def _dml_rewrite(
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": op,
-                "operationParameters": {
-                    "predicate": f"{col} BETWEEN {lo} AND {hi}"
-                },
+                "operationParameters": {"predicate": pred_desc},
             }
         }
     )
+    return _commit(table_path, actions, guard, snap.version)
+
+
+def delete_rows(
+    spark: SparkSession, table_path: str, where: str
+) -> tuple[int, int]:
+    """DELETE FROM t WHERE <arbitrary SQL predicate> — the general DML
+    front end: one touched-file discovery scan finds the files with
+    >= 1 matching row (Delta's own algorithm), ONLY those are rewritten
+    with matching rows dropped (NULL predicate rows survive, as in
+    SQL), every other file keeps its identity. CDF rows flow when
+    enabled. Returns (new_version, n_files_rewritten).
+
+    Scale: discovery is one projected scan; the rewrite is bounded by
+    files that actually contain matches — tighter than stats pruning,
+    at the cost of the extra scan (the same trade delta-spark makes)."""
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    snap = snapshot(spark, table_path)
+    _guard_writable(snap, "DELETE")
+    candidates = _matched_files(spark, table_path, snap, pred)
+    if not candidates:
+        return snap.version, 0
     guard = _CommitGuard(
+        read_whole_table=True,  # the discovery scan read every file
         removed=set(candidates),
-        read_files=set(candidates),
-        predicate=(snap.physical(col), lo, hi),
+        read_files=set(snap.files),
     )
-    return _commit(table_path, actions, guard, snap.version), len(candidates)
+    v = _dml_commit(
+        spark, table_path, snap, candidates,
+        survivors_of=lambda df: df.filter(~pred),
+        changes_of=lambda df: df.filter(pred).withColumn(
+            "_change_type", F.lit("delete")
+        ),
+        op="DELETE", pred_desc=where, guard=guard,
+    )
+    return v, len(candidates)
+
+
+def update_rows(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+    set_exprs: dict[str, str],
+) -> tuple[int, int]:
+    """UPDATE t SET ... WHERE <arbitrary SQL predicate> — same
+    touched-file surgery as ``delete_rows`` with matching rows
+    projected through ``set_exprs``; preimage/postimage CDF rows flow
+    when enabled. Returns (new_version, n_files_rewritten)."""
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    snap = snapshot(spark, table_path)
+    _guard_writable(snap, "UPDATE")
+    candidates = _matched_files(spark, table_path, snap, pred)
+    if not candidates:
+        return snap.version, 0
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.when(pred, F.expr(set_exprs[f.name]))
+                .otherwise(F.col(f.name))
+                .cast(f.dataType)
+                .alias(f.name)
+                if f.name in set_exprs
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+
+    def _changes(df: DataFrame) -> DataFrame:
+        matched = df.filter(pred)
+        pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+        post = _apply(matched).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        return pre.unionByName(post)
+
+    guard = _CommitGuard(
+        read_whole_table=True,
+        removed=set(candidates),
+        read_files=set(snap.files),
+    )
+    v = _dml_commit(
+        spark, table_path, snap, candidates,
+        survivors_of=_apply, changes_of=_changes,
+        op="UPDATE", pred_desc=where, guard=guard,
+    )
+    return v, len(candidates)
 
 
 def delete_delta(
@@ -1626,6 +1762,101 @@ def update_delta(
         survivors_of=_apply,
         changes_of=_changes,
     )
+
+
+def merge_delta(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    key: str,
+    *,
+    when_matched: str = "update",
+) -> tuple[int, int]:
+    """MERGE INTO target USING source ON target.key = source.key
+    WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT * —
+    executed as Delta executes it: stats pruning on the SOURCE's key
+    interval selects the candidate files (every file whose [min,max]
+    is disjoint from the source keys provably contains no match and
+    keeps its identity), only candidates are rewritten with matched
+    rows replaced by their source row, unmatched source rows are
+    appended, and with CDF enabled the commit carries
+    update_preimage/update_postimage/insert change rows — the
+    reference's core write pattern (1_customer_data_processing.py:
+    311-318 runs exactly this MERGE under optimistic concurrency).
+    ``when_matched="ignore"`` gives insert-only MERGE (J7). Duplicate
+    source keys are rejected (ambiguous match), as real Delta does.
+
+    Returns (new_version, n_files_rewritten).
+
+    Scale: the source key interval is a 2-value aggregate; the rewrite
+    is bounded by stats-intersecting files; the matched/unmatched split
+    is one join at candidate grain. A concurrent append whose stats
+    prove it disjoint from the source interval rebases cleanly."""
+    if when_matched not in ("update", "ignore"):
+        raise ValueError("when_matched must be 'update' or 'ignore'")
+    snap = snapshot(spark, table_path)
+    _guard_writable(snap, "MERGE")
+    tcols = [f.name for f in snap.schema.fields]
+    if [c for c in source.columns] != tcols:
+        source = source.select(*tcols)  # raises if a column is missing
+    dup = (
+        source.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise DeltaProtocolError(
+            "MERGE source has duplicate keys — a target row would match "
+            "more than one source row (ambiguous, rejected as Delta does)"
+        )
+    bounds = source.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return snap.version, 0  # empty source: nothing to merge
+    candidates, _ = prune_files_by_stats(snap, key, lo, hi)
+
+    affected = _scan_files(spark, table_path, snap, candidates)
+    src = source.cache()
+    src_keys = src.select(key).distinct()
+    matched_src = src.join(
+        affected.select(key).distinct(), key, "left_semi"
+    )
+    inserts = src.join(affected.select(key).distinct(), key, "left_anti")
+    untouched_rows = affected.join(src_keys, key, "left_anti")
+    if when_matched == "update":
+        replaced = untouched_rows.unionByName(matched_src)
+        preimage = affected.join(src_keys, key, "left_semi")
+    else:  # insert-only: matched target rows keep their current values
+        replaced = affected
+        preimage = affected.limit(0)
+    new_content = replaced.unionByName(inserts)
+
+    guard = _CommitGuard(
+        removed=set(candidates),
+        read_files=set(candidates),
+        predicate=(snap.physical(key), lo, hi),
+    )
+
+    def _changes(_df: DataFrame) -> DataFrame:
+        pre = preimage.withColumn("_change_type", F.lit("update_preimage"))
+        post = (
+            matched_src.withColumn("_change_type", F.lit("update_postimage"))
+            if when_matched == "update"
+            else matched_src.limit(0).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+        ins = inserts.withColumn("_change_type", F.lit("insert"))
+        return pre.unionByName(post).unionByName(ins)
+
+    v = _dml_commit(
+        spark, table_path, snap, candidates,
+        survivors_of=lambda _df: new_content,
+        changes_of=_changes,
+        op="MERGE", pred_desc=f"target.{key} = source.{key}", guard=guard,
+    )
+    src.unpersist()
+    return v, len(candidates)
 
 
 def delete_delta_dv(

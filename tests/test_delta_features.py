@@ -580,3 +580,140 @@ def test_check_constraints_enforced_on_write(spark, tbl):
         )
     assert snapshot(spark, tbl2).protocol["minWriterVersion"] == 3
     assert v == 1
+
+
+# --------------------------------------------------------------------------
+# arbitrary-predicate DML + file-surgery MERGE (round 6)
+# --------------------------------------------------------------------------
+
+
+def test_delete_rows_arbitrary_predicate_touched_files_only(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        delete_rows,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 3, "CANCELLED").otherwise("OK").alias(
+            "status"
+        ),
+    )
+    write_delta(df.repartitionByRange(4, "k"), tbl, mode="overwrite")
+    files_v0 = set(snapshot(spark, tbl).files)
+
+    v, n = delete_rows(spark, tbl, "status = 'CANCELLED'")
+    assert v == 1 and n == 4  # every range file contains a %10==3 row
+    got = _rows(read_delta(spark, tbl))
+    assert got == _rows(df.filter("status <> 'CANCELLED'"))
+
+    # a predicate matching nothing touches nothing
+    v2, n2 = delete_rows(spark, tbl, "status = 'NOPE'")
+    assert (v2, n2) == (1, 0)
+    assert set(snapshot(spark, tbl).files) != files_v0  # v1 rewrote
+
+    # NULL predicate rows survive (SQL semantics)
+    tbl2 = tbl + "_null"
+    dfn = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, "B")], "k long, status string"
+    )
+    write_delta(dfn, tbl2, mode="overwrite")
+    delete_rows(spark, tbl2, "status = 'A'")
+    assert _rows(read_delta(spark, tbl2)) == {(2, None), (3, "B")}
+
+
+def test_update_rows_with_cdf(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        update_rows,
+    )
+
+    df = _kv(spark, 30)
+    write_delta(
+        df.repartitionByRange(3, "k"), tbl, mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    v, n = update_rows(spark, tbl, "k % 7 = 0", {"v": "v + 1"})
+    assert v == 1 and n >= 1
+    want = df.withColumn(
+        "v",
+        F.when(F.col("k") % 7 == 0, F.col("v") + 1).otherwise(F.col("v")),
+    )
+    assert _rows(read_delta(spark, tbl)) == _rows(want)
+    cdf = read_cdf(spark, tbl, from_version=1)
+    counts = dict(
+        (r["_change_type"], r["n"])
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts == {"update_preimage": 5, "update_postimage": 5}
+
+
+def test_merge_delta_update_and_insert_with_file_surgery(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        merge_delta,
+    )
+
+    df = _kv(spark, 40)
+    write_delta(df.repartitionByRange(8, "k"), tbl, mode="overwrite")
+    files_v0 = set(snapshot(spark, tbl).files)
+
+    # source keys confined to [10, 14] + brand-new keys 100..102
+    source = spark.createDataFrame(
+        [(k, k * 1000) for k in range(10, 15)]
+        + [(k, k * 1000) for k in range(100, 103)],
+        "k long, v long",
+    )
+    v, rewritten = merge_delta(spark, tbl, source, "k")
+    assert v == 1
+    assert 0 < rewritten < 8  # only stats-intersecting files rewritten
+    snap = snapshot(spark, tbl)
+    # files provably disjoint from [10, 102] keep identity
+    assert len(files_v0 & set(snap.files)) >= 1
+    got = _rows(read_delta(spark, tbl))
+    want = {
+        (k, k * 1000 if 10 <= k <= 14 else k * 10) for k in range(40)
+    } | {(k, k * 1000) for k in range(100, 103)}
+    assert got == want
+
+    # duplicate source keys are ambiguous -> rejected
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "k long, v long")
+    with pytest.raises(DeltaProtocolError, match="duplicate"):
+        merge_delta(spark, tbl, dup, "k")
+
+
+def test_merge_delta_insert_only_and_cdf(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        merge_delta,
+    )
+
+    df = _kv(spark, 20)
+    write_delta(
+        df, tbl, mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    source = spark.createDataFrame(
+        [(5, 999), (6, 999), (50, 500)], "k long, v long"
+    )
+    merge_delta(spark, tbl, source, "k", when_matched="ignore")
+    got = _rows(read_delta(spark, tbl))
+    # matched rows keep current values; only k=50 inserted
+    assert got == _rows(df) | {(50, 500)}
+
+    cdf = read_cdf(spark, tbl, from_version=1)
+    counts = dict(
+        (r["_change_type"], r["n"])
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts == {"insert": 1}
+
+    # update MERGE with CDF: pre+post+insert captured
+    source2 = spark.createDataFrame([(0, 7), (60, 6)], "k long, v long")
+    merge_delta(spark, tbl, source2, "k")
+    cdf2 = read_cdf(spark, tbl, from_version=2)
+    counts2 = dict(
+        (r["_change_type"], r["n"])
+        for r in cdf2.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts2 == {
+        "update_preimage": 1,
+        "update_postimage": 1,
+        "insert": 1,
+    }
