@@ -1455,6 +1455,7 @@ DRIVER_PRIORITY: list[str] = [
     "delta_restore_roundtrip",
     "ivm_cdf_retraction_fold",
     "delta_pysource_stream_roundtrip",
+    "delta_merge_cdf_roundtrip",
     "docs_model_scoring",
     "lineitem_benford_leading_digit",
     "customer_acctbal_gini",

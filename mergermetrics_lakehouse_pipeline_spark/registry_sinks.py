@@ -2447,3 +2447,100 @@ def q_delta_pysource_stream_roundtrip(
             dsum("bal", "bal_mass"),
         )
     )
+
+
+@register(
+    "delta_merge_cdf_roundtrip",
+    """
+    WITH src AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) + 10.0 AS price
+      FROM orders WHERE o_orderkey BETWEEN 300 AND 700
+      UNION ALL
+      SELECT o_orderkey + 1000000, CAST(o_totalprice AS DOUBLE)
+      FROM orders WHERE o_orderkey % 100 = 7
+    ), merged AS (
+      SELECT o_orderkey, price FROM src
+      UNION ALL
+      SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS price
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = o.o_orderkey)
+    ), chg AS (
+      SELECT CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_orderkey BETWEEN 300 AND 700) AS BIGINT)
+               AS n_updates,
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_orderkey % 100 = 7) AS BIGINT) AS n_inserts
+    )
+    SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_mass,
+           chg.n_updates, chg.n_inserts
+    FROM merged CROSS JOIN chg
+    GROUP BY 1, chg.n_updates, chg.n_inserts
+    """,
+    tags=["S6", "J5", "delta", "merge", "cdf", "roundtrip"],
+)
+def q_delta_merge_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-surgery MERGE with CDF capture (the reference's core write
+    pattern, 1_customer_data_processing.py:311-318 + its CDF table
+    property): a CDF-enabled orders table takes merge_delta with
+    updates on keys [3000,4000] and brand-new +1e6 keys — only
+    stats-intersecting files rewrite (asserted), unmatched files keep
+    identity, and the commit's _change_data carries
+    update_preimage/update_postimage/insert rows whose counts ride
+    along as cross-joined scalars. The oracle is the textbook MERGE
+    expansion + independent change counts, so a lost insert, a
+    double-applied update, or a miscaptured change row flips the hash.
+
+    Scale: candidate selection is stats pruning on the source key
+    interval; the matched/unmatched split is one join at candidate
+    grain; CDF adds one delta-bounded write."""
+    from .sources.delta_log import merge_delta, read_cdf, read_delta, snapshot, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_dmcdf_rt_") + "/orders_delta"
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    write_delta(
+        o.repartitionByRange(8, "o_orderkey"),
+        root,
+        mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # v0
+    n_files_v0 = len(snapshot(spark, root).files)
+
+    source = (
+        o.filter("o_orderkey BETWEEN 300 AND 700")
+        .withColumn("price", F.col("price") + 10.0)
+        .unionByName(
+            o.filter("o_orderkey % 100 = 7").select(
+                (F.col("o_orderkey") + 1000000).alias("o_orderkey"), "price"
+            )
+        )
+    )
+    _v, rewritten = merge_delta(spark, root, source, "o_orderkey")
+    if not 0 < rewritten < n_files_v0:
+        raise RuntimeError(
+            f"MERGE rewrote {rewritten}/{n_files_v0} files — expected "
+            "surgical stats-bounded rewrite"
+        )
+
+    chg = read_cdf(spark, root, from_version=1).agg(
+        F.sum(
+            F.when(F.col("_change_type") == "update_postimage", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_updates"),
+        F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserts"),
+    )
+    return (
+        read_delta(spark, root)
+        .groupBy((F.col("o_orderkey") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("price", "price_mass"),
+        )
+        .crossJoin(F.broadcast(chg))
+    )

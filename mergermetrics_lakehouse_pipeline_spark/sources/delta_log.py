@@ -1519,6 +1519,42 @@ def _matched_files(
     )
 
 
+def _touched_files_by_keys(
+    spark: SparkSession,
+    table_path: str,
+    snap: DeltaSnapshot,
+    keys_df: DataFrame,
+    key: str,
+) -> list[str]:
+    """Relative paths of files containing >= 1 row whose ``key`` appears
+    in ``keys_df`` — the MERGE variant of touched-file discovery: one
+    scan projecting (key, file path), one semi-join against the source
+    keys, O(matched files) collected."""
+    if not snap.files:
+        return []
+    paths = [os.path.join(table_path, p) for p in snap.files]
+    reader = spark.read.option("mergeSchema", "true")
+    if snap.partition_columns:
+        reader = reader.option("basePath", table_path)
+    raw = reader.parquet(*paths).select(
+        F.col(snap.physical(key)).alias(key),
+        _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
+    )
+    hits = (
+        raw.join(keys_df.select(key), key, "left_semi")
+        .select("__fp")
+        .distinct()
+        .collect()
+    )
+    abs_to_rel = {
+        os.path.abspath(os.path.join(table_path, rel)): rel
+        for rel in snap.files
+    }
+    return sorted(
+        abs_to_rel[r["__fp"]] for r in hits if r["__fp"] in abs_to_rel
+    )
+
+
 def _dml_rewrite(
     spark: SparkSession,
     table_path: str,
@@ -1774,13 +1810,12 @@ def merge_delta(
 ) -> tuple[int, int]:
     """MERGE INTO target USING source ON target.key = source.key
     WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT * —
-    executed as Delta executes it: stats pruning on the SOURCE's key
-    interval selects the candidate files (every file whose [min,max]
-    is disjoint from the source keys provably contains no match and
-    keeps its identity), only candidates are rewritten with matched
-    rows replaced by their source row, unmatched source rows are
-    appended, and with CDF enabled the commit carries
-    update_preimage/update_postimage/insert change rows — the
+    executed as Delta executes it: a touched-file discovery scan
+    (semi-join against the source keys) selects EXACTLY the files
+    containing matches, only those are rewritten with matched rows
+    replaced by their source row, unmatched source rows are appended,
+    every other file keeps its identity; with CDF enabled the commit
+    carries update_preimage/update_postimage/insert change rows — the
     reference's core write pattern (1_customer_data_processing.py:
     311-318 runs exactly this MERGE under optimistic concurrency).
     ``when_matched="ignore"`` gives insert-only MERGE (J7). Duplicate
@@ -1788,10 +1823,12 @@ def merge_delta(
 
     Returns (new_version, n_files_rewritten).
 
-    Scale: the source key interval is a 2-value aggregate; the rewrite
-    is bounded by stats-intersecting files; the matched/unmatched split
-    is one join at candidate grain. A concurrent append whose stats
-    prove it disjoint from the source interval rebases cleanly."""
+    Scale: discovery is one projected scan + one semi-join; the rewrite
+    is bounded by files that actually contain matches (an interval
+    prune would degrade to a full rewrite whenever insert keys widen
+    the source range). The conflict guard keeps the source's key
+    interval, so a concurrent append whose stats prove it disjoint
+    rebases cleanly."""
     if when_matched not in ("update", "ignore"):
         raise ValueError("when_matched must be 'update' or 'ignore'")
     snap = snapshot(spark, table_path)
@@ -1813,11 +1850,15 @@ def merge_delta(
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:
         return snap.version, 0  # empty source: nothing to merge
-    candidates, _ = prune_files_by_stats(snap, key, lo, hi)
-
-    affected = _scan_files(spark, table_path, snap, candidates)
     src = source.cache()
     src_keys = src.select(key).distinct()
+    # touched-file discovery, Delta's own MERGE algorithm: semi-join the
+    # table scan against the source keys and collect the distinct file
+    # paths — EXACT (a stats interval over a mixed update+insert source
+    # would span the insert keys and degrade to a full rewrite)
+    candidates = _touched_files_by_keys(spark, table_path, snap, src_keys, key)
+
+    affected = _scan_files(spark, table_path, snap, candidates)
     matched_src = src.join(
         affected.select(key).distinct(), key, "left_semi"
     )

@@ -246,6 +246,7 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "delta_deletion_vectors_roundtrip",  # 1-row rows_at_v0 stitch
         "delta_checkpoint_truncate_replay",  # 1-row low_rows stitch
         "delta_restore_roundtrip",  # 1-row rows_before_restore stitch
+        "delta_merge_cdf_roundtrip",  # 1-row change-count stitch
         "lineitem_benford_leading_digit",  # 1-row total-count broadcast
         "orders_seasonality_index",  # 1-row total-mass broadcast
         "events_inactivity_buckets",  # 1-row max-ts anchor broadcast
