@@ -28,54 +28,65 @@ _BITS = 16
 _ZKEY = "__zkey"
 
 
-def _morton2(x: Column, y: Column) -> Column:
-    """Interleave two 16-bit bucket numbers into one 32-bit z-key."""
+def _morton(xs: list[Column], bits: int) -> Column:
+    """Interleave N bucket numbers' bits into one z-key (round-robin by
+    bit position — the N-dimensional Morton curve)."""
+    n = len(xs)
     out = F.lit(0).cast("long")
-    for i in range(_BITS):
-        out = out.bitwiseOR(
-            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+    for i in range(bits):
+        for j, x in enumerate(xs):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
     return out
 
 
-def _bucket(col: Column, lo: Column, hi: Column) -> Column:
-    """Linear map of col into [0, 2^16) bucket ids (min-max scaling; a
+def _bucket(col: Column, lo: Column, hi: Column, bits: int = _BITS) -> Column:
+    """Linear map of col into [0, 2^bits) bucket ids (min-max scaling; a
     percentile mapping would equalize bucket mass under skew — same
     z-key machinery either way)."""
     span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
     frac = (col.cast("double") - lo) / span
     return F.least(
-        F.lit(2**_BITS - 1),
-        F.greatest(F.lit(0), (frac * (2**_BITS - 1)).cast("long")),
+        F.lit(2**bits - 1),
+        F.greatest(F.lit(0), (frac * (2**bits - 1)).cast("long")),
     )
 
 
-def zorder_key(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
-    """Attach the z-order key for (col_x, col_y); stats come from one
-    broadcast 1-row min/max aggregate."""
-    stats = df.agg(
-        F.min(F.col(col_x).cast("double")).alias("_xlo"),
-        F.max(F.col(col_x).cast("double")).alias("_xhi"),
-        F.min(F.col(col_y).cast("double")).alias("_ylo"),
-        F.max(F.col(col_y).cast("double")).alias("_yhi"),
+def zorder_key(df: DataFrame, *cols: str) -> DataFrame:
+    """Attach the z-order key for N columns (2+); stats come from one
+    broadcast 1-row min/max aggregate. Bit budget splits the 63 usable
+    long bits across dimensions (16 each up to 3 columns), so skipping
+    tightness degrades gracefully as dimensions are added — the
+    documented OPTIMIZE ZORDER BY trade."""
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs at least two columns")
+    bits = min(_BITS, 63 // len(cols))
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_lo{i}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_hi{i}"))
+    with_stats = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    zk = _morton(
+        [
+            _bucket(F.col(c), F.col(f"_lo{i}"), F.col(f"_hi{i}"), bits)
+            for i, c in enumerate(cols)
+        ],
+        bits,
     )
-    with_stats = df.crossJoin(F.broadcast(stats))
-    zk = _morton2(
-        _bucket(F.col(col_x), F.col("_xlo"), F.col("_xhi")),
-        _bucket(F.col(col_y), F.col("_ylo"), F.col("_yhi")),
-    )
-    return with_stats.withColumn(_ZKEY, zk).drop("_xlo", "_xhi", "_ylo", "_yhi")
+    drop = [f"_lo{i}" for i in range(len(cols))] + [
+        f"_hi{i}" for i in range(len(cols))
+    ]
+    return with_stats.withColumn(_ZKEY, zk).drop(*drop)
 
 
 def zorder_write(
-    df: DataFrame, path: str, *, cols: tuple[str, str], n_files: int
+    df: DataFrame, path: str, *, cols: tuple[str, ...], n_files: int
 ) -> None:
     """Rewrite ``df`` as ``n_files`` parquet files clustered in z-order
-    on the two columns: every file then has a bounded min/max footer
-    range in BOTH dimensions, so scans filtering on either column skip
-    most files."""
+    on the given columns: every file then has a bounded min/max footer
+    range in EVERY clustered dimension, so scans filtering on any of
+    them skip most files."""
     keyed = zorder_key(df, *cols)
     (
         keyed.repartitionByRange(n_files, F.col(_ZKEY))

@@ -1412,10 +1412,10 @@ def optimize_delta(
     table_path: str,
     *,
     target_files: int = 4,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
 ) -> int:
-    """OPTIMIZE (bin-packing compaction, optionally ZORDER BY two
-    columns): rewrite the current snapshot's data as ``target_files``
+    """OPTIMIZE (bin-packing compaction, optionally ZORDER BY two or
+    more columns): rewrite the current snapshot's data as ``target_files``
     files per partition and commit remove+add with
     ``dataChange: false`` — the protocol's marker that the transaction
     reorganizes bytes without changing table content (streaming readers

@@ -45,3 +45,54 @@ def test_zorder_narrows_both_dimensions(spark, tmp_path):
     zx = _avg_file_range_frac(spark, zpath, "l_partkey")
     zy = _avg_file_range_frac(spark, zpath, "l_suppkey")
     assert zx < 0.75 and zy < 0.75, (zx, zy)
+
+
+def test_zorder_three_columns_skips_all_dims(spark, tmp_path):
+    """Round 6: N-column Morton — a 3-column z-order layout gives
+    footer-range skipping on EVERY clustered dimension."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.layout import (
+        zorder_write,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "z3")
+    zorder_write(li, path, cols=("l_orderkey", "l_partkey", "l_suppkey"), n_files=8)
+
+    import pyarrow.parquet as pq
+    import os
+
+    files = [
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    ]
+    assert len(files) >= 6
+
+    def intervals(col):
+        out = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            out.append((lo, hi))
+        return out
+
+    # a probe at the low decile of each dimension must skip files
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        ivs = intervals(col)
+        glo = min(lo for lo, _ in ivs)
+        ghi = max(hi for _, hi in ivs)
+        probe_hi = glo + (ghi - glo) // 10
+        skipped = sum(1 for lo, _hi in ivs if lo > probe_hi)
+        assert skipped > 0, f"no skipping on {col}"
+
+    # content preserved exactly
+    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+    want = {tuple(r) for r in li.collect()}
+    assert got == want
