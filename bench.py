@@ -164,6 +164,8 @@ EXTENDED_R6: list[str] = [
     "supplier_nation_hhi",
     "events_inactivity_buckets",
     "part_price_quartiles_disc",
+    "orders_quarter_growth",
+    "lineitem_ship_delay_profile",
 ]
 
 

@@ -1463,6 +1463,8 @@ DRIVER_PRIORITY: list[str] = [
     "supplier_nation_hhi",
     "events_inactivity_buckets",
     "part_price_quartiles_disc",
+    "orders_quarter_growth",
+    "lineitem_ship_delay_profile",
     # --- round-5 additions (re-verification) ---
     "delta_log_read_roundtrip",
     "emb_semantic_dedup",

@@ -449,3 +449,109 @@ def q_part_price_quartiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(2, "median_price"),
         pick(3, "q3_price"),
     )
+
+
+@register(
+    "orders_quarter_growth",
+    """
+    WITH q AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS mass
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT order_year, order_quarter, n_orders,
+           CAST(mass AS DOUBLE) AS price_mass,
+           CAST(mass AS DOUBLE)
+             / CAST(lag(mass) OVER (ORDER BY order_year, order_quarter)
+                    AS DOUBLE) AS qoq_growth
+    FROM q
+    """,
+    tags=["time-series", "window", "growth"],
+)
+def q_orders_quarter_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth: exact decimal quarterly
+    masses, one trailing division per row against the lag window (the
+    first quarter's growth is NULL). The single-reducer global window
+    runs over O(quarters) rows — quarters, not orders, so the window
+    input is already aggregate-sized.
+
+    Scale: one partial-agg shuffle at quarter grain, then a window over
+    a handful of rows."""
+    q = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("mass"),
+        )
+    )
+    w = Window.orderBy("order_year", "order_quarter")
+    return q.select(
+        "order_year",
+        "order_quarter",
+        "n_orders",
+        F.col("mass").cast("double").alias("price_mass"),
+        (
+            F.col("mass").cast("double")
+            / F.lag("mass").over(w).cast("double")
+        ).alias("qoq_growth"),
+    )
+
+
+@register(
+    "lineitem_ship_delay_profile",
+    """
+    WITH d AS (
+      SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS delay_days,
+             l.l_extendedprice
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(floor(delay_days / 7.0) AS BIGINT) AS delay_week,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(delay_days) AS BIGINT) AS min_days,
+           CAST(MAX(delay_days) AS BIGINT) AS max_days,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_mass
+    FROM d GROUP BY 1
+    """,
+    tags=["join", "sla", "distribution"],
+)
+def q_lineitem_ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution in weekly buckets — the SLA/
+    fulfillment profile: exact integer day arithmetic (datediff on
+    DATEs, floor-divided into weeks), per-bucket counts, bounds and
+    exact decimal value at risk.
+
+    Scale: one fact-fact equi-join on o_orderkey (AQE-planned) + one
+    aggregation on a small bucket key."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("delay_days"),
+        "l_extendedprice",
+    )
+    return (
+        d.withColumn(
+            "delay_week", F.floor(F.col("delay_days") / 7).cast("bigint")
+        )
+        .groupBy("delay_week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.min("delay_days").cast("bigint").alias("min_days"),
+            F.max("delay_days").cast("bigint").alias("max_days"),
+            dsum("l_extendedprice", "price_mass"),
+        )
+    )
