@@ -224,3 +224,54 @@ def test_aborted_transaction_files_are_invisible_and_vacuumable(spark, tbl):
     removed = vacuum_delta(spark, tbl)
     assert set(orphans) <= set(removed)
     assert read_delta(spark, tbl).count() == n_before
+
+
+def test_optimize_and_appends_interleave_without_loss(spark, tbl):
+    """Integration: a compaction loop races an append loop with REAL
+    threads. OPTIMIZE tolerates concurrent appends (they are not part
+    of the rewritten set) and appends rebase over everything, so — in
+    whatever order the race resolves — every appended row must be
+    present exactly once, versions must be dense, and the log must
+    replay cleanly."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        optimize_delta,
+    )
+
+    base = _base(spark)
+    write_delta(base.filter("k < 8"), tbl, mode="overwrite")  # v0
+
+    errors: list[Exception] = []
+
+    def appender():
+        try:
+            for i in range(1, 5):
+                write_delta(
+                    base.filter(f"k >= {i * 8} and k < {(i + 1) * 8}"),
+                    tbl,
+                    mode="append",
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def compactor():
+        for _ in range(3):
+            try:
+                optimize_delta(spark, tbl, target_files=2)
+            except ConcurrentModificationError:
+                pass  # an append removed nothing; only optimize-vs-
+                # optimize overlap aborts — acceptable, retry next loop
+
+    ta = threading.Thread(target=appender)
+    tc = threading.Thread(target=compactor)
+    ta.start(); tc.start()
+    ta.join(); tc.join()
+    assert errors == []
+
+    snap = snapshot(spark, tbl)
+    # dense versions: every commit number up to latest exists
+    for v in range(snap.version + 1):
+        assert os.path.exists(
+            os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+        ), f"commit {v} missing"
+    got = sorted(r.k for r in read_delta(spark, tbl).collect())
+    assert got == list(range(40))  # no loss, no duplication
