@@ -152,10 +152,14 @@ def _list_versions(table_path: str) -> tuple[list[int], dict[int, list[str]]]:
     for v, parts in multi.items():
         n_parts = next(iter(parts.values()))[0]
         if sorted(parts) != list(range(1, n_parts + 1)):
-            raise DeltaProtocolError(
-                f"multi-part checkpoint v{v} incomplete: have parts "
-                f"{sorted(parts)} of {n_parts}"
-            )
+            # an INCOMPLETE part set (crashed or in-flight checkpoint
+            # write) is ignored, never half-read: the JSON commits are
+            # still authoritative, so the snapshot replays without it.
+            # If those commits were truncated on the strength of the
+            # full set and parts later vanished, replay fails loudly
+            # with a missing-commit error — degraded availability is
+            # only offered while correctness is provable.
+            continue
         checkpoints[v] = [p for _, (_, p) in sorted(parts.items())]
     return sorted(commits), checkpoints
 
@@ -279,8 +283,14 @@ def snapshot(
 
 
 def _strip_scheme(col):
-    # _metadata.file_path is a URI (file:///abs/...); normalize to /abs/...
-    return F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    """_metadata.file_path is a URI (file:///abs/... with %XX-escaped
+    special characters); normalize to the literal on-disk /abs/... so
+    equality against paths from the snapshot holds even for
+    Spark-escaped hive dir names (':' stored as %3A on disk arrives
+    DOUBLE-encoded as %253A in the URI). Literal '+' is pre-escaped
+    before url_decode because the decoder treats '+' as space."""
+    stripped = F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
 
 
 def _dv_doomed_pairs(
@@ -385,6 +395,10 @@ class _CommitGuard:
     #: hive-string partition tuples a dynamic overwrite replaces
     partitions: set[tuple] | None = None
     pcols: list[str] = field(default_factory=list)
+    #: idempotent-sink appId this commit stamps — a concurrent commit
+    #: carrying the same appId means another instance of the same
+    #: writer committed first (ConcurrentTransaction in delta-spark)
+    txn_app: str | None = None
 
 
 def _parse_commit(table_path: str, version: int) -> list[dict[str, Any]]:
@@ -440,6 +454,12 @@ def _check_rebase(
 
     if any("metaData" in a or "protocol" in a for a in winner):
         _die("changed table metadata/protocol")
+    if guard.txn_app is not None and any(
+        a.get("txn", {}).get("appId") == guard.txn_app for a in winner
+    ):
+        # exactly-once would break if both instances' batches landed:
+        # the loser must re-consult last_txn_version, not rebase
+        _die(f"carries a txn for the same appId {guard.txn_app!r}")
     if guard.blind_append:
         return  # appends compose with any data-only commit
     w_adds = [a["add"] for a in winner if "add" in a]
@@ -579,6 +599,20 @@ def _add_action(
     return {"add": add}
 
 
+def _remove_action(a: dict[str, Any], now_ms: int, data_change: bool) -> dict:
+    """A protocol remove action derived from the file's add action —
+    partitionValues ride along (the protocol encourages it; CDF readers
+    and partition-scoped conflict checks of OTHER engines use them)."""
+    rm: dict[str, Any] = {
+        "path": a["path"],
+        "deletionTimestamp": now_ms,
+        "dataChange": data_change,
+    }
+    if a.get("partitionValues"):
+        rm["partitionValues"] = a["partitionValues"]
+    return {"remove": rm}
+
+
 def _schema_json(df: DataFrame) -> str:
     return df.schema.json()
 
@@ -607,15 +641,7 @@ def _finish_overwrite_schema_commit(
         }
     ]
     for rel, a in prev.files.items():
-        actions.append(
-            {
-                "remove": {
-                    "path": a.get("path", quote(rel, safe="/")),
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        actions.append(_remove_action(a, now_ms, True))
     stat_cols = _stats_columns(df.schema, partition_by)
     for rel in added:
         actions.append(
@@ -704,6 +730,11 @@ def write_delta(
                 raise DeltaProtocolError(
                     "overwrite_schema requires mode='overwrite'"
                 )
+            # constraints are table properties and survive the schema
+            # replacement — the new rows must satisfy them (a constraint
+            # referencing a dropped column fails loudly here; drop the
+            # constraint first, as on real Delta)
+            _enforce_constraints(df, prev_configuration)
             added = _stage_write(df, table_path, partition_by)
             return _finish_overwrite_schema_commit(
                 table_path, df, prev, partition_by, added, txn
@@ -800,15 +831,7 @@ def write_delta(
         )
     if mode == "overwrite":
         for rel, a in prev_files.items():
-            actions.append(
-                {
-                    "remove": {
-                        "path": a.get("path", quote(rel, safe="/")),
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            actions.append(_remove_action(a, now_ms, True))
     stat_cols = _stats_columns(df.schema, partition_by)
     for rel in added:
         actions.append(
@@ -833,11 +856,13 @@ def write_delta(
             removed=set(prev_files),
             read_files=set(prev_files),
             has_metadata=evolved_schema is not None,
+            txn_app=txn[0] if txn else None,
         )
     else:
         guard = _CommitGuard(
             blind_append=mode == "append",
             has_metadata=base_version < 0 or evolved_schema is not None,
+            txn_app=txn[0] if txn else None,
         )
     return _commit(table_path, actions, guard, base_version)
 
@@ -876,15 +901,7 @@ def restore_delta(spark: SparkSession, table_path: str, version: int) -> int:
         )
     for rel, a in cur.files.items():
         if rel not in tgt.files:
-            actions.append(
-                {
-                    "remove": {
-                        "path": a.get("path", quote(rel, safe="/")),
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            actions.append(_remove_action(a, now_ms, True))
     for rel, a in tgt.files.items():
         if rel not in cur.files:
             restored = dict(a)
@@ -1375,15 +1392,7 @@ def overwrite_partitions_delta(
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     for rel in doomed:
-        actions.append(
-            {
-                "remove": {
-                    "path": snap.files[rel].get("path", quote(rel, safe="/")),
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        actions.append(_remove_action(snap.files[rel], now_ms, True))
     stat_cols = _stats_columns(snap.schema, partition_by)
     for rel in added:
         actions.append(
@@ -1461,14 +1470,7 @@ def optimize_delta(
     now_ms = int(time.time() * 1000)
     stat_cols = _stats_columns(snap.schema, snap.partition_columns)
     actions: list[dict[str, Any]] = [
-        {
-            "remove": {
-                "path": a.get("path", quote(rel, safe="/")),
-                "deletionTimestamp": now_ms,
-                "dataChange": False,
-            }
-        }
-        for rel, a in snap.files.items()
+        _remove_action(a, now_ms, False) for a in snap.files.values()
     ]
     for rel in added:
         actions.append(
@@ -1614,14 +1616,7 @@ def _dml_commit(
     added = _stage_write(survivors, table_path, snap.partition_columns)
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
-        {
-            "remove": {
-                "path": snap.files[rel].get("path", quote(rel, safe="/")),
-                "deletionTimestamp": now_ms,
-                "dataChange": True,
-            }
-        }
-        for rel in candidates
+        _remove_action(snap.files[rel], now_ms, True) for rel in candidates
     ]
     stat_cols = _stats_columns(snap.schema, snap.partition_columns)
     for rel in added:
@@ -1693,6 +1688,24 @@ def update_rows(
     candidates = _matched_files(spark, table_path, snap, pred)
     if not candidates:
         return snap.version, 0
+    _apply, _changes = _update_closures(pred, set_exprs)
+    guard = _CommitGuard(
+        read_whole_table=True,
+        removed=set(candidates),
+        read_files=set(snap.files),
+    )
+    v = _dml_commit(
+        spark, table_path, snap, candidates,
+        survivors_of=_apply, changes_of=_changes,
+        op="UPDATE", pred_desc=where, guard=guard,
+    )
+    return v, len(candidates)
+
+def _update_closures(pred, set_exprs: dict[str, str]):
+    """survivors_of/changes_of pair for an UPDATE: matching rows project
+    through set_exprs, and the CDF capture emits preimage + postimage —
+    shared by the stats-pruned (update_delta) and touched-file
+    (update_rows) front ends."""
 
     def _apply(df: DataFrame) -> DataFrame:
         return df.select(
@@ -1715,17 +1728,7 @@ def update_rows(
         )
         return pre.unionByName(post)
 
-    guard = _CommitGuard(
-        read_whole_table=True,
-        removed=set(candidates),
-        read_files=set(snap.files),
-    )
-    v = _dml_commit(
-        spark, table_path, snap, candidates,
-        survivors_of=_apply, changes_of=_changes,
-        op="UPDATE", pred_desc=where, guard=guard,
-    )
-    return v, len(candidates)
+    return _apply, _changes
 
 
 def delete_delta(
@@ -1768,30 +1771,7 @@ def update_delta(
     and update_postimage change row. Returns (new_version,
     n_files_rewritten)."""
     pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
-
-    def _apply(df: DataFrame) -> DataFrame:
-        return df.select(
-            *[
-                F.when(pred, F.expr(set_exprs[f_name]))
-                .otherwise(F.col(f_name))
-                .cast(f_type)
-                .alias(f_name)
-                if f_name in set_exprs
-                else F.col(f_name)
-                for f_name, f_type in (
-                    (f.name, f.dataType) for f in df.schema.fields
-                )
-            ]
-        )
-
-    def _changes(df: DataFrame) -> DataFrame:
-        matched = df.filter(pred)
-        pre = matched.withColumn("_change_type", F.lit("update_preimage"))
-        post = _apply(matched).withColumn(
-            "_change_type", F.lit("update_postimage")
-        )
-        return pre.unionByName(post)
-
+    _apply, _changes = _update_closures(pred, set_exprs)
     return _dml_rewrite(
         spark, table_path, col, lo, hi,
         op="UPDATE",
@@ -1863,13 +1843,41 @@ def merge_delta(
         affected.select(key).distinct(), key, "left_semi"
     )
     inserts = src.join(affected.select(key).distinct(), key, "left_anti")
-    untouched_rows = affected.join(src_keys, key, "left_anti")
     if when_matched == "update":
-        replaced = untouched_rows.unionByName(matched_src)
+        # per-TARGET-row update via left join: a duplicate-key target
+        # keeps its multiplicity — EVERY matched row takes the source
+        # values, exactly as Delta's WHEN MATCHED UPDATE does (an
+        # anti-join + source-union would silently collapse duplicates)
+        val_cols = [c for c in tcols if c != key]
+        srcm = src.select(
+            key,
+            F.lit(True).alias("__matched"),
+            *[F.col(c).alias(f"__src_{c}") for c in val_cols],
+        )
+        joined = affected.join(srcm, key, "left")  # AQE picks the strategy
+        replaced = joined.select(
+            *[
+                F.when(
+                    F.col("__matched").isNotNull(), F.col(f"__src_{c}")
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                if c != key
+                else F.col(c)
+                for c in tcols
+            ]
+        )
         preimage = affected.join(src_keys, key, "left_semi")
+        postimage = joined.filter(F.col("__matched").isNotNull()).select(
+            *[
+                F.col(f"__src_{c}").alias(c) if c != key else F.col(c)
+                for c in tcols
+            ]
+        )
     else:  # insert-only: matched target rows keep their current values
         replaced = affected
         preimage = affected.limit(0)
+        postimage = matched_src.limit(0)
     new_content = replaced.unionByName(inserts)
 
     guard = _CommitGuard(
@@ -1880,13 +1888,7 @@ def merge_delta(
 
     def _changes(_df: DataFrame) -> DataFrame:
         pre = preimage.withColumn("_change_type", F.lit("update_preimage"))
-        post = (
-            matched_src.withColumn("_change_type", F.lit("update_postimage"))
-            if when_matched == "update"
-            else matched_src.limit(0).withColumn(
-                "_change_type", F.lit("update_postimage")
-            )
-        )
+        post = postimage.withColumn("_change_type", F.lit("update_postimage"))
         ins = inserts.withColumn("_change_type", F.lit("insert"))
         return pre.unionByName(post).unionByName(ins)
 
@@ -1981,15 +1983,7 @@ def delete_delta_dv(
         )
     for rel, desc in descriptors.items():
         old_add = snap.files[rel]
-        actions.append(
-            {
-                "remove": {
-                    "path": old_add.get("path", quote(rel, safe="/")),
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        actions.append(_remove_action(old_add, now_ms, True))
         new_add = dict(old_add)
         new_add["deletionVector"] = desc
         new_add["dataChange"] = True

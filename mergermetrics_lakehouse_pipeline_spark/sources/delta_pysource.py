@@ -99,8 +99,31 @@ def _latest_metadata(table_path: str) -> dict[str, Any]:
 
 def _table_schema(table_path: str) -> tuple[StructType, list[str]]:
     md = _latest_metadata(table_path)
+    conf = dict(md.get("configuration") or {})
+    # this source matches parquet columns by NAME; a column-mapped
+    # table's physical names would silently NULL-fill every field, so
+    # gate loudly (read_delta handles name-mode mapping; use it there)
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise DeltaProtocolError(
+            "delta_pylog does not support column-mapped tables — "
+            "read them via sources.delta_log.read_delta"
+        )
+    _check_reader_protocol(table_path)
     schema = StructType.fromJson(json.loads(md["schemaString"]))
     return schema, list(md.get("partitionColumns") or [])
+
+
+def _check_reader_protocol(table_path: str) -> None:
+    """Replay protocol actions so unsupported reader features raise
+    instead of silently misreading (same gate as delta_log)."""
+    from .delta_log import _check_protocol
+
+    commits, _ = _list_versions(table_path)
+    for v in sorted(commits, reverse=True):
+        for action in _parse_commit(table_path, v):
+            if "protocol" in action:
+                _check_protocol(action["protocol"])
+                return
 
 
 # --------------------------------------------------------------------------
@@ -146,13 +169,18 @@ def _commit_partitions(
             op = str(action["commitInfo"].get("operation", ""))
 
     def part(a: dict, change: str | None) -> _DeltaFilePartition:
+        rel = unquote(a["path"])
+        pv = dict(a.get("partitionValues") or {})
+        if not pv:
+            # remove actions from older/foreign writers may omit
+            # partitionValues — recover them from the hive path so
+            # derived CDF delete rows keep their partition columns
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, val = seg.split("=", 1)
+                    pv[k] = unquote(val)
         return _DeltaFilePartition(
-            table_path,
-            unquote(a["path"]),
-            dict(a.get("partitionValues") or {}),
-            v,
-            change,
-            a.get("deletionVector"),
+            table_path, rel, pv, v, change, a.get("deletionVector")
         )
 
     if not cdf:
@@ -207,6 +235,14 @@ def _coerce_partition_value(raw: str | None, dt) -> Any:
         return float(raw)
     if name == "boolean":
         return raw.lower() == "true"
+    if name == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if name in ("timestamp", "timestamp_ntz"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
     return raw
 
 
@@ -337,6 +373,15 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         #: one giant batch.
         self.max_commits = int(options.get("maxcommitsperbatch", 0))
         self._cursor: int | None = None
+        #: highest batch-START offset ever seen from the engine — the
+        #: committed floor. After a checkpoint restart the in-memory
+        #: cursor re-bases from from_version and the engine's offset
+        #: may transiently regress below the real committed point;
+        #: planning below this floor would RE-EMIT already-delivered
+        #: commits, so partitions() clamps its lower bound to it (a
+        #: retried batch re-sends the same (start, end) and is
+        #: unaffected — the floor tracks starts, not ends).
+        self._floor: int = self.from_version - 1
         self.schema = schema
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
@@ -350,19 +395,18 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         base = (
             self._cursor if self._cursor is not None else self.from_version - 1
         )
+        base = max(base, self._floor)
         capped = max(base, min(latest, base + self.max_commits))
         self._cursor = capped
-        # after a checkpoint restart the cursor re-bases from
-        # from_version and advances max_commits per poll until it passes
-        # the committed offset; the interim short batches are empty
-        # (partitions() yields the marker), never re-emitted data
         return {"version": capped}
 
     def partitions(self, start: dict, end: dict):
+        self._floor = max(self._floor, int(start["version"]))
         commits, _ = _list_versions(self.table_path)
         have = set(commits)
         out: list[_DeltaFilePartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        lo = max(int(start["version"]), self._floor)
+        for v in range(lo + 1, int(end["version"]) + 1):
             if v not in have:
                 raise DeltaProtocolError(
                     f"commit {v} missing from the log (truncated past a "

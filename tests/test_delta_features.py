@@ -717,3 +717,116 @@ def test_merge_delta_insert_only_and_cdf(spark, tbl):
         "update_postimage": 1,
         "insert": 1,
     }
+
+
+# --------------------------------------------------------------------------
+# round-6 self-review regression fixes
+# --------------------------------------------------------------------------
+
+
+def test_touched_file_dml_and_dv_on_special_char_partitions(spark, tbl):
+    """_metadata.file_path arrives URI-encoded; path equality against
+    on-disk names must decode it, or DML silently no-ops and DV rows
+    reappear on Spark-escaped hive dirs (':' -> %3A)."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        delete_delta_dv,
+        delete_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(k, "a:b" if k % 2 == 0 else "p q") for k in range(20)],
+        "k long, part string",
+    )
+    write_delta(df, tbl, mode="overwrite", partition_by=["part"])
+    v, n = delete_rows(spark, tbl, "k < 5")
+    assert n >= 1  # files WERE found despite the escaped dir names
+    assert _rows(read_delta(spark, tbl)) == _rows(df.filter("k >= 5"))
+
+    tbl2 = tbl + "_dv"
+    write_delta(df, tbl2, mode="overwrite", partition_by=["part"])
+    _v, ndv = delete_delta_dv(spark, tbl2, "k", 0, 4)
+    assert ndv >= 1
+    assert _rows(read_delta(spark, tbl2)) == _rows(df.filter("k >= 5"))
+
+
+def test_merge_updates_every_duplicate_target_row(spark, tbl):
+    """A duplicate-key TARGET keeps its multiplicity under MERGE: every
+    matched row takes the source values (an anti-join + union would
+    silently collapse the duplicates)."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        merge_delta,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21), (3, 30)], "k long, v long"
+    )
+    write_delta(df, tbl, mode="overwrite")
+    source = spark.createDataFrame([(2, 99), (4, 40)], "k long, v long")
+    merge_delta(spark, tbl, source, "k")
+    got = sorted(tuple(r) for r in read_delta(spark, tbl).collect())
+    assert got == [(1, 10), (2, 99), (2, 99), (3, 30), (4, 40)]
+
+
+def test_concurrent_same_app_txn_aborts(spark, tbl):
+    """Two instances of the same idempotent writer racing: the loser
+    must abort (re-consult last_txn_version), never rebase and commit
+    the same batch twice."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        ConcurrentModificationError,
+        _CommitGuard,
+        _commit,
+        _try_write_commit,
+    )
+
+    write_delta(_kv(spark, 5), tbl, mode="overwrite")  # v0
+    _try_write_commit(
+        tbl, 1, [{"txn": {"appId": "job-1", "version": 7}}]
+    )  # winner: same app committed batch 7
+    with pytest.raises(ConcurrentModificationError, match="job-1"):
+        _commit(
+            tbl,
+            [{"commitInfo": {}}],
+            _CommitGuard(blind_append=True, txn_app="job-1"),
+            base_version=0,
+        )
+    # a DIFFERENT app rebases fine
+    v = _commit(
+        tbl,
+        [{"commitInfo": {}}],
+        _CommitGuard(blind_append=True, txn_app="job-2"),
+        base_version=0,
+    )
+    assert v == 2
+
+
+def test_overwrite_schema_enforces_constraints(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        add_check_constraint,
+    )
+
+    write_delta(_kv(spark, 10), tbl, mode="overwrite")
+    add_check_constraint(spark, tbl, "v_nonneg", "v >= 0")
+    bad = spark.createDataFrame([(1, -5)], "k long, v long")
+    with pytest.raises(DeltaProtocolError, match="v_nonneg"):
+        write_delta(bad, tbl, mode="overwrite", overwrite_schema=True)
+    # schema replacement that DROPS the constrained column fails loudly
+    # (drop the constraint first) rather than committing a corrupt table
+    dropped = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(Exception):
+        write_delta(dropped, tbl, mode="overwrite", overwrite_schema=True)
+
+
+def test_removes_carry_partition_values(spark, tbl):
+    df = spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    write_delta(df, tbl, mode="overwrite", partition_by=["p"])
+    write_delta(df.filter("k < 4"), tbl, mode="overwrite")  # removes v0 files
+    with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json")) as fh:
+        removes = [
+            json.loads(line)["remove"]
+            for line in fh
+            if line.strip() and "remove" in json.loads(line)
+        ]
+    assert removes
+    assert all(r.get("partitionValues", {}).get("p") is not None for r in removes)

@@ -6,6 +6,8 @@ partition-value injection and deletion-vector subtraction."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.utils import StreamingQueryException
@@ -202,3 +204,93 @@ def test_stream_admission_control_caps_commits_per_batch(spark, tbl):
     # unbounded reader takes everything in one range
     r2 = DeltaLogStreamReader({"path": tbl}, schema)
     assert int(r2.latestOffset()["version"]) == 3
+
+
+def test_admission_control_does_not_replay_after_offset_regression(spark, tbl):
+    """Restart scenario (round-6 review fix): a fresh reader whose
+    in-memory cursor re-based below the checkpointed offset must NOT
+    re-plan already-delivered commits — the planned floor tracks batch
+    starts and clamps the lower bound."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_pysource import (
+        DeltaLogStreamReader,
+        _table_schema,
+    )
+
+    df = _kv(spark, 40)
+    for i in range(6):
+        write_delta(
+            df.filter(f"k % 6 = {i}"), tbl,
+            mode="overwrite" if i == 0 else "append",
+        )
+    schema, _ = _table_schema(tbl)
+
+    # fresh reader, engine restarts with committed offset 3
+    r = DeltaLogStreamReader({"path": tbl, "maxcommitsperbatch": "2"}, schema)
+    end1 = r.latestOffset()  # cursor re-bases low: version 1
+    assert int(end1["version"]) < 3
+    # engine plans (committed=3 -> regressed end): must yield NO data
+    parts = r.partitions({"version": 3}, end1)
+    assert all(p.change == "empty" for p in parts)
+    # next poll advances from the floor, and the next batch only plans
+    # commits AFTER the committed offset — never 0..3 again
+    end2 = r.latestOffset()
+    assert int(end2["version"]) >= 4
+    parts2 = r.partitions(end1, end2)
+    versions = {p.version for p in parts2 if p.change != "empty"}
+    assert versions and min(versions) >= 4
+
+
+def test_pysource_rejects_column_mapped_tables(spark, tbl):
+    """A name-mode column-mapped table would silently NULL-fill every
+    column through the name-matching Arrow reader — gate loudly."""
+    import json as js
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        DeltaProtocolError,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_pysource import (
+        _table_schema,
+    )
+
+    write_delta(_kv(spark, 5), tbl, mode="overwrite")
+    log = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    lines = [js.loads(line) for line in open(log) if line.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "name"
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(js.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        _table_schema(tbl)
+
+
+def test_cdf_derived_deletes_keep_partition_values(spark, tbl, tmp_path):
+    """Derived delete rows of an overwrite commit on a PARTITIONED table
+    must carry the partition column (from the remove's partitionValues,
+    or the hive path as fallback) — not NULL."""
+    df = spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    write_delta(df, tbl, mode="overwrite", partition_by=["p"])  # v0
+    write_delta(df.filter("k < 4"), tbl, mode="overwrite")  # v1
+
+    q = (
+        spark.readStream.format("delta_pylog")
+        .option("path", tbl)
+        .option("mode", "cdf")
+        .load()
+        .writeStream.format("memory")
+        .queryName("dpys_pv")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dels = (
+        spark.table("dpys_pv")
+        .filter("_change_type = 'delete' AND _commit_version = 1")
+        .collect()
+    )
+    assert len(dels) == 12
+    assert all(r["p"] is not None and r["p"] == r["k"] % 3 for r in dels)
