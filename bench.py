@@ -157,6 +157,7 @@ EXTENDED_R6: list[str] = [
     "ivm_cdf_retraction_fold",
     "delta_pysource_stream_roundtrip",
     "delta_merge_cdf_roundtrip",
+    "delta_where_dml_roundtrip",
     "docs_model_scoring",
     "lineitem_benford_leading_digit",
     "customer_acctbal_gini",

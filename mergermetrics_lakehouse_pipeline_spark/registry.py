@@ -1456,6 +1456,7 @@ DRIVER_PRIORITY: list[str] = [
     "ivm_cdf_retraction_fold",
     "delta_pysource_stream_roundtrip",
     "delta_merge_cdf_roundtrip",
+    "delta_where_dml_roundtrip",
     "docs_model_scoring",
     "lineitem_benford_leading_digit",
     "customer_acctbal_gini",

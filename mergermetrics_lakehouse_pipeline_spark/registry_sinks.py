@@ -2544,3 +2544,66 @@ def q_delta_merge_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(chg))
     )
+
+
+@register(
+    "delta_where_dml_roundtrip",
+    """
+    WITH after_delete AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '5-LOW')
+    ), after_update AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderstatus = 'P' AND o_orderkey % 2 = 0
+                  THEN price + 25.0 ELSE price END AS price
+      FROM after_delete
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_mass
+    FROM after_update GROUP BY 1
+    """,
+    tags=["S6", "delta", "dml", "predicate", "roundtrip"],
+)
+def q_delta_where_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-predicate DML over the protocol log (round-6 general
+    front ends): ``delete_rows`` with a compound non-range predicate
+    (status='F' AND priority='5-LOW' — the first DELETE a real user
+    writes, inexpressible as a single-column interval) followed by
+    ``update_rows`` with a modular predicate. Both run touched-file
+    discovery (one scan finds the files with >= 1 matching row; only
+    those are rewritten), and the final per-status aggregate must match
+    the oracle's relational recomputation — a missed touched file, a
+    NULL-predicate mishandling, or an over-rewrite flips the hash.
+
+    Scale: discovery is one projected scan per statement; rewrite cost
+    is bounded by files actually containing matches."""
+    from .sources.delta_log import delete_rows, read_delta, update_rows, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_dwdml_rt_") + "/orders_delta"
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    write_delta(o.repartition(6), root, mode="overwrite")  # v0
+    delete_rows(
+        spark, root, "o_orderstatus = 'F' AND o_orderpriority = '5-LOW'"
+    )  # v1
+    update_rows(
+        spark,
+        root,
+        "o_orderstatus = 'P' AND o_orderkey % 2 = 0",
+        {"price": "price + 25.0"},
+    )  # v2
+    return (
+        read_delta(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum("price", "price_mass"),
+        )
+    )
