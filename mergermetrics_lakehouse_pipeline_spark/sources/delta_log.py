@@ -1963,7 +1963,20 @@ def delete_delta_dv(
         else:
             per_file[rel] = sorted(set(per_file[rel]))
 
-    descriptors = write_dv_file(table_path, per_file)
+    # tiny bitmaps travel INLINE in the log (storageType "i") — no side
+    # file, the same small-DV optimization real writers apply; larger
+    # ones share one on-disk DV file
+    from .delta_dv import bitmap_array_serialize, inline_descriptor
+
+    inline, on_disk = {}, {}
+    for rel, rows in per_file.items():
+        if len(bitmap_array_serialize(rows)) <= 512:
+            inline[rel] = inline_descriptor(rows)
+        else:
+            on_disk[rel] = rows
+    descriptors = dict(inline)
+    if on_disk:
+        descriptors.update(write_dv_file(table_path, on_disk))
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     feats = set(snap.protocol.get("readerFeatures") or [])

@@ -830,3 +830,40 @@ def test_removes_carry_partition_values(spark, tbl):
         ]
     assert removes
     assert all(r.get("partitionValues", {}).get("p") is not None for r in removes)
+
+
+def test_small_dvs_are_written_inline(spark, tbl):
+    """Tiny deletion bitmaps travel inline in the log (storageType "i",
+    z85-encoded) — no side file; large ones share one .bin file."""
+    import glob
+
+    df = _kv(spark, 40).repartitionByRange(2, "k")
+    write_delta(df, tbl, mode="overwrite")
+    delete_delta_dv(spark, tbl, "k", 3, 5)  # 3 rows: inline
+    snap = snapshot(spark, tbl)
+    descs = [
+        a["deletionVector"]
+        for a in snap.files.values()
+        if a.get("deletionVector")
+    ]
+    assert descs and all(d["storageType"] == "i" for d in descs)
+    assert glob.glob(os.path.join(tbl, "deletion_vector_*.bin")) == []
+    assert _rows(read_delta(spark, tbl).select("k")) == {
+        (k,) for k in range(40) if not 3 <= k <= 5
+    }
+    # a big delete on the same table goes to a side file and MERGES the
+    # inline bitmap
+    big = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    tbl2 = tbl + "_big"
+    write_delta(big.repartitionByRange(2, "k"), tbl2, mode="overwrite")
+    delete_delta_dv(spark, tbl2, "k", 0, 2999)
+    snap2 = snapshot(spark, tbl2)
+    descs2 = [
+        a["deletionVector"]
+        for a in snap2.files.values()
+        if a.get("deletionVector")
+    ]
+    assert any(d["storageType"] == "u" for d in descs2)
+    assert read_delta(spark, tbl2).count() == 1000
