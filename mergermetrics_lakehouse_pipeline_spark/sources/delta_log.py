@@ -1902,37 +1902,21 @@ def merge_delta(
     return v, len(candidates)
 
 
-def delete_delta_dv(
+def _dv_matched_rows(
     spark: SparkSession,
     table_path: str,
+    snap: DeltaSnapshot,
     col: str,
     lo: Any,
     hi: Any,
-) -> tuple[int, int]:
-    """Merge-on-read DELETE via deletion vectors: instead of rewriting
-    every file that contains a matching row (copy-on-write), author a
-    compact row-index bitmap per affected file (sources/delta_dv.py)
-    and re-add the SAME data files with a ``deletionVector`` descriptor
-    — the write cost is O(deleted rows) of metadata, zero data bytes
-    rewritten. This is the protocol's answer to small deletes on huge
-    tables (GDPR row erasure on a 100 TB table rewrites nothing).
-    Readers subtract the bitmaps at scan time (_scan_files); a later
-    OPTIMIZE physically purges. Upgrades the table protocol to reader
-    v3 / writer v7 with the deletionVectors feature in the same commit,
-    exactly as delta-spark does on first DV write.
+    candidates: list[str],
+) -> dict[str, list[int]]:
+    """Per-file row indexes matching ``col BETWEEN lo AND hi`` across
+    the candidate files, UNIONED with any existing DV on the same file
+    — one distributed scan, O(matched rows) collected (the bitmap must
+    exist driver-side to be serialized, same as any DV writer)."""
+    from .delta_dv import read_dv
 
-    Returns (new_version, n_files_with_new_dvs)."""
-    from .delta_dv import read_dv, write_dv_file
-
-    snap = snapshot(spark, table_path)
-    _guard_writable(snap, "DV DELETE")
-    candidates, _ = prune_files_by_stats(snap, col, lo, hi)
-    if not candidates:
-        return snap.version, 0
-
-    # matching (file, row_index) pairs: one distributed scan of the
-    # candidate files; the collect is O(deleted rows) — the bitmap has
-    # to exist driver-side to be serialized, same as any DV writer
     paths = [os.path.join(table_path, p) for p in candidates]
     reader = spark.read.option("mergeSchema", "true")
     if snap.partition_columns:
@@ -1952,21 +1936,29 @@ def delete_delta_dv(
         rel = abs_to_rel.get(r["__fp"])
         if rel is not None:
             per_file.setdefault(rel, []).append(r["__ri"])
-    if not per_file:
-        return snap.version, 0
-    # merge with any existing DV on the same file (row already deleted
-    # stays deleted; indexes are unioned)
     for rel in per_file:
         old = snap.files[rel].get("deletionVector")
         if old:
-            per_file[rel] = sorted(set(per_file[rel]) | set(read_dv(table_path, old)))
+            per_file[rel] = sorted(
+                set(per_file[rel]) | set(read_dv(table_path, old))
+            )
         else:
             per_file[rel] = sorted(set(per_file[rel]))
+    return per_file
 
-    # tiny bitmaps travel INLINE in the log (storageType "i") — no side
-    # file, the same small-DV optimization real writers apply; larger
-    # ones share one on-disk DV file
-    from .delta_dv import bitmap_array_serialize, inline_descriptor
+
+def _dv_mark_actions(
+    table_path: str,
+    snap: DeltaSnapshot,
+    per_file: dict[str, list[int]],
+    now_ms: int,
+) -> list[dict[str, Any]]:
+    """Protocol upgrade (first DV write) + remove/re-add actions that
+    attach a deletionVector descriptor to each affected file. Tiny
+    bitmaps travel INLINE in the log (storageType "i") — no side file,
+    the same small-DV optimization real writers apply; larger ones
+    share one on-disk DV file."""
+    from .delta_dv import bitmap_array_serialize, inline_descriptor, write_dv_file
 
     inline, on_disk = {}, {}
     for rel, rows in per_file.items():
@@ -1977,7 +1969,6 @@ def delete_delta_dv(
     descriptors = dict(inline)
     if on_disk:
         descriptors.update(write_dv_file(table_path, on_disk))
-    now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     feats = set(snap.protocol.get("readerFeatures") or [])
     if "deletionVectors" not in feats:
@@ -2002,6 +1993,43 @@ def delete_delta_dv(
         new_add["dataChange"] = True
         new_add["modificationTime"] = now_ms
         actions.append({"add": new_add})
+    return actions
+
+
+def delete_delta_dv(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+) -> tuple[int, int]:
+    """Merge-on-read DELETE via deletion vectors: instead of rewriting
+    every file that contains a matching row (copy-on-write), author a
+    compact row-index bitmap per affected file (sources/delta_dv.py)
+    and re-add the SAME data files with a ``deletionVector`` descriptor
+    — the write cost is O(deleted rows) of metadata, zero data bytes
+    rewritten. This is the protocol's answer to small deletes on huge
+    tables (GDPR row erasure on a 100 TB table rewrites nothing).
+    Readers subtract the bitmaps at scan time (_scan_files); a later
+    OPTIMIZE physically purges. Upgrades the table protocol to reader
+    v3 / writer v7 with the deletionVectors feature in the same commit,
+    exactly as delta-spark does on first DV write.
+
+    Returns (new_version, n_files_with_new_dvs)."""
+    snap = snapshot(spark, table_path)
+    _guard_writable(snap, "DV DELETE")
+    candidates, _ = prune_files_by_stats(snap, col, lo, hi)
+    if not candidates:
+        return snap.version, 0
+    per_file = _dv_matched_rows(
+        spark, table_path, snap, col, lo, hi, candidates
+    )
+    if not per_file:
+        return snap.version, 0
+
+    now_ms = int(time.time() * 1000)
+    actions = _dv_mark_actions(table_path, snap, per_file, now_ms)
+    pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
     if _cdf_enabled(snap):
         deleted_rows = _scan_files(
             spark, table_path, snap, list(per_file)
@@ -2012,6 +2040,74 @@ def delete_delta_dv(
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": f"{col} BETWEEN {lo} AND {hi}",
+                    "deletionVectors": "true",
+                },
+            }
+        }
+    )
+    guard = _CommitGuard(
+        removed=set(per_file),
+        read_files=set(candidates),
+        predicate=(snap.physical(col), lo, hi),
+    )
+    return _commit(table_path, actions, guard, snap.version), len(per_file)
+
+
+def update_delta_dv(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+    set_exprs: dict[str, str],
+) -> tuple[int, int]:
+    """Merge-on-read UPDATE: the matched rows' OLD versions are
+    DV-marked in place (zero data-file rewrites) and their NEW versions
+    — projected through ``set_exprs`` — append as fresh files. Write
+    cost is O(matched rows), not O(affected files): on a 100 TB table a
+    1000-row update moves ~1000 rows of data plus bitmap metadata,
+    where copy-on-write would rewrite every touched file. Exactly how
+    Delta executes UPDATE/MERGE when deletion vectors are enabled.
+    Preimage/postimage CDF rows flow when enabled.
+
+    Returns (new_version, n_files_with_new_dvs)."""
+    snap = snapshot(spark, table_path)
+    _guard_writable(snap, "DV UPDATE")
+    candidates, _ = prune_files_by_stats(snap, col, lo, hi)
+    if not candidates:
+        return snap.version, 0
+    per_file = _dv_matched_rows(
+        spark, table_path, snap, col, lo, hi, candidates
+    )
+    if not per_file:
+        return snap.version, 0
+
+    # the matched rows' new versions (previously-DV-deleted rows are
+    # excluded by _scan_files, so they are neither revived nor copied)
+    pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
+    _apply, _ = _update_closures(pred, set_exprs)
+    matched = _scan_files(spark, table_path, snap, list(per_file)).filter(pred)
+    updated = _apply(matched)
+    added = _stage_write(updated, table_path, snap.partition_columns)
+
+    now_ms = int(time.time() * 1000)
+    actions = _dv_mark_actions(table_path, snap, per_file, now_ms)
+    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
+    for rel in added:
+        actions.append(
+            _add_action(table_path, rel, snap.partition_columns, stat_cols, now_ms)
+        )
+    if _cdf_enabled(snap):
+        pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+        post = updated.withColumn("_change_type", F.lit("update_postimage"))
+        actions.extend(_stage_cdf(pre.unionByName(post), table_path, snap))
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
                 "operationParameters": {
                     "predicate": f"{col} BETWEEN {lo} AND {hi}",
                     "deletionVectors": "true",

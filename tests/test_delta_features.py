@@ -867,3 +867,51 @@ def test_small_dvs_are_written_inline(spark, tbl):
     ]
     assert any(d["storageType"] == "u" for d in descs2)
     assert read_delta(spark, tbl2).count() == 1000
+
+
+def test_merge_on_read_update_marks_and_appends(spark, tbl):
+    """update_delta_dv: old versions DV-marked in place (data files keep
+    identity), new versions appended — O(matched rows) write cost; CDF
+    captures pre/postimages."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        update_delta_dv,
+    )
+
+    df = _kv(spark).repartitionByRange(4, "k")
+    write_delta(
+        df, tbl, mode="overwrite",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    files_v0 = set(snapshot(spark, tbl).files)
+
+    v, n_dv = update_delta_dv(spark, tbl, "k", 5, 14, {"v": "v + 1"})
+    assert v == 1 and n_dv >= 1
+    snap = snapshot(spark, tbl)
+    assert files_v0 <= set(snap.files)  # originals keep identity
+    assert len(snap.files) > len(files_v0)  # plus appended new versions
+
+    want = df.withColumn(
+        "v",
+        F.when(F.col("k").between(5, 14), F.col("v") + 1).otherwise(F.col("v")),
+    )
+    assert _rows(read_delta(spark, tbl)) == _rows(want)
+    # time travel intact
+    assert _rows(read_delta(spark, tbl, version=0)) == _rows(df)
+
+    cdf = read_cdf(spark, tbl, from_version=1)
+    counts = dict(
+        (r["_change_type"], r["n"])
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts == {"update_preimage": 10, "update_postimage": 10}
+
+    # a second MoR update over an overlapping range composes: rows
+    # updated once are in the NEW files, not re-marked in the old ones
+    update_delta_dv(spark, tbl, "k", 10, 19, {"v": "v + 100"})
+    want2 = want.withColumn(
+        "v",
+        F.when(F.col("k").between(10, 19), F.col("v") + 100).otherwise(
+            F.col("v")
+        ),
+    )
+    assert _rows(read_delta(spark, tbl)) == _rows(want2)
