@@ -219,13 +219,28 @@ def write_dv_file(
     returns {data_file_rel_path: deletionVector descriptor}. Layout per
     the protocol: version byte, then ``<size BE><data><crc32 BE>`` per
     blob, descriptors pointing at each blob's offset."""
+    return write_dv_file_blobs(
+        table_path,
+        {
+            rel: (bitmap_array_serialize(rows), len(rows))
+            for rel, rows in per_file_rows.items()
+        },
+    )
+
+
+def write_dv_file_blobs(
+    table_path: str, per_file_blobs: dict[str, tuple[bytes, int]]
+) -> dict[str, dict]:
+    """``write_dv_file`` over PRE-SERIALIZED (blob, cardinality) pairs —
+    the executor-side DV construction path (round 7): bitmaps are built
+    and serialized on executors, so the driver handles only O(files)
+    compact blobs, never row-index enumerations."""
     u = _uuid.uuid4()
     name = f"deletion_vector_{u}.bin"
     descriptors: dict[str, dict] = {}
     buf = bytearray()
     buf.append(FORMAT_VERSION)
-    for rel, rows in per_file_rows.items():
-        data = bitmap_array_serialize(rows)
+    for rel, (data, cardinality) in per_file_blobs.items():
         offset = len(buf)
         buf += struct.pack(">i", len(data))
         buf += data
@@ -235,7 +250,7 @@ def write_dv_file(
             "pathOrInlineDv": z85_encode(u.bytes),
             "offset": offset,
             "sizeInBytes": len(data),
-            "cardinality": len(rows),
+            "cardinality": cardinality,
         }
     with open(os.path.join(table_path, name), "wb") as fh:
         fh.write(bytes(buf))
@@ -245,6 +260,20 @@ def write_dv_file(
 def read_dv(table_path: str, descriptor: dict) -> list[int]:
     """Deleted row indexes for one deletionVector descriptor (inline,
     relative-uuid, or absolute-path storage)."""
+    rows = bitmap_array_deserialize(read_dv_blob(table_path, descriptor))
+    if len(rows) != int(descriptor["cardinality"]):
+        raise ValueError(
+            f"DV cardinality {len(rows)} != descriptor "
+            f"{descriptor['cardinality']}"
+        )
+    return rows
+
+
+def read_dv_blob(table_path: str, descriptor: dict) -> bytes:
+    """The RAW serialized RoaringBitmapArray of one deletionVector
+    descriptor — O(compressed bitmap) bytes, never inflated to indexes.
+    Scan-time DV application ships these blobs to executors and
+    deserializes there (round 7), keeping driver memory O(files)."""
     storage = descriptor["storageType"]
     size = int(descriptor["sizeInBytes"])
     if storage == "i":
@@ -272,23 +301,21 @@ def read_dv(table_path: str, descriptor: dict) -> list[int]:
             (crc,) = struct.unpack(">I", fh.read(4))
             if crc != (zlib.crc32(data) & 0xFFFFFFFF):
                 raise ValueError("DV blob checksum mismatch")
-    rows = bitmap_array_deserialize(data)
-    if len(rows) != int(descriptor["cardinality"]):
-        raise ValueError(
-            f"DV cardinality {len(rows)} != descriptor "
-            f"{descriptor['cardinality']}"
-        )
-    return rows
+    return data
 
 
 def inline_descriptor(rows: list[int]) -> dict:
     """An inline (storageType "i") descriptor for small DVs — the blob
     travels in the log itself, no side file."""
-    data = bitmap_array_serialize(rows)
+    return inline_descriptor_blob(bitmap_array_serialize(rows), len(rows))
+
+
+def inline_descriptor_blob(data: bytes, cardinality: int) -> dict:
+    """``inline_descriptor`` over a pre-serialized bitmap blob."""
     pad = (-len(data)) % 4
     return {
         "storageType": "i",
         "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
         "sizeInBytes": len(data),
-        "cardinality": len(rows),
+        "cardinality": cardinality,
     }
