@@ -1443,7 +1443,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_PRIORITY: list[str] = [
     # --- ROUND-6 ROTATION: after r5 the ledger reads 207/207
     # verified-ever, pending 0, so the full 50-slot window is free
-    # again. Head = this round's 13 new queries (first driver rows);
+    # again. Head = this round's new queries (first driver rows);
     # the remainder re-verifies prior-round rows at zero risk. ---
     # round-6 additions (new surface)
     "delta_concurrent_writers_roundtrip",

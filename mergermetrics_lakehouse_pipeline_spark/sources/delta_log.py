@@ -74,7 +74,7 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import DataType, StructField, StructType
 
 LOG_DIR = "_delta_log"
 CDF_DIR = "_change_data"
@@ -82,6 +82,10 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: reader-version-3 features this implementation actually honors
 SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "timestampNtz"}
 _CDF_PROP = "delta.enableChangeDataFeed"
+_CM_MODE = "delta.columnMapping.mode"
+_CM_MAXID = "delta.columnMapping.maxColumnId"
+_CM_ID = "delta.columnMapping.id"
+_CM_PHYS = "delta.columnMapping.physicalName"
 
 
 class DeltaProtocolError(RuntimeError):
@@ -102,6 +106,10 @@ class DeltaSnapshot:
     partition_columns: list[str]
     #: add-action dicts keyed by (decoded) relative path
     files: dict[str, dict[str, Any]] = field(default_factory=dict)
+    #: unexpired remove actions keyed by (decoded) relative path —
+    #: carried into checkpoints so a foreign engine reading only the
+    #: checkpoint keeps tombstone/VACUUM information (ADVICE r6 #3)
+    tombstones: dict[str, dict[str, Any]] = field(default_factory=dict)
     configuration: dict[str, str] = field(default_factory=dict)
     #: streaming-writer watermarks: appId -> highest committed version
     txns: dict[str, int] = field(default_factory=dict)
@@ -181,9 +189,13 @@ def _check_protocol(action: dict[str, Any]) -> None:
 def _apply_action(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
     if "add" in action:
         a = action["add"]
-        snap.files[unquote(a["path"])] = a
+        path = unquote(a["path"])
+        snap.files[path] = a
+        snap.tombstones.pop(path, None)  # a re-add clears the tombstone
     elif "remove" in action:
-        snap.files.pop(unquote(action["remove"]["path"]), None)
+        path = unquote(action["remove"]["path"])
+        snap.files.pop(path, None)
+        snap.tombstones[path] = action["remove"]
     elif "metaData" in action:
         m = action["metaData"]
         conf = dict(m.get("configuration") or {})
@@ -372,6 +384,47 @@ def _select_logical(
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     cols.extend(F.col(c) for c in extra)
     return df.select(*cols)
+
+
+def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename logical columns to their physical parquet names before
+    staging data (or cdc) files — the column-mapping WRITE contract:
+    data files carry physical names, the committed schema maps them
+    back. Identity (no projection node) when mapping is off or the
+    names coincide. Non-table columns (e.g. ``_change_type``) pass
+    through unchanged."""
+    if not mapping or all(mapping.get(c, c) == c for c in df.columns):
+        return df
+    return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
+def _mapped_field(f: StructField, col_id: int) -> StructField:
+    """``f`` with fresh column-mapping metadata: a sequential
+    ``delta.columnMapping.id`` and a ``col-<uuid>`` physical name —
+    what delta-spark's DeltaColumnMapping assigns on table creation and
+    ADD COLUMN. Top-level fields only (this engine's logical<->physical
+    resolution is top-level; nested mapping is documented out of
+    scope)."""
+    md = dict(f.metadata or {})
+    md[_CM_ID] = col_id
+    md[_CM_PHYS] = f"col-{uuid.uuid4().hex[:16]}"
+    return StructField(f.name, f.dataType, f.nullable, md)
+
+
+def _phys_partition_cols(snap: DeltaSnapshot) -> list[str]:
+    """Partition columns as stored on disk: hive directory names (and
+    therefore add-action partitionValues keys) use PHYSICAL names under
+    column mapping, while metaData.partitionColumns stays logical."""
+    return [snap.physical(c) for c in snap.partition_columns]
+
+
+def _phys_stat_cols(snap: DeltaSnapshot) -> list[str]:
+    """Stats columns keyed the way parquet footers (and the protocol's
+    stats JSON) key them: physical names."""
+    return [
+        snap.physical(c)
+        for c in _stats_columns(snap.schema, snap.partition_columns)
+    ]
 
 
 def _scan_files(
@@ -719,28 +772,41 @@ def _finish_overwrite_schema_commit(
     partition_by: list[str],
     added: list[str],
     txn: tuple[str, int] | None,
+    *,
+    schema_json: str | None = None,
+    configuration: dict[str, str] | None = None,
+    mapping: dict[str, str] | None = None,
 ) -> int:
     """Author the commit for an explicit schema-replacing overwrite:
     new metaData (schema AND partitioning may change), every previous
-    file removed, staged files added."""
+    file removed, staged files added. On a column-mapped table the
+    caller passes the remapped ``schema_json``/``configuration`` and
+    the logical->physical ``mapping`` the staged files were written
+    with."""
+    mapping = mapping or {}
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": _schema_json(df),
+                "schemaString": schema_json or _schema_json(df),
                 "partitionColumns": partition_by,
-                "configuration": prev.configuration,
+                "configuration": (
+                    prev.configuration if configuration is None else configuration
+                ),
             }
         }
     ]
     for rel, a in prev.files.items():
         actions.append(_remove_action(a, now_ms, True))
-    stat_cols = _stats_columns(df.schema, partition_by)
+    stat_cols = [
+        mapping.get(c, c) for c in _stats_columns(df.schema, partition_by)
+    ]
+    part_store = [mapping.get(c, c) for c in partition_by]
     for rel in added:
         actions.append(
-            _add_action(table_path, rel, partition_by, stat_cols, now_ms)
+            _add_action(table_path, rel, part_store, stat_cols, now_ms)
         )
     if txn is not None:
         actions.append(
@@ -802,6 +868,10 @@ def write_delta(
     prev_files: dict[str, dict] = {}
     evolved_schema: StructType | None = None
     prev_configuration: dict[str, str] = {}
+    evolved_configuration: dict[str, str] = {}
+    #: logical -> physical column name for the files THIS write stages
+    #: (identity unless the table uses column mapping)
+    mapping: dict[str, str] = {}
     if base_version >= 0:
         if configuration is not None:
             raise DeltaProtocolError(
@@ -811,11 +881,7 @@ def write_delta(
         prev = snapshot(spark, table_path)
         base_version = prev.version
         prev_configuration = prev.configuration
-        if prev.column_mapping_mode != "none":
-            raise DeltaProtocolError(
-                "writing to column-mapped tables is not supported "
-                "(read-side interop only)"
-            )
+        mapping = dict(prev.physical_names)
         if overwrite_schema:
             # Delta's .option("overwriteSchema", "true"): an explicit
             # full replacement of schema AND partitioning — the one
@@ -830,9 +896,42 @@ def write_delta(
             # referencing a dropped column fails loudly here; drop the
             # constraint first, as on real Delta)
             _enforce_constraints(df, prev_configuration)
-            added = _stage_write(df, table_path, partition_by)
+            new_conf = dict(prev_configuration)
+            if prev.column_mapping_mode != "none":
+                # same-named columns KEEP their (id, physicalName) —
+                # a replace is not a rename; brand-new columns get
+                # fresh ids past maxColumnId
+                prev_by_name = {f.name: f for f in prev.schema.fields}
+                next_id = int(new_conf.get(_CM_MAXID, "0"))
+                fields = []
+                for f in df.schema.fields:
+                    if f.name in prev_by_name:
+                        old = prev_by_name[f.name]
+                        fields.append(
+                            StructField(
+                                f.name, f.dataType, f.nullable, dict(old.metadata)
+                            )
+                        )
+                    else:
+                        next_id += 1
+                        fields.append(_mapped_field(f, next_id))
+                new_conf[_CM_MAXID] = str(next_id)
+                store_schema = StructType(fields)
+                mapping = {
+                    f.name: f.metadata[_CM_PHYS] for f in fields
+                }
+            else:
+                store_schema = df.schema
+            added = _stage_write(
+                _to_physical(df, mapping),
+                table_path,
+                [mapping.get(c, c) for c in partition_by],
+            )
             return _finish_overwrite_schema_commit(
-                table_path, df, prev, partition_by, added, txn
+                table_path, df, prev, partition_by, added, txn,
+                schema_json=store_schema.json(),
+                configuration=new_conf,
+                mapping=mapping,
             )
         # partitioning is a TABLE property, not a per-write choice:
         # inherit it when the caller omits partition_by, reject ANY
@@ -870,40 +969,82 @@ def write_delta(
             )
         added_cols = [f for f in df.schema.fields if f.name not in old_fields]
         if added_cols:
-            evolved_schema = StructType(
-                list(prev.schema.fields if mode == "append" else [])
-                + (
-                    [f for f in df.schema.fields]
-                    if mode == "overwrite"
-                    else added_cols
+            evolved_configuration = dict(prev_configuration)
+            if prev.column_mapping_mode != "none":
+                # evolved columns join the mapping: fresh sequential ids
+                # past maxColumnId, fresh physical names; existing
+                # columns KEEP their StructField metadata
+                next_id = int(evolved_configuration.get(_CM_MAXID, "0"))
+                new_by_name: dict[str, StructField] = {}
+                for f in added_cols:
+                    next_id += 1
+                    new_by_name[f.name] = _mapped_field(f, next_id)
+                evolved_configuration[_CM_MAXID] = str(next_id)
+                mapping.update(
+                    {f.name: f.metadata[_CM_PHYS] for f in new_by_name.values()}
                 )
-            )
+            else:
+                new_by_name = {f.name: f for f in added_cols}
+            prev_by_name = {f.name: f for f in prev.schema.fields}
+            if mode == "append":
+                ordered = list(prev.schema.fields) + [
+                    new_by_name[f.name] for f in added_cols
+                ]
+            else:  # overwrite keeps the incoming frame's column order
+                ordered = [
+                    prev_by_name.get(f.name) or new_by_name[f.name]
+                    for f in df.schema.fields
+                ]
+            evolved_schema = StructType(ordered)
 
+    create_conf: dict[str, str] = {}
+    create_schema: StructType | None = None
     if base_version >= 0:
         _enforce_constraints(df, prev_configuration)
     else:
-        _enforce_constraints(df, configuration or {})
-    added = _stage_write(df, table_path, partition_by)
+        create_conf = dict(configuration or {})
+        cm_mode = create_conf.get(_CM_MODE, "none")
+        if cm_mode == "name":
+            fields = [
+                _mapped_field(f, i + 1) for i, f in enumerate(df.schema.fields)
+            ]
+            create_schema = StructType(fields)
+            create_conf[_CM_MAXID] = str(len(fields))
+            mapping = {f.name: f.metadata[_CM_PHYS] for f in fields}
+        elif cm_mode != "none":
+            raise DeltaProtocolError(
+                f"column mapping mode {cm_mode!r} not supported (name mode "
+                "only; id mode needs parquet-field-id matching)"
+            )
+        _enforce_constraints(df, create_conf)
+    part_store = [mapping.get(c, c) for c in partition_by]
+    added = _stage_write(_to_physical(df, mapping), table_path, part_store)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     if base_version < 0:
-        conf = dict(configuration or {})
+        conf = create_conf
         if conf.get(_CDF_PROP, "").lower() == "true":
             writer_v = 4
         elif any(k.startswith(_CONSTRAINT_PREFIX) for k in conf):
             writer_v = 3
         else:
             writer_v = 2
+        reader_v = 1
+        if create_schema is not None:
+            # legacy column-mapping protocol: reader 2 / writer 5
+            # (writer versions are cumulative, so CDF/constraints on
+            # the same table stay covered)
+            reader_v, writer_v = 2, max(writer_v, 5)
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": writer_v}}
+            {"protocol": {"minReaderVersion": reader_v, "minWriterVersion": writer_v}}
         )
         actions.append(
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": _schema_json(df),
+                    "schemaString": (create_schema or df.schema).json(),
                     "partitionColumns": partition_by,
                     "configuration": conf,
                     "createdTime": now_ms,
@@ -918,19 +1059,22 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": evolved_schema.json(),
                     # carry the table's partitioning/config forward — an
-                    # evolution commit widens the schema, nothing else
+                    # evolution commit widens the schema (and, under
+                    # column mapping, bumps maxColumnId), nothing else
                     "partitionColumns": partition_by,
-                    "configuration": prev_configuration,
+                    "configuration": evolved_configuration,
                 }
             }
         )
     if mode == "overwrite":
         for rel, a in prev_files.items():
             actions.append(_remove_action(a, now_ms, True))
-    stat_cols = _stats_columns(df.schema, partition_by)
+    stat_cols = [
+        mapping.get(c, c) for c in _stats_columns(df.schema, partition_by)
+    ]
     for rel in added:
         actions.append(
-            _add_action(table_path, rel, partition_by, stat_cols, now_ms)
+            _add_action(table_path, rel, part_store, stat_cols, now_ms)
         )
     if txn is not None:
         actions.append(
@@ -975,7 +1119,6 @@ def restore_delta(spark: SparkSession, table_path: str, version: int) -> int:
     Scale: O(files) metadata diff driver-side; zero data movement."""
     cur = snapshot(spark, table_path)
     tgt = snapshot(spark, table_path, version)
-    _guard_writable(cur, "RESTORE")
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     if (
@@ -1026,11 +1169,17 @@ def write_checkpoint(
     """Author a checkpoint at the latest version and point
     ``_last_checkpoint`` at it, so readers can skip replaying earlier
     JSON commits. Checkpoint rows carry the same action structs as the
-    JSON lines (protocol, metaData, one add per live file). With
+    JSON lines (protocol, metaData, one add per live file, one remove
+    per unexpired tombstone — per the protocol a checkpoint carries
+    recent remove actions so a foreign engine reading only the
+    checkpoint keeps tombstone/VACUUM information; ADVICE r6 #3). With
     ``parts``, writes the multi-part ``<v>.checkpoint.<i>.<n>.parquet``
     set other engines use for large tables — each part holds a slice of
     the actions; readers must fold ALL parts."""
     snap = snapshot(spark, table_path)
+    # delta's default deletedFileRetentionDuration: tombstones older
+    # than a week are expired and may be dropped from checkpoints
+    expiry_ms = int(time.time() * 1000) - 7 * 24 * 3600 * 1000
     rows = (
         [
             {"protocol": snap.protocol},
@@ -1045,6 +1194,11 @@ def write_checkpoint(
             },
         ]
         + [{"add": a} for a in snap.files.values()]
+        + [
+            {"remove": r}
+            for r in snap.tombstones.values()
+            if int(r.get("deletionTimestamp") or 0) >= expiry_ms
+        ]
         + [
             {"txn": {"appId": app, "version": v}}
             for app, v in sorted(snap.txns.items())
@@ -1151,7 +1305,6 @@ def add_check_constraint(
     Scale: one scan of live data (Delta pays the same on ADD
     CONSTRAINT); afterwards each write validates only its own rows."""
     snap = snapshot(spark, table_path)
-    _guard_writable(snap, "ADD CONSTRAINT")
     key = _CONSTRAINT_PREFIX + name
     if key in snap.configuration:
         raise DeltaProtocolError(f"constraint {name!r} already exists")
@@ -1197,6 +1350,168 @@ def add_check_constraint(
         has_metadata=True,
     )
     return _commit(table_path, actions, guard, snap.version)
+
+
+def _constraint_mentions(configuration: dict[str, str], col: str) -> list[str]:
+    """Names of CHECK constraints whose expression mentions ``col`` as
+    a word — conservative (a quoted string literal containing the name
+    also matches), which errs on the REJECT side for ALTER COLUMN, the
+    safe direction."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(col)}\b", _re.IGNORECASE)
+    return [
+        k[len(_CONSTRAINT_PREFIX):]
+        for k, v in (configuration or {}).items()
+        if k.startswith(_CONSTRAINT_PREFIX) and pat.search(v)
+    ]
+
+
+def _alter_schema_commit(
+    table_path: str,
+    snap: DeltaSnapshot,
+    new_schema: StructType,
+    new_partition_columns: list[str],
+    new_conf: dict[str, str],
+    op: str,
+    params: dict[str, str],
+) -> int:
+    """Shared tail of the metadata-only ALTER COLUMN commands: ONE
+    metaData action re-stating schema/partitioning/configuration, zero
+    data files touched — the entire point of column mapping (a rename
+    or drop on a 100 TB table is a single JSON commit). Conflicts with
+    ANY concurrent commit (metadata changes always do)."""
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": new_schema.json(),
+                "partitionColumns": new_partition_columns,
+                "configuration": new_conf,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": op,
+                "operationParameters": params,
+            }
+        },
+    ]
+    guard = _CommitGuard(has_metadata=True, read_whole_table=True)
+    return _commit(table_path, actions, guard, snap.version)
+
+
+def rename_column(
+    spark: SparkSession, table_path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN old TO new — metadata-only under
+    column mapping (name mode): the field keeps its
+    ``delta.columnMapping.physicalName`` and id, so every existing
+    parquet file stays valid and unread; only the logical name in
+    metaData changes. Rejected on unmapped tables (there the parquet
+    column names ARE the logical names — a metadata-only rename would
+    silently NULL the column; real Delta requires
+    delta.columnMapping.mode=name for exactly this reason), and when a
+    CHECK constraint references the column (as delta-spark does)."""
+    snap = snapshot(spark, table_path)
+    if snap.column_mapping_mode == "none":
+        raise DeltaProtocolError(
+            "RENAME COLUMN requires delta.columnMapping.mode=name "
+            "(set at table creation); without mapping the rename would "
+            "orphan the physical parquet column"
+        )
+    names = [f.name for f in snap.schema.fields]
+    if old not in names:
+        raise DeltaProtocolError(f"no such column {old!r}")
+    if new in names:
+        raise DeltaProtocolError(f"column {new!r} already exists")
+    hit = _constraint_mentions(snap.configuration, old)
+    if hit:
+        raise DeltaProtocolError(
+            f"CHECK constraint(s) {hit} reference column {old!r}; drop "
+            "them before renaming"
+        )
+    new_fields = [
+        StructField(new, f.dataType, f.nullable, dict(f.metadata))
+        if f.name == old
+        else f
+        for f in snap.schema.fields
+    ]
+    new_parts = [new if c == old else c for c in snap.partition_columns]
+    return _alter_schema_commit(
+        table_path, snap, StructType(new_fields), new_parts,
+        dict(snap.configuration), "RENAME COLUMN",
+        {"oldName": old, "newName": new},
+    )
+
+
+def drop_column(spark: SparkSession, table_path: str, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only under column mapping
+    (name mode): the field leaves the logical schema; its physical
+    parquet column stays in the data files but is never projected
+    (_select_logical reads only mapped fields). The column id is NOT
+    reused (maxColumnId is monotone), so a later ADD COLUMN of the same
+    logical name maps to a FRESH physical column and old values do not
+    resurface — the protocol's re-add safety property."""
+    snap = snapshot(spark, table_path)
+    if snap.column_mapping_mode == "none":
+        raise DeltaProtocolError(
+            "DROP COLUMN requires delta.columnMapping.mode=name; use an "
+            "explicit overwrite_schema write on unmapped tables"
+        )
+    names = [f.name for f in snap.schema.fields]
+    if col not in names:
+        raise DeltaProtocolError(f"no such column {col!r}")
+    if len(names) == 1:
+        raise DeltaProtocolError("cannot drop the only column")
+    if col in snap.partition_columns:
+        raise DeltaProtocolError(
+            f"{col!r} is a partition column; repartition via an explicit "
+            "overwrite_schema write instead"
+        )
+    hit = _constraint_mentions(snap.configuration, col)
+    if hit:
+        raise DeltaProtocolError(
+            f"CHECK constraint(s) {hit} reference column {col!r}; drop "
+            "them first"
+        )
+    new_fields = [f for f in snap.schema.fields if f.name != col]
+    return _alter_schema_commit(
+        table_path, snap, StructType(new_fields), snap.partition_columns,
+        dict(snap.configuration), "DROP COLUMNS", {"column": col},
+    )
+
+
+def add_column(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    data_type: DataType | str,
+) -> int:
+    """ALTER TABLE ... ADD COLUMN (nullable) — metadata-only on ANY
+    table: existing files simply lack the column and scans NULL-fill it
+    (_select_logical), exactly Delta's behavior. Under column mapping
+    the new field gets a fresh id/physical name past maxColumnId.
+    ``data_type`` is a DataType or a DDL string ("decimal(12,2)")."""
+    snap = snapshot(spark, table_path)
+    if any(f.name == name for f in snap.schema.fields):
+        raise DeltaProtocolError(f"column {name!r} already exists")
+    if isinstance(data_type, str):
+        data_type = StructType.fromDDL(f"`{name}` {data_type}")[0].dataType
+    f = StructField(name, data_type, True)
+    new_conf = dict(snap.configuration)
+    if snap.column_mapping_mode != "none":
+        next_id = int(new_conf.get(_CM_MAXID, "0")) + 1
+        f = _mapped_field(f, next_id)
+        new_conf[_CM_MAXID] = str(next_id)
+    return _alter_schema_commit(
+        table_path, snap, StructType(list(snap.schema.fields) + [f]),
+        snap.partition_columns, new_conf, "ADD COLUMNS",
+        {"column": name, "type": f.dataType.simpleString()},
+    )
 
 
 def vacuum_delta(
@@ -1419,7 +1734,10 @@ def _stage_cdf(
     to snapshot scans (cdc, not add) — they exist solely for
     change-feed readers."""
     rels = _stage_write(
-        change_df, table_path, snap.partition_columns, subdir=CDF_DIR
+        _to_physical(change_df, snap.physical_names),
+        table_path,
+        _phys_partition_cols(snap),
+        subdir=CDF_DIR,
     )
     actions = []
     for rel in rels:
@@ -1428,7 +1746,7 @@ def _stage_cdf(
                 "cdc": {
                     "path": quote(rel, safe="/"),
                     "partitionValues": _partition_values_from_path(
-                        rel, snap.partition_columns
+                        rel, _phys_partition_cols(snap)
                     ),
                     "size": os.path.getsize(os.path.join(table_path, rel)),
                     "dataChange": False,
@@ -1436,14 +1754,6 @@ def _stage_cdf(
             }
         )
     return actions
-
-
-def _guard_writable(snap: DeltaSnapshot, op: str) -> None:
-    if snap.column_mapping_mode != "none":
-        raise DeltaProtocolError(
-            f"{op} on column-mapped tables is not supported (read-side "
-            "interop only)"
-        )
 
 
 def overwrite_partitions_delta(
@@ -1461,7 +1771,6 @@ def overwrite_partitions_delta(
     DISJOINT partitions rebase and land; overlapping ones abort."""
     spark = df.sparkSession
     snap = snapshot(spark, table_path)
-    _guard_writable(snap, "dynamic partition overwrite")
     if snap.partition_columns != partition_by:
         raise DeltaProtocolError(
             f"table is partitioned by {snap.partition_columns}, not {partition_by}"
@@ -1473,25 +1782,28 @@ def overwrite_partitions_delta(
     # normalize BOTH sides: a foreign engine stores NULL partition
     # values as JSON null, which str() would render 'None' and never
     # match the incoming side's hive sentinel (ADVICE r5 #3)
+    part_store = _phys_partition_cols(snap)
     doomed = [
         rel
         for rel, a in snap.files.items()
         if tuple(
-            _hive_val(a.get("partitionValues", {}).get(c)) for c in partition_by
+            _hive_val(a.get("partitionValues", {}).get(c)) for c in part_store
         )
         in new_parts
     ]
 
-    added = _stage_write(df, table_path, partition_by)
+    added = _stage_write(
+        _to_physical(df, snap.physical_names), table_path, part_store
+    )
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
     for rel in doomed:
         actions.append(_remove_action(snap.files[rel], now_ms, True))
-    stat_cols = _stats_columns(snap.schema, partition_by)
+    stat_cols = _phys_stat_cols(snap)
     for rel in added:
         actions.append(
-            _add_action(table_path, rel, partition_by, stat_cols, now_ms)
+            _add_action(table_path, rel, part_store, stat_cols, now_ms)
         )
     actions.append(
         {
@@ -1506,7 +1818,7 @@ def overwrite_partitions_delta(
         removed=set(doomed),
         read_files=set(doomed),
         partitions=new_parts,
-        pcols=partition_by,
+        pcols=part_store,  # conflict checks read pv keys = physical
     )
     return _commit(table_path, actions, guard, snap.version)
 
@@ -1540,7 +1852,6 @@ def optimize_delta(
     from ..operators.layout import _ZKEY, zorder_key
 
     snap = snapshot(spark, table_path)
-    _guard_writable(snap, "OPTIMIZE")
     if zorder_by is not None and snap.partition_columns:
         raise DeltaProtocolError(
             "ZORDER BY on a hive-partitioned table would break the "
@@ -1560,17 +1871,21 @@ def optimize_delta(
     else:
         current = current.coalesce(target_files)
 
-    added = _stage_write(current, table_path, snap.partition_columns)
+    added = _stage_write(
+        _to_physical(current, snap.physical_names),
+        table_path,
+        _phys_partition_cols(snap),
+    )
 
     now_ms = int(time.time() * 1000)
-    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
+    stat_cols = _phys_stat_cols(snap)
     actions: list[dict[str, Any]] = [
         _remove_action(a, now_ms, False) for a in snap.files.values()
     ]
     for rel in added:
         actions.append(
             _add_action(
-                table_path, rel, snap.partition_columns, stat_cols, now_ms,
+                table_path, rel, _phys_partition_cols(snap), stat_cols, now_ms,
                 data_change=False,
             )
         )
@@ -1670,7 +1985,6 @@ def _dml_rewrite(
     O(affected files). ``changes_of`` supplies CDF rows when the table
     has delta.enableChangeDataFeed."""
     snap = snapshot(spark, table_path)
-    _guard_writable(snap, op)
     candidates, _ = prune_files_by_stats(snap, col, lo, hi)
     if not candidates:
         return snap.version, 0
@@ -1708,15 +2022,21 @@ def _dml_commit(
     affected = _scan_files(spark, table_path, snap, candidates)
     survivors = survivors_of(affected)
 
-    added = _stage_write(survivors, table_path, snap.partition_columns)
+    added = _stage_write(
+        _to_physical(survivors, snap.physical_names),
+        table_path,
+        _phys_partition_cols(snap),
+    )
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = [
         _remove_action(snap.files[rel], now_ms, True) for rel in candidates
     ]
-    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
+    stat_cols = _phys_stat_cols(snap)
     for rel in added:
         actions.append(
-            _add_action(table_path, rel, snap.partition_columns, stat_cols, now_ms)
+            _add_action(
+                table_path, rel, _phys_partition_cols(snap), stat_cols, now_ms
+            )
         )
     if _cdf_enabled(snap):
         actions.extend(_stage_cdf(changes_of(affected), table_path, snap))
@@ -1747,7 +2067,6 @@ def delete_rows(
     at the cost of the extra scan (the same trade delta-spark makes)."""
     pred = F.coalesce(F.expr(where), F.lit(False))
     snap = snapshot(spark, table_path)
-    _guard_writable(snap, "DELETE")
     candidates = _matched_files(spark, table_path, snap, pred)
     if not candidates:
         return snap.version, 0
@@ -1779,7 +2098,6 @@ def update_rows(
     when enabled. Returns (new_version, n_files_rewritten)."""
     pred = F.coalesce(F.expr(where), F.lit(False))
     snap = snapshot(spark, table_path)
-    _guard_writable(snap, "UPDATE")
     candidates = _matched_files(spark, table_path, snap, pred)
     if not candidates:
         return snap.version, 0
@@ -1907,7 +2225,6 @@ def merge_delta(
     if when_matched not in ("update", "ignore"):
         raise ValueError("when_matched must be 'update' or 'ignore'")
     snap = snapshot(spark, table_path)
-    _guard_writable(snap, "MERGE")
     tcols = [f.name for f in snap.schema.fields]
     if [c for c in source.columns] != tcols:
         source = source.select(*tcols)  # raises if a column is missing
@@ -2103,16 +2420,22 @@ def _dv_mark_actions(
     actions: list[dict[str, Any]] = []
     feats = set(snap.protocol.get("readerFeatures") or [])
     if "deletionVectors" not in feats:
+        # upgrading to reader v3 makes features EXPLICIT: legacy
+        # capabilities implied by the previous reader version (column
+        # mapping at reader 2) must be re-stated in readerFeatures or a
+        # spec-following reader would ignore the mapping
+        if snap.column_mapping_mode != "none":
+            feats |= {"columnMapping"}
+        wfeats = set(snap.protocol.get("writerFeatures") or [])
+        if snap.column_mapping_mode != "none":
+            wfeats |= {"columnMapping"}
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
                     "readerFeatures": sorted(feats | {"deletionVectors"}),
-                    "writerFeatures": sorted(
-                        set(snap.protocol.get("writerFeatures") or [])
-                        | {"deletionVectors"}
-                    ),
+                    "writerFeatures": sorted(wfeats | {"deletionVectors"}),
                 }
             }
         )
@@ -2148,7 +2471,6 @@ def delete_delta_dv(
 
     Returns (new_version, n_files_with_new_dvs)."""
     snap = snapshot(spark, table_path)
-    _guard_writable(snap, "DV DELETE")
     candidates, _ = prune_files_by_stats(snap, col, lo, hi)
     if not candidates:
         return snap.version, 0
@@ -2205,7 +2527,6 @@ def update_delta_dv(
 
     Returns (new_version, n_files_with_new_dvs)."""
     snap = snapshot(spark, table_path)
-    _guard_writable(snap, "DV UPDATE")
     candidates, _ = prune_files_by_stats(snap, col, lo, hi)
     if not candidates:
         return snap.version, 0
@@ -2221,14 +2542,20 @@ def update_delta_dv(
     _apply, _ = _update_closures(pred, set_exprs)
     matched = _scan_files(spark, table_path, snap, list(per_file)).filter(pred)
     updated = _apply(matched)
-    added = _stage_write(updated, table_path, snap.partition_columns)
+    added = _stage_write(
+        _to_physical(updated, snap.physical_names),
+        table_path,
+        _phys_partition_cols(snap),
+    )
 
     now_ms = int(time.time() * 1000)
     actions = _dv_mark_actions(table_path, snap, per_file, now_ms)
-    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
+    stat_cols = _phys_stat_cols(snap)
     for rel in added:
         actions.append(
-            _add_action(table_path, rel, snap.partition_columns, stat_cols, now_ms)
+            _add_action(
+                table_path, rel, _phys_partition_cols(snap), stat_cols, now_ms
+            )
         )
     if _cdf_enabled(snap):
         pre = matched.withColumn("_change_type", F.lit("update_preimage"))

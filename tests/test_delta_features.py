@@ -260,10 +260,8 @@ def test_column_mapping_pruning_uses_physical_stats_keys(spark, tbl):
     }
 
 
-def test_column_mapping_id_mode_and_writes_rejected(spark, tbl):
+def test_column_mapping_id_mode_rejected(spark, tbl):
     _author_column_mapped_table(spark, tbl, partitioned=False)
-    with pytest.raises(DeltaProtocolError, match="column-mapped"):
-        write_delta(_kv(spark, 5), tbl, mode="append")
     # id mode stays loudly gated
     log = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
     with open(log) as fh:
@@ -915,3 +913,49 @@ def test_merge_on_read_update_marks_and_appends(spark, tbl):
         ),
     )
     assert _rows(read_delta(spark, tbl)) == _rows(want2)
+
+
+# --------------------------------------------------------------------------
+# checkpoint remove tombstones (round 7, ADVICE r6 #3)
+# --------------------------------------------------------------------------
+
+
+def test_checkpoint_carries_remove_tombstones(spark, tbl):
+    """Per the protocol a checkpoint carries unexpired remove actions:
+    a foreign engine reading ONLY the checkpoint keeps tombstone/VACUUM
+    information. A re-add clears the tombstone; the live-file set is
+    unchanged by the extra rows."""
+    import pyarrow.parquet as pq
+
+    df = _kv(spark, 12)
+    write_delta(df.filter("k < 6"), tbl, mode="overwrite")
+    write_delta(df.filter("k >= 6"), tbl, mode="overwrite")  # removes v0 files
+    removed = set(snapshot(spark, tbl, version=0).files)
+    assert removed and not (removed & set(snapshot(spark, tbl).files))
+
+    v = write_checkpoint(spark, tbl)
+    ckpt = os.path.join(tbl, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    t = pq.read_table(ckpt)
+    assert "remove" in t.column_names
+    rms = [r for r in t.column("remove").to_pylist() if r and r.get("path")]
+    assert {r["path"] for r in rms} == removed
+    assert all(r["deletionTimestamp"] > 0 for r in rms)
+    # _last_checkpoint size counts the tombstone rows
+    meta = json.loads(
+        open(os.path.join(tbl, "_delta_log", "_last_checkpoint")).read()
+    )
+    assert meta["size"] == 2 + len(snapshot(spark, tbl).files) + len(rms)
+
+    # replay FROM the checkpoint alone: live files exact, tombstones kept
+    assert truncate_log(tbl) != []
+    snap = snapshot(spark, tbl)
+    assert set(snap.tombstones) == removed
+    assert _rows(read_delta(spark, tbl)) == _rows(df.filter("k >= 6"))
+    # and the NEXT checkpoint still carries them (until expiry)
+    write_delta(df.filter("k < 3"), tbl, mode="append")
+    v2 = write_checkpoint(spark, tbl)
+    t2 = pq.read_table(
+        os.path.join(tbl, "_delta_log", f"{v2:020d}.checkpoint.parquet")
+    )
+    rms2 = [r for r in t2.column("remove").to_pylist() if r and r.get("path")]
+    assert {r["path"] for r in rms2} == removed

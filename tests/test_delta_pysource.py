@@ -294,3 +294,79 @@ def test_cdf_derived_deletes_keep_partition_values(spark, tbl, tmp_path):
     )
     assert len(dels) == 12
     assert all(r["p"] is not None and r["p"] == r["k"] % 3 for r in dels)
+
+
+def test_batch_pushdown_prunes_files_by_stats(spark, tbl):
+    """pushFilters records interval bounds; partitions() stats-prunes
+    files whose footer min/max provably cannot match — and every filter
+    stays residual, so results are EXACT (round 7, VERDICT r6 #5)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_pysource import (
+        DeltaLogBatchReader,
+        _table_schema,
+    )
+
+    # 4 range-partitioned files with disjoint k intervals
+    write_delta(
+        _kv(spark).repartitionByRange(4, "k"), tbl, mode="overwrite"
+    )
+    schema, _ = _table_schema(tbl)
+    rdr = DeltaLogBatchReader({"path": tbl}, schema)
+    residual = list(rdr.pushFilters([GreaterThanOrEqual(("k",), 30)]))
+    assert len(residual) == 1  # everything handed back to Spark
+    pruned = rdr.partitions()
+    assert 1 <= len(pruned) < 4  # skipped provably-disjoint files
+
+    rdr2 = DeltaLogBatchReader({"path": tbl}, schema)
+    rdr2.pushFilters([EqualTo(("k",), 7), LessThan(("v",), 100)])
+    assert len(rdr2.partitions()) == 1
+
+    # end-to-end: the SQL result under a pushed predicate is exact
+    out = (
+        spark.read.format("delta_pylog").option("path", tbl).load()
+        .filter("k >= 30")
+    )
+    assert _rows(out.select("k")) == {(k,) for k in range(30, 40)}
+
+
+def test_protocol_gate_survives_log_truncation(spark, tbl, monkeypatch):
+    """After truncate_log the protocol action may live only in the
+    checkpoint parquet; the reader-feature gate must still consult it
+    instead of silently no-opping (ADVICE r6 #2)."""
+    import json as _json
+
+    from mergermetrics_lakehouse_pipeline_spark.sources import delta_log
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        truncate_log,
+        write_checkpoint,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_pysource import (
+        DeltaProtocolError,
+        _table_schema,
+    )
+
+    write_delta(_kv(spark, 10), tbl, mode="overwrite")
+    delete_delta_dv(spark, tbl, "k", 0, 2)  # real v3 upgrade (DV feature)
+    write_checkpoint(spark, tbl)
+    truncate_log(tbl)
+    log = os.path.join(tbl, "_delta_log")
+    # no JSON commit now carries the protocol action — only the checkpoint
+    assert all(
+        "protocol" not in a
+        for n in os.listdir(log)
+        if n.endswith(".json") and n[:20].isdigit()
+        for a in map(
+            _json.loads, open(os.path.join(log, n)).read().splitlines()
+        )
+    )
+    assert _table_schema(tbl)[0] is not None  # fallback finds + passes
+
+    # prove the gate actually FIRES from the checkpoint-held protocol:
+    # with deletionVectors removed from the supported set, the same
+    # table must now be rejected (pre-fix it was silently admitted)
+    monkeypatch.setattr(
+        delta_log, "SUPPORTED_READER_FEATURES", {"timestampNtz"}
+    )
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        _table_schema(tbl)
