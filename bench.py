@@ -170,6 +170,28 @@ EXTENDED_R6: list[str] = [
 ]
 
 
+#: Round-7 additions, reported under "extended_r7" — earlier sets stay
+#: frozen so BENCH_r01..r07 compare like-for-like.
+EXTENDED_R7: list[str] = [
+    "delta_column_mapping_write_roundtrip",
+    "delta_timestamp_travel",
+    "delta_dv_executor_delete",
+    "delta_checkpoint_tombstone_replay",
+    "delta_pysource_pruned_batch",
+    "delta_scd2_cdf_apply",
+    "delta_merge_concurrent_rebase",
+    "orders_interarrival_profile",
+    "lineitem_weighted_median",
+    "supplier_acctbal_winsorized",
+    "events_ks_drift",
+    "orders_cusum_changepoint",
+    "docs_hapax_ratio",
+    "lineitem_inflight_peak",
+    "customer_segment_contingency",
+    "orders_repurchase_hazard",
+]
+
+
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -214,6 +236,7 @@ def main() -> None:
     extended_r4 = time_set(EXTENDED_R4)
     extended_r5 = time_set(EXTENDED_R5)
     extended_r6 = time_set(EXTENDED_R6)
+    extended_r7 = time_set(EXTENDED_R7)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -232,6 +255,8 @@ def main() -> None:
         "extended_r5_total": round(sum(extended_r5.values()), 3),
         "extended_r6": extended_r6,
         "extended_r6_total": round(sum(extended_r6.values()), 3),
+        "extended_r7": extended_r7,
+        "extended_r7_total": round(sum(extended_r7.values()), 3),
     }
     # Full detail to a file (the driver's stdout tail capture clipped the
     # r3 single-line output, losing the headline total)...
@@ -255,6 +280,8 @@ def main() -> None:
                 "extended_r3_total": full["extended_r3_total"],
                 "extended_r4_total": full["extended_r4_total"],
                 "extended_r5_total": full["extended_r5_total"],
+                "extended_r6_total": full["extended_r6_total"],
+                "extended_r7_total": full["extended_r7_total"],
                 "detail": "BENCH_LOCAL.json",
             }
         )

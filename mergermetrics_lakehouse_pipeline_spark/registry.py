@@ -1441,11 +1441,28 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # --- ROUND-6 ROTATION: after r5 the ledger reads 207/207
+    # --- ROUND-7 ROTATION: after r6 the ledger reads 227/227
     # verified-ever, pending 0, so the full 50-slot window is free
-    # again. Head = this round's new queries (first driver rows);
+    # again. Head = this round's 16 new queries (first driver rows);
     # the remainder re-verifies prior-round rows at zero risk. ---
-    # round-6 additions (new surface)
+    # round-7 additions (new surface)
+    "delta_column_mapping_write_roundtrip",
+    "delta_timestamp_travel",
+    "delta_dv_executor_delete",
+    "delta_checkpoint_tombstone_replay",
+    "delta_pysource_pruned_batch",
+    "delta_scd2_cdf_apply",
+    "delta_merge_concurrent_rebase",
+    "orders_interarrival_profile",
+    "lineitem_weighted_median",
+    "supplier_acctbal_winsorized",
+    "events_ks_drift",
+    "orders_cusum_changepoint",
+    "docs_hapax_ratio",
+    "lineitem_inflight_peak",
+    "customer_segment_contingency",
+    "orders_repurchase_hazard",
+    # --- round-6 additions (re-verification) ---
     "delta_concurrent_writers_roundtrip",
     "delta_cdf_stream_roundtrip",
     "delta_column_mapping_read",
@@ -1607,6 +1624,7 @@ def _load_extensions() -> None:
         registry_llm,
         registry_mining,
         registry_r6,
+        registry_r7,
         registry_scale,
         registry_sinks,
         registry_tpch,

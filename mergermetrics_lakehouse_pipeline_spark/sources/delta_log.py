@@ -326,7 +326,14 @@ def _dv_doomed_df(
     if not blobs:
         return None
     bdf = spark.createDataFrame(blobs, "__dv_path string, __dv_blob binary")
-    inflate = F.udf(lambda b: bitmap_array_deserialize(bytes(b)), "array<long>")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def inflate(b):
+        # Arrow-batched deserializer (no annotations: this module's
+        # future-annotations import would defeat signature inference)
+        return b.map(lambda x: bitmap_array_deserialize(bytes(x)))
+
     return bdf.select(
         "__dv_path", F.explode(inflate("__dv_blob")).alias("__dv_idx")
     )
@@ -2375,14 +2382,27 @@ def _dv_matched_blobs(
     else:
         grouped = grouped.withColumn("__old", F.lit(None).cast("binary"))
 
-    def _ser(idx, old):
-        vals = set(idx)
-        if old is not None:
-            vals |= set(bitmap_array_deserialize(bytes(old)))
-        ordered = sorted(vals)
-        return (bytearray(bitmap_array_serialize(ordered)), len(ordered))
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    ser = F.udf(_ser, "struct<blob: binary, card: long>")
+    @pandas_udf("struct<blob: binary, card: long>")
+    def ser(idx, old):
+        # Arrow-batched (one input row per FILE, so the batch is the
+        # whole model-sized frame; the plan stays ArrowEvalPython, never
+        # row-at-a-time BatchEvalPython). NOTE: no type annotations —
+        # this module's `from __future__ import annotations` would turn
+        # them into strings pandas_udf cannot infer a signature from.
+        blobs: list[bytes] = []
+        cards: list[int] = []
+        for i, o in zip(idx, old):
+            vals = set(int(x) for x in i)
+            if o is not None:
+                vals |= set(bitmap_array_deserialize(bytes(o)))
+            ordered = sorted(vals)
+            blobs.append(bitmap_array_serialize(ordered))
+            cards.append(len(ordered))
+        return pd.DataFrame({"blob": blobs, "card": cards})
+
     rows = grouped.select("__fp", ser("__idx", "__old").alias("s")).collect()
     abs_to_rel = {
         os.path.abspath(os.path.join(table_path, rel)): rel for rel in candidates

@@ -250,6 +250,9 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "lineitem_benford_leading_digit",  # 1-row total-count broadcast
         "orders_seasonality_index",  # 1-row total-mass broadcast
         "events_inactivity_buckets",  # 1-row max-ts anchor broadcast
+        # round 7: 1-row scalar broadcast cross joins (documented)
+        "delta_timestamp_travel",  # 1-row head-snapshot count stitch
+        "orders_repurchase_hazard",  # 1-row censor-horizon broadcast
     }
     registry._load_extensions()
 
