@@ -174,6 +174,7 @@ EXTENDED_R6: list[str] = [
 #: frozen so BENCH_r01..r07 compare like-for-like.
 EXTENDED_R7: list[str] = [
     "delta_column_mapping_write_roundtrip",
+    "delta_column_mapping_id_roundtrip",
     "delta_timestamp_travel",
     "delta_dv_executor_delete",
     "delta_checkpoint_tombstone_replay",

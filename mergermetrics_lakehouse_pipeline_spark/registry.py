@@ -1443,10 +1443,11 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_PRIORITY: list[str] = [
     # --- ROUND-7 ROTATION: after r6 the ledger reads 227/227
     # verified-ever, pending 0, so the full 50-slot window is free
-    # again. Head = this round's 16 new queries (first driver rows);
+    # again. Head = this round's 17 new queries (first driver rows);
     # the remainder re-verifies prior-round rows at zero risk. ---
     # round-7 additions (new surface)
     "delta_column_mapping_write_roundtrip",
+    "delta_column_mapping_id_roundtrip",
     "delta_timestamp_travel",
     "delta_dv_executor_delete",
     "delta_checkpoint_tombstone_replay",

@@ -1265,3 +1265,85 @@ def q_orders_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("n_events").cast("double") / F.col("n_risk")).alias("hazard"),
     )
+
+
+@register(
+    "delta_column_mapping_id_roundtrip",
+    """
+    WITH final AS (
+      SELECT p_partkey, p_brand,
+             CAST(p_retailprice AS DOUBLE) AS price,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part WHERE NOT (p_partkey % 7 = 0)
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_mass,
+           CAST(SUM(p_size) AS BIGINT) AS size_mass
+    FROM final GROUP BY 1
+    """,
+    tags=["S6", "delta", "column-mapping", "id-mode", "roundtrip"],
+)
+def q_delta_column_mapping_id_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column mapping ID MODE end-to-end (round 7, closing the last
+    mapping gate): create with delta.columnMapping.mode=id — staged
+    parquet files carry BOTH physical ``col-<uuid>`` names and
+    ``parquet.field.id`` footer ids; scans resolve columns BY FIELD ID
+    (Spark's fieldId.read path with an explicit physical schema), the
+    id-mode contract that lets a foreign writer use arbitrary parquet
+    column names. The row exercises evolve (new column, fresh id past
+    maxColumnId, NULL-filled on old files via id miss), predicate
+    DELETE through the id-resolved scan, and the final aggregate against
+    the oracle's relational recomputation. Footer ids are asserted
+    directly (a name-matching reader would pass name mode but break the
+    foreign-name fixture in tests/test_column_mapping_id.py).
+
+    Scale: id resolution is footer metadata — plan/scan costs identical
+    to name mode; a missing id fails loudly, never silently NULL-fills."""
+    import pyarrow.parquet as pq
+
+    from .sources.delta_log import delete_rows, read_delta, snapshot, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_dcmi_rt_") + "/part_id"
+    part = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.col("p_retailprice").cast("double").alias("price")
+    )
+    write_delta(
+        part, root, configuration={"delta.columnMapping.mode": "id"}
+    )  # v0
+    # evolve: p_size joins with a fresh id; old files NULL-fill by id miss
+    evolved = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    write_delta(evolved, root, mode="overwrite")  # v1 keeps ids, adds one
+    snap = snapshot(spark, root)
+    if snap.column_mapping_mode != "id":
+        raise RuntimeError("mode lost")
+    want_ids = {
+        snap.physical(f.name): int(f.metadata["delta.columnMapping.id"])
+        for f in snap.schema.fields
+    }
+    rel = next(iter(snap.files))
+    sch = pq.ParquetFile(os.path.join(root, rel)).schema_arrow
+    got_ids = {
+        f.name: int((f.metadata or {})[b"PARQUET:field_id"]) for f in sch
+    }
+    if got_ids != want_ids:
+        raise RuntimeError(f"footer field ids {got_ids} != schema {want_ids}")
+    delete_rows(spark, root, "p_partkey % 7 = 0")  # v2 via id-resolved scan
+    return (
+        read_delta(spark, root)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_mass"),
+            F.sum("p_size").cast("bigint").alias("size_mass"),
+        )
+    )

@@ -200,11 +200,10 @@ def _apply_action(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
         m = action["metaData"]
         conf = dict(m.get("configuration") or {})
         mode = conf.get("delta.columnMapping.mode", "none")
-        if mode not in ("none", "name"):
+        if mode not in ("none", "name", "id"):
             raise DeltaProtocolError(
-                f"column mapping mode {mode!r} not supported (name-mode "
-                "physical->logical resolution only; id mode needs "
-                "parquet-field-id matching)"
+                f"column mapping mode {mode!r} not supported "
+                "(none/name/id only)"
             )
         snap.schema = StructType.fromJson(json.loads(m["schemaString"]))
         snap.partition_columns = list(m.get("partitionColumns") or [])
@@ -393,16 +392,44 @@ def _select_logical(
     return df.select(*cols)
 
 
-def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+def _to_physical(
+    df: DataFrame,
+    mapping: dict[str, str],
+    ids: dict[str, int] | None = None,
+) -> DataFrame:
     """Rename logical columns to their physical parquet names before
     staging data (or cdc) files — the column-mapping WRITE contract:
     data files carry physical names, the committed schema maps them
-    back. Identity (no projection node) when mapping is off or the
-    names coincide. Non-table columns (e.g. ``_change_type``) pass
-    through unchanged."""
-    if not mapping or all(mapping.get(c, c) == c for c in df.columns):
+    back. Under id mode ``ids`` (logical -> columnMapping.id) rides as
+    ``parquet.field.id`` alias metadata so the parquet footer carries
+    field ids (Spark's fieldId.write path). Identity (no projection
+    node) when mapping is off or the names coincide. Non-table columns
+    (e.g. ``_change_type``) pass through unchanged."""
+    if not mapping or (
+        not ids and all(mapping.get(c, c) == c for c in df.columns)
+    ):
         return df
-    return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+    cols = []
+    for c in df.columns:
+        if ids and c in ids:
+            cols.append(
+                F.col(c).alias(
+                    mapping.get(c, c), metadata={"parquet.field.id": int(ids[c])}
+                )
+            )
+        else:
+            cols.append(F.col(c).alias(mapping.get(c, c)))
+    return df.select(*cols)
+
+
+def _ids_if_id_mode(snap: DeltaSnapshot) -> dict[str, int] | None:
+    """logical name -> columnMapping.id when the table uses id mode
+    (writes must stamp parquet field ids); None otherwise."""
+    if snap.column_mapping_mode != "id":
+        return None
+    return {
+        f.name: int(f.metadata[_CM_ID]) for f in snap.schema.fields
+    }
 
 
 def _mapped_field(f: StructField, col_id: int) -> StructField:
@@ -434,18 +461,48 @@ def _phys_stat_cols(snap: DeltaSnapshot) -> list[str]:
     ]
 
 
+def _id_read_schema(snap: DeltaSnapshot) -> StructType:
+    """Physical read schema for an id-mode table: one field per logical
+    column, named physically, carrying ``parquet.field.id`` so Spark's
+    vectorized reader resolves columns BY FIELD ID (the id-mode
+    contract — a foreign writer may use arbitrary parquet column names
+    as long as the ids match). Partition columns ride without an id:
+    they come from hive directory values, not footers."""
+    fields = []
+    for f in snap.schema.fields:
+        if f.name in snap.partition_columns:
+            md = {}
+        else:
+            if _CM_ID not in (f.metadata or {}):
+                raise DeltaProtocolError(
+                    f"id-mode table field {f.name!r} carries no "
+                    f"{_CM_ID} metadata — malformed schemaString"
+                )
+            md = {"parquet.field.id": int(f.metadata[_CM_ID])}
+        fields.append(StructField(snap.physical(f.name), f.dataType, True, md))
+    return StructType(fields)
+
+
 def _scan_files(
     spark: SparkSession, table_path: str, snap: DeltaSnapshot, rels: list[str]
 ) -> DataFrame:
     """One distributed parquet scan over ``rels`` with every reader
     feature applied: mergeSchema NULL-fill, basePath hive-partition
-    recovery, deletion-vector row anti-join, physical->logical rename."""
+    recovery, field-id resolution (id-mode column mapping),
+    deletion-vector row anti-join, physical->logical rename."""
     if not rels:
         return spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table_path, p) for p in rels]
     reader = spark.read.option("mergeSchema", "true")
     if snap.partition_columns:
         reader = reader.option("basePath", table_path)
+    if snap.column_mapping_mode == "id":
+        # resolve by parquet field id, not by name: the explicit schema
+        # pins ids; a file missing a column's id NULL-fills it (schema
+        # evolution); a file with no ids at all raises loudly rather
+        # than silently matching wrong columns
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        reader = reader.schema(_id_read_schema(snap))
     df = reader.parquet(*paths)
     df = _subtract_dv_rows(df, spark, table_path, _dv_descriptors(table_path, snap, rels))
     return _select_logical(df, snap)
@@ -678,6 +735,9 @@ def _stage_write(
     files the table already has. Spark part-file names embed the job
     UUID, so concurrent stagers never collide."""
     staging = os.path.join(table_path, f"_staged_{uuid.uuid4().hex}")
+    # id-mode column mapping: schemas carrying parquet.field.id alias
+    # metadata must reach the footer (no-op for schemas without it)
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     writer = df.write.mode("append").format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -879,6 +939,9 @@ def write_delta(
     #: logical -> physical column name for the files THIS write stages
     #: (identity unless the table uses column mapping)
     mapping: dict[str, str] = {}
+    #: logical -> parquet field id, id-mode tables only (footers must
+    #: carry field ids so readers resolve by id)
+    ids_map: dict[str, int] | None = None
     if base_version >= 0:
         if configuration is not None:
             raise DeltaProtocolError(
@@ -889,6 +952,7 @@ def write_delta(
         base_version = prev.version
         prev_configuration = prev.configuration
         mapping = dict(prev.physical_names)
+        ids_map = _ids_if_id_mode(prev)
         if overwrite_schema:
             # Delta's .option("overwriteSchema", "true"): an explicit
             # full replacement of schema AND partitioning — the one
@@ -927,10 +991,14 @@ def write_delta(
                 mapping = {
                     f.name: f.metadata[_CM_PHYS] for f in fields
                 }
+                if prev.column_mapping_mode == "id":
+                    ids_map = {
+                        f.name: int(f.metadata[_CM_ID]) for f in fields
+                    }
             else:
                 store_schema = df.schema
             added = _stage_write(
-                _to_physical(df, mapping),
+                _to_physical(df, mapping, ids_map),
                 table_path,
                 [mapping.get(c, c) for c in partition_by],
             )
@@ -990,6 +1058,13 @@ def write_delta(
                 mapping.update(
                     {f.name: f.metadata[_CM_PHYS] for f in new_by_name.values()}
                 )
+                if ids_map is not None:
+                    ids_map.update(
+                        {
+                            f.name: int(f.metadata[_CM_ID])
+                            for f in new_by_name.values()
+                        }
+                    )
             else:
                 new_by_name = {f.name: f for f in added_cols}
             prev_by_name = {f.name: f for f in prev.schema.fields}
@@ -1011,21 +1086,27 @@ def write_delta(
     else:
         create_conf = dict(configuration or {})
         cm_mode = create_conf.get(_CM_MODE, "none")
-        if cm_mode == "name":
+        if cm_mode in ("name", "id"):
             fields = [
                 _mapped_field(f, i + 1) for i, f in enumerate(df.schema.fields)
             ]
             create_schema = StructType(fields)
             create_conf[_CM_MAXID] = str(len(fields))
             mapping = {f.name: f.metadata[_CM_PHYS] for f in fields}
+            if cm_mode == "id":
+                ids_map = {
+                    f.name: int(f.metadata[_CM_ID]) for f in fields
+                }
         elif cm_mode != "none":
             raise DeltaProtocolError(
-                f"column mapping mode {cm_mode!r} not supported (name mode "
-                "only; id mode needs parquet-field-id matching)"
+                f"column mapping mode {cm_mode!r} not supported "
+                "(none/name/id only)"
             )
         _enforce_constraints(df, create_conf)
     part_store = [mapping.get(c, c) for c in partition_by]
-    added = _stage_write(_to_physical(df, mapping), table_path, part_store)
+    added = _stage_write(
+        _to_physical(df, mapping, ids_map), table_path, part_store
+    )
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
@@ -1741,7 +1822,7 @@ def _stage_cdf(
     to snapshot scans (cdc, not add) — they exist solely for
     change-feed readers."""
     rels = _stage_write(
-        _to_physical(change_df, snap.physical_names),
+        _to_physical(change_df, snap.physical_names, _ids_if_id_mode(snap)),
         table_path,
         _phys_partition_cols(snap),
         subdir=CDF_DIR,
@@ -1800,7 +1881,7 @@ def overwrite_partitions_delta(
     ]
 
     added = _stage_write(
-        _to_physical(df, snap.physical_names), table_path, part_store
+        _to_physical(df, snap.physical_names, _ids_if_id_mode(snap)), table_path, part_store
     )
 
     now_ms = int(time.time() * 1000)
@@ -1879,7 +1960,7 @@ def optimize_delta(
         current = current.coalesce(target_files)
 
     added = _stage_write(
-        _to_physical(current, snap.physical_names),
+        _to_physical(current, snap.physical_names, _ids_if_id_mode(snap)),
         table_path,
         _phys_partition_cols(snap),
     )
@@ -2030,7 +2111,7 @@ def _dml_commit(
     survivors = survivors_of(affected)
 
     added = _stage_write(
-        _to_physical(survivors, snap.physical_names),
+        _to_physical(survivors, snap.physical_names, _ids_if_id_mode(snap)),
         table_path,
         _phys_partition_cols(snap),
     )
@@ -2563,7 +2644,7 @@ def update_delta_dv(
     matched = _scan_files(spark, table_path, snap, list(per_file)).filter(pred)
     updated = _apply(matched)
     added = _stage_write(
-        _to_physical(updated, snap.physical_names),
+        _to_physical(updated, snap.physical_names, _ids_if_id_mode(snap)),
         table_path,
         _phys_partition_cols(snap),
     )

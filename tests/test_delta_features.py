@@ -260,9 +260,13 @@ def test_column_mapping_pruning_uses_physical_stats_keys(spark, tbl):
     }
 
 
-def test_column_mapping_id_mode_rejected(spark, tbl):
+def test_column_mapping_id_mode_without_footer_ids_fails_loudly(spark, tbl):
+    """Round 7: id mode is SUPPORTED (tests/test_column_mapping_id.py),
+    so a table mislabeled as id whose files carry no parquet field ids
+    must fail loudly at scan — resolution by id is the id-mode contract
+    and silently falling back to name matching could read wrong
+    columns."""
     _author_column_mapped_table(spark, tbl, partitioned=False)
-    # id mode stays loudly gated
     log = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
     with open(log) as fh:
         lines = [json.loads(line) for line in fh if line.strip()]
@@ -272,8 +276,8 @@ def test_column_mapping_id_mode_rejected(spark, tbl):
     with open(log, "w") as fh:
         for a in lines:
             fh.write(json.dumps(a) + "\n")
-    with pytest.raises(DeltaProtocolError, match="'id' not supported"):
-        read_delta(spark, tbl)
+    with pytest.raises(Exception):
+        read_delta(spark, tbl).collect()
 
 
 # --------------------------------------------------------------------------
