@@ -181,6 +181,7 @@ EXTENDED_R7: list[str] = [
     "delta_pysource_pruned_batch",
     "delta_scd2_cdf_apply",
     "delta_merge_concurrent_rebase",
+    "delta_merge_composite_sync",
     "orders_interarrival_profile",
     "lineitem_weighted_median",
     "supplier_acctbal_winsorized",

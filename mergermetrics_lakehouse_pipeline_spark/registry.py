@@ -1443,7 +1443,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_PRIORITY: list[str] = [
     # --- ROUND-7 ROTATION: after r6 the ledger reads 227/227
     # verified-ever, pending 0, so the full 50-slot window is free
-    # again. Head = this round's 17 new queries (first driver rows);
+    # again. Head = this round's 18 new queries (first driver rows);
     # the remainder re-verifies prior-round rows at zero risk. ---
     # round-7 additions (new surface)
     "delta_column_mapping_write_roundtrip",
@@ -1454,6 +1454,7 @@ DRIVER_PRIORITY: list[str] = [
     "delta_pysource_pruned_batch",
     "delta_scd2_cdf_apply",
     "delta_merge_concurrent_rebase",
+    "delta_merge_composite_sync",
     "orders_interarrival_profile",
     "lineitem_weighted_median",
     "supplier_acctbal_winsorized",

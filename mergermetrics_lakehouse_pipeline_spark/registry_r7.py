@@ -1347,3 +1347,76 @@ def q_delta_column_mapping_id_roundtrip(
             F.sum("p_size").cast("bigint").alias("size_mass"),
         )
     )
+
+
+@register(
+    "delta_merge_composite_sync",
+    """
+    WITH base AS (
+      SELECT o_orderkey // 1000 AS k1, o_orderkey % 1000 AS k2,
+             o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderkey % 5 AS m
+      FROM orders
+    ), final AS (
+      SELECT o_orderstatus, CAST(price + 9 AS DECIMAL(18,2)) AS price
+      FROM base WHERE m IN (0, 1)
+      UNION ALL
+      SELECT o_orderstatus, price FROM base WHERE m = 2
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS price_mass
+    FROM final GROUP BY 1
+    """,
+    tags=["S6", "delta", "merge", "composite-key", "by-source", "roundtrip"],
+)
+def q_delta_merge_composite_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key MERGE with WHEN NOT MATCHED BY SOURCE DELETE
+    (round 7): the target keys on (k1, k2) = (orderkey div 1000,
+    orderkey mod 1000) — a two-column key that exercises composite
+    semi-joins and composite duplicate detection — and the source is a
+    full feed: updated rows (price + 9 where orderkey%5 in 0,1),
+    brand-new rows (orderkey%5 = 2 re-keyed into a disjoint k1 space),
+    so Delta's third clause deletes every target row the feed no longer
+    carries (%5 in 2,3,4 at original keys). The oracle recomputes the
+    synchronized state relationally — a collapsed composite join, a
+    survived should-be-deleted row, or a double-applied update all flip
+    the hash.
+
+    Scale: the by-source clause is inherently a full-table rewrite
+    (any file may hold unmatched rows) holding a whole-table conflict
+    guard — the same cost delta-spark pays; two-clause MERGEs keep
+    touched-file surgery."""
+    from .sources.delta_log import merge_delta, read_delta, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_dmcs_rt_") + "/orders_sync"
+    base = T(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_orderkey") / F.lit(1000.0)).cast("long").alias("k1"),
+        (F.col("o_orderkey") % 1000).alias("k2"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("o_orderkey") % 5).alias("m"),
+    )
+    write_delta(base.drop("m").repartition(6), root)  # v0
+    feed = (
+        base.filter("m IN (0, 1)")
+        .withColumn("price", F.col("price") + 9)
+        .unionByName(
+            base.filter("m = 2").withColumn("k1", F.col("k1") + 100000)
+        )
+        .drop("m")
+    )
+    merge_delta(
+        spark, root, feed, ["k1", "k2"], when_not_matched_by_source="delete"
+    )
+    return (
+        read_delta(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_mass"),
+        )
+    )

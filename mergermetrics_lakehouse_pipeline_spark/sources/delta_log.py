@@ -2024,12 +2024,13 @@ def _touched_files_by_keys(
     table_path: str,
     snap: DeltaSnapshot,
     keys_df: DataFrame,
-    key: str,
+    key: str | list[str],
 ) -> list[str]:
-    """Relative paths of files containing >= 1 row whose ``key`` appears
-    in ``keys_df`` — the MERGE variant of touched-file discovery: one
-    scan projecting (key, file path), one semi-join against the source
-    keys, O(matched files) collected."""
+    """Relative paths of files containing >= 1 row whose key (single or
+    COMPOSITE) appears in ``keys_df`` — the MERGE variant of
+    touched-file discovery: one scan projecting (keys, file path), one
+    semi-join against the source keys, O(matched files) collected."""
+    keys = [key] if isinstance(key, str) else list(key)
     if not snap.files:
         return []
     paths = [os.path.join(table_path, p) for p in snap.files]
@@ -2037,11 +2038,11 @@ def _touched_files_by_keys(
     if snap.partition_columns:
         reader = reader.option("basePath", table_path)
     raw = reader.parquet(*paths).select(
-        F.col(snap.physical(key)).alias(key),
+        *[F.col(snap.physical(k)).alias(k) for k in keys],
         _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
     )
     hits = (
-        raw.join(keys_df.select(key), key, "left_semi")
+        raw.join(keys_df.select(*keys), keys, "left_semi")
         .select("__fp")
         .distinct()
         .collect()
@@ -2285,11 +2286,12 @@ def merge_delta(
     spark: SparkSession,
     table_path: str,
     source: DataFrame,
-    key: str,
+    key: str | list[str],
     *,
     when_matched: str = "update",
+    when_not_matched_by_source: str | None = None,
 ) -> tuple[int, int]:
-    """MERGE INTO target USING source ON target.key = source.key
+    """MERGE INTO target USING source ON target.k = source.k [AND ...]
     WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT * —
     executed as Delta executes it: a touched-file discovery scan
     (semi-join against the source keys) selects EXACTLY the files
@@ -2299,36 +2301,50 @@ def merge_delta(
     carries update_preimage/update_postimage/insert change rows — the
     reference's core write pattern (1_customer_data_processing.py:
     311-318 runs exactly this MERGE under optimistic concurrency).
-    ``when_matched="ignore"`` gives insert-only MERGE (J7). Duplicate
-    source keys are rejected (ambiguous match), as real Delta does.
+    ``key`` may be a single column or a COMPOSITE key list (round 7).
+    ``when_matched="ignore"`` gives insert-only MERGE (J7).
+    ``when_not_matched_by_source="delete"`` adds Delta's third clause —
+    target rows with no source match are deleted (the full-sync MERGE
+    that replaces a dimension from a feed); as on real Delta this makes
+    EVERY file a rewrite candidate, because any file may hold unmatched
+    rows. Duplicate source keys are rejected (ambiguous match), as real
+    Delta does.
 
     Returns (new_version, n_files_rewritten).
 
-    Scale: discovery is one projected scan + one semi-join; the rewrite
-    is bounded by files that actually contain matches (an interval
+    Scale: two-clause discovery is one projected scan + one semi-join,
+    rewrite bounded by files that actually contain matches (an interval
     prune would degrade to a full rewrite whenever insert keys widen
-    the source range). The conflict guard keeps the source's key
-    interval, so a concurrent append whose stats prove it disjoint
-    rebases cleanly."""
+    the source range); the by-source delete clause is inherently a
+    full-table rewrite and holds a whole-table conflict guard. The
+    two-clause conflict guard keeps the source's key interval, so a
+    concurrent append whose stats prove it disjoint rebases cleanly."""
     if when_matched not in ("update", "ignore"):
         raise ValueError("when_matched must be 'update' or 'ignore'")
+    if when_not_matched_by_source not in (None, "delete"):
+        raise ValueError("when_not_matched_by_source must be None or 'delete'")
+    keys = [key] if isinstance(key, str) else list(key)
     snap = snapshot(spark, table_path)
     tcols = [f.name for f in snap.schema.fields]
+    missing = [k for k in keys if k not in tcols]
+    if missing:
+        raise DeltaProtocolError(f"merge keys {missing} not in table schema")
     if [c for c in source.columns] != tcols:
         source = source.select(*tcols)  # raises if a column is missing
     src = source.cache()
-    # ONE source pass yields the duplicate-key guard AND the key bounds
-    # (VERDICT r6 next-step #3: the dup-check and min/max previously
-    # cost separate scans): group by key, then fold the per-key counts
-    # into (max multiplicity, lo, hi) — a partial-aggregating shuffle on
-    # the key the semi-join below shuffles on anyway.
+    # ONE source pass yields the duplicate-key guard AND the lead-key
+    # bounds (VERDICT r6 next-step #3: the dup-check and min/max
+    # previously cost separate scans): group by key, then fold the
+    # per-key counts into (max multiplicity, lo, hi) — a
+    # partial-aggregating shuffle on the key the semi-join below
+    # shuffles on anyway.
     stats = (
-        src.groupBy(key)
+        src.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
         .agg(
             F.max("__n").alias("max_dup"),
-            F.min(key).alias("lo"),
-            F.max(key).alias("hi"),
+            F.min(keys[0]).alias("lo"),
+            F.max(keys[0]).alias("hi"),
         )
         .first()
     )
@@ -2339,33 +2355,39 @@ def merge_delta(
             "more than one source row (ambiguous, rejected as Delta does)"
         )
     lo, hi = stats["lo"], stats["hi"]
-    if lo is None:
+    if lo is None and when_not_matched_by_source is None:
         src.unpersist()
         return snap.version, 0  # empty source: nothing to merge
-    src_keys = src.select(key).distinct()
-    # touched-file discovery, Delta's own MERGE algorithm: semi-join the
-    # table scan against the source keys and collect the distinct file
-    # paths — EXACT (a stats interval over a mixed update+insert source
-    # would span the insert keys and degrade to a full rewrite)
-    candidates = _touched_files_by_keys(spark, table_path, snap, src_keys, key)
+    src_keys = src.select(*keys).distinct()
+    if when_not_matched_by_source is None:
+        # touched-file discovery, Delta's own MERGE algorithm: semi-join
+        # the table scan against the source keys and collect the
+        # distinct file paths — EXACT (a stats interval over a mixed
+        # update+insert source would span the insert keys and degrade
+        # to a full rewrite)
+        candidates = _touched_files_by_keys(
+            spark, table_path, snap, src_keys, keys
+        )
+    else:
+        # the by-source clause can delete rows from ANY file
+        candidates = list(snap.files)
 
     affected = _scan_files(spark, table_path, snap, candidates)
-    matched_src = src.join(
-        affected.select(key).distinct(), key, "left_semi"
-    )
-    inserts = src.join(affected.select(key).distinct(), key, "left_anti")
+    tgt_keys = affected.select(*keys).distinct()
+    matched_src = src.join(tgt_keys, keys, "left_semi")
+    inserts = src.join(tgt_keys, keys, "left_anti")
     if when_matched == "update":
         # per-TARGET-row update via left join: a duplicate-key target
         # keeps its multiplicity — EVERY matched row takes the source
         # values, exactly as Delta's WHEN MATCHED UPDATE does (an
         # anti-join + source-union would silently collapse duplicates)
-        val_cols = [c for c in tcols if c != key]
+        val_cols = [c for c in tcols if c not in keys]
         srcm = src.select(
-            key,
+            *keys,
             F.lit(True).alias("__matched"),
             *[F.col(c).alias(f"__src_{c}") for c in val_cols],
         )
-        joined = affected.join(srcm, key, "left")  # AQE picks the strategy
+        joined = affected.join(srcm, keys, "left")  # AQE picks the strategy
         replaced = joined.select(
             *[
                 F.when(
@@ -2373,15 +2395,21 @@ def merge_delta(
                 )
                 .otherwise(F.col(c))
                 .alias(c)
-                if c != key
+                if c not in keys
                 else F.col(c)
                 for c in tcols
             ]
         )
-        preimage = affected.join(src_keys, key, "left_semi")
+        preimage = affected.join(src_keys, keys, "left_semi")
         postimage = joined.filter(F.col("__matched").isNotNull()).select(
             *[
-                F.col(f"__src_{c}").alias(c) if c != key else F.col(c)
+                F.col(f"__src_{c}").alias(c) if c not in keys else F.col(c)
+                for c in tcols
+            ]
+        )
+        matched_kept = joined.filter(F.col("__matched").isNotNull()).select(
+            *[
+                F.col(f"__src_{c}").alias(c) if c not in keys else F.col(c)
                 for c in tcols
             ]
         )
@@ -2389,25 +2417,41 @@ def merge_delta(
         replaced = affected
         preimage = affected.limit(0)
         postimage = matched_src.limit(0)
+        matched_kept = affected.join(src_keys, keys, "left_semi")
+    deleted = affected.limit(0)
+    if when_not_matched_by_source == "delete":
+        deleted = affected.join(src_keys, keys, "left_anti")
+        replaced = matched_kept  # unmatched-by-source rows drop out
     new_content = replaced.unionByName(inserts)
 
-    guard = _CommitGuard(
-        removed=set(candidates),
-        read_files=set(candidates),
-        predicate=(snap.physical(key), lo, hi),
-    )
+    if when_not_matched_by_source is None:
+        guard = _CommitGuard(
+            removed=set(candidates),
+            read_files=set(candidates),
+            predicate=(snap.physical(keys[0]), lo, hi),
+        )
+    else:
+        guard = _CommitGuard(
+            removed=set(candidates),
+            read_files=set(candidates),
+            read_whole_table=True,
+        )
 
     def _changes(_df: DataFrame) -> DataFrame:
         pre = preimage.withColumn("_change_type", F.lit("update_preimage"))
         post = postimage.withColumn("_change_type", F.lit("update_postimage"))
         ins = inserts.withColumn("_change_type", F.lit("insert"))
-        return pre.unionByName(post).unionByName(ins)
+        out = pre.unionByName(post).unionByName(ins)
+        return out.unionByName(
+            deleted.withColumn("_change_type", F.lit("delete"))
+        )
 
+    on_desc = " AND ".join(f"target.{k} = source.{k}" for k in keys)
     v = _dml_commit(
         spark, table_path, snap, candidates,
         survivors_of=lambda _df: new_content,
         changes_of=_changes,
-        op="MERGE", pred_desc=f"target.{key} = source.{key}", guard=guard,
+        op="MERGE", pred_desc=on_desc, guard=guard,
     )
     src.unpersist()
     return v, len(candidates)

@@ -105,15 +105,18 @@ def _latest_metadata(table_path: str) -> dict[str, Any]:
 
 
 def _table_schema(table_path: str) -> tuple[StructType, list[str]]:
+    """Logical schema + partition columns. Column-mapped tables
+    (name/id mode) are supported (round 7): each StructField carries its
+    delta.columnMapping.physicalName/id metadata, which rides into the
+    executors inside the schema itself — _read_partition resolves file
+    columns physically (by parquet field id first, then physical name)
+    and re-emits them under logical names."""
     md = _latest_metadata(table_path)
     conf = dict(md.get("configuration") or {})
-    # this source matches parquet columns by NAME; a column-mapped
-    # table's physical names would silently NULL-fill every field, so
-    # gate loudly (read_delta handles name-mode mapping; use it there)
-    if conf.get("delta.columnMapping.mode", "none") != "none":
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
-            "delta_pylog does not support column-mapped tables — "
-            "read them via sources.delta_log.read_delta"
+            f"column mapping mode {mode!r} not supported (none/name/id)"
         )
     _check_reader_protocol(table_path)
     schema = StructType.fromJson(json.loads(md["schemaString"]))
@@ -287,6 +290,15 @@ def _read_partition(
         table = table.take(keep)
 
     n = table.num_rows
+    # column-mapping resolution (round 7): prefer parquet field id
+    # (id-mode contract — foreign files may use arbitrary column
+    # names), then the physical name, then the logical name itself
+    # (unmapped tables). Partition values are keyed physically.
+    by_field_id: dict[int, str] = {}
+    for af in table.schema:
+        fid = (af.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            by_field_id[int(fid)] = af.name
     arrays, fields = [], []
     for f in schema.fields:
         if f.name in ("_change_type", "_commit_version"):
@@ -297,10 +309,18 @@ def _read_partition(
                 f"type {f.dataType.simpleString()} not supported by the "
                 "python source (use read_delta)"
             )
-        if f.name in table.column_names:
-            arrays.append(table.column(f.name).cast(at).combine_chunks())
-        elif f.name in p.partition_values:
-            val = _coerce_partition_value(p.partition_values[f.name], f.dataType)
+        fmd = dict(f.metadata or {})
+        phys = fmd.get("delta.columnMapping.physicalName", f.name)
+        fid = fmd.get("delta.columnMapping.id")
+        col = None
+        if fid is not None and int(fid) in by_field_id:
+            col = by_field_id[int(fid)]
+        elif phys in table.column_names:
+            col = phys
+        if col is not None:
+            arrays.append(table.column(col).cast(at).combine_chunks())
+        elif phys in p.partition_values:
+            val = _coerce_partition_value(p.partition_values[phys], f.dataType)
             arrays.append(pa.array([val] * n, type=at))
         else:
             arrays.append(pa.nulls(n, type=at))
@@ -426,7 +446,16 @@ class DeltaLogBatchReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        return _snapshot_partitions(self.table_path, self._bounds)
+        # stats/partitionValues are keyed PHYSICALLY under column
+        # mapping; pushed filters arrive on logical names — translate
+        phys = {
+            f.name: dict(f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in self.schema.fields
+        }
+        bounds = {phys.get(c, c): b for c, b in self._bounds.items()}
+        return _snapshot_partitions(self.table_path, bounds)
 
     def read(self, partition: _DeltaFilePartition):
         return _read_partition(partition, self.schema, cdf=False)

@@ -963,3 +963,94 @@ def test_checkpoint_carries_remove_tombstones(spark, tbl):
     )
     rms2 = [r for r in t2.column("remove").to_pylist() if r and r.get("path")]
     assert {r["path"] for r in rms2} == removed
+
+
+# --------------------------------------------------------------------------
+# composite-key MERGE + WHEN NOT MATCHED BY SOURCE (round 7)
+# --------------------------------------------------------------------------
+
+
+def test_merge_delta_composite_key(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        merge_delta,
+    )
+
+    tgt = spark.range(12).select(
+        (F.col("id") % 4).alias("k1"),
+        (F.col("id") % 3).alias("k2"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_delta(tgt, tbl, mode="overwrite")
+    src = spark.createDataFrame(
+        [(0, 0, -1), (1, 1, -2), (9, 9, -3)], "k1 long, k2 long, v long"
+    )
+    v, rewritten = merge_delta(spark, tbl, src, ["k1", "k2"])
+    out = {(r["k1"], r["k2"]): r["v"] for r in read_delta(spark, tbl).collect()}
+    assert out[(0, 0)] == -1 and out[(1, 1)] == -2  # matched updated
+    assert out[(9, 9)] == -3  # unmatched inserted
+    assert out[(2, 2)] == 20  # untouched row keeps its value
+    assert len(out) == 13
+
+    # duplicates are judged on the COMPOSITE key: same k1, distinct k2
+    # is NOT a duplicate; a true composite dup is rejected
+    ok = spark.createDataFrame(
+        [(3, 0, 1), (3, 1, 2)], "k1 long, k2 long, v long"
+    )
+    merge_delta(spark, tbl, ok, ["k1", "k2"])
+    dup = spark.createDataFrame(
+        [(3, 0, 1), (3, 0, 2)], "k1 long, k2 long, v long"
+    )
+    with pytest.raises(DeltaProtocolError, match="duplicate"):
+        merge_delta(spark, tbl, dup, ["k1", "k2"])
+    with pytest.raises(DeltaProtocolError, match="not in table schema"):
+        merge_delta(spark, tbl, ok, ["k1", "zz"])
+
+
+def test_merge_delta_not_matched_by_source_delete(spark, tbl):
+    """Delta's third clause: WHEN NOT MATCHED BY SOURCE THEN DELETE —
+    the full-sync MERGE. Matched rows update, unmatched source rows
+    insert, target rows missing from the source are deleted; with CDF
+    on, the commit carries all four change types."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        merge_delta,
+    )
+
+    df = _kv(spark, 10).select("k", "v")
+    write_delta(
+        df, tbl, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    src = spark.createDataFrame(
+        [(0, -1), (1, -2), (20, -3)], "k long, v long"
+    )
+    v, rewritten = merge_delta(
+        spark, tbl, src, "k", when_not_matched_by_source="delete"
+    )
+    out = {r["k"]: r["v"] for r in read_delta(spark, tbl).collect()}
+    assert out == {0: -1, 1: -2, 20: -3}
+
+    cdf = read_cdf(spark, tbl, from_version=v)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "update_preimage": 2,
+        "update_postimage": 2,
+        "insert": 1,
+        "delete": 8,
+    }
+    dels = {r["k"] for r in cdf.filter("_change_type = 'delete'").collect()}
+    assert dels == {k for k in range(2, 10)}
+
+    # insert-only + by-source delete: matched rows KEEP their values
+    tbl2 = tbl + "_io"
+    write_delta(df, tbl2)
+    merge_delta(
+        spark, tbl2, src, "k",
+        when_matched="ignore", when_not_matched_by_source="delete",
+    )
+    out2 = {r["k"]: r["v"] for r in read_delta(spark, tbl2).collect()}
+    assert out2 == {0: 0, 1: 10, 20: -3}
+
+    with pytest.raises(ValueError, match="when_not_matched_by_source"):
+        merge_delta(spark, tbl2, src, "k", when_not_matched_by_source="wat")

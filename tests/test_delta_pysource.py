@@ -240,9 +240,11 @@ def test_admission_control_does_not_replay_after_offset_regression(spark, tbl):
     assert versions and min(versions) >= 4
 
 
-def test_pysource_rejects_column_mapped_tables(spark, tbl):
-    """A name-mode column-mapped table would silently NULL-fill every
-    column through the name-matching Arrow reader — gate loudly."""
+def test_pysource_mapping_mode_edge_cases(spark, tbl):
+    """Round 7: column-mapped tables are supported; fields WITHOUT
+    physicalName metadata resolve by their logical name (the
+    upgraded-in-place convention, physical == logical), and unknown
+    mapping modes stay loudly rejected."""
     import json as js
 
     from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
@@ -261,7 +263,16 @@ def test_pysource_rejects_column_mapped_tables(spark, tbl):
     with open(log, "w") as fh:
         for a in lines:
             fh.write(js.dumps(a) + "\n")
-    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+    out = spark.read.format("delta_pylog").option("path", tbl).load()
+    assert _rows(out) == _rows(_kv(spark, 5))
+
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "wat"
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(js.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="wat"):
         _table_schema(tbl)
 
 
@@ -370,3 +381,76 @@ def test_protocol_gate_survives_log_truncation(spark, tbl, monkeypatch):
     )
     with pytest.raises(DeltaProtocolError, match="deletionVectors"):
         _table_schema(tbl)
+
+
+# --------------------------------------------------------------------------
+# column-mapped tables through the python source (round 7)
+# --------------------------------------------------------------------------
+
+
+def test_batch_read_name_mapped_table(spark, tbl):
+    """Name-mode tables read through delta_pylog: the logical schema's
+    physicalName metadata rides into executors and file columns resolve
+    physically; partition values (physically keyed) coerce back to the
+    logical partition column; DML and stats pruning still apply."""
+    df = spark.range(24).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        (F.col("id") % 3).alias("p"),
+    )
+    write_delta(
+        df, tbl, partition_by=["p"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    delete_delta(spark, tbl, "k", 0, 3)
+    out = spark.read.format("delta_pylog").option("path", tbl).load()
+    assert out.columns == ["k", "v", "p"]
+    assert _rows(out) == _rows(read_delta(spark, tbl))
+    # pushed filters translate logical -> physical stats keys
+    got = out.filter("k >= 20")
+    assert _rows(got.select("k")) == {(k,) for k in range(20, 24)}
+
+
+def test_batch_read_id_mapped_table_resolves_by_field_id(spark, tbl):
+    """Id-mode tables read through delta_pylog via PARQUET:field_id —
+    the engine's own id-mode files carry both ids and physical names;
+    resolution must prefer the id."""
+    df = _kv(spark, 15)
+    write_delta(df, tbl, configuration={"delta.columnMapping.mode": "id"})
+    out = spark.read.format("delta_pylog").option("path", tbl).load()
+    assert out.columns == ["k", "v"]
+    assert _rows(out) == _rows(df)
+
+
+def test_stream_cdf_from_mapped_table(spark, tbl, tmp_path):
+    """CDF streaming through the python source on a name-mapped table:
+    cdc files carry physical names; change rows come back logical."""
+    write_delta(
+        _kv(spark, 12), tbl,
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    delete_delta(spark, tbl, "k", 0, 4)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("delta_pylog")
+        .option("path", tbl)
+        .option("mode", "cdf")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    dels = _rows(
+        got.filter("_change_type = 'delete'").select("k", "v")
+    )
+    assert dels == {(k, k * 10) for k in range(5)}
+    ins = got.filter("_change_type = 'insert'").count()
+    assert ins == 12
