@@ -182,6 +182,8 @@ EXTENDED_R7: list[str] = [
     "delta_scd2_cdf_apply",
     "delta_merge_concurrent_rebase",
     "delta_merge_composite_sync",
+    "delta_generated_columns_roundtrip",
+    "delta_clone_divergence",
     "orders_interarrival_profile",
     "lineitem_weighted_median",
     "supplier_acctbal_winsorized",

@@ -1420,3 +1420,163 @@ def q_delta_merge_composite_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_mass"),
         )
     )
+
+
+@register(
+    "delta_generated_columns_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders
+    ), updated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN price + 1000.0
+                  ELSE price END AS price
+      FROM base
+    ), final AS (
+      SELECT o_orderkey, price,
+             CAST(FLOOR(price / 50000.0) AS BIGINT) AS price_band
+      FROM updated
+    )
+    SELECT price_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_mass
+    FROM final GROUP BY 1
+    """,
+    tags=["S6", "delta", "generated-columns", "roundtrip"],
+)
+def q_delta_generated_columns_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED ALWAYS AS columns (round 7, writer v4): the table
+    declares ``price_band = FLOOR(price/50000)`` as a generated
+    PARTITION column — the delta headline use (auto date/bucket
+    partitions). The creating write and a later append both OMIT the
+    column (computed engine-side into hive dirs); an UPDATE of the
+    source column RECOMPUTES the band on exactly the matched rows
+    (delta-spark's UPDATE semantics); a write supplying a WRONG explicit
+    value must abort (asserted). The oracle recomputes bands
+    relationally from the pristine table.
+
+    Scale: generation is a projection folded into each write; the
+    generated partition column gives the scan partition pruning for
+    free on the derived key."""
+    from .sources.delta_log import (
+        DeltaProtocolError,
+        read_delta,
+        update_rows,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="mm_dgen_rt_") + "/orders_gen"
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    write_delta(
+        o.filter("o_orderkey % 2 = 0"),
+        root,
+        partition_by=["price_band"],
+        generated={"price_band": "CAST(FLOOR(price / 50000.0) AS BIGINT)"},
+    )  # v0: band computed into hive dirs
+    write_delta(o.filter("o_orderkey % 2 = 1"), root, mode="append")  # v1
+    update_rows(
+        spark, root, "o_orderkey % 11 = 0", {"price": "price + 1000.0"}
+    )  # v2: band recomputed on matched rows
+    try:
+        bad = o.filter("o_orderkey = 2").withColumn(
+            "price_band", F.lit(-99).cast("bigint")
+        )
+        write_delta(bad, root, mode="append")
+        raise RuntimeError("wrong explicit generated value was accepted")
+    except DeltaProtocolError:
+        pass
+    return (
+        read_delta(spark, root)
+        .groupBy("price_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price_mass"),
+        )
+    )
+
+
+@register(
+    "delta_clone_divergence",
+    """
+    WITH src AS (
+      SELECT 'src' AS side, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_mass
+      FROM customer WHERE NOT c_custkey BETWEEN 0 AND 99 GROUP BY 2
+    ), cl AS (
+      SELECT 'clone' AS side, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_mass
+      FROM customer
+      WHERE NOT c_custkey BETWEEN 0 AND 99 AND c_mktsegment <> 'BUILDING'
+      GROUP BY 2
+    )
+    SELECT * FROM src UNION ALL SELECT * FROM cl
+    """,
+    tags=["S6", "delta", "clone", "history", "roundtrip"],
+)
+def q_delta_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + DESCRIBE HISTORY (round 7): the source table
+    takes a DV merge-on-read delete (bitmap state must survive the
+    clone via absolute-path descriptors), the clone is created WITHOUT
+    copying a single data file (asserted: zero parquet under the clone
+    root), then the clone diverges (DELETE of a whole segment) while
+    the source must remain bit-identical — zero-copy sandboxing, the
+    thing shallow clone exists for. DESCRIBE HISTORY on the clone is
+    asserted to read [DELETE, CLONE] newest-first with monotonic
+    timestamps. The oracle recomputes both sides relationally.
+
+    Scale: the clone is O(files) metadata regardless of table bytes."""
+    from .sources.delta_log import (
+        clone_delta,
+        delete_delta_dv,
+        delete_rows,
+        describe_history,
+        read_delta,
+        write_delta,
+    )
+
+    base = tempfile.mkdtemp(prefix="mm_dclone_rt_")
+    src, dst = base + "/src", base + "/clone"
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double")
+    )
+    write_delta(cust.repartition(4), src)  # v0
+    delete_delta_dv(spark, src, "c_custkey", 0, 99)  # v1: DV merge-on-read
+
+    clone_delta(spark, src, dst)
+    n_data = sum(
+        1
+        for root, dirs, names in os.walk(dst)
+        if not os.path.basename(root).startswith("_")
+        for n in names
+        if n.endswith(".parquet")
+    )
+    if n_data != 0:
+        raise RuntimeError(f"shallow clone copied {n_data} data files")
+    delete_rows(spark, dst, "c_mktsegment = 'BUILDING'")  # clone diverges
+
+    hist = describe_history(spark, dst).collect()
+    if [r["operation"] for r in hist] != ["DELETE", "CLONE"]:
+        raise RuntimeError(f"unexpected clone history {hist}")
+    if not hist[0]["timestamp"] > hist[1]["timestamp"]:
+        raise RuntimeError("clone history timestamps not monotonic")
+
+    def agg(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bal_mass"),
+        ).select(F.lit(side).alias("side"), "*")
+
+    return agg(read_delta(spark, src), "src").unionByName(
+        agg(read_delta(spark, dst), "clone")
+    )

@@ -909,6 +909,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     configuration: dict[str, str] | None = None,
     overwrite_schema: bool = False,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Write ``df`` as a protocol-valid Delta commit; returns the version.
 
@@ -924,6 +925,14 @@ def write_delta(
     already committed. ``configuration`` (creation only) sets table
     properties, e.g. {"delta.enableChangeDataFeed": "true"} to make
     DELETE/UPDATE emit change-data files.
+
+    ``generated`` (creation only) declares GENERATED ALWAYS AS columns:
+    {col: sql_expr}. The expression lands in the field's
+    ``delta.generationExpression`` metadata (the protocol's generated-
+    columns feature, writer v4); this write and every later write_delta
+    COMPUTE the column when the frame omits it and ENFORCE the
+    expression when the frame supplies it (a mismatching value aborts,
+    as delta-spark does).
     """
     partition_by = list(partition_by or [])
     spark = df.sparkSession
@@ -947,6 +956,10 @@ def write_delta(
             raise DeltaProtocolError(
                 "table configuration is set at creation; ALTER is not a "
                 "write-path concern"
+            )
+        if generated is not None:
+            raise DeltaProtocolError(
+                "generated columns are declared at table creation"
             )
         prev = snapshot(spark, table_path)
         base_version = prev.version
@@ -1008,6 +1021,18 @@ def write_delta(
                 configuration=new_conf,
                 mapping=mapping,
             )
+        # generated columns (writer v4): compute when omitted, enforce
+        # when supplied — BEFORE the schema checks, so a frame omitting
+        # a generated column is not misread as dropping it; computed
+        # values cast to the declared field type
+        gen = _generated_exprs(prev.schema)
+        if gen:
+            computed = [c for c in gen if c not in df.columns]
+            df = _apply_generated(df, gen)
+            prev_types = {f.name: f.dataType for f in prev.schema.fields}
+            for c in computed:
+                if c in prev_types:
+                    df = df.withColumn(c, F.col(c).cast(prev_types[c]))
         # partitioning is a TABLE property, not a per-write choice:
         # inherit it when the caller omits partition_by, reject ANY
         # conflicting spec — including partitioning a previously
@@ -1085,6 +1110,8 @@ def write_delta(
         _enforce_constraints(df, prev_configuration)
     else:
         create_conf = dict(configuration or {})
+        if generated:
+            df = _apply_generated(df, generated)  # compute or enforce
         cm_mode = create_conf.get(_CM_MODE, "none")
         if cm_mode in ("name", "id"):
             fields = [
@@ -1102,6 +1129,21 @@ def write_delta(
                 f"column mapping mode {cm_mode!r} not supported "
                 "(none/name/id only)"
             )
+        if generated:
+            # the generation expression lands in field metadata — the
+            # protocol's declaration, honored by every later write
+            base_fields = (create_schema or df.schema).fields
+            stamped = []
+            for f in base_fields:
+                if f.name in generated:
+                    md = dict(f.metadata or {})
+                    md[_GEN_EXPR] = generated[f.name]
+                    stamped.append(
+                        StructField(f.name, f.dataType, f.nullable, md)
+                    )
+                else:
+                    stamped.append(f)
+            create_schema = StructType(stamped)
         _enforce_constraints(df, create_conf)
     part_store = [mapping.get(c, c) for c in partition_by]
     added = _stage_write(
@@ -1118,6 +1160,8 @@ def write_delta(
             writer_v = 3
         else:
             writer_v = 2
+        if generated:
+            writer_v = max(writer_v, 4)  # generated columns = writer v4
         reader_v = 1
         if create_schema is not None:
             # legacy column-mapping protocol: reader 2 / writer 5
@@ -1251,6 +1295,112 @@ def restore_delta(spark: SparkSession, table_path: str, version: int) -> int:
     return _commit(table_path, actions, guard, cur.version)
 
 
+def describe_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """DESCRIBE HISTORY parity: one row per commit, newest first —
+    version, commit timestamp, operation name, operationParameters
+    (canonical JSON), and add/remove action counts. The audit query the
+    reference's platform exposes on every table.
+
+    Scale: O(commits) driver-side JSON metadata; zero data reads."""
+    commits, _ = _list_versions(table_path)
+    rows = []
+    for v in commits:
+        info: dict[str, Any] = {}
+        n_add = n_remove = 0
+        for a in _parse_commit(table_path, v):
+            if "commitInfo" in a:
+                info = a["commitInfo"]
+            elif "add" in a:
+                n_add += 1
+            elif "remove" in a:
+                n_remove += 1
+        rows.append(
+            (
+                v,
+                int(info.get("timestamp") or 0),
+                str(info.get("operation") or ""),
+                json.dumps(
+                    info.get("operationParameters") or {}, sort_keys=True
+                ),
+                n_add,
+                n_remove,
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows, reverse=True),
+        "version long, timestamp long, operation string, "
+        "operation_parameters string, num_added_files long, "
+        "num_removed_files long",
+    )
+
+
+def clone_delta(spark: SparkSession, src_path: str, dst_path: str) -> int:
+    """SHALLOW CLONE — a zero-copy new table whose add actions reference
+    the source's CURRENT data files by absolute path (the protocol
+    allows absolute file URIs): metadata, schema (including column
+    mapping), partitioning and configuration are copied with a fresh
+    table id; deletion vectors convert to absolute storageType "p"
+    descriptors so merge-on-read state survives the clone. The clone
+    evolves independently afterwards — writes/DML land RELATIVE files
+    under the clone, VACUUM on the clone only ever deletes files the
+    clone itself owns (the file lister never walks the source), and
+    VACUUM on the SOURCE can orphan a clone, exactly delta-spark's
+    documented shallow-clone hazard.
+
+    Scale: cloning a 100 TB table is O(files) driver-side metadata —
+    no data movement; this is the experiment/test-sandbox primitive.
+
+    Returns the clone's version (0)."""
+    snap = snapshot(spark, src_path)
+    if os.path.exists(_log_path(dst_path)):
+        raise DeltaProtocolError(f"destination {dst_path} already exists")
+    os.makedirs(_log_path(dst_path))
+    now_ms = int(time.time() * 1000)
+    actions: list[dict[str, Any]] = [
+        {"protocol": snap.protocol},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": snap.configuration,
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    from .delta_dv import dv_relative_path
+
+    for rel, a in snap.files.items():
+        aa = dict(a)
+        aa["path"] = quote(
+            os.path.abspath(os.path.join(src_path, rel)), safe="/"
+        )
+        dv = aa.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            aa["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": os.path.abspath(
+                    os.path.join(
+                        src_path, dv_relative_path(dv["pathOrInlineDv"])
+                    )
+                ),
+            }
+        actions.append({"add": aa})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {"source": src_path},
+            }
+        }
+    )
+    guard = _CommitGuard(has_metadata=True)
+    return _commit(dst_path, actions, guard, -1)
+
+
 def write_checkpoint(
     spark: SparkSession, table_path: str, parts: int | None = None
 ) -> int:
@@ -1346,6 +1496,44 @@ def truncate_log(table_path: str) -> list[int]:
 
 
 _CONSTRAINT_PREFIX = "delta.constraints."
+_GEN_EXPR = "delta.generationExpression"
+
+
+def _generated_exprs(schema: StructType) -> dict[str, str]:
+    """{column: generation SQL} for GENERATED ALWAYS AS columns — the
+    protocol's generated-columns feature stores the expression in field
+    metadata (writer v4)."""
+    return {
+        f.name: (f.metadata or {})[_GEN_EXPR]
+        for f in schema.fields
+        if _GEN_EXPR in (f.metadata or {})
+    }
+
+
+def _apply_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
+    """Delta's generated-column write semantics: a frame that OMITS the
+    column gets it computed from the generation expression; a frame
+    that supplies it is ENFORCED (any row where the value differs from
+    the expression aborts the write — delta-spark raises
+    DeltaInvariantViolationException here). One distributed pass per
+    supplied generated column, zero passes when all are omitted."""
+    enforce: list[str] = []
+    for name, expr in gen.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            enforce.append(name)
+    for name in enforce:
+        bad = df.filter(
+            ~F.col(name).eqNullSafe(F.expr(gen[name]))
+        ).limit(1).count()
+        if bad:
+            raise DeltaProtocolError(
+                f"generated column {name!r} violates its generation "
+                f"expression {gen[name]!r} (explicit values must match, "
+                "as on real Delta)"
+            )
+    return df
 
 
 def _enforce_constraints(df: DataFrame, configuration: dict[str, str]) -> None:
@@ -2190,7 +2378,8 @@ def update_rows(
     candidates = _matched_files(spark, table_path, snap, pred)
     if not candidates:
         return snap.version, 0
-    _apply, _changes = _update_closures(pred, set_exprs)
+    gen = _generated_exprs(snap.schema)
+    _apply, _changes = _update_closures(pred, set_exprs, gen)
     guard = _CommitGuard(
         read_whole_table=True,
         removed=set(candidates),
@@ -2203,14 +2392,27 @@ def update_rows(
     )
     return v, len(candidates)
 
-def _update_closures(pred, set_exprs: dict[str, str]):
+def _update_closures(
+    pred, set_exprs: dict[str, str], gen_exprs: dict[str, str] | None = None
+):
     """survivors_of/changes_of pair for an UPDATE: matching rows project
     through set_exprs, and the CDF capture emits preimage + postimage —
     shared by the stats-pruned (update_delta) and touched-file
-    (update_rows) front ends."""
+    (update_rows) front ends. ``gen_exprs`` (generated columns, writer
+    v4): columns NOT explicitly SET are RECOMPUTED from the post-update
+    values of the rows the predicate matched — delta-spark's UPDATE
+    semantics (explicitly-SET generated columns are enforced by the
+    caller)."""
+    recompute = {
+        g: e for g, e in (gen_exprs or {}).items() if g not in set_exprs
+    }
+    enforce = {
+        g: e for g, e in (gen_exprs or {}).items() if g in set_exprs
+    }
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.select(
+        types = {f.name: f.dataType for f in df.schema.fields}
+        out = df.select(
             *[
                 F.when(pred, F.expr(set_exprs[f.name]))
                 .otherwise(F.col(f.name))
@@ -2219,8 +2421,33 @@ def _update_closures(pred, set_exprs: dict[str, str]):
                 if f.name in set_exprs
                 else F.col(f.name)
                 for f in df.schema.fields
-            ]
+            ],
+            pred.alias("__hit"),  # pred over PRE-update values
         )
+        for g, e in recompute.items():
+            out = out.withColumn(
+                g,
+                F.when(F.col("__hit"), F.expr(e))
+                .otherwise(F.col(g))
+                .cast(types[g]),
+            )
+        for g, e in enforce.items():
+            # an explicit SET of a generated column must MATCH its
+            # expression (post-update row) — enforced row-inline during
+            # the rewrite scan, no extra pass
+            out = out.withColumn(
+                g,
+                F.when(
+                    F.col("__hit") & ~F.col(g).eqNullSafe(F.expr(e)),
+                    F.raise_error(
+                        F.lit(
+                            f"generated column {g!r} violates its "
+                            f"generation expression {e!r}"
+                        )
+                    ).cast(types[g]),
+                ).otherwise(F.col(g)),
+            )
+        return out.drop("__hit")
 
     def _changes(df: DataFrame) -> DataFrame:
         matched = df.filter(pred)
@@ -2273,7 +2500,8 @@ def update_delta(
     and update_postimage change row. Returns (new_version,
     n_files_rewritten)."""
     pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
-    _apply, _changes = _update_closures(pred, set_exprs)
+    gen = _generated_exprs(snapshot(spark, table_path).schema)
+    _apply, _changes = _update_closures(pred, set_exprs, gen)
     return _dml_rewrite(
         spark, table_path, col, lo, hi,
         op="UPDATE",
@@ -2331,6 +2559,12 @@ def merge_delta(
         raise DeltaProtocolError(f"merge keys {missing} not in table schema")
     if [c for c in source.columns] != tcols:
         source = source.select(*tcols)  # raises if a column is missing
+    gen = _generated_exprs(snap.schema)
+    if gen:
+        # generated columns: the source supplies every table column, so
+        # enforce the generation expressions on it (delta does the same
+        # for MERGE) — one pass, only on tables that declare them
+        source = _apply_generated(source, gen)
     src = source.cache()
     # ONE source pass yields the duplicate-key guard AND the lead-key
     # bounds (VERDICT r6 next-step #3: the dup-check and min/max
@@ -2684,7 +2918,8 @@ def update_delta_dv(
     # the matched rows' new versions (previously-DV-deleted rows are
     # excluded by _scan_files, so they are neither revived nor copied)
     pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
-    _apply, _ = _update_closures(pred, set_exprs)
+    gen = _generated_exprs(snap.schema)
+    _apply, _ = _update_closures(pred, set_exprs, gen)
     matched = _scan_files(spark, table_path, snap, list(per_file)).filter(pred)
     updated = _apply(matched)
     added = _stage_write(

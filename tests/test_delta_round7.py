@@ -1,0 +1,196 @@
+"""Round-7 delta surface: generated columns (compute/enforce on write,
+recompute on UPDATE), shallow CLONE (zero-copy, independent evolution),
+DESCRIBE HISTORY."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+    DeltaProtocolError,
+    clone_delta,
+    delete_delta_dv,
+    delete_rows,
+    describe_history,
+    merge_delta,
+    read_delta,
+    snapshot,
+    update_rows,
+    vacuum_delta,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _kv(spark, n=20):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+# --------------------------------------------------------------------------
+# generated columns
+# --------------------------------------------------------------------------
+
+
+def test_generated_column_computed_enforced_and_recomputed(spark, tbl):
+    # creation: frame omits the generated column -> computed
+    write_delta(
+        _kv(spark, 10), tbl, generated={"v_bucket": "CAST(v / 50 AS BIGINT)"}
+    )
+    snap = snapshot(spark, tbl)
+    assert snap.protocol["minWriterVersion"] >= 4
+    f = {x.name: x for x in snap.schema.fields}["v_bucket"]
+    assert f.metadata["delta.generationExpression"] == "CAST(v / 50 AS BIGINT)"
+    got = {r["k"]: r["v_bucket"] for r in read_delta(spark, tbl).collect()}
+    assert got == {k: (k * 10) // 50 for k in range(10)}
+
+    # append omitting the column -> computed again
+    write_delta(_kv(spark, 14).filter("k >= 10"), tbl, mode="append")
+    assert read_delta(spark, tbl).filter("v_bucket = 2").count() == 4
+
+    # append supplying a MATCHING value -> accepted
+    ok = _kv(spark, 15).filter("k = 14").withColumn(
+        "v_bucket", (F.col("v") / 50).cast("bigint")
+    )
+    write_delta(ok, tbl, mode="append")
+    # append supplying a WRONG value -> rejected
+    bad = _kv(spark, 16).filter("k = 15").withColumn(
+        "v_bucket", F.lit(999).cast("bigint")
+    )
+    with pytest.raises(DeltaProtocolError, match="v_bucket"):
+        write_delta(bad, tbl, mode="append")
+
+    # UPDATE of the source column RECOMPUTES the generated column
+    update_rows(spark, tbl, "k = 0", {"v": "400"})
+    row = read_delta(spark, tbl).filter("k = 0").collect()[0]
+    assert (row["v"], row["v_bucket"]) == (400, 8)
+    # untouched rows keep their values
+    row5 = read_delta(spark, tbl).filter("k = 5").collect()[0]
+    assert (row5["v"], row5["v_bucket"]) == (50, 1)
+
+    # explicit SET of a generated column: matching passes, wrong aborts
+    update_rows(spark, tbl, "k = 1", {"v": "100", "v_bucket": "2"})
+    with pytest.raises(Exception, match="v_bucket"):
+        update_rows(spark, tbl, "k = 2", {"v": "100", "v_bucket": "7"})
+
+    # MERGE enforces generation on its source
+    src_bad = spark.createDataFrame(
+        [(3, 30, 9)], "k long, v long, v_bucket long"
+    )
+    with pytest.raises(DeltaProtocolError, match="v_bucket"):
+        merge_delta(spark, tbl, src_bad, "k")
+
+    # declared at creation only
+    with pytest.raises(DeltaProtocolError, match="creation"):
+        write_delta(
+            _kv(spark, 3), tbl, mode="append", generated={"z": "k"}
+        )
+
+
+def test_generated_partition_column(spark, tbl):
+    """The headline use: a generated partition column (e.g. date from a
+    timestamp) — hive dirs carry the computed values."""
+    df = spark.range(12).select(F.col("id").alias("k"))
+    write_delta(
+        df, tbl, partition_by=["bucket"], generated={"bucket": "k % 3"}
+    )
+    assert sorted(
+        d for d in os.listdir(tbl) if d.startswith("bucket=")
+    ) == ["bucket=0", "bucket=1", "bucket=2"]
+    assert _rows(read_delta(spark, tbl).filter("bucket = 1").select("k")) == {
+        (k,) for k in range(12) if k % 3 == 1
+    }
+
+
+# --------------------------------------------------------------------------
+# shallow clone
+# --------------------------------------------------------------------------
+
+
+def test_shallow_clone_zero_copy_and_independent_evolution(spark, tbl):
+    src = tbl + "_src"
+    dst = tbl + "_dst"
+    df = _kv(spark, 20)
+    write_delta(df.repartition(4), src)
+    delete_delta_dv(spark, src, "k", 0, 2)  # DV rides into the clone
+
+    v = clone_delta(spark, src, dst)
+    assert v == 0
+    # zero data files under the clone
+    data_files = [
+        n
+        for root, dirs, names in os.walk(dst)
+        if not os.path.basename(root).startswith("_")
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    assert data_files == []
+    want = _rows(df.filter("k > 2"))
+    assert _rows(read_delta(spark, dst)) == want
+    # DV descriptors converted to absolute storage
+    dsnap = snapshot(spark, dst)
+    dvs = [
+        a["deletionVector"]
+        for a in dsnap.files.values()
+        if a.get("deletionVector")
+    ]
+    assert dvs and all(d["storageType"] in ("p", "i") for d in dvs)
+
+    # clone evolves independently: DML on the clone...
+    delete_rows(spark, dst, "k >= 18")
+    assert _rows(read_delta(spark, dst).select("k")) == {
+        (k,) for k in range(3, 18)
+    }
+    # ...leaves the SOURCE untouched
+    assert _rows(read_delta(spark, src)) == want
+
+    # vacuum on the clone must never delete source-owned files
+    vacuum_delta(spark, dst, retain_last=1)
+    assert _rows(read_delta(spark, src)) == want
+
+    with pytest.raises(DeltaProtocolError, match="exists"):
+        clone_delta(spark, src, dst)
+
+
+def test_clone_preserves_column_mapping(spark, tbl):
+    src, dst = tbl + "_s", tbl + "_d"
+    write_delta(
+        _kv(spark, 8), src,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    clone_delta(spark, src, dst)
+    snap = snapshot(spark, dst)
+    assert snap.column_mapping_mode == "name"
+    assert _rows(read_delta(spark, dst)) == _rows(_kv(spark, 8))
+
+
+# --------------------------------------------------------------------------
+# describe history
+# --------------------------------------------------------------------------
+
+
+def test_describe_history_rows(spark, tbl):
+    write_delta(_kv(spark, 10), tbl, mode="overwrite")
+    write_delta(_kv(spark, 12).filter("k >= 10"), tbl, mode="append")
+    delete_rows(spark, tbl, "k < 2")
+    h = describe_history(spark, tbl).collect()
+    assert [r["version"] for r in h] == [2, 1, 0]
+    ops = [r["operation"] for r in h]
+    assert ops[0] == "DELETE" and ops[2] == "WRITE"
+    assert all(r["timestamp"] > 0 for r in h)
+    # monotonic in-commit timestamps surface here too
+    ts = [r["timestamp"] for r in h]
+    assert ts[0] > ts[1] > ts[2]
+    assert h[2]["num_added_files"] >= 1 and h[0]["num_removed_files"] >= 1
