@@ -74,7 +74,7 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DataType, StructField, StructType
+from pyspark.sql.types import DataType, StringType, StructField, StructType
 
 LOG_DIR = "_delta_log"
 CDF_DIR = "_change_data"
@@ -483,28 +483,81 @@ def _id_read_schema(snap: DeltaSnapshot) -> StructType:
     return StructType(fields)
 
 
+def _raw_reader(
+    spark: SparkSession,
+    table_path: str,
+    snap: DeltaSnapshot,
+    *,
+    base_path: str | None = None,
+    extra_fields: tuple[StructField, ...] = (),
+):
+    """The one way to open this table's raw parquet: mergeSchema
+    NULL-fill, basePath hive-partition recovery, and — on id-mode
+    tables — an explicit physical schema carrying parquet field ids so
+    EVERY scan (user reads, DML discovery, MERGE discovery, DV
+    construction, CDF derivation) resolves columns by field id, never
+    by name (round-7 review finding #4: discovery scans that
+    name-matched would silently miss foreign-named id-mode files).
+    A file missing a column's id NULL-fills it (schema evolution); a
+    file with no ids at all raises loudly rather than matching wrong
+    columns."""
+    reader = spark.read.option("mergeSchema", "true")
+    if snap.partition_columns:
+        reader = reader.option("basePath", base_path or table_path)
+    if snap.column_mapping_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        schema = _id_read_schema(snap)
+        if extra_fields:
+            schema = StructType(list(schema.fields) + list(extra_fields))
+        reader = reader.schema(schema)
+    return reader
+
+
+def _hive_base(path: str) -> str:
+    """The partition-discovery base of an absolute data-file path: the
+    directory above every trailing ``k=v`` hive segment — for files a
+    SHALLOW CLONE references inside another table's root."""
+    d = os.path.dirname(path)
+    while "=" in os.path.basename(d):
+        d = os.path.dirname(d)
+    return d
+
+
 def _scan_files(
     spark: SparkSession, table_path: str, snap: DeltaSnapshot, rels: list[str]
 ) -> DataFrame:
     """One distributed parquet scan over ``rels`` with every reader
     feature applied: mergeSchema NULL-fill, basePath hive-partition
     recovery, field-id resolution (id-mode column mapping),
-    deletion-vector row anti-join, physical->logical rename."""
+    deletion-vector row anti-join, physical->logical rename.
+
+    Files are scanned in GROUPS by their partition-discovery base:
+    table-relative files under the table root, absolute files (shallow
+    clones) under their source root — Spark requires basePath to be an
+    ancestor of every input, so a partitioned clone mixing its own new
+    files with absolute source files needs one scan per base (round-7
+    review finding #3). The common single-base case stays one scan."""
     if not rels:
         return spark.createDataFrame([], snap.schema)
-    paths = [os.path.join(table_path, p) for p in rels]
-    reader = spark.read.option("mergeSchema", "true")
-    if snap.partition_columns:
-        reader = reader.option("basePath", table_path)
-    if snap.column_mapping_mode == "id":
-        # resolve by parquet field id, not by name: the explicit schema
-        # pins ids; a file missing a column's id NULL-fills it (schema
-        # evolution); a file with no ids at all raises loudly rather
-        # than silently matching wrong columns
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        reader = reader.schema(_id_read_schema(snap))
-    df = reader.parquet(*paths)
-    df = _subtract_dv_rows(df, spark, table_path, _dv_descriptors(table_path, snap, rels))
+    groups: dict[str, list[str]] = {}
+    for p in rels:
+        base = _hive_base(p) if os.path.isabs(p) else table_path
+        groups.setdefault(base, []).append(p)
+    parts = []
+    for base, grels in groups.items():
+        d = _raw_reader(spark, table_path, snap, base_path=base).parquet(
+            *[os.path.join(table_path, p) for p in grels]
+        )
+        # DV subtraction consumes _metadata, which is scan-scoped: apply
+        # per group, before any union
+        parts.append(
+            _subtract_dv_rows(
+                d, spark, table_path, _dv_descriptors(table_path, snap, grels)
+            )
+        )
+    df = parts[0]
+    for q in parts[1:]:
+        df = df.unionByName(q, allowMissingColumns=True)
     return _select_logical(df, snap)
 
 
@@ -652,12 +705,19 @@ def _check_rebase(
 def _commit_info_ts(table_path: str, version: int) -> int:
     """commitInfo timestamp of ``version`` (0 when the commit JSON or
     its commitInfo action is unavailable, e.g. truncated past a
-    checkpoint)."""
+    checkpoint). Parses ONLY lines that can be commitInfo (substring
+    probe) — a 50k-add commit would otherwise be fully JSON-parsed on
+    every subsequent commit attempt just to read one timestamp
+    (round-7 review finding #8)."""
     if version < 0 or not os.path.exists(_commit_file(table_path, version)):
         return 0
-    for a in _parse_commit(table_path, version):
-        if "commitInfo" in a:
-            return int(a["commitInfo"].get("timestamp", 0))
+    with open(_commit_file(table_path, version), encoding="utf-8") as fh:
+        for line in fh:
+            if '"commitInfo"' not in line:
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                return int(a["commitInfo"].get("timestamp", 0))
     return 0
 
 
@@ -736,8 +796,17 @@ def _stage_write(
     UUID, so concurrent stagers never collide."""
     staging = os.path.join(table_path, f"_staged_{uuid.uuid4().hex}")
     # id-mode column mapping: schemas carrying parquet.field.id alias
-    # metadata must reach the footer (no-op for schemas without it)
-    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    # metadata must reach the footer. Session-conf flip gated on the
+    # schema ACTUALLY carrying ids (round-7 review finding #10 — don't
+    # mutate session state from unrelated writes); the matching read
+    # conf flips only on id-mode scans. Both are lazy-plan confs, so
+    # they cannot be save/restored around the call.
+    if any(
+        "parquet.field.id" in (f.metadata or {}) for f in df.schema.fields
+    ):
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
     writer = df.write.mode("append").format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -1163,10 +1232,12 @@ def write_delta(
         if generated:
             writer_v = max(writer_v, 4)  # generated columns = writer v4
         reader_v = 1
-        if create_schema is not None:
+        if conf.get(_CM_MODE, "none") != "none":
             # legacy column-mapping protocol: reader 2 / writer 5
             # (writer versions are cumulative, so CDF/constraints on
-            # the same table stay covered)
+            # the same table stay covered). Keyed on the MAPPING MODE,
+            # not create_schema: generated columns also stamp a
+            # create_schema but need no column-mapping protocol
             reader_v, writer_v = 2, max(writer_v, 5)
         actions.append(
             {"protocol": {"minReaderVersion": reader_v, "minWriterVersion": writer_v}}
@@ -1643,6 +1714,22 @@ def _constraint_mentions(configuration: dict[str, str], col: str) -> list[str]:
     ]
 
 
+def _generation_mentions(schema: StructType, col: str) -> list[str]:
+    """Generated columns whose generation expression mentions ``col``
+    as a word — conservative (a string literal containing the name also
+    matches), erring on the REJECT side for ALTER COLUMN. A generated
+    column never 'mentions' itself (renaming/dropping the generated
+    column itself is fine — the expression rides or leaves with it)."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(col)}\b", _re.IGNORECASE)
+    return [
+        name
+        for name, expr in _generated_exprs(schema).items()
+        if name != col and pat.search(expr)
+    ]
+
+
 def _alter_schema_commit(
     table_path: str,
     snap: DeltaSnapshot,
@@ -1710,6 +1797,13 @@ def rename_column(
             f"CHECK constraint(s) {hit} reference column {old!r}; drop "
             "them before renaming"
         )
+    ghit = _generation_mentions(snap.schema, old)
+    if ghit:
+        raise DeltaProtocolError(
+            f"generated column(s) {ghit} derive from {old!r}; a "
+            "metadata-only rename would make every later write fail "
+            "(delta rejects this ALTER up front)"
+        )
     new_fields = [
         StructField(new, f.dataType, f.nullable, dict(f.metadata))
         if f.name == old
@@ -1753,6 +1847,12 @@ def drop_column(spark: SparkSession, table_path: str, col: str) -> int:
         raise DeltaProtocolError(
             f"CHECK constraint(s) {hit} reference column {col!r}; drop "
             "them first"
+        )
+    ghit = _generation_mentions(snap.schema, col)
+    if ghit:
+        raise DeltaProtocolError(
+            f"generated column(s) {ghit} derive from {col!r}; drop them "
+            "first"
         )
     new_fields = [f for f in snap.schema.fields if f.name != col]
     return _alter_schema_commit(
@@ -2190,10 +2290,7 @@ def _matched_files(
     if not snap.files:
         return []
     paths = [os.path.join(table_path, p) for p in snap.files]
-    reader = spark.read.option("mergeSchema", "true")
-    if snap.partition_columns:
-        reader = reader.option("basePath", table_path)
-    raw = reader.parquet(*paths).select(
+    raw = _raw_reader(spark, table_path, snap).parquet(*paths).select(
         "*", _strip_scheme(F.col("_metadata.file_path")).alias("__fp")
     )
     logical = _select_logical(raw, snap, extra=["__fp"])
@@ -2222,10 +2319,7 @@ def _touched_files_by_keys(
     if not snap.files:
         return []
     paths = [os.path.join(table_path, p) for p in snap.files]
-    reader = spark.read.option("mergeSchema", "true")
-    if snap.partition_columns:
-        reader = reader.option("basePath", table_path)
-    raw = reader.parquet(*paths).select(
+    raw = _raw_reader(spark, table_path, snap).parquet(*paths).select(
         *[F.col(snap.physical(k)).alias(k) for k in keys],
         _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
     )
@@ -2254,14 +2348,17 @@ def _dml_rewrite(
     op: str,
     survivors_of,
     changes_of,
+    snap: DeltaSnapshot | None = None,
 ) -> tuple[int, int]:
     """Shared copy-on-write DML engine: stats pruning selects the files
     that CAN contain matches; only those are rewritten through
     ``survivors_of``, every other file keeps its identity — the
     surgical-rewrite shape that makes DML on a 100 TB table cost
     O(affected files). ``changes_of`` supplies CDF rows when the table
-    has delta.enableChangeDataFeed."""
-    snap = snapshot(spark, table_path)
+    has delta.enableChangeDataFeed. A caller that already snapshotted
+    (to build its closures) passes ``snap`` — one log replay, one
+    consistent version for plan AND closures."""
+    snap = snap or snapshot(spark, table_path)
     candidates, _ = prune_files_by_stats(snap, col, lo, hi)
     if not candidates:
         return snap.version, 0
@@ -2500,13 +2597,15 @@ def update_delta(
     and update_postimage change row. Returns (new_version,
     n_files_rewritten)."""
     pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
-    gen = _generated_exprs(snapshot(spark, table_path).schema)
+    snap = snapshot(spark, table_path)
+    gen = _generated_exprs(snap.schema)
     _apply, _changes = _update_closures(pred, set_exprs, gen)
     return _dml_rewrite(
         spark, table_path, col, lo, hi,
         op="UPDATE",
         survivors_of=_apply,
         changes_of=_changes,
+        snap=snap,
     )
 
 
@@ -2566,128 +2665,131 @@ def merge_delta(
         # for MERGE) — one pass, only on tables that declare them
         source = _apply_generated(source, gen)
     src = source.cache()
-    # ONE source pass yields the duplicate-key guard AND the lead-key
-    # bounds (VERDICT r6 next-step #3: the dup-check and min/max
-    # previously cost separate scans): group by key, then fold the
-    # per-key counts into (max multiplicity, lo, hi) — a
-    # partial-aggregating shuffle on the key the semi-join below
-    # shuffles on anyway.
-    stats = (
-        src.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(
-            F.max("__n").alias("max_dup"),
-            F.min(keys[0]).alias("lo"),
-            F.max(keys[0]).alias("hi"),
+    try:
+        # ONE source pass yields the duplicate-key guard AND the lead-key
+        # bounds (VERDICT r6 next-step #3: the dup-check and min/max
+        # previously cost separate scans): group by key, then fold the
+        # per-key counts into (max multiplicity, lo, hi) — a
+        # partial-aggregating shuffle on the key the semi-join below
+        # shuffles on anyway.
+        stats = (
+            src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.max("__n").alias("max_dup"),
+                F.min(keys[0]).alias("lo"),
+                F.max(keys[0]).alias("hi"),
+            )
+            .first()
         )
-        .first()
-    )
-    if stats["max_dup"] is not None and stats["max_dup"] > 1:
+        if stats["max_dup"] is not None and stats["max_dup"] > 1:
+            raise DeltaProtocolError(
+                "MERGE source has duplicate keys — a target row would match "
+                "more than one source row (ambiguous, rejected as Delta does)"
+            )
+        lo, hi = stats["lo"], stats["hi"]
+        if lo is None and when_not_matched_by_source is None:
+            return snap.version, 0  # empty source: nothing to merge
+        src_keys = src.select(*keys).distinct()
+        if when_not_matched_by_source is None:
+            # touched-file discovery, Delta's own MERGE algorithm: semi-join
+            # the table scan against the source keys and collect the
+            # distinct file paths — EXACT (a stats interval over a mixed
+            # update+insert source would span the insert keys and degrade
+            # to a full rewrite)
+            candidates = _touched_files_by_keys(
+                spark, table_path, snap, src_keys, keys
+            )
+        else:
+            # the by-source clause can delete rows from ANY file
+            candidates = list(snap.files)
+
+        affected = _scan_files(spark, table_path, snap, candidates)
+        tgt_keys = affected.select(*keys).distinct()
+        matched_src = src.join(tgt_keys, keys, "left_semi")
+        inserts = src.join(tgt_keys, keys, "left_anti")
+        if when_matched == "update":
+            # per-TARGET-row update via left join: a duplicate-key target
+            # keeps its multiplicity — EVERY matched row takes the source
+            # values, exactly as Delta's WHEN MATCHED UPDATE does (an
+            # anti-join + source-union would silently collapse duplicates)
+            val_cols = [c for c in tcols if c not in keys]
+            srcm = src.select(
+                *keys,
+                F.lit(True).alias("__matched"),
+                *[F.col(c).alias(f"__src_{c}") for c in val_cols],
+            )
+            joined = affected.join(srcm, keys, "left")  # AQE picks the strategy
+            replaced = joined.select(
+                *[
+                    F.when(
+                        F.col("__matched").isNotNull(), F.col(f"__src_{c}")
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c not in keys
+                    else F.col(c)
+                    for c in tcols
+                ]
+            )
+            preimage = affected.join(src_keys, keys, "left_semi")
+            postimage = joined.filter(F.col("__matched").isNotNull()).select(
+                *[
+                    F.col(f"__src_{c}").alias(c) if c not in keys else F.col(c)
+                    for c in tcols
+                ]
+            )
+            matched_kept = joined.filter(F.col("__matched").isNotNull()).select(
+                *[
+                    F.col(f"__src_{c}").alias(c) if c not in keys else F.col(c)
+                    for c in tcols
+                ]
+            )
+        else:  # insert-only: matched target rows keep their current values
+            replaced = affected
+            preimage = affected.limit(0)
+            postimage = matched_src.limit(0)
+            matched_kept = affected.join(src_keys, keys, "left_semi")
+        deleted = affected.limit(0)
+        if when_not_matched_by_source == "delete":
+            deleted = affected.join(src_keys, keys, "left_anti")
+            replaced = matched_kept  # unmatched-by-source rows drop out
+        new_content = replaced.unionByName(inserts)
+
+        if when_not_matched_by_source is None:
+            guard = _CommitGuard(
+                removed=set(candidates),
+                read_files=set(candidates),
+                predicate=(snap.physical(keys[0]), lo, hi),
+            )
+        else:
+            guard = _CommitGuard(
+                removed=set(candidates),
+                read_files=set(candidates),
+                read_whole_table=True,
+            )
+
+        def _changes(_df: DataFrame) -> DataFrame:
+            pre = preimage.withColumn("_change_type", F.lit("update_preimage"))
+            post = postimage.withColumn("_change_type", F.lit("update_postimage"))
+            ins = inserts.withColumn("_change_type", F.lit("insert"))
+            out = pre.unionByName(post).unionByName(ins)
+            return out.unionByName(
+                deleted.withColumn("_change_type", F.lit("delete"))
+            )
+
+        on_desc = " AND ".join(f"target.{k} = source.{k}" for k in keys)
+        v = _dml_commit(
+            spark, table_path, snap, candidates,
+            survivors_of=lambda _df: new_content,
+            changes_of=_changes,
+            op="MERGE", pred_desc=on_desc, guard=guard,
+        )
+    finally:
+        # release the cached source on EVERY path — including the
+        # designed ConcurrentModificationError retry path (round-7
+        # review finding #7: each conflict leaked a cached copy)
         src.unpersist()
-        raise DeltaProtocolError(
-            "MERGE source has duplicate keys — a target row would match "
-            "more than one source row (ambiguous, rejected as Delta does)"
-        )
-    lo, hi = stats["lo"], stats["hi"]
-    if lo is None and when_not_matched_by_source is None:
-        src.unpersist()
-        return snap.version, 0  # empty source: nothing to merge
-    src_keys = src.select(*keys).distinct()
-    if when_not_matched_by_source is None:
-        # touched-file discovery, Delta's own MERGE algorithm: semi-join
-        # the table scan against the source keys and collect the
-        # distinct file paths — EXACT (a stats interval over a mixed
-        # update+insert source would span the insert keys and degrade
-        # to a full rewrite)
-        candidates = _touched_files_by_keys(
-            spark, table_path, snap, src_keys, keys
-        )
-    else:
-        # the by-source clause can delete rows from ANY file
-        candidates = list(snap.files)
-
-    affected = _scan_files(spark, table_path, snap, candidates)
-    tgt_keys = affected.select(*keys).distinct()
-    matched_src = src.join(tgt_keys, keys, "left_semi")
-    inserts = src.join(tgt_keys, keys, "left_anti")
-    if when_matched == "update":
-        # per-TARGET-row update via left join: a duplicate-key target
-        # keeps its multiplicity — EVERY matched row takes the source
-        # values, exactly as Delta's WHEN MATCHED UPDATE does (an
-        # anti-join + source-union would silently collapse duplicates)
-        val_cols = [c for c in tcols if c not in keys]
-        srcm = src.select(
-            *keys,
-            F.lit(True).alias("__matched"),
-            *[F.col(c).alias(f"__src_{c}") for c in val_cols],
-        )
-        joined = affected.join(srcm, keys, "left")  # AQE picks the strategy
-        replaced = joined.select(
-            *[
-                F.when(
-                    F.col("__matched").isNotNull(), F.col(f"__src_{c}")
-                )
-                .otherwise(F.col(c))
-                .alias(c)
-                if c not in keys
-                else F.col(c)
-                for c in tcols
-            ]
-        )
-        preimage = affected.join(src_keys, keys, "left_semi")
-        postimage = joined.filter(F.col("__matched").isNotNull()).select(
-            *[
-                F.col(f"__src_{c}").alias(c) if c not in keys else F.col(c)
-                for c in tcols
-            ]
-        )
-        matched_kept = joined.filter(F.col("__matched").isNotNull()).select(
-            *[
-                F.col(f"__src_{c}").alias(c) if c not in keys else F.col(c)
-                for c in tcols
-            ]
-        )
-    else:  # insert-only: matched target rows keep their current values
-        replaced = affected
-        preimage = affected.limit(0)
-        postimage = matched_src.limit(0)
-        matched_kept = affected.join(src_keys, keys, "left_semi")
-    deleted = affected.limit(0)
-    if when_not_matched_by_source == "delete":
-        deleted = affected.join(src_keys, keys, "left_anti")
-        replaced = matched_kept  # unmatched-by-source rows drop out
-    new_content = replaced.unionByName(inserts)
-
-    if when_not_matched_by_source is None:
-        guard = _CommitGuard(
-            removed=set(candidates),
-            read_files=set(candidates),
-            predicate=(snap.physical(keys[0]), lo, hi),
-        )
-    else:
-        guard = _CommitGuard(
-            removed=set(candidates),
-            read_files=set(candidates),
-            read_whole_table=True,
-        )
-
-    def _changes(_df: DataFrame) -> DataFrame:
-        pre = preimage.withColumn("_change_type", F.lit("update_preimage"))
-        post = postimage.withColumn("_change_type", F.lit("update_postimage"))
-        ins = inserts.withColumn("_change_type", F.lit("insert"))
-        out = pre.unionByName(post).unionByName(ins)
-        return out.unionByName(
-            deleted.withColumn("_change_type", F.lit("delete"))
-        )
-
-    on_desc = " AND ".join(f"target.{k} = source.{k}" for k in keys)
-    v = _dml_commit(
-        spark, table_path, snap, candidates,
-        survivors_of=lambda _df: new_content,
-        changes_of=_changes,
-        op="MERGE", pred_desc=on_desc, guard=guard,
-    )
-    src.unpersist()
     return v, len(candidates)
 
 
@@ -2717,10 +2819,7 @@ def _dv_matched_blobs(
     )
 
     paths = [os.path.join(table_path, p) for p in candidates]
-    reader = spark.read.option("mergeSchema", "true")
-    if snap.partition_columns:
-        reader = reader.option("basePath", table_path)
-    raw = reader.parquet(*paths).select(
+    raw = _raw_reader(spark, table_path, snap).parquet(*paths).select(
         _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
         F.col("_metadata.row_index").alias("__ri"),
         F.col(snap.physical(col)).alias(col),
@@ -2799,15 +2898,24 @@ def _dv_mark_actions(
     actions: list[dict[str, Any]] = []
     feats = set(snap.protocol.get("readerFeatures") or [])
     if "deletionVectors" not in feats:
-        # upgrading to reader v3 makes features EXPLICIT: legacy
-        # capabilities implied by the previous reader version (column
-        # mapping at reader 2) must be re-stated in readerFeatures or a
-        # spec-following reader would ignore the mapping
+        # upgrading to (3, 7) makes features EXPLICIT: every capability
+        # implied by the PREVIOUS reader/writer versions must be
+        # re-stated or a spec-following engine (which honors only the
+        # listed features at v7) would skip CDF capture, constraint
+        # enforcement, generation, or mapping (ADVICE-style round-7
+        # review finding #2)
+        old_w = int(snap.protocol.get("minWriterVersion", 2))
+        wfeats = set(snap.protocol.get("writerFeatures") or [])
+        if old_w >= 2:
+            wfeats |= {"appendOnly", "invariants"}
+        if old_w >= 3:
+            wfeats |= {"checkConstraints"}
+        if old_w >= 4:
+            wfeats |= {"changeDataFeed", "generatedColumns"}
+        if old_w >= 5 or snap.column_mapping_mode != "none":
+            wfeats |= {"columnMapping"}
         if snap.column_mapping_mode != "none":
             feats |= {"columnMapping"}
-        wfeats = set(snap.protocol.get("writerFeatures") or [])
-        if snap.column_mapping_mode != "none":
-            wfeats |= {"columnMapping"}
         actions.append(
             {
                 "protocol": {
@@ -3015,7 +3123,7 @@ def stream_commit_batches(
                 )
         if not adds:
             continue
-        df = spark.read.option("mergeSchema", "true").parquet(
+        df = _raw_reader(spark, table_path, snap).parquet(
             *[os.path.join(table_path, p) for p in adds]
         )
         yield v, _select_logical(df, snap)
@@ -3036,18 +3144,21 @@ def _read_rels(
     a removed file's already-DV-deleted rows are not deleted again by
     the commit that removes the file (ADVICE r6 #1)."""
     rels = [unquote(p["path"]) for p in payloads]
-    reader = spark.read.option("mergeSchema", "true")
-    if snap.partition_columns:
-        # cdc files live under _change_data/<hive dirs>: their partition
-        # values are directory-encoded relative to the CDF root, so the
-        # basePath must point there for recovery; data files hang off
-        # the table root
-        base = (
-            os.path.join(table_path, CDF_DIR)
-            if rels and rels[0].startswith(CDF_DIR)
-            else table_path
-        )
-        reader = reader.option("basePath", base)
+    # cdc files live under _change_data/<hive dirs>: their partition
+    # values are directory-encoded relative to the CDF root, so the
+    # basePath must point there for recovery; data files hang off the
+    # table root. cdc files also carry a literal _change_type column the
+    # id-mode explicit schema must include or it would be dropped.
+    is_cdc = bool(rels and rels[0].startswith(CDF_DIR))
+    reader = _raw_reader(
+        spark,
+        table_path,
+        snap,
+        base_path=os.path.join(table_path, CDF_DIR) if is_cdc else None,
+        extra_fields=(
+            (StructField("_change_type", StringType()),) if is_cdc else ()
+        ),
+    )
     df = reader.parquet(*[os.path.join(table_path, p) for p in rels])
     dv_by_path = {
         os.path.abspath(os.path.join(table_path, unquote(p["path"]))): p[

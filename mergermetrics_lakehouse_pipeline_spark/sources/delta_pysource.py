@@ -168,6 +168,7 @@ class _DeltaFilePartition(InputPartition):
         version: int | None,
         change: str | None,
         dv: dict | None,
+        strict_ids: bool = False,
     ):
         self.table_path = table_path
         self.rel = rel
@@ -175,10 +176,19 @@ class _DeltaFilePartition(InputPartition):
         self.version = version
         self.change = change
         self.dv = dv
+        #: id-mode tables: data files MUST carry parquet field ids —
+        #: a file with none fails loudly instead of name-matching
+        #: (round-7 review finding #5)
+        self.strict_ids = strict_ids
+
+
+def _mapping_mode(table_path: str) -> str:
+    conf = dict(_latest_metadata(table_path).get("configuration") or {})
+    return conf.get("delta.columnMapping.mode", "none")
 
 
 def _commit_partitions(
-    table_path: str, v: int, *, cdf: bool
+    table_path: str, v: int, *, cdf: bool, strict_ids: bool = False
 ) -> list[_DeltaFilePartition]:
     cdc, adds, removes = [], [], []
     op = ""
@@ -204,7 +214,8 @@ def _commit_partitions(
                     k, val = seg.split("=", 1)
                     pv[k] = unquote(val)
         return _DeltaFilePartition(
-            table_path, rel, pv, v, change, a.get("deletionVector")
+            table_path, rel, pv, v, change, a.get("deletionVector"),
+            strict_ids=strict_ids,
         )
 
     if not cdf:
@@ -299,6 +310,12 @@ def _read_partition(
         fid = (af.metadata or {}).get(b"PARQUET:field_id")
         if fid is not None:
             by_field_id[int(fid)] = af.name
+    if p.strict_ids and not by_field_id and table.num_columns:
+        # id-mode contract: resolution goes through parquet field ids;
+        # a data file with NONE cannot be safely name-matched
+        raise DeltaProtocolError(
+            f"id-mode table file {p.rel!r} carries no parquet field ids"
+        )
     arrays, fields = [], []
     for f in schema.fields:
         if f.name in ("_change_type", "_commit_version"):
@@ -376,7 +393,9 @@ def _filter_bounds(filters: list[Filter]) -> dict[str, list[Any]]:
 
 
 def _snapshot_partitions(
-    table_path: str, bounds: dict[str, list[Any]] | None = None
+    table_path: str,
+    bounds: dict[str, list[Any]] | None = None,
+    strict_ids: bool = False,
 ) -> list[_DeltaFilePartition]:
     """Current live files, reconstructed Spark-free (checkpoint via
     pyarrow + JSON replay) — the batch-read planner. ``bounds``
@@ -417,6 +436,7 @@ def _snapshot_partitions(
             None,
             None,
             a.get("deletionVector"),
+            strict_ids=strict_ids,
         )
         for rel, a in files.items()
         if not bounds
@@ -432,6 +452,7 @@ class DeltaLogBatchReader(DataSourceReader):
         self.table_path = options["path"]
         self.schema = schema
         self._bounds: dict[str, list[Any]] = {}
+        self._strict_ids = _mapping_mode(self.table_path) == "id"
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
         """Record interval bounds for stats pruning, then hand EVERY
@@ -455,7 +476,9 @@ class DeltaLogBatchReader(DataSourceReader):
             for f in self.schema.fields
         }
         bounds = {phys.get(c, c): b for c, b in self._bounds.items()}
-        return _snapshot_partitions(self.table_path, bounds)
+        return _snapshot_partitions(
+            self.table_path, bounds, strict_ids=self._strict_ids
+        )
 
     def read(self, partition: _DeltaFilePartition):
         return _read_partition(partition, self.schema, cdf=False)
@@ -468,6 +491,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self.table_path = options["path"]
         self.cdf = options.get("mode", "append").lower() == "cdf"
         self.from_version = int(options.get("fromversion", 0))
+        self._strict_ids = _mapping_mode(self.table_path) == "id"
         #: admission control: at most this many commits per micro-batch
         #: (0 = unbounded). The rate-limiting knob every production
         #: stream needs — a backfill over 10k commits must not become
@@ -513,7 +537,12 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     f"commit {v} missing from the log (truncated past a "
                     "checkpoint?) — the stream cannot replay it"
                 )
-            out.extend(_commit_partitions(self.table_path, v, cdf=self.cdf))
+            out.extend(
+                _commit_partitions(
+                    self.table_path, v, cdf=self.cdf,
+                    strict_ids=self._strict_ids,
+                )
+            )
         # Spark requires >= 1 partition per micro-batch; an empty
         # (optimize-only) range yields one empty marker partition
         if not out:

@@ -235,3 +235,87 @@ def test_unknown_mapping_mode_still_rejected(spark, tbl):
         fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
     with pytest.raises(DeltaProtocolError, match="wat"):
         read_delta(spark, tbl)
+
+
+def test_id_mode_dml_resolves_foreign_names_by_field_id(spark, tbl):
+    """Round-7 review finding #4: DML discovery scans must also resolve
+    by field id — a foreign-named id-mode file must have its matching
+    rows FOUND (a name-matching discovery would silently miss them and
+    the delete would no-op)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(tbl, "_delta_log"))
+    t = pa.table(
+        {
+            "totally_unrelated": pa.array([1, 2, 3], pa.int64()),
+            "other_name": pa.array(["a", "b", "c"]),
+        }
+    )
+    sch = pa.schema(
+        [
+            pa.field(
+                "totally_unrelated",
+                pa.int64(),
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+            pa.field(
+                "other_name", pa.string(), metadata={b"PARQUET:field_id": b"2"}
+            ),
+        ]
+    )
+    pq.write_table(t.cast(sch), os.path.join(tbl, "part-000.parquet"))
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "key",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-zzz1",
+                    },
+                },
+                {
+                    "name": "label",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-zzz2",
+                    },
+                },
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+            }
+        },
+        {
+            "add": {
+                "path": "part-000.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(tbl, "part-000.parquet")),
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    v, n = delete_rows(spark, tbl, "key = 2")
+    assert n == 1  # the file WAS discovered and rewritten
+    assert _rows(read_delta(spark, tbl)) == {(1, "a"), (3, "c")}

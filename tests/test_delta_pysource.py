@@ -454,3 +454,29 @@ def test_stream_cdf_from_mapped_table(spark, tbl, tmp_path):
     assert dels == {(k, k * 10) for k in range(5)}
     ins = got.filter("_change_type = 'insert'").count()
     assert ins == 12
+
+
+def test_pysource_id_mode_file_without_ids_raises(spark, tbl):
+    """Round-7 review finding #5: the python source must fail loudly on
+    an id-mode data file with no parquet field ids, matching the native
+    reader's contract — never silently name-match or NULL-fill."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        snapshot,
+    )
+
+    write_delta(
+        _kv(spark, 6), tbl,
+        configuration={"delta.columnMapping.mode": "id"},
+    )
+    snap = snapshot(spark, tbl)
+    rel = next(iter(snap.files))
+    pq.write_table(
+        pa.table({snap.physical("k"): pa.array([99], pa.int64())}),
+        os.path.join(tbl, rel),
+    )
+    out = spark.read.format("delta_pylog").option("path", tbl).load()
+    with pytest.raises(Exception, match="field ids"):
+        out.collect()

@@ -194,3 +194,80 @@ def test_describe_history_rows(spark, tbl):
     ts = [r["timestamp"] for r in h]
     assert ts[0] > ts[1] > ts[2]
     assert h[2]["num_added_files"] >= 1 and h[0]["num_removed_files"] >= 1
+
+
+# --------------------------------------------------------------------------
+# round-7 review regressions
+# --------------------------------------------------------------------------
+
+
+def test_generated_only_table_keeps_reader_v1(spark, tbl):
+    """Review finding #1: generated columns without column mapping must
+    NOT author the column-mapping protocol (2,5) — reader v1 / writer 4."""
+    write_delta(_kv(spark, 5), tbl, generated={"b": "k % 3"})
+    p = snapshot(spark, tbl).protocol
+    assert (p["minReaderVersion"], p["minWriterVersion"]) == (1, 4)
+
+
+def test_dv_upgrade_restates_legacy_writer_features(spark, tbl):
+    """Review finding #2: the (3,7) upgrade must re-state EVERY
+    capability implied by the old writer version, or a spec-following
+    v7 writer would skip CDF capture / constraint enforcement."""
+    write_delta(
+        _kv(spark, 10), tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # writer v4
+    delete_delta_dv(spark, tbl, "k", 0, 2)
+    p = snapshot(spark, tbl).protocol
+    assert set(p["writerFeatures"]) >= {
+        "appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "deletionVectors",
+    }
+
+
+def test_shallow_clone_of_partitioned_table_reads(spark, tbl):
+    """Review finding #3: clone add actions reference absolute source
+    paths; partitioned scans need per-base basePath grouping."""
+    src, dst = tbl + "_s", tbl + "_d"
+    df = spark.range(18).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    write_delta(df, src, partition_by=["p"])
+    clone_delta(spark, src, dst)
+    assert _rows(read_delta(spark, dst)) == _rows(df)
+    # divergence: append CLONE-local files -> mixed absolute + relative
+    write_delta(
+        spark.range(18, 24).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+        ),
+        dst,
+        mode="append",
+    )
+    assert read_delta(spark, dst).count() == 24
+    assert _rows(read_delta(spark, dst).filter("p = 1").select("k")) == {
+        (k,) for k in range(24) if k % 3 == 1
+    }
+    assert read_delta(spark, src).count() == 18
+
+
+def test_rename_referenced_by_generation_rejected(spark, tbl):
+    """Review finding #6: a metadata-only rename/drop of a column a
+    generation expression derives from would break every later write."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        drop_column,
+        rename_column,
+    )
+
+    write_delta(
+        _kv(spark, 6), tbl,
+        configuration={"delta.columnMapping.mode": "name"},
+        generated={"band": "v % 5"},
+    )
+    with pytest.raises(DeltaProtocolError, match="band"):
+        rename_column(spark, tbl, "v", "value")
+    with pytest.raises(DeltaProtocolError, match="band"):
+        drop_column(spark, tbl, "v")
+    # the generated column ITSELF renames/drops fine
+    rename_column(spark, tbl, "band", "bucket")
+    drop_column(spark, tbl, "bucket")
+    assert read_delta(spark, tbl).columns == ["k", "v"]
