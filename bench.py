@@ -184,6 +184,7 @@ EXTENDED_R7: list[str] = [
     "delta_merge_composite_sync",
     "delta_generated_columns_roundtrip",
     "delta_clone_divergence",
+    "delta_optimize_small_files",
     "orders_interarrival_profile",
     "lineitem_weighted_median",
     "supplier_acctbal_winsorized",

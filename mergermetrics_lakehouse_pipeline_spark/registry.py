@@ -1443,7 +1443,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_PRIORITY: list[str] = [
     # --- ROUND-7 ROTATION: after r6 the ledger reads 227/227
     # verified-ever, pending 0, so the full 50-slot window is free
-    # again. Head = this round's 20 new queries (first driver rows);
+    # again. Head = this round's 21 new queries (first driver rows);
     # the remainder re-verifies prior-round rows at zero risk. ---
     # round-7 additions (new surface)
     "delta_column_mapping_write_roundtrip",
@@ -1457,6 +1457,7 @@ DRIVER_PRIORITY: list[str] = [
     "delta_merge_composite_sync",
     "delta_generated_columns_roundtrip",
     "delta_clone_divergence",
+    "delta_optimize_small_files",
     "orders_interarrival_profile",
     "lineitem_weighted_median",
     "supplier_acctbal_winsorized",

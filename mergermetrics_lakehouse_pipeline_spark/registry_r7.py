@@ -1580,3 +1580,62 @@ def q_delta_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_delta(spark, src), "src").unionByName(
         agg(read_delta(spark, dst), "clone")
     )
+
+
+@register(
+    "delta_optimize_small_files",
+    f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", "price_mass")}
+    FROM orders GROUP BY 1
+    """,
+    tags=["S6", "delta", "optimize", "small-files", "roundtrip"],
+)
+def q_delta_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective OPTIMIZE (round 7 — delta's optimize.minFileSize): the
+    table is one large compacted file plus a tail of small appended
+    files; OPTIMIZE with a size threshold must compact ONLY the tail —
+    the large file keeps its identity (asserted on the file set), the
+    small files disappear, content is bit-identical (dataChange: false
+    commit), and a second pass is a commit-free no-op. The nightly
+    maintenance shape that makes OPTIMIZE affordable on a 99%-compacted
+    100 TB table. Oracle: content equality against the pristine table.
+
+    Scale: rewrite cost is O(small-file bytes), never O(table)."""
+    from .sources.delta_log import optimize_delta, read_delta, snapshot, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_dopt_rt_") + "/orders_opt"
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
+    )
+    write_delta(o.filter("o_orderkey % 5 <> 0").coalesce(1), root)  # 1 big file
+    for i in range(4):  # 4 small appends covering every %5==0 key
+        write_delta(
+            o.filter(f"o_orderkey % 20 = {i * 5}"), root, mode="append"
+        )
+    snap0 = snapshot(spark, root)
+    sizes = {r: int(a["size"]) for r, a in snap0.files.items()}
+    threshold = max(sizes.values())  # strictly-below keeps ONLY the big file
+    big = {r for r, s in sizes.items() if s == threshold}
+    if len(big) != 1 or len(sizes) < 5:
+        raise RuntimeError(f"fixture layout unexpected: {sorted(sizes.values())}")
+    optimize_delta(spark, root, target_files=1, min_file_size=threshold)
+    snap1 = snapshot(spark, root)
+    if not big <= set(snap1.files):
+        raise RuntimeError("OPTIMIZE rewrote an already-large file")
+    if set(sizes) - big & set(snap1.files):
+        raise RuntimeError("OPTIMIZE left small files uncompacted")
+    if len(snap1.files) != 2:
+        raise RuntimeError(f"expected 2 files, got {len(snap1.files)}")
+    v = snap1.version
+    if optimize_delta(spark, root, min_file_size=threshold) != v:
+        raise RuntimeError("second OPTIMIZE pass must be a no-op")
+    return (
+        read_delta(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "price_mass"),
+        )
+    )

@@ -2205,9 +2205,11 @@ def optimize_delta(
     *,
     target_files: int = 4,
     zorder_by: tuple[str, ...] | None = None,
+    min_file_size: int | None = None,
+    where: str | None = None,
 ) -> int:
     """OPTIMIZE (bin-packing compaction, optionally ZORDER BY two or
-    more columns): rewrite the current snapshot's data as ``target_files``
+    more columns): rewrite the selected data as ``target_files``
     files per partition and commit remove+add with
     ``dataChange: false`` — the protocol's marker that the transaction
     reorganizes bytes without changing table content (streaming readers
@@ -2216,14 +2218,25 @@ def optimize_delta(
     part of the rewritten set); concurrent removes of the same files
     abort.
 
+    ``min_file_size`` (round 7 — delta-spark's
+    spark.databricks.delta.optimize.minFileSize): only files SMALLER
+    than this many bytes are compaction candidates; already-compacted
+    large files keep their identity, so a nightly OPTIMIZE on a 100 TB
+    table that is 99% compacted touches only the day's small-file
+    ingest tail instead of rewriting everything. Fewer than two
+    candidates = no-op commit-free return. ``where`` (OPTIMIZE ...
+    WHERE) restricts candidates by a predicate over PARTITION columns —
+    evaluated against add.partitionValues, O(files) metadata, zero data
+    reads for the pruned-out partitions.
+
     With ``zorder_by``, rows are clustered along the Morton curve of
     the two columns before the rewrite (operators/layout.py), so each
     new file has bounded min/max footers in BOTH dimensions and
     ``read_delta_pruned`` skips on either column — the OPTIMIZE
     ZORDER BY mechanism.
 
-    Scale: one distributed read+write of the live data; the commit is
-    O(files) metadata.
+    Scale: one distributed read+write of the SELECTED data; the commit
+    is O(selected files) metadata.
     """
     from ..operators.layout import _ZKEY, zorder_key
 
@@ -2234,7 +2247,68 @@ def optimize_delta(
             "partition-directory layout this reader relies on; compact "
             "without zorder_by, or zorder within an unpartitioned table"
         )
-    current = _scan_files(spark, table_path, snap, list(snap.files))
+    if zorder_by is not None and min_file_size is not None:
+        raise DeltaProtocolError(
+            "ZORDER BY re-clusters the whole table; it cannot be "
+            "combined with min_file_size small-file selection"
+        )
+    rels = list(snap.files)
+    if where is not None:
+        if not snap.partition_columns:
+            raise DeltaProtocolError(
+                "OPTIMIZE ... WHERE requires a partitioned table (the "
+                "predicate is evaluated over partition values)"
+            )
+        # evaluate the predicate over partitionValues, driver-built but
+        # Spark-evaluated so any SQL expression over the partition
+        # columns works; O(files) metadata rows
+        ptypes = {f.name: f.dataType for f in snap.schema.fields}
+        pv_rows = [
+            (
+                rel,
+                *[
+                    _hive_val(
+                        snap.files[rel]
+                        .get("partitionValues", {})
+                        .get(snap.physical(c))
+                    )
+                    for c in snap.partition_columns
+                ],
+            )
+            for rel in rels
+        ]
+        pdf = spark.createDataFrame(
+            pv_rows,
+            StructType(
+                [StructField("__rel", StringType())]
+                + [
+                    StructField(c, StringType())
+                    for c in snap.partition_columns
+                ]
+            ),
+        )
+        for c in snap.partition_columns:
+            pdf = pdf.withColumn(
+                c,
+                F.when(F.col(c) == HIVE_NULL, None)
+                .otherwise(F.col(c))
+                .cast(ptypes[c]),
+            )
+        keep = {
+            r["__rel"]
+            for r in pdf.filter(
+                F.coalesce(F.expr(where), F.lit(False))
+            ).select("__rel").collect()
+        }
+        rels = [r for r in rels if r in keep]
+    if min_file_size is not None:
+        rels = [
+            r for r in rels
+            if int(snap.files[r].get("size") or 0) < min_file_size
+        ]
+    if (min_file_size is not None or where is not None) and len(rels) < 2:
+        return snap.version  # nothing worth compacting: no-op, no commit
+    current = _scan_files(spark, table_path, snap, rels)
     if zorder_by is not None:
         keyed = zorder_key(current, *zorder_by)
         current = (
@@ -2256,7 +2330,7 @@ def optimize_delta(
     now_ms = int(time.time() * 1000)
     stat_cols = _phys_stat_cols(snap)
     actions: list[dict[str, Any]] = [
-        _remove_action(a, now_ms, False) for a in snap.files.values()
+        _remove_action(snap.files[rel], now_ms, False) for rel in rels
     ]
     for rel in added:
         actions.append(
@@ -2271,12 +2345,13 @@ def optimize_delta(
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
                 "operationParameters": {
-                    "zOrderBy": list(zorder_by) if zorder_by else []
+                    "zOrderBy": list(zorder_by) if zorder_by else [],
+                    "predicate": where or "",
                 },
             }
         }
     )
-    guard = _CommitGuard(removed=set(snap.files), read_files=set(snap.files))
+    guard = _CommitGuard(removed=set(rels), read_files=set(rels))
     return _commit(table_path, actions, guard, snap.version)
 
 

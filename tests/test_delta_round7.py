@@ -271,3 +271,78 @@ def test_rename_referenced_by_generation_rejected(spark, tbl):
     rename_column(spark, tbl, "band", "bucket")
     drop_column(spark, tbl, "bucket")
     assert read_delta(spark, tbl).columns == ["k", "v"]
+
+
+# --------------------------------------------------------------------------
+# selective OPTIMIZE (round 7): min_file_size + WHERE partition predicate
+# --------------------------------------------------------------------------
+
+
+def test_optimize_min_file_size_compacts_only_small_files(spark, tbl):
+    """delta's optimize.minFileSize semantics: already-compacted large
+    files keep their IDENTITY; only the small-file tail rewrites — a
+    nightly OPTIMIZE on a 99%-compacted table touches 1% of it."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        optimize_delta,
+    )
+
+    big = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    write_delta(big.coalesce(1), tbl, mode="overwrite")  # one LARGE file
+    for i in range(3):  # three tiny appended files
+        write_delta(
+            spark.range(50_000 + i * 5, 50_000 + i * 5 + 5).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            tbl,
+            mode="append",
+        )
+    snap0 = snapshot(spark, tbl)
+    sizes = {r: int(a["size"]) for r, a in snap0.files.items()}
+    big_files = {r for r, s in sizes.items() if s >= 100_000}
+    small_files = set(sizes) - big_files
+    assert len(big_files) == 1 and len(small_files) >= 3
+
+    optimize_delta(spark, tbl, target_files=1, min_file_size=100_000)
+    snap1 = snapshot(spark, tbl)
+    assert big_files <= set(snap1.files)  # large file kept its identity
+    assert not (small_files & set(snap1.files))  # small files compacted
+    assert len(snap1.files) == len(big_files) + 1
+    assert read_delta(spark, tbl).count() == 50_015
+
+    # fewer than two candidates: no-op, no new commit
+    v_before = snapshot(spark, tbl).version
+    assert optimize_delta(spark, tbl, min_file_size=100_000) == v_before
+
+
+def test_optimize_where_partition_predicate(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        DeltaProtocolError,
+        optimize_delta,
+    )
+
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+    )
+    write_delta(df.filter("k < 15"), tbl, partition_by=["p"])
+    write_delta(df.filter("k >= 15"), tbl, mode="append")
+    snap0 = snapshot(spark, tbl)
+    p2_files = {
+        r
+        for r, a in snap0.files.items()
+        if a["partitionValues"].get("p") == "2"
+    }
+    other_files = set(snap0.files) - p2_files
+    assert len(p2_files) >= 2
+
+    optimize_delta(spark, tbl, target_files=1, where="p = 2")
+    snap1 = snapshot(spark, tbl)
+    assert other_files <= set(snap1.files)  # untouched partitions keep files
+    assert not (p2_files & set(snap1.files))  # p=2 compacted
+    assert _rows(read_delta(spark, tbl)) == _rows(df)
+
+    with pytest.raises(DeltaProtocolError, match="partitioned"):
+        t2 = tbl + "_u"
+        write_delta(_kv(spark, 5), t2)
+        optimize_delta(spark, t2, where="k = 1")
