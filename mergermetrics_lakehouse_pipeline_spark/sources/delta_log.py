@@ -1309,17 +1309,31 @@ def write_delta(
     return _commit(table_path, actions, guard, base_version)
 
 
-def restore_delta(spark: SparkSession, table_path: str, version: int) -> int:
-    """RESTORE TABLE ... TO VERSION AS OF — Delta's time-travel rollback
-    as a NEW commit (history is preserved; nothing is rewritten): files
-    live at the target version but not now are re-added (their original
-    add actions, stats included), files live now but not then are
-    removed, and the target metaData is re-committed when the schema or
-    partitioning evolved since. Fails naturally at scan time if the
+def restore_delta(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    *,
+    timestamp_ms: int | None = None,
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF / TO TIMESTAMP AS OF —
+    Delta's time-travel rollback as a NEW commit (history is preserved;
+    nothing is rewritten): files live at the target version but not now
+    are re-added (their original add actions, stats included), files
+    live now but not then are removed, and the target metaData is
+    re-committed when the schema or partitioning evolved since.
+    ``timestamp_ms`` resolves via the monotonic in-commit timestamps
+    (latest commit at-or-before). Fails naturally at scan time if the
     target's files were vacuumed, exactly like RESTORE past the
     retention horizon. Returns the new version.
 
     Scale: O(files) metadata diff driver-side; zero data movement."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at_timestamp(table_path, timestamp_ms)
+    if version is None:
+        raise ValueError("pass version or timestamp_ms")
     cur = snapshot(spark, table_path)
     tgt = snapshot(spark, table_path, version)
     now_ms = int(time.time() * 1000)
@@ -1891,28 +1905,42 @@ def add_column(
 
 
 def vacuum_delta(
-    spark: SparkSession, table_path: str, retain_last: int = 1
+    spark: SparkSession,
+    table_path: str,
+    retain_last: int = 1,
+    *,
+    retain_ms: int | None = None,
 ) -> list[str]:
-    """Remove data files referenced by NONE of the last ``retain_last``
-    snapshots — Delta VACUUM, with the retention window expressed in
-    VERSIONS instead of hours (the deterministic analogue of
-    ``deltaRetentionDuration``: a single-process engine has no
-    in-flight readers to age out, but time travel across the retained
-    window must keep working). ``retain_last=1`` is retention 0: only
-    the current snapshot survives. Also reclaims data files of ABORTED
-    transactions (staged, moved into place, never committed). Time
-    travel past the retained horizon fails afterwards with a read
-    error, never wrong rows. Deletion-vector ``.bin`` files and
-    ``_change_data`` CDF files are never touched (underscore dirs and
-    non-parquet files are out of scope for the listing).
+    """Remove data files referenced by NONE of the retained snapshots —
+    Delta VACUUM. The retention window is expressed in VERSIONS
+    (``retain_last``, the deterministic analogue of
+    ``deltaRetentionDuration``) or, with ``retain_ms``, in TIME against
+    the monotonic in-commit timestamps (``VACUUM ... RETAIN n HOURS``
+    parity, round 7): every version committed within the window is
+    retained, plus always the current snapshot. ``retain_last=1`` is
+    retention 0: only the current snapshot survives. Also reclaims data
+    files of ABORTED transactions (staged, moved into place, never
+    committed). Time travel past the retained horizon fails afterwards
+    with a read error, never wrong rows. Deletion-vector ``.bin`` files
+    and ``_change_data`` CDF files are never touched (underscore dirs
+    and non-parquet files are out of scope for the listing).
 
     Driver-side filesystem metadata work, O(files x retained versions)
     — no Spark job. Returns the removed relative paths.
     """
     commits, checkpoints = _list_versions(table_path)
     versions = sorted(set(commits) | set(checkpoints))
+    if retain_ms is not None:
+        cutoff = int(time.time() * 1000) - retain_ms
+        retained = [
+            v for v in versions if _commit_info_ts(table_path, v) >= cutoff
+        ]
+        if not retained or retained[-1] != versions[-1]:
+            retained.append(versions[-1])  # the head always survives
+    else:
+        retained = versions[-max(1, retain_last):]
     live: set[str] = set()
-    for v in versions[-max(1, retain_last):]:
+    for v in retained:
         try:
             snap_v = snapshot(spark, table_path, v)
         except (DeltaProtocolError, FileNotFoundError):
@@ -3315,12 +3343,31 @@ def read_cdf(
     table_path: str,
     from_version: int = 0,
     to_version: int | None = None,
+    *,
+    from_timestamp_ms: int | None = None,
+    to_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Batch Change-Data-Feed read over [from_version, to_version] —
     ``table_changes()`` parity: one frame of row-level changes with
     _change_type (insert / delete / update_preimage / update_postimage)
-    and _commit_version. Each commit contributes one bounded distributed
-    parquet read; the union is lazy (no driver data movement)."""
+    and _commit_version. Timestamp bounds (startingTimestamp /
+    endingTimestamp parity) resolve through the monotonic in-commit
+    timestamps: ``from_timestamp_ms`` = first commit strictly AFTER the
+    at-or-before anchor (changes since that moment),
+    ``to_timestamp_ms`` = latest commit at-or-before. Each commit
+    contributes one bounded distributed parquet read; the union is lazy
+    (no driver data movement)."""
+    if from_timestamp_ms is not None:
+        if from_version:
+            raise ValueError("pass from_version OR from_timestamp_ms")
+        try:
+            from_version = version_at_timestamp(table_path, from_timestamp_ms) + 1
+        except ValueError:
+            from_version = 0  # anchor predates the table: everything
+    if to_timestamp_ms is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR to_timestamp_ms")
+        to_version = version_at_timestamp(table_path, to_timestamp_ms)
     snap = snapshot(spark, table_path)
     out: DataFrame | None = None
     for v in _contiguous_commits(table_path, from_version, to_version):

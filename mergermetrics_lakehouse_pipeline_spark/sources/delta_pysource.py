@@ -72,6 +72,7 @@ from .delta_log import (
     _list_versions,
     _may_intersect,
     _parse_commit,
+    version_at_timestamp,
 )
 from urllib.parse import unquote
 
@@ -491,6 +492,22 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self.table_path = options["path"]
         self.cdf = options.get("mode", "append").lower() == "cdf"
         self.from_version = int(options.get("fromversion", 0))
+        if "startingtimestamp" in options:
+            # delta's startingTimestamp: first commit strictly AFTER the
+            # at-or-before anchor (resolved via in-commit timestamps)
+            if self.from_version:
+                raise DeltaProtocolError(
+                    "pass fromversion OR startingtimestamp, not both"
+                )
+            try:
+                self.from_version = (
+                    version_at_timestamp(
+                        self.table_path, int(options["startingtimestamp"])
+                    )
+                    + 1
+                )
+            except ValueError:
+                self.from_version = 0  # anchor predates the table
         self._strict_ids = _mapping_mode(self.table_path) == "id"
         #: admission control: at most this many commits per micro-batch
         #: (0 = unbounded). The rate-limiting knob every production

@@ -346,3 +346,96 @@ def test_optimize_where_partition_predicate(spark, tbl):
         t2 = tbl + "_u"
         write_delta(_kv(spark, 5), t2)
         optimize_delta(spark, t2, where="k = 1")
+
+
+# --------------------------------------------------------------------------
+# timestamp-parity batch (round 7): RESTORE/CDF/VACUUM/stream by time
+# --------------------------------------------------------------------------
+
+
+def _commit_ts(tbl, v):
+    import json as _json
+
+    with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json")) as fh:
+        for line in fh:
+            a = _json.loads(line)
+            if "commitInfo" in a:
+                return int(a["commitInfo"]["timestamp"])
+    raise AssertionError(f"no commitInfo at v{v}")
+
+
+def test_restore_and_cdf_by_timestamp(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        read_cdf,
+        restore_delta,
+    )
+
+    df = _kv(spark, 12)
+    write_delta(
+        df.filter("k < 4"), tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # v0
+    write_delta(df.filter("k >= 4 and k < 8"), tbl, mode="append")  # v1
+    write_delta(df.filter("k >= 8"), tbl, mode="append")  # v2
+    ts1 = _commit_ts(tbl, 1)
+
+    # CDF from_timestamp: changes strictly AFTER the anchor commit
+    chg = read_cdf(spark, tbl, from_timestamp_ms=ts1)
+    assert _rows(chg.select("k")) == {(k,) for k in range(8, 12)}
+    # to_timestamp bound: only up to v1
+    chg01 = read_cdf(spark, tbl, to_timestamp_ms=ts1)
+    assert _rows(chg01.select("k")) == {(k,) for k in range(8)}
+    # anchor predating the table: everything
+    assert read_cdf(spark, tbl, from_timestamp_ms=ts1 - 10**6).count() == 12
+    with pytest.raises(ValueError, match="from_version OR"):
+        read_cdf(spark, tbl, from_version=1, from_timestamp_ms=ts1)
+
+    # RESTORE TO TIMESTAMP AS OF v1
+    restore_delta(spark, tbl, timestamp_ms=ts1)
+    assert _rows(read_delta(spark, tbl).select("k")) == {
+        (k,) for k in range(8)
+    }
+    with pytest.raises(ValueError, match="not both"):
+        restore_delta(spark, tbl, 1, timestamp_ms=ts1)
+
+
+def test_vacuum_retain_ms(spark, tbl):
+    df = _kv(spark, 12)
+    write_delta(df.filter("k < 6"), tbl, mode="overwrite")  # v0
+    write_delta(df.filter("k >= 6"), tbl, mode="overwrite")  # v1 tombstones v0
+    files_v0 = set(snapshot(spark, tbl, version=0).files)
+    # a huge retention window keeps v0's files on disk
+    removed = vacuum_delta(spark, tbl, retain_ms=10**9)
+    assert not (files_v0 & set(removed))
+    assert _rows(read_delta(spark, tbl, version=0)) == _rows(df.filter("k < 6"))
+    # zero retention: only the head survives; v0's files go
+    removed = vacuum_delta(spark, tbl, retain_ms=-1)
+    assert files_v0 <= set(removed)
+    assert _rows(read_delta(spark, tbl)) == _rows(df.filter("k >= 6"))
+
+
+def test_pysource_starting_timestamp(spark, tbl, tmp_path):
+    write_delta(_kv(spark, 6), tbl)  # v0
+    write_delta(_kv(spark, 12).filter("k >= 6"), tbl, mode="append")  # v1
+    write_delta(_kv(spark, 18).filter("k >= 12"), tbl, mode="append")  # v2
+    ts1 = _commit_ts(tbl, 1)
+    spark.dataSource.register(
+        __import__(
+            "mergermetrics_lakehouse_pipeline_spark.sources.delta_pysource",
+            fromlist=["DeltaLogDataSource"],
+        ).DeltaLogDataSource
+    )
+    q = (
+        spark.readStream.format("delta_pylog")
+        .option("path", tbl)
+        .option("startingtimestamp", str(ts1))
+        .load()
+        .writeStream.format("memory")
+        .queryName("r7_ts_stream")
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"] for r in spark.table("r7_ts_stream").collect()}
+    assert got == set(range(12, 18))  # only commits AFTER the anchor
