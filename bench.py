@@ -194,6 +194,10 @@ EXTENDED_R7: list[str] = [
     "lineitem_inflight_peak",
     "customer_segment_contingency",
     "orders_repurchase_hazard",
+    "events_value_mad_outliers",
+    "lineitem_degree_profile",
+    "events_burstiness",
+    "customer_clv_cohort",
 ]
 
 

@@ -1443,7 +1443,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_PRIORITY: list[str] = [
     # --- ROUND-7 ROTATION: after r6 the ledger reads 227/227
     # verified-ever, pending 0, so the full 50-slot window is free
-    # again. Head = this round's 21 new queries (first driver rows);
+    # again. Head = this round's 25 new queries (first driver rows);
     # the remainder re-verifies prior-round rows at zero risk. ---
     # round-7 additions (new surface)
     "delta_column_mapping_write_roundtrip",
@@ -1467,6 +1467,10 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_inflight_peak",
     "customer_segment_contingency",
     "orders_repurchase_hazard",
+    "events_value_mad_outliers",
+    "lineitem_degree_profile",
+    "events_burstiness",
+    "customer_clv_cohort",
     # --- round-6 additions (re-verification) ---
     "delta_concurrent_writers_roundtrip",
     "delta_cdf_stream_roundtrip",

@@ -1639,3 +1639,272 @@ def q_delta_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "price_mass"),
         )
     )
+
+
+@register(
+    "events_value_mad_outliers",
+    """
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ), med AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med,
+             CAST(MIN(n) AS BIGINT) AS n
+      FROM ranked GROUP BY 1
+    ), dev AS (
+      SELECT r.event_type, abs(r.value - m.med) AS dev, r.event_id, m.med, m.n
+      FROM ranked r JOIN med m USING (event_type)
+    ), dranked AS (
+      SELECT event_type, dev, med, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY dev, event_id
+             ) AS rn
+      FROM dev
+    ), mad AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad,
+             MIN(med) AS med, MIN(n) AS n
+      FROM dranked GROUP BY 1
+    )
+    SELECT d.event_type, m.n AS n_events,
+           CAST(m.med AS DOUBLE) AS med,
+           CAST(m.mad AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1, 2, m.med, m.mad
+    """,
+    tags=["analytics", "robust-stats", "mad"],
+)
+def q_events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event type — the
+    robust alternative to z-scores (one wild value cannot move the
+    fences): EXACT lower medians via total-order rank positions (value
+    then event_id, so ties cannot flip the chosen element), deviations
+    from the median, the MAD as the deviations' median, and the
+    3-MAD outlier count. No averaging, no nondeterministic double sums —
+    every comparison is on per-row values.
+
+    Scale: two rank windows per event type (one shuffle each) and a
+    broadcast-sized medians join — never a global sort."""
+    from .registry import events_table
+
+    ev = events_table(spark, sf_dir).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2.0)),
+                F.col("value"),
+            )
+        ).alias("med"),
+        F.min("n").cast("bigint").alias("n"),
+    )
+    dev = ranked.join(med.select("event_type", "med"), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "event_id",
+        "med",
+        "n",  # unambiguous: med's n was dropped above
+    )
+    dranked = dev.select(
+        "event_type",
+        "dev",
+        "med",
+        "n",
+        F.row_number().over(w.orderBy("dev", "event_id")).alias("rn"),
+    )
+    mad = dranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2.0)),
+                F.col("dev"),
+            )
+        ).alias("mad"),
+        F.min("med").alias("med"),
+        F.min("n").alias("n"),
+    )
+    return (
+        dev.select("event_type", "dev")
+        .join(mad, "event_type")
+        .groupBy(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("med").cast("double").alias("med"),
+            F.col("mad").cast("double").alias("mad"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+
+
+@register(
+    "lineitem_degree_profile",
+    """
+    WITH sdeg AS (
+      SELECT l_suppkey AS node, COUNT(DISTINCT l_partkey) AS deg
+      FROM lineitem GROUP BY 1
+    ), pdeg AS (
+      SELECT l_partkey AS node, COUNT(DISTINCT l_suppkey) AS deg
+      FROM lineitem GROUP BY 1
+    ), hist AS (
+      SELECT 'supplier' AS side, CAST(deg // 5 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg) AS BIGINT) AS deg_mass
+      FROM sdeg GROUP BY 2
+      UNION ALL
+      SELECT 'part', CAST(deg // 5 AS BIGINT),
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(deg) AS BIGINT)
+      FROM pdeg GROUP BY 2
+    )
+    SELECT * FROM hist
+    """,
+    tags=["analytics", "graph", "degree-distribution"],
+)
+def q_lineitem_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite degree distribution of the part-supplier graph implied
+    by lineitem: per supplier the count of DISTINCT parts shipped, per
+    part the count of DISTINCT suppliers, histogrammed in buckets of 5
+    with exact node and degree masses — the first diagnostic of any
+    co-occurrence graph (a heavy tail here predicts skewed joins and
+    hot partitions downstream).
+
+    Scale: two distinct-aggregations (partial-aggregating shuffles on
+    each key), then tiny bucket rollups; degree never materializes
+    per-pair."""
+    li = T(spark, sf_dir, "lineitem")
+
+    def hist(key: str, other: str, side: str) -> DataFrame:
+        deg = li.groupBy(F.col(key).alias("node")).agg(
+            F.countDistinct(other).alias("deg")
+        )
+        return deg.groupBy(
+            F.floor(F.col("deg") / F.lit(5.0)).cast("bigint").alias("bucket")
+        ).agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("deg_mass"),
+        ).select(F.lit(side).alias("side"), "*")
+
+    return hist("l_suppkey", "l_partkey", "supplier").unionByName(
+        hist("l_partkey", "l_suppkey", "part")
+    )
+
+
+@register(
+    "events_burstiness",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS total,
+             CAST(SUM(x * x) AS BIGINT) AS sx2
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days, total,
+           CAST(n_days * sx2 - total * total AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * CAST(total AS DOUBLE)) AS fano
+    FROM agg
+    """,
+    tags=["analytics", "dispersion", "fano"],
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor, variance-to-mean of daily counts) per
+    event type: a Poisson-like arrival process sits near 1, bursty
+    traffic far above — the standard load-model diagnostic. The
+    numerator n*sum(x^2) - total^2 stays an exact BIGINT; ONE trailing
+    division produces the double.
+
+    Scale: day-grain rollup (events/365 per group) then a 5-row
+    aggregate; magnitudes survive 10^7 events/day/type in int64."""
+    from .registry import events_table
+
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    agg = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("total"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "total",
+        (
+            (F.col("n_days") * F.col("sx2") - F.col("total") * F.col("total"))
+            .cast("double")
+            / (F.col("n_days").cast("double") * F.col("total").cast("double"))
+        ).alias("fano"),
+    )
+
+
+@register(
+    "customer_clv_cohort",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(EXTRACT(year FROM o_orderdate)) AS cohort_year
+      FROM orders GROUP BY 1
+    ), flows AS (
+      SELECT f.cohort_year,
+             EXTRACT(year FROM o.o_orderdate) AS order_year,
+             o.o_custkey,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT CAST(cohort_year AS BIGINT) AS cohort_year,
+           CAST(order_year AS BIGINT) AS order_year,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS value_mass
+    FROM flows GROUP BY 1, 2
+    """,
+    tags=["analytics", "cohort", "clv"],
+)
+def q_customer_clv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value cohort matrix: customers cohorted by
+    first-order year, revenue and active-customer counts per
+    (cohort_year, order_year) cell — the diagonal-walk table every
+    retention/value analysis starts from. EXACT decimal masses; the
+    cohort assignment is a MIN aggregation, not a window (cheaper at
+    scale).
+
+    Scale: one aggregation to first-order year, one broadcast-or-shuffle
+    key join, one rollup to a ~50-cell grid."""
+    o = T(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    flows = o.join(firsts, "o_custkey").select(
+        F.col("cohort_year").cast("bigint").alias("cohort_year"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return flows.groupBy("cohort_year", "order_year").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("price").cast("double").alias("value_mass"),
+    )
