@@ -335,8 +335,8 @@ def q_delta_pysource_pruned_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     from .sources.delta_log import write_delta
     from .sources.delta_pysource import (
         DeltaLogBatchReader,
-        DeltaLogDataSource,
         _table_schema,
+        register_delta_source,
     )
 
     root = tempfile.mkdtemp(prefix="mm_dpsp_rt_") + "/orders_pylog"
@@ -361,7 +361,7 @@ def q_delta_pysource_pruned_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         raise RuntimeError(
             f"expected pruned plan ({n_pruned}) strictly under {n_all} files"
         )
-    spark.dataSource.register(DeltaLogDataSource)
+    register_delta_source(spark)
     return (
         spark.read.format("delta_pylog")
         .option("path", root)

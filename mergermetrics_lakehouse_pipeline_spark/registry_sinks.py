@@ -2409,10 +2409,10 @@ def q_delta_pysource_stream_roundtrip(
     Scale: planning is O(files-per-commit) driver metadata; all row
     decoding is executor-side Arrow; the sink aggregate is one
     partial-agg shuffle at segment grain."""
-    from .sources.delta_pysource import DeltaLogDataSource
+    from .sources.delta_pysource import register_delta_source
     from .sources.delta_log import write_delta
 
-    spark.dataSource.register(DeltaLogDataSource)
+    register_delta_source(spark)
     root = tempfile.mkdtemp(prefix="mm_dpys_rt_") + "/cust_delta"
     cust = T(spark, sf_dir, "customer").select(
         "c_custkey",

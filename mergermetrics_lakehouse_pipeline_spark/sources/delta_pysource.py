@@ -601,3 +601,16 @@ class DeltaLogDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:  # noqa: N802
         return DeltaLogStreamReader(self.options, schema)
+
+
+def register_delta_source(spark) -> None:
+    """Idempotent registration of ``delta_pylog`` on a session.
+
+    Mirrors sources/pydatasource.py:register_synth_source: a reader that
+    implements ``pushFilters`` FAILS planning outright when
+    ``spark.sql.python.filterPushdown.enabled`` is false (the default),
+    so a session the engine didn't build — an external harness, a user
+    embedding this library — must get the runtime-settable conf HERE,
+    not only via session.py's builder defaults."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DeltaLogDataSource)
