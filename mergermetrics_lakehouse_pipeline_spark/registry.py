@@ -1634,6 +1634,7 @@ def _load_extensions() -> None:
         registry_mining,
         registry_r6,
         registry_r7,
+        registry_r9,
         registry_scale,
         registry_sinks,
         registry_tpch,

@@ -80,12 +80,25 @@ LOG_DIR = "_delta_log"
 CDF_DIR = "_change_data"
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: reader-version-3 features this implementation actually honors
-SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors", "timestampNtz"}
+SUPPORTED_READER_FEATURES = {
+    "columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+}
 _CDF_PROP = "delta.enableChangeDataFeed"
 _CM_MODE = "delta.columnMapping.mode"
 _CM_MAXID = "delta.columnMapping.maxColumnId"
 _CM_ID = "delta.columnMapping.id"
 _CM_PHYS = "delta.columnMapping.physicalName"
+# identity columns (writer v6 / table feature identityColumns): the
+# protocol stores the declaration in StructField metadata
+_ID_START = "delta.identity.start"
+_ID_STEP = "delta.identity.step"
+_ID_HWM = "delta.identity.highWaterMark"
+_ID_ALLOW = "delta.identity.allowExplicitInsert"
+# row tracking (writer v7 features rowTracking + domainMetadata): fresh
+# row ids assigned per add action, high-water mark in domain metadata
+_RT_PROP = "delta.enableRowTracking"
+_RT_DOMAIN = "delta.rowTracking"
+_SIDECAR_DIR = "_sidecars"
 
 
 class DeltaProtocolError(RuntimeError):
@@ -119,6 +132,9 @@ class DeltaSnapshot:
     column_mapping_mode: str = "none"
     #: logical -> physical column name (identity when mapping is off)
     physical_names: dict[str, str] = field(default_factory=dict)
+    #: domain -> domainMetadata action dict (writer v7 feature; row
+    #: tracking keeps its row-id high-water mark here)
+    domain_metadata: dict[str, dict[str, Any]] = field(default_factory=dict)
 
     def physical(self, col: str) -> str:
         return self.physical_names.get(col, col)
@@ -155,6 +171,10 @@ def _list_versions(table_path: str) -> tuple[list[int], dict[int, list[str]]]:
                     int(bits[3]),
                     os.path.join(log_dir, name),
                 )
+            elif len(bits) == 4 and bits[0].isdigit():
+                # <version>.checkpoint.<uuid>.parquet — a V2 checkpoint
+                # MANIFEST (file actions live in its sidecars)
+                checkpoints[int(bits[0])] = [os.path.join(log_dir, name)]
             else:
                 raise DeltaProtocolError(f"unrecognized checkpoint {name!r}")
     for v, parts in multi.items():
@@ -184,6 +204,42 @@ def _check_protocol(action: dict[str, Any]) -> None:
                 f"supports minReaderVersion <= 3 with features "
                 f"{sorted(SUPPORTED_READER_FEATURES)}"
             )
+
+
+def _explicit_features(snap: DeltaSnapshot) -> tuple[set[str], set[str]]:
+    """(readerFeatures, writerFeatures) a (3, 7) protocol must list for
+    this table. Upgrading to (3, 7) makes features EXPLICIT: every
+    capability implied by the PREVIOUS reader/writer versions must be
+    re-stated or a spec-following engine (which honors only the listed
+    features at v7) would skip CDF capture, constraint enforcement,
+    generation, identity assignment, or mapping (round-7 review
+    finding #2)."""
+    rfeats = set(snap.protocol.get("readerFeatures") or [])
+    wfeats = set(snap.protocol.get("writerFeatures") or [])
+    wfeats |= _implied_writer_features(
+        int(snap.protocol.get("minWriterVersion", 2))
+    )
+    if snap.column_mapping_mode != "none":
+        rfeats |= {"columnMapping"}
+        wfeats |= {"columnMapping"}
+    return rfeats, wfeats
+
+
+def _implied_writer_features(writer_v: int) -> set[str]:
+    """Writer features a legacy (pre-7) writer version implies — the
+    spec's cumulative ladder."""
+    feats: set[str] = set()
+    if writer_v >= 2:
+        feats |= {"appendOnly", "invariants"}
+    if writer_v >= 3:
+        feats |= {"checkConstraints"}
+    if writer_v >= 4:
+        feats |= {"changeDataFeed", "generatedColumns"}
+    if writer_v >= 5:
+        feats |= {"columnMapping"}
+    if writer_v >= 6:
+        feats |= {"identityColumns"}
+    return feats
 
 
 def _apply_action(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
@@ -222,6 +278,12 @@ def _apply_action(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
         t = action["txn"]
         prev = snap.txns.get(t["appId"], -1)
         snap.txns[t["appId"]] = max(prev, int(t["version"]))
+    elif "domainMetadata" in action:
+        d = action["domainMetadata"]
+        if d.get("removed"):
+            snap.domain_metadata.pop(d["domain"], None)
+        else:
+            snap.domain_metadata[d["domain"]] = d
 
 
 def _read_checkpoint(
@@ -230,14 +292,33 @@ def _read_checkpoint(
     """Fold a checkpoint (one action per row, struct columns
     add/remove/metaData/protocol; one or many parquet parts) into the
     snapshot. Read JVM-side, collected as JSON rows — checkpoint size
-    is O(live files)."""
+    is O(live files). V2 checkpoints (reader-writer feature
+    ``v2Checkpoint``): the named file is a MANIFEST holding
+    protocol/metaData/txn/domainMetadata plus ``sidecar`` actions; the
+    file actions (add/remove) live in the referenced sidecar parquet
+    under ``_delta_log/_sidecars/`` and are folded from there."""
     df = spark.read.option("mergeSchema", "true").parquet(*ckpt_files)
-    for col in ("protocol", "metaData", "add", "remove", "txn"):
+    sidecars: list[str] = []
+    if "sidecar" in df.columns:
+        log_dir = os.path.dirname(ckpt_files[0])
+        sidecars = [
+            os.path.join(log_dir, _SIDECAR_DIR, r.p)
+            for r in df.filter(F.col("sidecar.path").isNotNull())
+            .select(F.col("sidecar.path").alias("p"))
+            .collect()
+        ]
+        missing = [p for p in sidecars if not os.path.exists(p)]
+        if missing:
+            raise DeltaProtocolError(
+                f"v2 checkpoint references missing sidecars {missing}"
+            )
+    for col in ("protocol", "metaData", "add", "remove", "txn", "domainMetadata"):
         if col not in df.columns:
             continue
         probe = (
             f"{col}.path" if col in ("add", "remove")
             else f"{col}.appId" if col == "txn"
+            else f"{col}.domain" if col == "domainMetadata"
             else col
         )
         rows = (
@@ -247,6 +328,18 @@ def _read_checkpoint(
         )
         for row in rows:
             _apply_action(snap, {col: json.loads(row.j)})
+    if sidecars:
+        sdf = spark.read.option("mergeSchema", "true").parquet(*sidecars)
+        for col in ("add", "remove"):
+            if col not in sdf.columns:
+                continue
+            rows = (
+                sdf.filter(F.col(f"{col}.path").isNotNull())
+                .select(F.to_json(col).alias("j"))
+                .collect()
+            )
+            for row in rows:
+                _apply_action(snap, {col: json.loads(row.j)})
 
 
 def snapshot(
@@ -583,6 +676,83 @@ def read_delta(
     return _scan_files(spark, table_path, snap, list(snap.files))
 
 
+def read_delta_row_ids(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Scan a ROW-TRACKING table materializing the protocol's fresh row
+    ids: ``_row_id`` (the add action's ``baseRowId`` + the row's
+    position in its file) and ``_row_commit_version``
+    (``defaultRowCommitVersion``) alongside the logical columns — what
+    delta-spark surfaces as ``_metadata.row_id`` on row-tracking
+    tables.
+
+    Scale: one distributed parquet scan; the per-file (baseRowId,
+    commitVersion) map is O(files) driver metadata broadcast to the
+    executors; position comes from the scan's own ``_metadata
+    .row_index`` (no shuffle, no window). DV-deleted rows drop while
+    the survivors keep their ids — exactly why the DV path is the
+    sanctioned delete on row-tracking tables."""
+    snap = snapshot(spark, table_path, version)
+    if _RT_DOMAIN not in snap.domain_metadata:
+        raise DeltaProtocolError(
+            f"{table_path} carries no {_RT_DOMAIN} domain metadata — "
+            "row tracking is not enabled"
+        )
+    if not snap.files:
+        fields = list(snap.schema.fields) + [
+            StructField("_row_id", _long(), False),
+            StructField("_row_commit_version", _long(), False),
+        ]
+        return spark.createDataFrame([], StructType(fields))
+    rows = []
+    for rel, a in sorted(snap.files.items()):
+        if "baseRowId" not in a:
+            raise DeltaProtocolError(
+                f"row-tracking table has add action without baseRowId: {rel}"
+            )
+        rows.append(
+            (
+                os.path.abspath(os.path.join(table_path, rel)),
+                int(a["baseRowId"]),
+                int(a.get("defaultRowCommitVersion", -1)),
+            )
+        )
+    base_map = F.broadcast(
+        spark.createDataFrame(rows, "__fp string, __base long, __dcv long")
+    )
+    rels = sorted(snap.files)
+    d = _raw_reader(spark, table_path, snap).parquet(
+        *[os.path.join(table_path, r) for r in rels]
+    )
+    d = d.select(
+        "*",
+        _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    doomed = _dv_doomed_df(
+        spark, table_path, _dv_descriptors(table_path, snap, rels)
+    )
+    if doomed is not None:
+        d = d.join(
+            doomed,
+            (d["__fp"] == doomed["__dv_path"]) & (d["__ri"] == doomed["__dv_idx"]),
+            "left_anti",
+        )
+    d = (
+        d.join(base_map, "__fp")
+        .withColumn("_row_id", F.col("__base") + F.col("__ri"))
+        .withColumn("_row_commit_version", F.col("__dcv"))
+        .drop("__fp", "__ri", "__base", "__dcv")
+    )
+    return _select_logical(d, snap, extra=["_row_id", "_row_commit_version"])
+
+
+def _long():
+    from pyspark.sql.types import LongType
+
+    return LongType()
+
+
 # --------------------------------------------------------------------------
 # commit authoring: atomic put-if-absent + optimistic conflict detection
 # --------------------------------------------------------------------------
@@ -609,6 +779,14 @@ class _CommitGuard:
     #: carrying the same appId means another instance of the same
     #: writer committed first (ConcurrentTransaction in delta-spark)
     txn_app: str | None = None
+    #: metadata domains this commit writes (e.g. delta.rowTracking): a
+    #: concurrent commit touching the same domain conflicts — this
+    #: commit's domain state (row-id high-water mark) is stale
+    domains: frozenset[str] = frozenset()
+    #: row tracking: rewrite add.defaultRowCommitVersion to the ACTUAL
+    #: committed version on every rebase attempt (fresh adds only —
+    #: restore/clone re-adds keep their original value)
+    stamp_row_commit_version: bool = False
 
 
 def _parse_commit(table_path: str, version: int) -> list[dict[str, Any]]:
@@ -664,6 +842,13 @@ def _check_rebase(
 
     if any("metaData" in a or "protocol" in a for a in winner):
         _die("changed table metadata/protocol")
+    if guard.domains and any(
+        a.get("domainMetadata", {}).get("domain") in guard.domains
+        for a in winner
+    ):
+        # e.g. two row-tracking writers: the loser's baseRowIds were
+        # assigned from a now-stale high-water mark and would collide
+        _die("advanced a metadata domain this transaction also writes")
     if guard.txn_app is not None and any(
         a.get("txn", {}).get("appId") == guard.txn_app for a in winner
     ):
@@ -747,6 +932,10 @@ def _commit(
     work, no data movement."""
     v = base_version + 1
     for _ in range(1000):
+        if guard.stamp_row_commit_version:
+            for a in actions:
+                if "add" in a and "defaultRowCommitVersion" in a["add"]:
+                    a["add"]["defaultRowCommitVersion"] = v
         _clamp_commit_ts(table_path, v, actions)
         if _try_write_commit(table_path, v, actions):
             return v
@@ -877,6 +1066,20 @@ def _add_action(
     return {"add": add}
 
 
+def _add_num_records(table_path: str, add: dict[str, Any]) -> int:
+    """Row count of an add action's file — from its stats JSON when
+    present, else the parquet footer (O(1) metadata read). Row tracking
+    needs an exact count per file to reserve id ranges."""
+    if add.get("stats"):
+        st = json.loads(add["stats"])
+        if "numRecords" in st:
+            return int(st["numRecords"])
+    import pyarrow.parquet as pq
+
+    full = os.path.join(table_path, unquote(add["path"]))
+    return int(pq.ParquetFile(full).metadata.num_rows)
+
+
 def _remove_action(a: dict[str, Any], now_ms: int, data_change: bool) -> dict:
     """A protocol remove action derived from the file's add action —
     partitionValues ride along (the protocol encourages it; CDF readers
@@ -979,6 +1182,7 @@ def write_delta(
     configuration: dict[str, str] | None = None,
     overwrite_schema: bool = False,
     generated: dict[str, str] | None = None,
+    identity: dict[str, dict[str, Any]] | None = None,
 ) -> int:
     """Write ``df`` as a protocol-valid Delta commit; returns the version.
 
@@ -1002,6 +1206,28 @@ def write_delta(
     COMPUTE the column when the frame omits it and ENFORCE the
     expression when the frame supplies it (a mismatching value aborts,
     as delta-spark does).
+
+    ``identity`` (creation only) declares IDENTITY columns (the
+    protocol's writer-v6 / identityColumns feature):
+    ``{col: {"start": 1, "step": 1, "allow_explicit": False}}``. A
+    write that omits the column gets values assigned above the
+    table's high-water mark (two distributed jobs, no global sort —
+    see _with_contiguous_values); GENERATED ALWAYS rejects frames that
+    supply it; GENERATED BY DEFAULT (allow_explicit) accepts explicit
+    values and advances the high-water mark past them. Every assigning
+    write re-commits metaData with the updated high-water mark.
+
+    ``configuration={"delta.enableRowTracking": "true"}`` (creation
+    only) enables ROW TRACKING (writer-v7 features rowTracking +
+    domainMetadata): each staged add action is stamped with a
+    ``baseRowId``/``defaultRowCommitVersion`` and the commit advances
+    the ``delta.rowTracking`` domain's rowIdHighWaterMark; read the
+    assigned ids back with read_delta_row_ids. File-rewriting DML
+    (copy-on-write DELETE/UPDATE, MERGE, OPTIMIZE) is rejected on
+    row-tracking tables — preserving ids through rewrites requires
+    materialized row-id columns (documented out of scope); the DV
+    merge-on-read path (delete_delta_dv) keeps ids exact and is the
+    sanctioned delete.
     """
     partition_by = list(partition_by or [])
     spark = df.sparkSession
@@ -1014,6 +1240,11 @@ def write_delta(
     evolved_schema: StructType | None = None
     prev_configuration: dict[str, str] = {}
     evolved_configuration: dict[str, str] = {}
+    #: identity-column assignment state for this write
+    id_hwm_updates: dict[str, int] = {}
+    id_unpersist: list[DataFrame] = []
+    #: row tracking: prior rowIdHighWaterMark (-1 on a fresh table)
+    rt_prev_hwm = -1
     #: logical -> physical column name for the files THIS write stages
     #: (identity unless the table uses column mapping)
     mapping: dict[str, str] = {}
@@ -1030,11 +1261,21 @@ def write_delta(
             raise DeltaProtocolError(
                 "generated columns are declared at table creation"
             )
+        if identity is not None:
+            raise DeltaProtocolError(
+                "identity columns are declared at table creation"
+            )
         prev = snapshot(spark, table_path)
         base_version = prev.version
         prev_configuration = prev.configuration
         mapping = dict(prev.physical_names)
         ids_map = _ids_if_id_mode(prev)
+        if _RT_DOMAIN in prev.domain_metadata:
+            rt_prev_hwm = int(
+                json.loads(
+                    prev.domain_metadata[_RT_DOMAIN].get("configuration") or "{}"
+                ).get("rowIdHighWaterMark", -1)
+            )
         if overwrite_schema:
             # Delta's .option("overwriteSchema", "true"): an explicit
             # full replacement of schema AND partitioning — the one
@@ -1102,6 +1343,13 @@ def write_delta(
             for c in computed:
                 if c in prev_types:
                     df = df.withColumn(c, F.col(c).cast(prev_types[c]))
+        # identity columns (writer v6): assign above the high-water mark
+        # when omitted, reject/track explicit values — BEFORE the schema
+        # checks, so an omitting frame is not misread as dropping the
+        # column
+        id_specs = _identity_specs(prev.schema)
+        if id_specs:
+            df, id_hwm_updates, id_unpersist = _apply_identity(df, id_specs)
         # partitioning is a TABLE property, not a per-write choice:
         # inherit it when the caller omits partition_by, reject ANY
         # conflicting spec — including partitioning a previously
@@ -1177,10 +1425,40 @@ def write_delta(
     create_schema: StructType | None = None
     if base_version >= 0:
         _enforce_constraints(df, prev_configuration)
+        if id_hwm_updates:
+            # an assigning write re-commits metaData with the advanced
+            # high-water mark (rides the evolution commit when one is
+            # already due)
+            evolved_schema = _patch_identity_hwm(
+                evolved_schema or prev.schema, id_hwm_updates
+            )
+            if not evolved_configuration:
+                evolved_configuration = dict(prev_configuration)
     else:
         create_conf = dict(configuration or {})
         if generated:
             df = _apply_generated(df, generated)  # compute or enforce
+        if identity:
+            bad = sorted(set(identity) & set(generated or {}))
+            if bad:
+                raise DeltaProtocolError(
+                    f"columns {bad} cannot be both generated and identity"
+                )
+            from pyspark.sql.types import LongType
+
+            create_specs = {
+                col: {
+                    "start": int(d.get("start", 1)),
+                    "step": int(d.get("step", 1)),
+                    "hwm": None,
+                    "allow": bool(d.get("allow_explicit", False)),
+                    "type": LongType(),
+                }
+                for col, d in identity.items()
+            }
+            df, id_hwm_updates, id_unpersist = _apply_identity(
+                df, create_specs
+            )
         cm_mode = create_conf.get(_CM_MODE, "none")
         if cm_mode in ("name", "id"):
             fields = [
@@ -1213,11 +1491,39 @@ def write_delta(
                 else:
                     stamped.append(f)
             create_schema = StructType(stamped)
+        if identity:
+            # the identity declaration (start/step/allowExplicitInsert)
+            # and the first high-water mark land in field metadata
+            unknown = sorted(set(identity) - {f.name for f in df.schema.fields})
+            if unknown:
+                raise DeltaProtocolError(
+                    f"identity declaration for unknown columns {unknown}"
+                )
+            base_fields = (create_schema or df.schema).fields
+            stamped = []
+            for f in base_fields:
+                if f.name in identity:
+                    md = dict(f.metadata or {})
+                    md[_ID_START] = int(identity[f.name].get("start", 1))
+                    md[_ID_STEP] = int(identity[f.name].get("step", 1))
+                    md[_ID_ALLOW] = bool(
+                        identity[f.name].get("allow_explicit", False)
+                    )
+                    if f.name in id_hwm_updates:
+                        md[_ID_HWM] = int(id_hwm_updates[f.name])
+                    stamped.append(
+                        StructField(f.name, f.dataType, False, md)
+                    )
+                else:
+                    stamped.append(f)
+            create_schema = StructType(stamped)
         _enforce_constraints(df, create_conf)
     part_store = [mapping.get(c, c) for c in partition_by]
     added = _stage_write(
         _to_physical(df, mapping, ids_map), table_path, part_store
     )
+    for p in id_unpersist:
+        p.unpersist()
 
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
@@ -1239,9 +1545,33 @@ def write_delta(
             # not create_schema: generated columns also stamp a
             # create_schema but need no column-mapping protocol
             reader_v, writer_v = 2, max(writer_v, 5)
-        actions.append(
-            {"protocol": {"minReaderVersion": reader_v, "minWriterVersion": writer_v}}
-        )
+        if identity:
+            writer_v = max(writer_v, 6)  # identity columns = writer v6
+        if conf.get(_RT_PROP, "").lower() == "true":
+            # row tracking exists only as a writer-v7 table feature;
+            # re-state everything the legacy writer version implied
+            # (the reader version stays legacy — row tracking asks
+            # nothing of readers)
+            wfeats = _implied_writer_features(writer_v)
+            wfeats |= {"rowTracking", "domainMetadata"}
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": reader_v,
+                        "minWriterVersion": 7,
+                        "writerFeatures": sorted(wfeats),
+                    }
+                }
+            )
+        else:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": reader_v,
+                        "minWriterVersion": writer_v,
+                    }
+                }
+            )
         actions.append(
             {
                 "metaData": {
@@ -1279,6 +1609,34 @@ def write_delta(
         actions.append(
             _add_action(table_path, rel, part_store, stat_cols, now_ms)
         )
+    rt_enabled = (
+        (prev_configuration if base_version >= 0 else create_conf)
+        .get(_RT_PROP, "").lower() == "true"
+    )
+    if rt_enabled:
+        # row tracking: every fresh add gets a disjoint id range
+        # [baseRowId, baseRowId + numRecords) above the domain's
+        # high-water mark; the same commit advances the mark. Adds are
+        # path-sorted (_stage_write), so the assignment is reproducible
+        # for a given set of staged files. An overwrite never reuses
+        # ids — the mark only rises.
+        hwm = rt_prev_hwm
+        for a in actions:
+            if "add" not in a:
+                continue
+            n = _add_num_records(table_path, a["add"])
+            a["add"]["baseRowId"] = hwm + 1
+            a["add"]["defaultRowCommitVersion"] = base_version + 1
+            hwm += n
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": _RT_DOMAIN,
+                    "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                    "removed": False,
+                }
+            }
+        )
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
@@ -1292,6 +1650,7 @@ def write_delta(
             }
         }
     )
+    rt_domains = frozenset({_RT_DOMAIN}) if rt_enabled else frozenset()
     if mode == "overwrite" and base_version >= 0:
         guard = _CommitGuard(
             read_whole_table=True,
@@ -1299,12 +1658,16 @@ def write_delta(
             read_files=set(prev_files),
             has_metadata=evolved_schema is not None,
             txn_app=txn[0] if txn else None,
+            domains=rt_domains,
+            stamp_row_commit_version=rt_enabled,
         )
     else:
         guard = _CommitGuard(
             blind_append=mode == "append",
             has_metadata=base_version < 0 or evolved_schema is not None,
             txn_app=txn[0] if txn else None,
+            domains=rt_domains,
+            stamp_row_commit_version=rt_enabled,
         )
     return _commit(table_path, actions, guard, base_version)
 
@@ -1473,6 +1836,10 @@ def clone_delta(spark: SparkSession, src_path: str, dst_path: str) -> int:
                 ),
             }
         actions.append({"add": aa})
+    # domain metadata (e.g. the row-tracking high-water mark) must ride
+    # along or later writes to the clone would re-issue row ids
+    for _, d in sorted(snap.domain_metadata.items()):
+        actions.append({"domainMetadata": dict(d)})
     actions.append(
         {
             "commitInfo": {
@@ -1486,24 +1853,33 @@ def clone_delta(spark: SparkSession, src_path: str, dst_path: str) -> int:
     return _commit(dst_path, actions, guard, -1)
 
 
-def write_checkpoint(
-    spark: SparkSession, table_path: str, parts: int | None = None
-) -> int:
-    """Author a checkpoint at the latest version and point
-    ``_last_checkpoint`` at it, so readers can skip replaying earlier
-    JSON commits. Checkpoint rows carry the same action structs as the
-    JSON lines (protocol, metaData, one add per live file, one remove
-    per unexpired tombstone — per the protocol a checkpoint carries
-    recent remove actions so a foreign engine reading only the
-    checkpoint keeps tombstone/VACUUM information; ADVICE r6 #3). With
-    ``parts``, writes the multi-part ``<v>.checkpoint.<i>.<n>.parquet``
-    set other engines use for large tables — each part holds a slice of
-    the actions; readers must fold ALL parts."""
-    snap = snapshot(spark, table_path)
+def _write_action_parquet(
+    spark: SparkSession, log_dir: str, rows: list[dict], n_parts: int
+) -> tuple[str, list[str]]:
+    """Serialize action rows (one struct column per action type) to
+    ``n_parts`` parquet files in a temp dir; returns (tmp_dir, files)."""
+    jdf = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1)
+    )
+    tmp = os.path.join(log_dir, f"_ckpt_tmp_{uuid.uuid4().hex}")
+    jdf.repartition(max(1, n_parts)).write.mode("overwrite").parquet(tmp)
+    part_files = sorted(
+        n for n in os.listdir(tmp)
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    )
+    return tmp, part_files
+
+
+def _checkpoint_state_rows(snap: DeltaSnapshot) -> tuple[list[dict], list[dict]]:
+    """(table-level rows, file-level rows) a checkpoint must persist.
+    Per the protocol a checkpoint carries recent remove actions so a
+    foreign engine reading only the checkpoint keeps tombstone/VACUUM
+    information (ADVICE r6 #3), and ALL domain metadata (a row-tracking
+    high-water mark lost at checkpoint time would re-issue row ids)."""
     # delta's default deletedFileRetentionDuration: tombstones older
     # than a week are expired and may be dropped from checkpoints
     expiry_ms = int(time.time() * 1000) - 7 * 24 * 3600 * 1000
-    rows = (
+    table_rows = (
         [
             {"protocol": snap.protocol},
             {
@@ -1516,28 +1892,39 @@ def write_checkpoint(
                 }
             },
         ]
-        + [{"add": a} for a in snap.files.values()]
-        + [
-            {"remove": r}
-            for r in snap.tombstones.values()
-            if int(r.get("deletionTimestamp") or 0) >= expiry_ms
-        ]
         + [
             {"txn": {"appId": app, "version": v}}
             for app, v in sorted(snap.txns.items())
         ]
+        + [
+            {"domainMetadata": d}
+            for _, d in sorted(snap.domain_metadata.items())
+        ]
     )
+    file_rows = [{"add": a} for a in snap.files.values()] + [
+        {"remove": r}
+        for r in snap.tombstones.values()
+        if int(r.get("deletionTimestamp") or 0) >= expiry_ms
+    ]
+    return table_rows, file_rows
+
+
+def write_checkpoint(
+    spark: SparkSession, table_path: str, parts: int | None = None
+) -> int:
+    """Author a checkpoint at the latest version and point
+    ``_last_checkpoint`` at it, so readers can skip replaying earlier
+    JSON commits. Checkpoint rows carry the same action structs as the
+    JSON lines (protocol, metaData, one add per live file, one remove
+    per unexpired tombstone, txn watermarks, domain metadata). With
+    ``parts``, writes the multi-part ``<v>.checkpoint.<i>.<n>.parquet``
+    set other engines use for large tables — each part holds a slice of
+    the actions; readers must fold ALL parts."""
+    snap = snapshot(spark, table_path)
+    table_rows, file_rows = _checkpoint_state_rows(snap)
+    rows = table_rows + file_rows
     log_dir = _log_path(table_path)
-    jdf = spark.read.json(
-        spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1)
-    )
-    tmp = os.path.join(log_dir, f"_ckpt_tmp_{uuid.uuid4().hex}")
-    n_parts = max(1, parts or 1)
-    jdf.repartition(n_parts).write.mode("overwrite").parquet(tmp)
-    part_files = sorted(
-        n for n in os.listdir(tmp)
-        if n.endswith(".parquet") and not n.startswith((".", "_"))
-    )
+    tmp, part_files = _write_action_parquet(spark, log_dir, rows, parts or 1)
     if parts is None:
         os.replace(
             os.path.join(tmp, part_files[0]),
@@ -1562,6 +1949,98 @@ def write_checkpoint(
     return snap.version
 
 
+def upgrade_protocol_v2_checkpoint(spark: SparkSession, table_path: str) -> int:
+    """Commit a protocol upgrade adding the ``v2Checkpoint``
+    reader-writer feature (reader 3 / writer 7, all implied features
+    made explicit) unless the table already lists it; the spec requires
+    the TABLE protocol to carry the feature before any v2 checkpoint
+    exists. Returns the table version holding the upgraded protocol."""
+    snap = snapshot(spark, table_path)
+    if "v2Checkpoint" in set(snap.protocol.get("readerFeatures") or []):
+        return snap.version
+    rfeats, wfeats = _explicit_features(snap)
+    action = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeats | {"v2Checkpoint"}),
+            "writerFeatures": sorted(wfeats | {"v2Checkpoint"}),
+        }
+    }
+    info = {
+        "commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": "UPGRADE PROTOCOL",
+            "operationParameters": {},
+        }
+    }
+    return _commit(
+        table_path, [action, info], _CommitGuard(has_metadata=True),
+        snap.version,
+    )
+
+
+def write_checkpoint_v2(
+    spark: SparkSession, table_path: str, sidecar_parts: int = 2
+) -> int:
+    """Author a V2 CHECKPOINT (reader-writer feature ``v2Checkpoint``):
+    a UUID-named manifest ``<v>.checkpoint.<uuid>.parquet`` holding the
+    table-level actions (protocol, metaData, txn, domainMetadata) plus
+    one ``checkpointMetadata`` row and one ``sidecar`` row per sidecar
+    file, while the file-level actions (add/remove) are sharded across
+    ``sidecar_parts`` parquet files under ``_delta_log/_sidecars/``.
+    This is the protocol's scale story for checkpointing huge tables:
+    sidecars are written (and later read) in PARALLEL and a manifest
+    rewrite no longer rewrites O(files) state. Upgrades the table
+    protocol first when needed."""
+    upgrade_protocol_v2_checkpoint(spark, table_path)
+    snap = snapshot(spark, table_path)
+    log_dir = _log_path(table_path)
+    sidecar_dir = os.path.join(log_dir, _SIDECAR_DIR)
+    os.makedirs(sidecar_dir, exist_ok=True)
+    table_rows, file_rows = _checkpoint_state_rows(snap)
+
+    sidecars: list[dict] = []
+    now_ms = int(time.time() * 1000)
+    if file_rows:
+        tmp, parts = _write_action_parquet(
+            spark, log_dir, file_rows, min(sidecar_parts, len(file_rows))
+        )
+        for pf in parts:
+            name = f"{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(sidecar_dir, name)
+            os.replace(os.path.join(tmp, pf), dst)
+            sidecars.append(
+                {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(dst),
+                    "modificationTime": now_ms,
+                }
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    manifest_rows = (
+        table_rows
+        + [{"checkpointMetadata": {"version": snap.version}}]
+        + [{"sidecar": s} for s in sidecars]
+    )
+    tmp, parts = _write_action_parquet(spark, log_dir, manifest_rows, 1)
+    manifest = f"{snap.version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+    os.replace(os.path.join(tmp, parts[0]), os.path.join(log_dir, manifest))
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "version": snap.version,
+                    "size": len(manifest_rows) + len(file_rows),
+                    "v2Checkpoint": True,
+                }
+            )
+        )
+    return snap.version
+
+
 def truncate_log(table_path: str) -> list[int]:
     """Delete JSON commits at or before the latest checkpoint — the
     protocol's log-retention story (delta.logRetentionDuration): state
@@ -1582,6 +2061,196 @@ def truncate_log(table_path: str) -> list[int]:
 
 _CONSTRAINT_PREFIX = "delta.constraints."
 _GEN_EXPR = "delta.generationExpression"
+
+
+def _identity_specs(schema: StructType) -> dict[str, dict[str, Any]]:
+    """{column: identity spec} for IDENTITY columns — the protocol
+    (writer v6 / table feature identityColumns) stores start, step,
+    allowExplicitInsert and the assignment high-water mark in
+    StructField metadata."""
+    out: dict[str, dict[str, Any]] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if _ID_START in md or _ID_STEP in md:
+            out[f.name] = {
+                "start": int(md.get(_ID_START, 1)),
+                "step": int(md.get(_ID_STEP, 1)),
+                "hwm": int(md[_ID_HWM]) if _ID_HWM in md else None,
+                "allow": bool(md.get(_ID_ALLOW, False)),
+                "type": f.dataType,
+            }
+    return out
+
+
+def _with_contiguous_values(
+    df: DataFrame, assignments: dict[str, tuple[int, int]]
+) -> tuple[DataFrame, int, DataFrame]:
+    """Fill each ``col -> (first_value, step)`` with ``first + step*k``
+    for k = 0..N-1 in (partition, intra-partition-position) order;
+    returns (df_with_cols, N, persisted_frame_to_unpersist).
+
+    Scale: identity assignment must not force a global sort. This is
+    the two-job shape delta-spark's IdentityColumn assignment also
+    avoids collapsing to one partition for: job 1 counts rows per
+    partition (O(partitions) driver metadata), job 2 assigns with an
+    Arrow-batched running index per partition — no shuffle at all. The
+    frame is persisted between the jobs so partition membership cannot
+    drift; the caller unpersists after the staged write materializes."""
+    from pyspark.sql.types import LongType
+
+    pid_col = "__mm_identity_pid"
+    tagged = df.withColumn(pid_col, F.spark_partition_id()).persist()
+    counts = {
+        r[pid_col]: r["n"]
+        for r in tagged.groupBy(pid_col).agg(F.count("*").alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    total = acc
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(c, LongType(), False) for c in assignments]
+    )
+    items = sorted(assignments.items())
+
+    def assign(batches):
+        import pandas as pd  # noqa: F401 (arrow batches arrive as pandas)
+
+        k = 0
+        off = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if off is None:
+                off = offsets[int(pdf[pid_col].iloc[0])]
+            idx = off + k + pdf.reset_index(drop=True).index
+            k += len(pdf)
+            pdf = pdf.drop(columns=[pid_col])
+            for c, (first, step) in items:
+                pdf[c] = first + step * idx
+            yield pdf
+
+    assigned = tagged.mapInPandas(
+        assign, StructType([f for f in out_schema.fields])
+    )
+    # tagged stays persisted; the caller unpersists after staging
+    return assigned, total, tagged
+
+
+def _apply_identity(
+    df: DataFrame, specs: dict[str, dict[str, Any]]
+) -> tuple[DataFrame, dict[str, int], list[DataFrame]]:
+    """Delta's identity-column write semantics: a frame that OMITS the
+    column gets values assigned above the high-water mark (contiguous
+    ``hwm+step, hwm+2*step, ...`` — the protocol only requires
+    uniqueness and start/step arithmetic; contiguity makes results
+    reproducible); a frame that SUPPLIES it is rejected for GENERATED
+    ALWAYS (allowExplicitInsert=false) and tracked into the high-water
+    mark for GENERATED BY DEFAULT. Returns (df, {col: new_hwm},
+    frames_to_unpersist)."""
+    assignments: dict[str, tuple[int, int]] = {}
+    hwm_updates: dict[str, int] = {}
+    to_unpersist: list[DataFrame] = []
+    explicit_aggs = []
+    for col, spec in specs.items():
+        step = spec["step"]
+        if step == 0:
+            raise DeltaProtocolError(f"identity column {col!r} has step 0")
+        if col in df.columns:
+            if not spec["allow"]:
+                raise DeltaProtocolError(
+                    f"identity column {col!r} is GENERATED ALWAYS "
+                    "(allowExplicitInsert=false); the frame must omit it"
+                )
+            agg = F.max(col) if step > 0 else F.min(col)
+            explicit_aggs.append((col, agg.alias(col)))
+        else:
+            start, hwm = spec["start"], spec["hwm"]
+            behind = hwm is not None and (
+                hwm < start if step > 0 else hwm > start
+            )
+            if hwm is None or behind:
+                # nothing assigned yet (or only explicit values behind
+                # the start): the grid begins at start itself
+                base = start
+            else:
+                # next value ON THE start/step GRID strictly past the
+                # mark — an off-grid explicit insert (BY DEFAULT mode)
+                # must not knock system assignment off the grid
+                k = (hwm - start) // step + 1  # floor div: works both signs
+                base = start + step * k
+            assignments[col] = (base, step)
+    if explicit_aggs:
+        row = df.agg(*[a for _, a in explicit_aggs]).collect()[0]
+        for col, _ in explicit_aggs:
+            v = row[col]
+            if v is None:
+                raise DeltaProtocolError(
+                    f"identity column {col!r}: explicit insert with NULLs"
+                )
+            old = specs[col]["hwm"]
+            step = specs[col]["step"]
+            ext = int(v)
+            if old is None or (step > 0 and ext > old) or (step < 0 and ext < old):
+                hwm_updates[col] = ext
+    if assignments:
+        df, total, persisted = _with_contiguous_values(df, assignments)
+        to_unpersist.append(persisted)
+        if total > 0:
+            for col, (first, step) in assignments.items():
+                hwm_updates[col] = first + step * (total - 1)
+        for col in assignments:
+            df = df.withColumn(col, F.col(col).cast(specs[col]["type"]))
+    return df, hwm_updates, to_unpersist
+
+
+def _patch_identity_hwm(
+    schema: StructType, hwm_updates: dict[str, int]
+) -> StructType:
+    """``schema`` with each identity field's high-water-mark metadata
+    replaced — the metaData action every assigning write must emit."""
+    fields = []
+    for f in schema.fields:
+        if f.name in hwm_updates:
+            md = dict(f.metadata or {})
+            md[_ID_HWM] = int(hwm_updates[f.name])
+            fields.append(StructField(f.name, f.dataType, f.nullable, md))
+        else:
+            fields.append(f)
+    return StructType(fields)
+
+
+def _reject_identity_assignment(
+    schema: StructType, target_cols: set[str], op: str
+) -> None:
+    """The protocol forbids UPDATE/MERGE from changing identity column
+    values — fail loudly instead of silently breaking uniqueness."""
+    bad = sorted(target_cols & set(_identity_specs(schema)))
+    if bad:
+        raise DeltaProtocolError(
+            f"{op} cannot assign identity columns {bad}"
+        )
+
+
+def _reject_rewrite_row_tracking(snap: DeltaSnapshot, op: str) -> None:
+    """File-rewriting DML on a row-tracking table would drop the
+    rewritten rows' ids (the protocol preserves them only through
+    materialized row-id columns, documented out of scope) — fail loudly
+    instead. The DV merge-on-read path (delete_delta_dv) rewrites
+    nothing and stays allowed."""
+    if (
+        _RT_DOMAIN in snap.domain_metadata
+        or snap.configuration.get(_RT_PROP, "").lower() == "true"
+    ):
+        raise DeltaProtocolError(
+            f"{op} rewrites data files and would lose row-tracking ids; "
+            "use deletion vectors (delete_delta_dv) or disable "
+            f"{_RT_PROP}"
+        )
 
 
 def _generated_exprs(schema: StructType) -> dict[str, str]:
@@ -2269,6 +2938,7 @@ def optimize_delta(
     from ..operators.layout import _ZKEY, zorder_key
 
     snap = snapshot(spark, table_path)
+    _reject_rewrite_row_tracking(snap, "OPTIMIZE")
     if zorder_by is not None and snap.partition_columns:
         raise DeltaProtocolError(
             "ZORDER BY on a hive-partitioned table would break the "
@@ -2544,6 +3214,7 @@ def delete_rows(
     at the cost of the extra scan (the same trade delta-spark makes)."""
     pred = F.coalesce(F.expr(where), F.lit(False))
     snap = snapshot(spark, table_path)
+    _reject_rewrite_row_tracking(snap, "DELETE (copy-on-write)")
     candidates = _matched_files(spark, table_path, snap, pred)
     if not candidates:
         return snap.version, 0
@@ -2575,6 +3246,8 @@ def update_rows(
     when enabled. Returns (new_version, n_files_rewritten)."""
     pred = F.coalesce(F.expr(where), F.lit(False))
     snap = snapshot(spark, table_path)
+    _reject_rewrite_row_tracking(snap, "UPDATE (copy-on-write)")
+    _reject_identity_assignment(snap.schema, set(set_exprs), "UPDATE")
     candidates = _matched_files(spark, table_path, snap, pred)
     if not candidates:
         return snap.version, 0
@@ -2755,6 +3428,7 @@ def merge_delta(
         raise ValueError("when_not_matched_by_source must be None or 'delete'")
     keys = [key] if isinstance(key, str) else list(key)
     snap = snapshot(spark, table_path)
+    _reject_rewrite_row_tracking(snap, "MERGE (copy-on-write)")
     tcols = [f.name for f in snap.schema.fields]
     missing = [k for k in keys if k not in tcols]
     if missing:
@@ -3001,24 +3675,7 @@ def _dv_mark_actions(
     actions: list[dict[str, Any]] = []
     feats = set(snap.protocol.get("readerFeatures") or [])
     if "deletionVectors" not in feats:
-        # upgrading to (3, 7) makes features EXPLICIT: every capability
-        # implied by the PREVIOUS reader/writer versions must be
-        # re-stated or a spec-following engine (which honors only the
-        # listed features at v7) would skip CDF capture, constraint
-        # enforcement, generation, or mapping (ADVICE-style round-7
-        # review finding #2)
-        old_w = int(snap.protocol.get("minWriterVersion", 2))
-        wfeats = set(snap.protocol.get("writerFeatures") or [])
-        if old_w >= 2:
-            wfeats |= {"appendOnly", "invariants"}
-        if old_w >= 3:
-            wfeats |= {"checkConstraints"}
-        if old_w >= 4:
-            wfeats |= {"changeDataFeed", "generatedColumns"}
-        if old_w >= 5 or snap.column_mapping_mode != "none":
-            wfeats |= {"columnMapping"}
-        if snap.column_mapping_mode != "none":
-            feats |= {"columnMapping"}
+        feats, wfeats = _explicit_features(snap)
         actions.append(
             {
                 "protocol": {
@@ -3117,6 +3774,8 @@ def update_delta_dv(
 
     Returns (new_version, n_files_with_new_dvs)."""
     snap = snapshot(spark, table_path)
+    _reject_rewrite_row_tracking(snap, "UPDATE (merge-on-read postimages)")
+    _reject_identity_assignment(snap.schema, set(set_exprs), "UPDATE")
     candidates, _ = prune_files_by_stats(snap, col, lo, hi)
     if not candidates:
         return snap.version, 0
