@@ -200,6 +200,26 @@ EXTENDED_R7: list[str] = [
     "customer_clv_cohort",
 ]
 
+#: Round-9 additions, reported under "extended_r9" — all earlier sets
+#: stay frozen so BENCH_r0N compare like-for-like.
+EXTENDED_R9: list[str] = [
+    "delta_identity_columns_roundtrip",
+    "delta_row_tracking_roundtrip",
+    "delta_v2_checkpoint_roundtrip",
+    "media_jpeg_decode_roundtrip",
+    "events_user_session_stats",
+    "orders_priority_transitions",
+    "supplier_revenue_pareto",
+    "docs_zipf_band_profile",
+    "events_value_autocorr",
+    "lineitem_discount_elasticity",
+    "docs_simpson_diversity",
+    "nation_trade_balance",
+    "emb_quantized_norm_profile",
+    "customer_order_gap_medians",
+    "events_peak_hour_profile",
+]
+
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -246,6 +266,7 @@ def main() -> None:
     extended_r5 = time_set(EXTENDED_R5)
     extended_r6 = time_set(EXTENDED_R6)
     extended_r7 = time_set(EXTENDED_R7)
+    extended_r9 = time_set(EXTENDED_R9)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -266,6 +287,8 @@ def main() -> None:
         "extended_r6_total": round(sum(extended_r6.values()), 3),
         "extended_r7": extended_r7,
         "extended_r7_total": round(sum(extended_r7.values()), 3),
+        "extended_r9": extended_r9,
+        "extended_r9_total": round(sum(extended_r9.values()), 3),
     }
     # Full detail to a file (the driver's stdout tail capture clipped the
     # r3 single-line output, losing the headline total)...
@@ -291,6 +314,7 @@ def main() -> None:
                 "extended_r5_total": full["extended_r5_total"],
                 "extended_r6_total": full["extended_r6_total"],
                 "extended_r7_total": full["extended_r7_total"],
+                "extended_r9_total": full["extended_r9_total"],
                 "detail": "BENCH_LOCAL.json",
             }
         )

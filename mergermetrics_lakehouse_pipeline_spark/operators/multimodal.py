@@ -281,8 +281,8 @@ def _decode_jpeg(payload: bytes) -> dict:
     from .jpeg import jpeg_gray_decode
 
     width, height, matrix = jpeg_gray_decode(payload)
-    rows = [[int(v) for v in r] for r in matrix]
-    pixels = [v / 255.0 for r in rows for v in r]
+    rows = matrix.tolist()
+    pixels = (matrix.ravel() / 255.0).tolist()
     return {
         "decoder": "jpeg",
         "dec_width": width,

@@ -1441,11 +1441,28 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # --- ROUND-7 ROTATION: after r6 the ledger reads 227/227
-    # verified-ever, pending 0, so the full 50-slot window is free
-    # again. Head = this round's 25 new queries (first driver rows);
-    # the remainder re-verifies prior-round rows at zero risk. ---
-    # round-7 additions (new surface)
+    # --- ROUND-9 ROTATION: head = this round's 15 new queries (the
+    # writer-v7 protocol increment, the real-JPEG codec row, and the
+    # analytics batch — all hash-green at sf0.001 AND sf0.01 and on a
+    # vanilla session); the remainder re-verifies prior-round rows at
+    # zero risk. ---
+    # round-9 additions (new surface)
+    "delta_identity_columns_roundtrip",
+    "delta_row_tracking_roundtrip",
+    "delta_v2_checkpoint_roundtrip",
+    "media_jpeg_decode_roundtrip",
+    "events_user_session_stats",
+    "orders_priority_transitions",
+    "supplier_revenue_pareto",
+    "docs_zipf_band_profile",
+    "events_value_autocorr",
+    "lineitem_discount_elasticity",
+    "docs_simpson_diversity",
+    "nation_trade_balance",
+    "emb_quantized_norm_profile",
+    "customer_order_gap_medians",
+    "events_peak_hour_profile",
+    # --- round-7 additions (re-verification) ---
     "delta_column_mapping_write_roundtrip",
     "delta_column_mapping_id_roundtrip",
     "delta_timestamp_travel",

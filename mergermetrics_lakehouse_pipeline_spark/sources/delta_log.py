@@ -720,24 +720,41 @@ def read_delta_row_ids(
     base_map = F.broadcast(
         spark.createDataFrame(rows, "__fp string, __base long, __dcv long")
     )
+    # scan in groups by partition-discovery base, exactly as _scan_files
+    # does (round-7 review finding #3): a partitioned shallow CLONE of a
+    # row-tracking table mixes absolute source files with its own
+    # relative ones, and Spark requires basePath to be an ancestor of
+    # every input. _metadata is scan-scoped, so the file-path/row-index
+    # projection and DV anti-join happen per group, before the union.
     rels = sorted(snap.files)
-    d = _raw_reader(spark, table_path, snap).parquet(
-        *[os.path.join(table_path, r) for r in rels]
-    )
-    d = d.select(
-        "*",
-        _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
-        F.col("_metadata.row_index").alias("__ri"),
-    )
-    doomed = _dv_doomed_df(
-        spark, table_path, _dv_descriptors(table_path, snap, rels)
-    )
-    if doomed is not None:
-        d = d.join(
-            doomed,
-            (d["__fp"] == doomed["__dv_path"]) & (d["__ri"] == doomed["__dv_idx"]),
-            "left_anti",
+    groups: dict[str, list[str]] = {}
+    for p in rels:
+        base = _hive_base(p) if os.path.isabs(p) else table_path
+        groups.setdefault(base, []).append(p)
+    parts = []
+    for base, grels in groups.items():
+        d = _raw_reader(spark, table_path, snap, base_path=base).parquet(
+            *[os.path.join(table_path, p) for p in grels]
         )
+        d = d.select(
+            "*",
+            _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        doomed = _dv_doomed_df(
+            spark, table_path, _dv_descriptors(table_path, snap, grels)
+        )
+        if doomed is not None:
+            d = d.join(
+                doomed,
+                (d["__fp"] == doomed["__dv_path"])
+                & (d["__ri"] == doomed["__dv_idx"]),
+                "left_anti",
+            )
+        parts.append(d)
+    d = parts[0]
+    for q in parts[1:]:
+        d = d.unionByName(q, allowMissingColumns=True)
     d = (
         d.join(base_map, "__fp")
         .withColumn("_row_id", F.col("__base") + F.col("__ri"))
@@ -1066,6 +1083,48 @@ def _add_action(
     return {"add": add}
 
 
+def _rt_prev_hwm(snap: DeltaSnapshot) -> int:
+    """The delta.rowTracking domain's rowIdHighWaterMark (-1 if the
+    domain has never been written)."""
+    if _RT_DOMAIN not in snap.domain_metadata:
+        return -1
+    return int(
+        json.loads(
+            snap.domain_metadata[_RT_DOMAIN].get("configuration") or "{}"
+        ).get("rowIdHighWaterMark", -1)
+    )
+
+
+def _stamp_row_tracking(
+    table_path: str,
+    actions: list[dict[str, Any]],
+    prev_hwm: int,
+    next_version: int,
+) -> None:
+    """Reserve a disjoint [baseRowId, baseRowId + numRecords) range per
+    fresh add action and append the domainMetadata action advancing the
+    rowIdHighWaterMark. Adds are visited in list order (the callers
+    build them from _stage_write's path-sorted output, so assignment is
+    reproducible for a given staged set)."""
+    hwm = prev_hwm
+    for a in actions:
+        if "add" not in a:
+            continue
+        n = _add_num_records(table_path, a["add"])
+        a["add"]["baseRowId"] = hwm + 1
+        a["add"]["defaultRowCommitVersion"] = next_version
+        hwm += n
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": _RT_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        }
+    )
+
+
 def _add_num_records(table_path: str, add: dict[str, Any]) -> int:
     """Row count of an add action's file — from its stats JSON when
     present, else the parquet footer (O(1) metadata read). Row tracking
@@ -1147,6 +1206,12 @@ def _finish_overwrite_schema_commit(
         actions.append(
             _add_action(table_path, rel, part_store, stat_cols, now_ms)
         )
+    conf_now = prev.configuration if configuration is None else configuration
+    rt_enabled = conf_now.get(_RT_PROP, "").lower() == "true"
+    if rt_enabled:
+        _stamp_row_tracking(
+            table_path, actions, _rt_prev_hwm(prev), prev.version + 1
+        )
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
@@ -1168,6 +1233,8 @@ def _finish_overwrite_schema_commit(
         removed=set(prev.files),
         read_files=set(prev.files),
         has_metadata=True,
+        domains=frozenset({_RT_DOMAIN}) if rt_enabled else frozenset(),
+        stamp_row_commit_version=rt_enabled,
     )
     return _commit(table_path, actions, guard, prev.version)
 
@@ -1270,12 +1337,7 @@ def write_delta(
         prev_configuration = prev.configuration
         mapping = dict(prev.physical_names)
         ids_map = _ids_if_id_mode(prev)
-        if _RT_DOMAIN in prev.domain_metadata:
-            rt_prev_hwm = int(
-                json.loads(
-                    prev.domain_metadata[_RT_DOMAIN].get("configuration") or "{}"
-                ).get("rowIdHighWaterMark", -1)
-            )
+        rt_prev_hwm = _rt_prev_hwm(prev)
         if overwrite_schema:
             # Delta's .option("overwriteSchema", "true"): an explicit
             # full replacement of schema AND partitioning — the one
@@ -1284,6 +1346,15 @@ def write_delta(
             if mode != "overwrite":
                 raise DeltaProtocolError(
                     "overwrite_schema requires mode='overwrite'"
+                )
+            if _identity_specs(prev.schema):
+                # a frame cannot re-declare identity start/step/hwm;
+                # silently dropping the declaration (or carrying it
+                # onto a retyped column) would corrupt assignment —
+                # re-create the table to change identity columns
+                raise DeltaProtocolError(
+                    "overwrite_schema on a table with identity columns "
+                    "is not supported; re-create the table"
                 )
             # constraints are table properties and survive the schema
             # replacement — the new rows must satisfy them (a constraint
@@ -1493,12 +1564,11 @@ def write_delta(
             create_schema = StructType(stamped)
         if identity:
             # the identity declaration (start/step/allowExplicitInsert)
-            # and the first high-water mark land in field metadata
-            unknown = sorted(set(identity) - {f.name for f in df.schema.fields})
-            if unknown:
-                raise DeltaProtocolError(
-                    f"identity declaration for unknown columns {unknown}"
-                )
+            # and the first high-water mark land in field metadata.
+            # (An identity name absent from the frame is the NORMAL
+            # omitted-column case — _apply_identity has already added
+            # it — so a typo'd name is indistinguishable from a
+            # declaration and cannot be guarded here.)
             base_fields = (create_schema or df.schema).fields
             stamped = []
             for f in base_fields:
@@ -1614,29 +1684,10 @@ def write_delta(
         .get(_RT_PROP, "").lower() == "true"
     )
     if rt_enabled:
-        # row tracking: every fresh add gets a disjoint id range
-        # [baseRowId, baseRowId + numRecords) above the domain's
-        # high-water mark; the same commit advances the mark. Adds are
-        # path-sorted (_stage_write), so the assignment is reproducible
-        # for a given set of staged files. An overwrite never reuses
-        # ids — the mark only rises.
-        hwm = rt_prev_hwm
-        for a in actions:
-            if "add" not in a:
-                continue
-            n = _add_num_records(table_path, a["add"])
-            a["add"]["baseRowId"] = hwm + 1
-            a["add"]["defaultRowCommitVersion"] = base_version + 1
-            hwm += n
-        actions.append(
-            {
-                "domainMetadata": {
-                    "domain": _RT_DOMAIN,
-                    "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
-                    "removed": False,
-                }
-            }
-        )
+        # row tracking: every fresh add gets a disjoint id range above
+        # the domain's high-water mark; the same commit advances the
+        # mark. An overwrite never reuses ids — the mark only rises.
+        _stamp_row_tracking(table_path, actions, rt_prev_hwm, base_version + 1)
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
@@ -2168,6 +2219,14 @@ def _apply_identity(
                 )
             agg = F.max(col) if step > 0 else F.min(col)
             explicit_aggs.append((col, agg.alias(col)))
+            explicit_aggs.append(
+                (
+                    f"__null_{col}",
+                    F.sum(F.col(col).isNull().cast("int")).alias(
+                        f"__null_{col}"
+                    ),
+                )
+            )
         else:
             start, hwm = spec["start"], spec["hwm"]
             behind = hwm is not None and (
@@ -2186,15 +2245,19 @@ def _apply_identity(
             assignments[col] = (base, step)
     if explicit_aggs:
         row = df.agg(*[a for _, a in explicit_aggs]).collect()[0]
-        for col, _ in explicit_aggs:
-            v = row[col]
-            if v is None:
+        for col in [c for c, _ in explicit_aggs if not c.startswith("__null_")]:
+            # a batch with ANY NULL id violates the identity contract
+            # (F.max alone would skip the NULLs and accept the batch);
+            # an EMPTY explicit frame is a no-op, not an error
+            if row[f"__null_{col}"]:
                 raise DeltaProtocolError(
                     f"identity column {col!r}: explicit insert with NULLs"
                 )
+            if row[col] is None:
+                continue  # empty frame: nothing to track
             old = specs[col]["hwm"]
             step = specs[col]["step"]
-            ext = int(v)
+            ext = int(row[col])
             if old is None or (step > 0 and ext > old) or (step < 0 and ext < old):
                 hwm_updates[col] = ext
     if assignments:
@@ -3162,10 +3225,12 @@ def _dml_commit(
     op: str,
     pred_desc: str,
     guard: _CommitGuard,
+    extra_actions: list[dict[str, Any]] | None = None,
 ) -> int:
     """Rewrite ``candidates`` through ``survivors_of`` and author the
     remove+add (+cdc) commit — the shared tail of every copy-on-write
-    DML front end."""
+    DML front end. ``extra_actions`` (e.g. an identity high-water-mark
+    metaData) land before commitInfo."""
     affected = _scan_files(spark, table_path, snap, candidates)
     survivors = survivors_of(affected)
 
@@ -3187,6 +3252,8 @@ def _dml_commit(
         )
     if _cdf_enabled(snap):
         actions.extend(_stage_cdf(changes_of(affected), table_path, snap))
+    if extra_actions:
+        actions.extend(extra_actions)
     actions.append(
         {
             "commitInfo": {
@@ -3441,6 +3508,17 @@ def merge_delta(
         # enforce the generation expressions on it (delta does the same
         # for MERGE) — one pass, only on tables that declare them
         source = _apply_generated(source, gen)
+    id_specs = _identity_specs(snap.schema)
+    id_always = sorted(c for c, sp in id_specs.items() if not sp["allow"])
+    if id_always:
+        # MERGE's contract here is "source supplies every column", which
+        # GENERATED ALWAYS forbids for identity — fail loudly instead of
+        # accepting forged ids (delta-spark rejects this the same way)
+        raise DeltaProtocolError(
+            f"MERGE cannot supply GENERATED ALWAYS identity columns "
+            f"{id_always}; declare them BY DEFAULT (allow_explicit) to "
+            "merge explicit ids"
+        )
     src = source.cache()
     try:
         # ONE source pass yields the duplicate-key guard AND the lead-key
@@ -3555,12 +3633,59 @@ def merge_delta(
                 deleted.withColumn("_change_type", F.lit("delete"))
             )
 
+        id_extra: list[dict[str, Any]] = []
+        if id_specs:
+            # BY DEFAULT identity: the merged ids are explicit inserts —
+            # the commit must advance the high-water mark past them or a
+            # later system assignment would collide (one aggregate over
+            # the already-cached source)
+            aggs = []
+            for c, sp in id_specs.items():
+                aggs.append(
+                    (F.max(c) if sp["step"] > 0 else F.min(c)).alias(c)
+                )
+                aggs.append(
+                    F.sum(F.col(c).isNull().cast("int")).alias(f"__null_{c}")
+                )
+            row = src.agg(*aggs).collect()[0]
+            hwm_updates: dict[str, int] = {}
+            for c, sp in id_specs.items():
+                if row[f"__null_{c}"]:
+                    raise DeltaProtocolError(
+                        f"MERGE source has NULLs in identity column {c!r}"
+                    )
+                if row[c] is None:
+                    continue  # empty source
+                ext, old, step = int(row[c]), sp["hwm"], sp["step"]
+                if (
+                    old is None
+                    or (step > 0 and ext > old)
+                    or (step < 0 and ext < old)
+                ):
+                    hwm_updates[c] = ext
+            if hwm_updates:
+                id_extra.append(
+                    {
+                        "metaData": {
+                            "id": str(uuid.uuid4()),
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": _patch_identity_hwm(
+                                snap.schema, hwm_updates
+                            ).json(),
+                            "partitionColumns": snap.partition_columns,
+                            "configuration": snap.configuration,
+                        }
+                    }
+                )
+                guard.has_metadata = True
+
         on_desc = " AND ".join(f"target.{k} = source.{k}" for k in keys)
         v = _dml_commit(
             spark, table_path, snap, candidates,
             survivors_of=lambda _df: new_content,
             changes_of=_changes,
             op="MERGE", pred_desc=on_desc, guard=guard,
+            extra_actions=id_extra,
         )
     finally:
         # release the cached source on EVERY path — including the

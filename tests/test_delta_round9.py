@@ -336,3 +336,107 @@ def test_v2_checkpoint_preserves_domain_metadata(spark, tbl):
     # baseRowIds survive the checkpoint add actions
     d = read_delta_row_ids(spark, tbl)
     assert sorted(r._row_id for r in d.collect()) == list(range(10))
+
+
+# ---------------------------------------------------------------------------
+# round-9 interplay edges (post-review hardening)
+# ---------------------------------------------------------------------------
+
+
+def test_identity_overwrite_schema_rejected(spark, tbl):
+    write_delta(
+        _names(spark, 0, 5), tbl, mode="overwrite",
+        identity={"uid": {"start": 1, "step": 1}},
+    )
+    with pytest.raises(DeltaProtocolError, match="identity"):
+        write_delta(
+            spark.range(3).selectExpr("concat('z', id) AS other"),
+            tbl, mode="overwrite", overwrite_schema=True,
+        )
+
+
+def test_row_tracking_overwrite_schema_stamps(spark, tbl):
+    write_delta(_kv(spark, 0, 20), tbl, mode="overwrite",
+                configuration=_RT_CONF)
+    write_delta(
+        spark.range(10).selectExpr("id AS k", "id * 2 AS v2"),
+        tbl, mode="overwrite", overwrite_schema=True,
+    )
+    d = read_delta_row_ids(spark, tbl)
+    # the schema-replacing overwrite still reserved fresh ids above the
+    # old mark (never reused) and advanced the domain
+    assert d.count() == 10
+    assert d.agg(F.min("_row_id")).collect()[0][0] == 20
+    dm = snapshot(spark, tbl).domain_metadata["delta.rowTracking"]
+    assert json.loads(dm["configuration"])["rowIdHighWaterMark"] == 29
+
+
+def test_merge_rejects_generated_always_identity(spark, tbl):
+    write_delta(
+        _names(spark, 0, 5), tbl, mode="overwrite",
+        identity={"uid": {"start": 1, "step": 1}},
+    )
+    src = spark.range(2).selectExpr(
+        "concat('m', id) AS name", "CAST(id + 100 AS LONG) AS uid"
+    )
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+        merge_delta(spark, tbl, src, "name")
+
+
+def test_merge_by_default_identity_advances_hwm(spark, tbl):
+    write_delta(
+        _names(spark, 0, 5), tbl, mode="overwrite",
+        identity={"uid": {"start": 1, "step": 1, "allow_explicit": True}},
+    )
+    src = spark.createDataFrame(
+        [("m0", 500), ("x1", 2)], "name string, uid long"
+    )
+    merge_delta(spark, tbl, src, "name")
+    # a later system-assigned append must continue above the merged 500
+    write_delta(_names(spark, 0, 2, "p"), tbl, mode="append")
+    ids = sorted(r.uid for r in read_delta(spark, tbl).collect())
+    assert ids[-2:] == [501, 502]
+    assert 500 in ids
+
+
+def test_identity_explicit_with_nulls_rejected(spark, tbl):
+    # review finding: F.max skips NULLs, so a mixed batch used to land
+    # NULL ids into the non-nullable identity column
+    write_delta(
+        _names(spark, 0, 3), tbl, mode="overwrite",
+        identity={"uid": {"start": 1, "step": 1, "allow_explicit": True}},
+    )
+    bad = spark.createDataFrame(
+        [("x", 100), ("y", None)], "name string, uid long"
+    )
+    with pytest.raises(DeltaProtocolError, match="NULL"):
+        write_delta(bad, tbl, mode="append")
+
+
+def test_identity_empty_explicit_frame_is_noop(spark, tbl):
+    write_delta(
+        _names(spark, 0, 3), tbl, mode="overwrite",
+        identity={"uid": {"start": 1, "step": 1, "allow_explicit": True}},
+    )
+    empty = spark.createDataFrame([], "name string, uid long")
+    write_delta(empty, tbl, mode="append")  # must not raise
+    write_delta(_names(spark, 0, 2, "y"), tbl, mode="append")
+    ids = sorted(r.uid for r in read_delta(spark, tbl).collect())
+    assert ids == [1, 2, 3, 4, 5]
+
+
+def test_row_ids_on_partitioned_clone(spark, tbl, tmp_path):
+    # review finding: the row-id scan must group by hive base or a
+    # partitioned shallow clone (absolute source paths) fails basePath
+    src = spark.range(0, 24).selectExpr("id AS k", "id % 3 AS part")
+    write_delta(src, tbl, mode="overwrite", partition_by=["part"],
+                configuration=_RT_CONF)
+    dst = str(tmp_path / "pclone")
+    clone_delta(spark, tbl, dst)
+    write_delta(
+        spark.range(24, 30).selectExpr("id AS k", "id % 3 AS part"),
+        dst, mode="append",
+    )
+    d = read_delta_row_ids(spark, dst)
+    assert d.count() == 30
+    assert d.select("_row_id").distinct().count() == 30

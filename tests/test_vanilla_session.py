@@ -30,11 +30,16 @@ def test_driver_window_on_vanilla_session():
         timeout=900,
         cwd=str(REPO),
     )
-    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-    result = json.loads(line)
+    # a crash before the JSON line (session startup, import error, OOM
+    # kill) must surface its stderr, not a bare length-assert failure
+    assert proc.stdout.strip(), (
+        f"vanilla gate produced no output (rc={proc.returncode})\n"
+        f"stderr tail: {proc.stderr[-2000:]}"
+    )
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert not result.get("failed"), (
         f"queries fail on a vanilla (foreign) session: {result['failed']}\n"
         f"stderr tail: {proc.stderr[-2000:]}"
     )
     assert len(result.get("passed", [])) == 50
-    assert proc.returncode == 0
+    assert proc.returncode == 0, proc.stderr[-2000:]
