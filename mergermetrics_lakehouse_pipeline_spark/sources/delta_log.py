@@ -98,6 +98,10 @@ _ID_ALLOW = "delta.identity.allowExplicitInsert"
 # row ids assigned per add action, high-water mark in domain metadata
 _RT_PROP = "delta.enableRowTracking"
 _RT_DOMAIN = "delta.rowTracking"
+# physical (file-only) columns OPTIMIZE materializes row ids into so
+# compaction preserves them; names live in table config per the spec
+_RT_MAT_ID = "delta.rowTracking.materializedRowIdColumnName"
+_RT_MAT_CV = "delta.rowTracking.materializedRowCommitVersionColumnName"
 _SIDECAR_DIR = "_sidecars"
 
 
@@ -698,14 +702,43 @@ def read_delta_row_ids(
             f"{table_path} carries no {_RT_DOMAIN} domain metadata — "
             "row tracking is not enabled"
         )
-    if not snap.files:
+    return _row_id_frame(spark, table_path, snap, sorted(snap.files))
+
+
+def _rt_mat_cols(snap: DeltaSnapshot) -> tuple[str, str] | None:
+    """(row-id column, commit-version column) OPTIMIZE materializes
+    into rewritten files, from table config; None when never set."""
+    mid = snap.configuration.get(_RT_MAT_ID)
+    mcv = snap.configuration.get(_RT_MAT_CV)
+    return (mid, mcv) if mid and mcv else None
+
+
+def _row_id_frame(
+    spark: SparkSession, table_path: str, snap: DeltaSnapshot, rels: list[str]
+) -> DataFrame:
+    """Logical columns + ``_row_id``/``_row_commit_version`` for the
+    given live files. Precedence per the spec: a MATERIALIZED row id
+    (physical column OPTIMIZE wrote into a compacted file) wins over
+    the fresh calculation (add.baseRowId + _metadata.row_index).
+
+    Scans in groups by partition-discovery base, exactly as _scan_files
+    does (round-7 review finding #3): a partitioned shallow CLONE of a
+    row-tracking table mixes absolute source files with its own
+    relative ones, and Spark requires basePath to be an ancestor of
+    every input. _metadata is scan-scoped, so the file-path/row-index
+    projection and DV anti-join happen per group, before the union."""
+    from pyspark.sql.types import LongType
+
+    mat = _rt_mat_cols(snap)
+    if not rels:
         fields = list(snap.schema.fields) + [
-            StructField("_row_id", _long(), False),
-            StructField("_row_commit_version", _long(), False),
+            StructField("_row_id", LongType(), False),
+            StructField("_row_commit_version", LongType(), False),
         ]
         return spark.createDataFrame([], StructType(fields))
     rows = []
-    for rel, a in sorted(snap.files.items()):
+    for rel in sorted(rels):
+        a = snap.files[rel]
         if "baseRowId" not in a:
             raise DeltaProtocolError(
                 f"row-tracking table has add action without baseRowId: {rel}"
@@ -720,22 +753,23 @@ def read_delta_row_ids(
     base_map = F.broadcast(
         spark.createDataFrame(rows, "__fp string, __base long, __dcv long")
     )
-    # scan in groups by partition-discovery base, exactly as _scan_files
-    # does (round-7 review finding #3): a partitioned shallow CLONE of a
-    # row-tracking table mixes absolute source files with its own
-    # relative ones, and Spark requires basePath to be an ancestor of
-    # every input. _metadata is scan-scoped, so the file-path/row-index
-    # projection and DV anti-join happen per group, before the union.
-    rels = sorted(snap.files)
     groups: dict[str, list[str]] = {}
     for p in rels:
         base = _hive_base(p) if os.path.isabs(p) else table_path
         groups.setdefault(base, []).append(p)
+    # id-mode scans carry an explicit schema; the materialized columns
+    # must ride as extra fields or the explicit schema would drop them
+    extra_fields: tuple[StructField, ...] = ()
+    if mat:
+        extra_fields = (
+            StructField(mat[0], LongType(), True),
+            StructField(mat[1], LongType(), True),
+        )
     parts = []
     for base, grels in groups.items():
-        d = _raw_reader(spark, table_path, snap, base_path=base).parquet(
-            *[os.path.join(table_path, p) for p in grels]
-        )
+        d = _raw_reader(
+            spark, table_path, snap, base_path=base, extra_fields=extra_fields
+        ).parquet(*[os.path.join(table_path, p) for p in grels])
         d = d.select(
             "*",
             _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
@@ -755,19 +789,20 @@ def read_delta_row_ids(
     d = parts[0]
     for q in parts[1:]:
         d = d.unionByName(q, allowMissingColumns=True)
+    d = d.join(base_map, "__fp")
+    fresh_id = F.col("__base") + F.col("__ri")
+    fresh_cv = F.col("__dcv")
+    if mat and mat[0] in d.columns:
+        rid = F.coalesce(F.col(mat[0]), fresh_id)
+        rcv = F.coalesce(F.col(mat[1]), fresh_cv)
+    else:
+        rid, rcv = fresh_id, fresh_cv
     d = (
-        d.join(base_map, "__fp")
-        .withColumn("_row_id", F.col("__base") + F.col("__ri"))
-        .withColumn("_row_commit_version", F.col("__dcv"))
+        d.withColumn("_row_id", rid.cast("long"))
+        .withColumn("_row_commit_version", rcv.cast("long"))
         .drop("__fp", "__ri", "__base", "__dcv")
     )
     return _select_logical(d, snap, extra=["_row_id", "_row_commit_version"])
-
-
-def _long():
-    from pyspark.sql.types import LongType
-
-    return LongType()
 
 
 # --------------------------------------------------------------------------
@@ -1507,6 +1542,17 @@ def write_delta(
                 evolved_configuration = dict(prev_configuration)
     else:
         create_conf = dict(configuration or {})
+        if create_conf.get(_RT_PROP, "").lower() == "true":
+            # reserve the materialized row-id column names up front so
+            # OPTIMIZE can preserve ids through compaction (the spec
+            # stores the names in table config to avoid colliding with
+            # user columns)
+            create_conf.setdefault(
+                _RT_MAT_ID, f"_row-id-col-{uuid.uuid4().hex[:12]}"
+            )
+            create_conf.setdefault(
+                _RT_MAT_CV, f"_row-commit-col-{uuid.uuid4().hex[:12]}"
+            )
         if generated:
             df = _apply_generated(df, generated)  # compute or enforce
         if identity:
@@ -2300,11 +2346,11 @@ def _reject_identity_assignment(
 
 
 def _reject_rewrite_row_tracking(snap: DeltaSnapshot, op: str) -> None:
-    """File-rewriting DML on a row-tracking table would drop the
-    rewritten rows' ids (the protocol preserves them only through
-    materialized row-id columns, documented out of scope) — fail loudly
-    instead. The DV merge-on-read path (delete_delta_dv) rewrites
-    nothing and stays allowed."""
+    """Row-REPLACING DML on a row-tracking table would drop or confuse
+    the rewritten rows' ids — fail loudly instead. The DV merge-on-read
+    path (delete_delta_dv) rewrites nothing, and OPTIMIZE preserves ids
+    by materializing them into the compacted files (optimize_delta);
+    both stay allowed."""
     if (
         _RT_DOMAIN in snap.domain_metadata
         or snap.configuration.get(_RT_PROP, "").lower() == "true"
@@ -3001,7 +3047,7 @@ def optimize_delta(
     from ..operators.layout import _ZKEY, zorder_key
 
     snap = snapshot(spark, table_path)
-    _reject_rewrite_row_tracking(snap, "OPTIMIZE")
+    rt_enabled = _RT_DOMAIN in snap.domain_metadata
     if zorder_by is not None and snap.partition_columns:
         raise DeltaProtocolError(
             "ZORDER BY on a hive-partitioned table would break the "
@@ -3069,7 +3115,29 @@ def optimize_delta(
         ]
     if (min_file_size is not None or where is not None) and len(rels) < 2:
         return snap.version  # nothing worth compacting: no-op, no commit
-    current = _scan_files(spark, table_path, snap, rels)
+    rt_conf_update: dict[str, str] | None = None
+    if rt_enabled:
+        # row tracking: read each row's CURRENT id (materialized value
+        # or baseRowId + position) and MATERIALIZE it into the
+        # compacted files as the config-named physical columns — the
+        # spec's mechanism for preserving ids through rewrites. Tables
+        # created before the names existed get them in this commit.
+        mat = _rt_mat_cols(snap)
+        if mat is None:
+            mat = (
+                f"_row-id-col-{uuid.uuid4().hex[:12]}",
+                f"_row-commit-col-{uuid.uuid4().hex[:12]}",
+            )
+            rt_conf_update = dict(snap.configuration)
+            rt_conf_update[_RT_MAT_ID] = mat[0]
+            rt_conf_update[_RT_MAT_CV] = mat[1]
+        current = (
+            _row_id_frame(spark, table_path, snap, rels)
+            .withColumnRenamed("_row_id", mat[0])
+            .withColumnRenamed("_row_commit_version", mat[1])
+        )
+    else:
+        current = _scan_files(spark, table_path, snap, rels)
     if zorder_by is not None:
         keyed = zorder_key(current, *zorder_by)
         current = (
@@ -3090,15 +3158,36 @@ def optimize_delta(
 
     now_ms = int(time.time() * 1000)
     stat_cols = _phys_stat_cols(snap)
-    actions: list[dict[str, Any]] = [
+    actions: list[dict[str, Any]] = []
+    if rt_conf_update is not None:
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema.json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": rt_conf_update,
+                }
+            }
+        )
+    actions.extend(
         _remove_action(snap.files[rel], now_ms, False) for rel in rels
-    ]
+    )
     for rel in added:
         actions.append(
             _add_action(
                 table_path, rel, _phys_partition_cols(snap), stat_cols, now_ms,
                 data_change=False,
             )
+        )
+    if rt_enabled:
+        # fresh baseRowIds for the compacted adds (every add on a
+        # row-tracking table carries one); readers never see them —
+        # the materialized columns take precedence — but the mark
+        # still advances so they stay globally unique
+        _stamp_row_tracking(
+            table_path, actions, _rt_prev_hwm(snap), snap.version + 1
         )
     actions.append(
         {
@@ -3112,7 +3201,13 @@ def optimize_delta(
             }
         }
     )
-    guard = _CommitGuard(removed=set(rels), read_files=set(rels))
+    guard = _CommitGuard(
+        removed=set(rels),
+        read_files=set(rels),
+        has_metadata=rt_conf_update is not None,
+        domains=frozenset({_RT_DOMAIN}) if rt_enabled else frozenset(),
+        stamp_row_commit_version=rt_enabled,
+    )
     return _commit(table_path, actions, guard, snap.version)
 
 

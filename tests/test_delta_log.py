@@ -111,9 +111,9 @@ def test_checkpoint_folds_state_and_survives_log_truncation(spark, tbl):
 
 
 def test_reader_feature_gate(spark, tbl):
-    """Unsupported reader-v3 features (e.g. v2Checkpoint) stay loudly
-    gated; supported ones (deletionVectors, columnMapping — round 6)
-    pass the protocol check."""
+    """Unsupported reader-v3 features (e.g. typeWidening) stay loudly
+    gated; supported ones (deletionVectors, columnMapping — round 6;
+    v2Checkpoint — round 9) pass the protocol check."""
     write_delta(_nation(spark).select("n_nationkey"), tbl)
     with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json"), "w") as fh:
         fh.write(
@@ -121,13 +121,13 @@ def test_reader_feature_gate(spark, tbl):
                 {
                     "protocol": {
                         "minReaderVersion": 3,
-                        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                        "readerFeatures": ["deletionVectors", "typeWidening"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta(spark, tbl)
 
     # a supported v3 feature set is accepted

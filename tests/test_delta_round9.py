@@ -221,9 +221,38 @@ def test_row_tracking_rejects_rewriting_dml(spark, tbl):
     with pytest.raises(DeltaProtocolError, match="row-tracking"):
         update_rows(spark, tbl, "k = 3", {"g": "9"})
     with pytest.raises(DeltaProtocolError, match="row-tracking"):
-        optimize_delta(spark, tbl)
-    with pytest.raises(DeltaProtocolError, match="row-tracking"):
         merge_delta(spark, tbl, _kv(spark, 0, 5), "k")
+
+
+def test_row_tracking_optimize_materializes_ids(spark, tbl):
+    write_delta(_kv(spark, 0, 30), tbl, mode="overwrite",
+                configuration=_RT_CONF)
+    write_delta(_kv(spark, 30, 50), tbl, mode="append")
+    before = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in read_delta_row_ids(spark, tbl).collect()
+    }
+    optimize_delta(spark, tbl, target_files=1)
+    after = {
+        r.k: (r._row_id, r._row_commit_version)
+        for r in read_delta_row_ids(spark, tbl).collect()
+    }
+    # compaction preserved every row's id AND commit version via the
+    # materialized physical columns
+    assert after == before
+    # the physical columns never leak into logical reads
+    assert read_delta(spark, tbl).columns == ["k", "g"]
+    # fresh appends after OPTIMIZE continue above the advanced mark
+    write_delta(_kv(spark, 100, 103), tbl, mode="append")
+    d = read_delta_row_ids(spark, tbl)
+    assert d.select("_row_id").distinct().count() == 53
+    # a DV delete on the compacted file still preserves survivor ids
+    delete_delta_dv(spark, tbl, "k", 0, 9)
+    d2 = read_delta_row_ids(spark, tbl)
+    assert d2.count() == 43
+    assert {r.k: r._row_id for r in d2.collect() if r.k >= 10 and r.k < 50} == {
+        k: v[0] for k, v in before.items() if k >= 10
+    }
 
 
 def test_row_tracking_clone_carries_domain(spark, tbl, tmp_path):
