@@ -205,6 +205,7 @@ EXTENDED_R7: list[str] = [
 EXTENDED_R9: list[str] = [
     "delta_identity_columns_roundtrip",
     "delta_row_tracking_roundtrip",
+    "delta_row_tracking_optimize",
     "delta_v2_checkpoint_roundtrip",
     "media_jpeg_decode_roundtrip",
     "events_user_session_stats",

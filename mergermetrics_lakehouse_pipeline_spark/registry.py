@@ -1449,6 +1449,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-9 additions (new surface)
     "delta_identity_columns_roundtrip",
     "delta_row_tracking_roundtrip",
+    "delta_row_tracking_optimize",
     "delta_v2_checkpoint_roundtrip",
     "media_jpeg_decode_roundtrip",
     "events_user_session_stats",
