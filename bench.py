@@ -219,6 +219,14 @@ EXTENDED_R9: list[str] = [
     "emb_quantized_norm_profile",
     "customer_order_gap_medians",
     "events_peak_hour_profile",
+    "orders_cohort_retention",
+    "lineitem_brand_pair_lift",
+    "part_type_price_iqr_outliers",
+    "docs_lang_shared_vocab",
+    "emb_label_scatter_profile",
+    "events_type_user_jaccard",
+    "lineitem_quantity_mode",
+    "events_cadence_drift",
 ]
 
 

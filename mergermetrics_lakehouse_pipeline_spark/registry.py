@@ -1463,6 +1463,14 @@ DRIVER_PRIORITY: list[str] = [
     "emb_quantized_norm_profile",
     "customer_order_gap_medians",
     "events_peak_hour_profile",
+    "orders_cohort_retention",
+    "lineitem_brand_pair_lift",
+    "part_type_price_iqr_outliers",
+    "docs_lang_shared_vocab",
+    "emb_label_scatter_profile",
+    "events_type_user_jaccard",
+    "lineitem_quantity_mode",
+    "events_cadence_drift",
     # --- round-7 additions (re-verification) ---
     "delta_column_mapping_write_roundtrip",
     "delta_column_mapping_id_roundtrip",
