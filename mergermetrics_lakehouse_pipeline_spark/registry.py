@@ -1451,6 +1451,8 @@ DRIVER_PRIORITY: list[str] = [
     "delta_row_tracking_roundtrip",
     "delta_row_tracking_optimize",
     "delta_v2_checkpoint_roundtrip",
+    "delta_append_only_roundtrip",
+    "delta_ict_timestamp_travel",
     "media_jpeg_decode_roundtrip",
     "events_user_session_stats",
     "orders_priority_transitions",

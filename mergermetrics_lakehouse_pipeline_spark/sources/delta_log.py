@@ -102,6 +102,13 @@ _RT_DOMAIN = "delta.rowTracking"
 # compaction preserves them; names live in table config per the spec
 _RT_MAT_ID = "delta.rowTracking.materializedRowIdColumnName"
 _RT_MAT_CV = "delta.rowTracking.materializedRowCommitVersionColumnName"
+# in-commit timestamps (writer-v7 feature inCommitTimestamp): commitInfo
+# carries an authoritative monotonic timestamp distinct from the file
+# modification time the wall clock happens to produce
+_ICT_PROP = "delta.enableInCommitTimestamps"
+# append-only tables (delta.appendOnly, writer v2): row-removing
+# transactions are rejected outright
+_AO_PROP = "delta.appendOnly"
 _SIDECAR_DIR = "_sidecars"
 
 
@@ -940,37 +947,57 @@ def _check_rebase(
 
 
 def _commit_info_ts(table_path: str, version: int) -> int:
-    """commitInfo timestamp of ``version`` (0 when the commit JSON or
-    its commitInfo action is unavailable, e.g. truncated past a
+    """Authoritative timestamp of ``version`` — ``inCommitTimestamp``
+    when the commit carries the writer-v7 feature's field, else the
+    plain commitInfo timestamp (0 when the commit JSON or its
+    commitInfo action is unavailable, e.g. truncated past a
     checkpoint). Parses ONLY lines that can be commitInfo (substring
     probe) — a 50k-add commit would otherwise be fully JSON-parsed on
     every subsequent commit attempt just to read one timestamp
     (round-7 review finding #8)."""
+    ts, _ = _commit_info_ts_ict(table_path, version)
+    return ts
+
+
+def _commit_info_ts_ict(table_path: str, version: int) -> tuple[int, bool]:
+    """(timestamp, carries-inCommitTimestamp) of ``version``."""
     if version < 0 or not os.path.exists(_commit_file(table_path, version)):
-        return 0
+        return 0, False
     with open(_commit_file(table_path, version), encoding="utf-8") as fh:
         for line in fh:
             if '"commitInfo"' not in line:
                 continue
             a = json.loads(line)
             if "commitInfo" in a:
-                return int(a["commitInfo"].get("timestamp", 0))
-    return 0
+                ci = a["commitInfo"]
+                if ci.get("inCommitTimestamp") is not None:
+                    return int(ci["inCommitTimestamp"]), True
+                return int(ci.get("timestamp", 0)), False
+    return 0, False
 
 
 def _clamp_commit_ts(table_path: str, version: int, actions: list[dict]) -> None:
     """In-commit-timestamp monotonicity (round 7, VERDICT r6 next-step
-    #4): force this commit's commitInfo timestamp strictly greater than
-    its predecessor's, so AS OF TIMESTAMP resolution is well-defined
-    even when the wall clock skews backwards between commits — the
-    guarantee Delta's inCommitTimestamp table feature provides. O(1)
-    metadata read per attempt."""
-    prev = _commit_info_ts(table_path, version - 1)
-    if not prev:
-        return
+    #4): force this commit's timestamp strictly greater than its
+    predecessor's, so AS OF TIMESTAMP resolution is well-defined even
+    when the wall clock skews backwards between commits — the guarantee
+    Delta's inCommitTimestamp table feature provides. Tables that
+    enable the FORMAL feature (delta.enableInCommitTimestamps, round 9)
+    carry the authoritative value in commitInfo.inCommitTimestamp; the
+    field's presence is inherited from the predecessor commit, so every
+    later writer keeps stamping it. O(1) metadata read per attempt."""
+    prev, prev_ict = _commit_info_ts_ict(table_path, version - 1)
     for a in actions:
-        if "commitInfo" in a and int(a["commitInfo"].get("timestamp", 0)) <= prev:
-            a["commitInfo"]["timestamp"] = prev + 1
+        if "commitInfo" not in a:
+            continue
+        ci = a["commitInfo"]
+        ict = prev_ict or ci.get("inCommitTimestamp") is not None
+        ts = int(ci.get("inCommitTimestamp") or ci.get("timestamp", 0))
+        if prev and ts <= prev:
+            ts = prev + 1
+        ci["timestamp"] = ts
+        if ict:
+            ci["inCommitTimestamp"] = ts
 
 
 def _commit(
@@ -1373,6 +1400,8 @@ def write_delta(
         mapping = dict(prev.physical_names)
         ids_map = _ids_if_id_mode(prev)
         rt_prev_hwm = _rt_prev_hwm(prev)
+        if mode == "overwrite":
+            _reject_if_append_only(prev, "overwrite")
         if overwrite_schema:
             # Delta's .option("overwriteSchema", "true"): an explicit
             # full replacement of schema AND partitioning — the one
@@ -1663,13 +1692,17 @@ def write_delta(
             reader_v, writer_v = 2, max(writer_v, 5)
         if identity:
             writer_v = max(writer_v, 6)  # identity columns = writer v6
+        v7_feats: set[str] = set()
         if conf.get(_RT_PROP, "").lower() == "true":
-            # row tracking exists only as a writer-v7 table feature;
+            v7_feats |= {"rowTracking", "domainMetadata"}
+        if conf.get(_ICT_PROP, "").lower() == "true":
+            v7_feats |= {"inCommitTimestamp"}
+        if v7_feats:
+            # these capabilities exist only as writer-v7 table features;
             # re-state everything the legacy writer version implied
-            # (the reader version stays legacy — row tracking asks
-            # nothing of readers)
-            wfeats = _implied_writer_features(writer_v)
-            wfeats |= {"rowTracking", "domainMetadata"}
+            # (the reader version stays legacy — neither asks anything
+            # of readers)
+            wfeats = _implied_writer_features(writer_v) | v7_feats
             actions.append(
                 {
                     "protocol": {
@@ -1738,15 +1771,19 @@ def write_delta(
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
         )
-    actions.append(
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "WRITE",
-                "operationParameters": {"mode": mode.upper()},
-            }
-        }
-    )
+    info: dict[str, Any] = {
+        "timestamp": now_ms,
+        "operation": "WRITE",
+        "operationParameters": {"mode": mode.upper()},
+    }
+    if (
+        base_version < 0
+        and create_conf.get(_ICT_PROP, "").lower() == "true"
+    ):
+        # seed the inCommitTimestamp field on the creation commit; every
+        # later writer inherits it via _clamp_commit_ts
+        info["inCommitTimestamp"] = now_ms
+    actions.append({"commitInfo": info})
     rt_domains = frozenset({_RT_DOMAIN}) if rt_enabled else frozenset()
     if mode == "overwrite" and base_version >= 0:
         guard = _CommitGuard(
@@ -1795,6 +1832,7 @@ def restore_delta(
     if version is None:
         raise ValueError("pass version or timestamp_ms")
     cur = snapshot(spark, table_path)
+    _reject_if_append_only(cur, "RESTORE")
     tgt = snapshot(spark, table_path, version)
     now_ms = int(time.time() * 1000)
     actions: list[dict[str, Any]] = []
@@ -2342,6 +2380,19 @@ def _reject_identity_assignment(
     if bad:
         raise DeltaProtocolError(
             f"{op} cannot assign identity columns {bad}"
+        )
+
+
+def _reject_if_append_only(snap: DeltaSnapshot, op: str) -> None:
+    """delta.appendOnly (writer v2): any transaction that REMOVES rows
+    — DELETE/UPDATE/MERGE/overwrite/RESTORE, copy-on-write or
+    merge-on-read alike — is rejected outright. OPTIMIZE stays legal
+    (dataChange=false reorganization), as does VACUUM (it only reclaims
+    files no snapshot references)."""
+    if snap.configuration.get(_AO_PROP, "").lower() == "true":
+        raise DeltaProtocolError(
+            f"{op} removes rows but {_AO_PROP}=true; append-only tables "
+            "accept only appends"
         )
 
 
@@ -3376,6 +3427,7 @@ def delete_rows(
     at the cost of the extra scan (the same trade delta-spark makes)."""
     pred = F.coalesce(F.expr(where), F.lit(False))
     snap = snapshot(spark, table_path)
+    _reject_if_append_only(snap, "DELETE")
     _reject_rewrite_row_tracking(snap, "DELETE (copy-on-write)")
     candidates = _matched_files(spark, table_path, snap, pred)
     if not candidates:
@@ -3408,6 +3460,7 @@ def update_rows(
     when enabled. Returns (new_version, n_files_rewritten)."""
     pred = F.coalesce(F.expr(where), F.lit(False))
     snap = snapshot(spark, table_path)
+    _reject_if_append_only(snap, "UPDATE")
     _reject_rewrite_row_tracking(snap, "UPDATE (copy-on-write)")
     _reject_identity_assignment(snap.schema, set(set_exprs), "UPDATE")
     candidates = _matched_files(spark, table_path, snap, pred)
@@ -3590,6 +3643,7 @@ def merge_delta(
         raise ValueError("when_not_matched_by_source must be None or 'delete'")
     keys = [key] if isinstance(key, str) else list(key)
     snap = snapshot(spark, table_path)
+    _reject_if_append_only(snap, "MERGE")
     _reject_rewrite_row_tracking(snap, "MERGE (copy-on-write)")
     tcols = [f.name for f in snap.schema.fields]
     missing = [k for k in keys if k not in tcols]
@@ -3938,6 +3992,7 @@ def delete_delta_dv(
 
     Returns (new_version, n_files_with_new_dvs)."""
     snap = snapshot(spark, table_path)
+    _reject_if_append_only(snap, "DELETE (deletion vectors)")
     candidates, _ = prune_files_by_stats(snap, col, lo, hi)
     if not candidates:
         return snap.version, 0
@@ -3994,6 +4049,7 @@ def update_delta_dv(
 
     Returns (new_version, n_files_with_new_dvs)."""
     snap = snapshot(spark, table_path)
+    _reject_if_append_only(snap, "UPDATE (merge-on-read)")
     _reject_rewrite_row_tracking(snap, "UPDATE (merge-on-read postimages)")
     _reject_identity_assignment(snap.schema, set(set_exprs), "UPDATE")
     candidates, _ = prune_files_by_stats(snap, col, lo, hi)

@@ -1,0 +1,130 @@
+"""Round-9 second delta increment: formal in-commit timestamps
+(writer-v7 feature inCommitTimestamp) and delta.appendOnly
+enforcement."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+    DeltaProtocolError,
+    delete_delta_dv,
+    delete_rows,
+    merge_delta,
+    optimize_delta,
+    read_delta,
+    restore_delta,
+    snapshot,
+    update_rows,
+    vacuum_delta,
+    version_at_timestamp,
+    write_delta,
+)
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+
+
+def _commit_info(tbl, v):
+    with open(
+        os.path.join(tbl, "_delta_log", f"{v:020d}.json"), encoding="utf-8"
+    ) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "commitInfo" in a:
+                return a["commitInfo"]
+    return None
+
+
+_ICT_CONF = {"delta.enableInCommitTimestamps": "true"}
+
+
+def test_ict_protocol_and_field(spark, tbl):
+    write_delta(_kv(spark, 0, 10), tbl, mode="overwrite",
+                configuration=_ICT_CONF)
+    proto = snapshot(spark, tbl).protocol
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    ci = _commit_info(tbl, 0)
+    assert ci["inCommitTimestamp"] == ci["timestamp"]
+
+
+def test_ict_inherited_and_monotonic(spark, tbl):
+    write_delta(_kv(spark, 0, 5), tbl, mode="overwrite",
+                configuration=_ICT_CONF)
+    write_delta(_kv(spark, 5, 10), tbl, mode="append")
+    write_delta(_kv(spark, 10, 15), tbl, mode="append")
+    infos = [_commit_info(tbl, v) for v in range(3)]
+    # every later commit carries the field without being asked
+    assert all(ci.get("inCommitTimestamp") is not None for ci in infos)
+    ts = [ci["inCommitTimestamp"] for ci in infos]
+    assert ts == sorted(set(ts)), f"not strictly monotonic: {ts}"
+
+
+def test_ict_drives_timestamp_travel(spark, tbl):
+    write_delta(_kv(spark, 0, 5), tbl, mode="overwrite",
+                configuration=_ICT_CONF)
+    write_delta(_kv(spark, 5, 10), tbl, mode="append")
+    # doctor version 1's FILE timestamp backwards; the ict field is
+    # authoritative, so resolution still lands on version 1
+    t0 = _commit_info(tbl, 0)["inCommitTimestamp"]
+    t1 = _commit_info(tbl, 1)["inCommitTimestamp"]
+    assert version_at_timestamp(tbl, t0) == 0
+    assert version_at_timestamp(tbl, t1) == 1
+    assert read_delta(spark, tbl, version=version_at_timestamp(tbl, t0)).count() == 5
+
+
+def test_plain_tables_do_not_carry_ict(spark, tbl):
+    write_delta(_kv(spark, 0, 5), tbl, mode="overwrite")
+    write_delta(_kv(spark, 5, 10), tbl, mode="append")
+    for v in range(2):
+        assert "inCommitTimestamp" not in _commit_info(tbl, v)
+
+
+_AO_CONF = {"delta.appendOnly": "true"}
+
+
+def test_append_only_accepts_appends(spark, tbl):
+    write_delta(_kv(spark, 0, 10), tbl, mode="overwrite",
+                configuration=_AO_CONF)
+    write_delta(_kv(spark, 10, 20), tbl, mode="append")
+    assert read_delta(spark, tbl).count() == 20
+
+
+def test_append_only_rejects_row_removal(spark, tbl):
+    write_delta(_kv(spark, 0, 10), tbl, mode="overwrite",
+                configuration=_AO_CONF)
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        write_delta(_kv(spark, 0, 3), tbl, mode="overwrite")
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        delete_rows(spark, tbl, "k = 1")
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        update_rows(spark, tbl, "k = 1", {"g": "9"})
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        merge_delta(spark, tbl, _kv(spark, 0, 3), "k")
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        delete_delta_dv(spark, tbl, "k", 1, 3)
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        restore_delta(spark, tbl, 0)
+
+
+def test_append_only_allows_optimize_and_vacuum(spark, tbl):
+    write_delta(_kv(spark, 0, 10), tbl, mode="overwrite",
+                configuration=_AO_CONF)
+    write_delta(_kv(spark, 10, 20), tbl, mode="append")
+    optimize_delta(spark, tbl, target_files=1)  # dataChange=false: legal
+    assert read_delta(spark, tbl).count() == 20
+    assert vacuum_delta(spark, tbl)  # reclaims the pre-compaction files
+    assert read_delta(spark, tbl).count() == 20
