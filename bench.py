@@ -209,6 +209,7 @@ EXTENDED_R9: list[str] = [
     "delta_v2_checkpoint_roundtrip",
     "delta_append_only_roundtrip",
     "delta_ict_timestamp_travel",
+    "delta_clustered_table_roundtrip",
     "media_jpeg_decode_roundtrip",
     "events_user_session_stats",
     "orders_priority_transitions",

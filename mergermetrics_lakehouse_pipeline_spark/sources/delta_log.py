@@ -106,6 +106,10 @@ _RT_MAT_CV = "delta.rowTracking.materializedRowCommitVersionColumnName"
 # carries an authoritative monotonic timestamp distinct from the file
 # modification time the wall clock happens to produce
 _ICT_PROP = "delta.enableInCommitTimestamps"
+# clustered tables (writer-v7 feature clusteredTable): declarative
+# clustering columns live in the delta.clustering metadata domain and
+# OPTIMIZE applies them
+_CLUSTER_DOMAIN = "delta.clustering"
 # append-only tables (delta.appendOnly, writer v2): row-removing
 # transactions are rejected outright
 _AO_PROP = "delta.appendOnly"
@@ -1312,6 +1316,7 @@ def write_delta(
     overwrite_schema: bool = False,
     generated: dict[str, str] | None = None,
     identity: dict[str, dict[str, Any]] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a protocol-valid Delta commit; returns the version.
 
@@ -1345,6 +1350,13 @@ def write_delta(
     supply it; GENERATED BY DEFAULT (allow_explicit) accepts explicit
     values and advances the high-water mark past them. Every assigning
     write re-commits metaData with the updated high-water mark.
+
+    ``cluster_by`` (creation only) declares CLUSTERING columns (the
+    writer-v7 clusteredTable feature): the column list lands in the
+    ``delta.clustering`` metadata domain and OPTIMIZE re-clusters along
+    it automatically (Z-order for 2+ columns, range-sort for one) —
+    liquid-clustering-style declarative layout, mutually exclusive with
+    hive partitioning.
 
     ``configuration={"delta.enableRowTracking": "true"}`` (creation
     only) enables ROW TRACKING (writer-v7 features rowTracking +
@@ -1393,6 +1405,10 @@ def write_delta(
         if identity is not None:
             raise DeltaProtocolError(
                 "identity columns are declared at table creation"
+            )
+        if cluster_by is not None:
+            raise DeltaProtocolError(
+                "clustering columns are declared at table creation"
             )
         prev = snapshot(spark, table_path)
         base_version = prev.version
@@ -1582,6 +1598,17 @@ def write_delta(
             create_conf.setdefault(
                 _RT_MAT_CV, f"_row-commit-col-{uuid.uuid4().hex[:12]}"
             )
+        if cluster_by:
+            if partition_by:
+                raise DeltaProtocolError(
+                    "cluster_by and partition_by are mutually exclusive "
+                    "(clustering replaces hive partitioning)"
+                )
+            missing_cc = sorted(set(cluster_by) - set(df.columns))
+            if missing_cc:
+                raise DeltaProtocolError(
+                    f"clustering columns {missing_cc} not in the frame"
+                )
         if generated:
             df = _apply_generated(df, generated)  # compute or enforce
         if identity:
@@ -1697,6 +1724,8 @@ def write_delta(
             v7_feats |= {"rowTracking", "domainMetadata"}
         if conf.get(_ICT_PROP, "").lower() == "true":
             v7_feats |= {"inCommitTimestamp"}
+        if cluster_by:
+            v7_feats |= {"clusteredTable", "domainMetadata"}
         if v7_feats:
             # these capabilities exist only as writer-v7 table features;
             # re-state everything the legacy writer version implied
@@ -1733,6 +1762,18 @@ def write_delta(
                 }
             }
         )
+        if cluster_by:
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": _CLUSTER_DOMAIN,
+                        "configuration": json.dumps(
+                            {"clusteringColumns": [[c] for c in cluster_by]}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
     elif evolved_schema is not None:
         actions.append(
             {
@@ -2381,6 +2422,20 @@ def _reject_identity_assignment(
         raise DeltaProtocolError(
             f"{op} cannot assign identity columns {bad}"
         )
+
+
+def _clustering_columns(snap: DeltaSnapshot) -> list[str]:
+    """Declared clustering columns (delta.clustering domain), [] when
+    the table is not clustered."""
+    d = snap.domain_metadata.get(_CLUSTER_DOMAIN)
+    if not d:
+        return []
+    paths = json.loads(d.get("configuration") or "{}").get(
+        "clusteringColumns", []
+    )
+    # this engine's clustering resolution is top-level (same boundary as
+    # column mapping); nested paths would arrive as multi-element lists
+    return [p[0] if isinstance(p, list) else p for p in paths]
 
 
 def _reject_if_append_only(snap: DeltaSnapshot, op: str) -> None:
@@ -3166,6 +3221,14 @@ def optimize_delta(
         ]
     if (min_file_size is not None or where is not None) and len(rels) < 2:
         return snap.version  # nothing worth compacting: no-op, no commit
+    cluster_cols = _clustering_columns(snap)
+    if zorder_by is None and cluster_cols and not snap.partition_columns:
+        # clustered table (writer-v7 clusteredTable feature): OPTIMIZE
+        # applies the DECLARED layout — Z-order for 2+ columns, a
+        # range-sort for one — without the caller restating it
+        if len(cluster_cols) >= 2:
+            zorder_by = tuple(cluster_cols)
+        # single column: the range-sort branch below picks it up
     rt_conf_update: dict[str, str] | None = None
     if rt_enabled:
         # row tracking: read each row's CURRENT id (materialized value
@@ -3196,6 +3259,11 @@ def optimize_delta(
             .sortWithinPartitions(_ZKEY)
             .drop(_ZKEY)
         )
+    elif len(cluster_cols) == 1 and not snap.partition_columns:
+        c = cluster_cols[0]
+        current = current.repartitionByRange(
+            target_files, F.col(c)
+        ).sortWithinPartitions(c)
     elif snap.partition_columns:
         current = current.repartition(target_files, *snap.partition_columns)
     else:

@@ -128,3 +128,82 @@ def test_append_only_allows_optimize_and_vacuum(spark, tbl):
     assert read_delta(spark, tbl).count() == 20
     assert vacuum_delta(spark, tbl)  # reclaims the pre-compaction files
     assert read_delta(spark, tbl).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# clustered tables (writer-v7 clusteredTable + delta.clustering domain)
+# ---------------------------------------------------------------------------
+
+
+def test_clustered_table_declaration(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        _clustering_columns,
+    )
+
+    df = spark.range(100).selectExpr("id AS a", "id % 10 AS b")
+    write_delta(df, tbl, mode="overwrite", cluster_by=["a", "b"])
+    snap = snapshot(spark, tbl)
+    assert "clusteredTable" in snap.protocol["writerFeatures"]
+    assert "domainMetadata" in snap.protocol["writerFeatures"]
+    assert _clustering_columns(snap) == ["a", "b"]
+
+
+def test_clustered_rejects_partitioning_and_unknown_cols(spark, tbl):
+    df = spark.range(10).selectExpr("id AS a", "id % 2 AS b")
+    with pytest.raises(DeltaProtocolError, match="mutually exclusive"):
+        write_delta(df, tbl, mode="overwrite", cluster_by=["a"],
+                    partition_by=["b"])
+    with pytest.raises(DeltaProtocolError, match="not in the frame"):
+        write_delta(df, tbl, mode="overwrite", cluster_by=["nope"])
+    write_delta(df, tbl, mode="overwrite")
+    with pytest.raises(DeltaProtocolError, match="creation"):
+        write_delta(df, tbl, mode="append", cluster_by=["a"])
+
+
+def test_optimize_autoclusters_two_columns(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        prune_files_by_stats,
+    )
+
+    df = spark.range(60000).selectExpr(
+        "id AS a", "(id * 37) % 1000 AS b"
+    ).repartition(8)
+    write_delta(df, tbl, mode="overwrite", cluster_by=["a", "b"])
+    optimize_delta(spark, tbl, target_files=8)
+    snap = snapshot(spark, tbl)
+    # a narrow band on the SECOND clustering column skips files — the
+    # proof the optimize used the declared z-order, not a plain coalesce
+    cand, total = prune_files_by_stats(snap, "b", 0, 120)
+    assert total >= 2 and len(cand) < total
+    assert read_delta(spark, tbl).count() == 60000
+
+
+def test_optimize_autoclusters_single_column(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        prune_files_by_stats,
+    )
+
+    df = spark.range(60000).selectExpr(
+        "id AS a", "(id * 37) % 1000 AS b"
+    ).repartition(8)
+    write_delta(df, tbl, mode="overwrite", cluster_by=["b"])
+    optimize_delta(spark, tbl, target_files=8)
+    snap = snapshot(spark, tbl)
+    cand, total = prune_files_by_stats(snap, "b", 0, 249)
+    # range-sorted on b: a quarter-band reads ~a quarter of the files
+    assert total >= 2 and len(cand) <= max(1, total // 2)
+    assert read_delta(spark, tbl).count() == 60000
+
+
+def test_clustering_survives_checkpoint(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        _clustering_columns,
+        truncate_log,
+        write_checkpoint,
+    )
+
+    df = spark.range(100).selectExpr("id AS a", "id % 10 AS b")
+    write_delta(df, tbl, mode="overwrite", cluster_by=["a"])
+    write_checkpoint(spark, tbl)
+    truncate_log(tbl)
+    assert _clustering_columns(snapshot(spark, tbl)) == ["a"]
