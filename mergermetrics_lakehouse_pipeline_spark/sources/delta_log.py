@@ -150,6 +150,11 @@ class DeltaSnapshot:
     #: domain -> domainMetadata action dict (writer v7 feature; row
     #: tracking keeps its row-id high-water mark here)
     domain_metadata: dict[str, dict[str, Any]] = field(default_factory=dict)
+    #: the table's immutable identity (metaData.id) and creation time —
+    #: re-emitted verbatim by every later metaData action (the spec
+    #: treats a changed id as a table REPLACEMENT)
+    metadata_id: str | None = None
+    created_time: int | None = None
 
     def physical(self, col: str) -> str:
         return self.physical_names.get(col, col)
@@ -279,6 +284,8 @@ def _apply_action(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
         snap.schema = StructType.fromJson(json.loads(m["schemaString"]))
         snap.partition_columns = list(m.get("partitionColumns") or [])
         snap.configuration = conf
+        snap.metadata_id = m.get("id") or snap.metadata_id
+        snap.created_time = m.get("createdTime") or snap.created_time
         snap.column_mapping_mode = mode
         snap.physical_names = {
             f.name: (f.metadata or {}).get(
@@ -464,23 +471,30 @@ def _subtract_dv_rows(
     spark: SparkSession,
     table_path: str,
     dv_by_path: dict[str, dict],
+    *,
+    keep_positions: bool = False,
 ) -> DataFrame:
     """Drop each file's DV-marked rows from a raw parquet scan via a
     (file_path, row_index) anti-join. ``df`` must still expose
-    ``_metadata``."""
+    ``_metadata``. With ``keep_positions`` the ``__fp``/``__ri``
+    projection survives (and is added even when no DVs exist) — the
+    row-id reader consumes it."""
     doomed = _dv_doomed_df(spark, table_path, dv_by_path)
-    if doomed is None:
+    if doomed is None and not keep_positions:
         return df
     df = df.select(
         "*",
         _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
         F.col("_metadata.row_index").alias("__ri"),
     )
-    return df.join(
+    if doomed is None:
+        return df
+    df = df.join(
         doomed,
         (df["__fp"] == doomed["__dv_path"]) & (df["__ri"] == doomed["__dv_idx"]),
         "left_anti",
-    ).drop("__fp", "__ri")
+    )
+    return df if keep_positions else df.drop("__fp", "__ri")
 
 
 def _select_logical(
@@ -781,22 +795,15 @@ def _row_id_frame(
         d = _raw_reader(
             spark, table_path, snap, base_path=base, extra_fields=extra_fields
         ).parquet(*[os.path.join(table_path, p) for p in grels])
-        d = d.select(
-            "*",
-            _strip_scheme(F.col("_metadata.file_path")).alias("__fp"),
-            F.col("_metadata.row_index").alias("__ri"),
-        )
-        doomed = _dv_doomed_df(
-            spark, table_path, _dv_descriptors(table_path, snap, grels)
-        )
-        if doomed is not None:
-            d = d.join(
-                doomed,
-                (d["__fp"] == doomed["__dv_path"])
-                & (d["__ri"] == doomed["__dv_idx"]),
-                "left_anti",
+        # one shared DV-subtraction implementation (keep_positions
+        # retains __fp/__ri for the base-map join below)
+        parts.append(
+            _subtract_dv_rows(
+                d, spark, table_path,
+                _dv_descriptors(table_path, snap, grels),
+                keep_positions=True,
             )
-        parts.append(d)
+        )
     d = parts[0]
     for q in parts[1:]:
         d = d.unionByName(q, allowMissingColumns=True)
@@ -850,6 +857,12 @@ class _CommitGuard:
     #: committed version on every rebase attempt (fresh adds only —
     #: restore/clone re-adds keep their original value)
     stamp_row_commit_version: bool = False
+    #: in-commit timestamps: the table config enables the feature, so
+    #: this commit MUST carry commitInfo.inCommitTimestamp even when
+    #: the predecessor commit JSON is gone (truncated log) or absent
+    #: (clone/creation) — config is authoritative, file sniffing is
+    #: only the fallback for legacy sessions
+    ict: bool = False
 
 
 def _parse_commit(table_path: str, version: int) -> list[dict[str, Any]]:
@@ -980,7 +993,9 @@ def _commit_info_ts_ict(table_path: str, version: int) -> tuple[int, bool]:
     return 0, False
 
 
-def _clamp_commit_ts(table_path: str, version: int, actions: list[dict]) -> None:
+def _clamp_commit_ts(
+    table_path: str, version: int, actions: list[dict], ict: bool = False
+) -> None:
     """In-commit-timestamp monotonicity (round 7, VERDICT r6 next-step
     #4): force this commit's timestamp strictly greater than its
     predecessor's, so AS OF TIMESTAMP resolution is well-defined even
@@ -995,7 +1010,7 @@ def _clamp_commit_ts(table_path: str, version: int, actions: list[dict]) -> None
         if "commitInfo" not in a:
             continue
         ci = a["commitInfo"]
-        ict = prev_ict or ci.get("inCommitTimestamp") is not None
+        ict = ict or prev_ict or ci.get("inCommitTimestamp") is not None
         ts = int(ci.get("inCommitTimestamp") or ci.get("timestamp", 0))
         if prev and ts <= prev:
             ts = prev + 1
@@ -1019,7 +1034,7 @@ def _commit(
             for a in actions:
                 if "add" in a and "defaultRowCommitVersion" in a["add"]:
                     a["add"]["defaultRowCommitVersion"] = v
-        _clamp_commit_ts(table_path, v, actions)
+        _clamp_commit_ts(table_path, v, actions, ict=guard.ict)
         if _try_write_commit(table_path, v, actions):
             return v
         _check_rebase(_parse_commit(table_path, v), guard, v)
@@ -1147,6 +1162,10 @@ def _add_action(
     if st is not None:
         add["stats"] = json.dumps(st)
     return {"add": add}
+
+
+def _ict_on(conf: dict[str, str]) -> bool:
+    return conf.get(_ICT_PROP, "").lower() == "true"
 
 
 def _rt_prev_hwm(snap: DeltaSnapshot) -> int:
@@ -1301,6 +1320,7 @@ def _finish_overwrite_schema_commit(
         has_metadata=True,
         domains=frozenset({_RT_DOMAIN}) if rt_enabled else frozenset(),
         stamp_row_commit_version=rt_enabled,
+        ict=_ict_on(conf_now),
     )
     return _commit(table_path, actions, guard, prev.version)
 
@@ -1778,7 +1798,9 @@ def write_delta(
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    # the table identity is immutable: re-emit the existing
+                    # metaData.id (a fresh uuid would read as table replacement)
+                    "id": prev.metadata_id or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": evolved_schema.json(),
                     # carry the table's partitioning/config forward — an
@@ -1844,6 +1866,9 @@ def write_delta(
             domains=rt_domains,
             stamp_row_commit_version=rt_enabled,
         )
+    guard.ict = _ict_on(
+        prev_configuration if base_version >= 0 else create_conf
+    )
     return _commit(table_path, actions, guard, base_version)
 
 
@@ -1885,7 +1910,9 @@ def restore_delta(
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    # the table identity is immutable: re-emit the existing
+                    # metaData.id (a fresh uuid would read as table replacement)
+                    "id": tgt.metadata_id or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": tgt.schema.json(),
                     "partitionColumns": tgt.partition_columns,
@@ -1915,6 +1942,7 @@ def restore_delta(
         removed=set(cur.files),
         read_files=set(cur.files),
         has_metadata=bool(actions and "metaData" in actions[0]),
+        ict=_ict_on(cur.configuration),
     )
     return _commit(table_path, actions, guard, cur.version)
 
@@ -2025,7 +2053,7 @@ def clone_delta(spark: SparkSession, src_path: str, dst_path: str) -> int:
             }
         }
     )
-    guard = _CommitGuard(has_metadata=True)
+    guard = _CommitGuard(has_metadata=True, ict=_ict_on(snap.configuration))
     return _commit(dst_path, actions, guard, -1)
 
 
@@ -2060,7 +2088,9 @@ def _checkpoint_state_rows(snap: DeltaSnapshot) -> tuple[list[dict], list[dict]]
             {"protocol": snap.protocol},
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    # the table identity is immutable: re-emit the existing
+                    # metaData.id (a fresh uuid would read as table replacement)
+                    "id": snap.metadata_id or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": snap.schema.json(),
                     "partitionColumns": snap.partition_columns,
@@ -2151,7 +2181,8 @@ def upgrade_protocol_v2_checkpoint(spark: SparkSession, table_path: str) -> int:
         }
     }
     return _commit(
-        table_path, [action, info], _CommitGuard(has_metadata=True),
+        table_path, [action, info],
+        _CommitGuard(has_metadata=True, ict=_ict_on(snap.configuration)),
         snap.version,
     )
 
@@ -2433,9 +2464,21 @@ def _clustering_columns(snap: DeltaSnapshot) -> list[str]:
     paths = json.loads(d.get("configuration") or "{}").get(
         "clusteringColumns", []
     )
-    # this engine's clustering resolution is top-level (same boundary as
-    # column mapping); nested paths would arrive as multi-element lists
-    return [p[0] if isinstance(p, list) else p for p in paths]
+    out = []
+    for p in paths:
+        if isinstance(p, list):
+            if len(p) != 1:
+                # same boundary as column mapping: nested resolution is
+                # documented out of scope — never silently cluster on
+                # the root of a nested path
+                raise DeltaProtocolError(
+                    f"nested clustering path {p} not supported "
+                    "(top-level columns only)"
+                )
+            out.append(p[0])
+        else:
+            out.append(p)
+    return out
 
 
 def _reject_if_append_only(snap: DeltaSnapshot, op: str) -> None:
@@ -2572,7 +2615,9 @@ def add_check_constraint(
     actions.append(
         {
             "metaData": {
-                "id": str(uuid.uuid4()),
+                # the table identity is immutable: re-emit the existing
+                # metaData.id (a fresh uuid would read as table replacement)
+                "id": snap.metadata_id or str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": snap.schema.json(),
                 "partitionColumns": snap.partition_columns,
@@ -2594,6 +2639,7 @@ def add_check_constraint(
         read_files=set(snap.files),
         has_metadata=True,
     )
+    guard.ict = _ict_on(snap.configuration)
     return _commit(table_path, actions, guard, snap.version)
 
 
@@ -2646,7 +2692,9 @@ def _alter_schema_commit(
     actions: list[dict[str, Any]] = [
         {
             "metaData": {
-                "id": str(uuid.uuid4()),
+                # the table identity is immutable: re-emit the existing
+                # metaData.id (a fresh uuid would read as table replacement)
+                "id": snap.metadata_id or str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": new_schema.json(),
                 "partitionColumns": new_partition_columns,
@@ -2662,6 +2710,7 @@ def _alter_schema_commit(
         },
     ]
     guard = _CommitGuard(has_metadata=True, read_whole_table=True)
+    guard.ict = _ict_on(snap.configuration)
     return _commit(table_path, actions, guard, snap.version)
 
 
@@ -3059,6 +3108,7 @@ def overwrite_partitions_delta(
     DISJOINT partitions rebase and land; overlapping ones abort."""
     spark = df.sparkSession
     snap = snapshot(spark, table_path)
+    _reject_if_append_only(snap, "dynamic partition overwrite")
     if snap.partition_columns != partition_by:
         raise DeltaProtocolError(
             f"table is partitioned by {snap.partition_columns}, not {partition_by}"
@@ -3093,6 +3143,13 @@ def overwrite_partitions_delta(
         actions.append(
             _add_action(table_path, rel, part_store, stat_cols, now_ms)
         )
+    rt_enabled = _RT_DOMAIN in snap.domain_metadata
+    if rt_enabled:
+        # replaced partitions carry NEW rows: fresh disjoint id ranges,
+        # mark advanced — ids of the replaced rows are never reused
+        _stamp_row_tracking(
+            table_path, actions, _rt_prev_hwm(snap), snap.version + 1
+        )
     actions.append(
         {
             "commitInfo": {
@@ -3107,7 +3164,10 @@ def overwrite_partitions_delta(
         read_files=set(doomed),
         partitions=new_parts,
         pcols=part_store,  # conflict checks read pv keys = physical
+        domains=frozenset({_RT_DOMAIN}) if rt_enabled else frozenset(),
+        stamp_row_commit_version=rt_enabled,
     )
+    guard.ict = _ict_on(snap.configuration)
     return _commit(table_path, actions, guard, snap.version)
 
 
@@ -3222,6 +3282,13 @@ def optimize_delta(
     if (min_file_size is not None or where is not None) and len(rels) < 2:
         return snap.version  # nothing worth compacting: no-op, no commit
     cluster_cols = _clustering_columns(snap)
+    if min_file_size is not None:
+        # small-file-only compaction must not Z-order a SUBSET: the
+        # z-key normalization would come from the selected files alone,
+        # inconsistent with the rest of the table (the same reason the
+        # explicit zorder_by+min_file_size combination is rejected) —
+        # the declared layout applies on the next full OPTIMIZE
+        cluster_cols = []
     if zorder_by is None and cluster_cols and not snap.partition_columns:
         # clustered table (writer-v7 clusteredTable feature): OPTIMIZE
         # applies the DECLARED layout — Z-order for 2+ columns, a
@@ -3282,7 +3349,9 @@ def optimize_delta(
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    # the table identity is immutable: re-emit the existing
+                    # metaData.id (a fresh uuid would read as table replacement)
+                    "id": snap.metadata_id or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": snap.schema.json(),
                     "partitionColumns": snap.partition_columns,
@@ -3327,6 +3396,7 @@ def optimize_delta(
         domains=frozenset({_RT_DOMAIN}) if rt_enabled else frozenset(),
         stamp_row_commit_version=rt_enabled,
     )
+    guard.ict = _ict_on(snap.configuration)
     return _commit(table_path, actions, guard, snap.version)
 
 
@@ -3409,6 +3479,8 @@ def _dml_rewrite(
     (to build its closures) passes ``snap`` — one log replay, one
     consistent version for plan AND closures."""
     snap = snap or snapshot(spark, table_path)
+    _reject_if_append_only(snap, op)
+    _reject_rewrite_row_tracking(snap, f"{op} (copy-on-write)")
     candidates, _ = prune_files_by_stats(snap, col, lo, hi)
     if not candidates:
         return snap.version, 0
@@ -3477,6 +3549,7 @@ def _dml_commit(
             }
         }
     )
+    guard.ict = _ict_on(snap.configuration)
     return _commit(table_path, actions, guard, snap.version)
 
 
@@ -3657,6 +3730,7 @@ def update_delta(
     n_files_rewritten)."""
     pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
     snap = snapshot(spark, table_path)
+    _reject_identity_assignment(snap.schema, set(set_exprs), "UPDATE")
     gen = _generated_exprs(snap.schema)
     _apply, _changes = _update_closures(pred, set_exprs, gen)
     return _dml_rewrite(
@@ -3884,7 +3958,9 @@ def merge_delta(
                 id_extra.append(
                     {
                         "metaData": {
-                            "id": str(uuid.uuid4()),
+                            # the table identity is immutable: re-emit the existing
+                            # metaData.id (a fresh uuid would read as table replacement)
+                            "id": snap.metadata_id or str(uuid.uuid4()),
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": _patch_identity_hwm(
                                 snap.schema, hwm_updates
@@ -4095,6 +4171,7 @@ def delete_delta_dv(
         read_files=set(candidates),
         predicate=(snap.physical(col), lo, hi),
     )
+    guard.ict = _ict_on(snap.configuration)
     return _commit(table_path, actions, guard, snap.version), len(per_file)
 
 
@@ -4172,6 +4249,7 @@ def update_delta_dv(
         read_files=set(candidates),
         predicate=(snap.physical(col), lo, hi),
     )
+    guard.ict = _ict_on(snap.configuration)
     return _commit(table_path, actions, guard, snap.version), len(per_file)
 
 

@@ -207,3 +207,140 @@ def test_clustering_survives_checkpoint(spark, tbl):
     write_checkpoint(spark, tbl)
     truncate_log(tbl)
     assert _clustering_columns(snapshot(spark, tbl)) == ["a"]
+
+
+# ---------------------------------------------------------------------------
+# second-review regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_append_only_blocks_stats_range_dml_and_partition_overwrite(spark, tmp_path):
+    # review finding: delete_delta/update_delta (stats-pruned fronts)
+    # and dynamic partition overwrite bypassed the append-only guard
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        delete_delta,
+        overwrite_partitions_delta,
+        update_delta,
+    )
+
+    tbl = str(tmp_path / "ao")
+    df = spark.range(20).selectExpr("id AS k", "id % 3 AS part")
+    write_delta(df, tbl, mode="overwrite", partition_by=["part"],
+                configuration=_AO_CONF)
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        delete_delta(spark, tbl, "k", 0, 5)
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        update_delta(spark, tbl, "k", 0, 5, {"k": "k + 100"})
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        overwrite_partitions_delta(
+            df.filter("part = 1"), tbl, partition_by=["part"]
+        )
+
+
+def test_row_tracking_blocks_stats_range_dml(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        delete_delta,
+        update_delta,
+    )
+
+    write_delta(_kv(spark, 0, 20), tbl, mode="overwrite",
+                configuration={"delta.enableRowTracking": "true"})
+    with pytest.raises(DeltaProtocolError, match="row-tracking"):
+        delete_delta(spark, tbl, "k", 0, 5)
+    with pytest.raises(DeltaProtocolError, match="row-tracking"):
+        update_delta(spark, tbl, "k", 0, 5, {"g": "9"})
+
+
+def test_row_tracking_partition_overwrite_stamps(spark, tmp_path):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        overwrite_partitions_delta,
+        read_delta_row_ids,
+    )
+
+    tbl = str(tmp_path / "rtpo")
+    df = spark.range(30).selectExpr("id AS k", "id % 3 AS part")
+    write_delta(df, tbl, mode="overwrite", partition_by=["part"],
+                configuration={"delta.enableRowTracking": "true"})
+    overwrite_partitions_delta(
+        spark.range(100, 110).selectExpr("id AS k", "CAST(1 AS LONG) AS part"),
+        tbl, partition_by=["part"],
+    )
+    d = read_delta_row_ids(spark, tbl)
+    assert d.count() == 30  # 20 untouched + 10 replacement rows
+    assert d.select("_row_id").distinct().count() == 30
+    # replaced partition got FRESH ids above the original mark
+    assert d.filter("k >= 100").agg(F.min("_row_id")).collect()[0][0] >= 30
+
+
+def test_ict_survives_log_truncation(spark, tbl):
+    # review finding: the field was inherited only from the predecessor
+    # commit JSON, so truncation broke the chain
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        truncate_log,
+        write_checkpoint,
+    )
+
+    write_delta(_kv(spark, 0, 5), tbl, mode="overwrite",
+                configuration=_ICT_CONF)
+    write_checkpoint(spark, tbl)
+    truncate_log(tbl)
+    write_delta(_kv(spark, 5, 10), tbl, mode="append")
+    ci = _commit_info(tbl, 1)
+    assert ci.get("inCommitTimestamp") is not None
+
+
+def test_ict_clone_carries_field(spark, tbl, tmp_path):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        clone_delta,
+    )
+
+    write_delta(_kv(spark, 0, 5), tbl, mode="overwrite",
+                configuration=_ICT_CONF)
+    dst = str(tmp_path / "ictclone")
+    clone_delta(spark, tbl, dst)
+    ci = _commit_info(dst, 0)
+    assert ci.get("inCommitTimestamp") is not None
+    write_delta(_kv(spark, 5, 10), dst, mode="append")
+    assert _commit_info(dst, 1).get("inCommitTimestamp") is not None
+
+
+def test_clustered_min_file_size_compacts_without_zorder(spark, tbl):
+    # review finding: min_file_size on a clustered table must not
+    # z-order the selected subset with subset-local normalization
+    df = spark.range(2000).selectExpr("id AS a", "(id * 37) % 100 AS b")
+    write_delta(df.repartition(6), tbl, mode="overwrite",
+                cluster_by=["a", "b"])
+    v = optimize_delta(spark, tbl, min_file_size=10**9, target_files=2)
+    assert read_delta(spark, tbl).count() == 2000
+    assert v >= 1  # the compaction committed (did not raise)
+
+
+def test_metadata_id_stable_across_metadata_commits(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        add_check_constraint,
+    )
+
+    write_delta(_kv(spark, 0, 5), tbl, mode="overwrite")
+    mid0 = snapshot(spark, tbl).metadata_id
+    add_check_constraint(spark, tbl, "k_nonneg", "k >= 0")
+    write_delta(_kv(spark, 5, 10).withColumn("extra", F.lit(1)), tbl,
+                mode="append")  # schema evolution commit
+    assert snapshot(spark, tbl).metadata_id == mid0
+
+
+def test_nested_clustering_path_rejected(spark, tbl):
+    import json as _json
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        _clustering_columns,
+    )
+
+    write_delta(_kv(spark, 0, 5), tbl, mode="overwrite", cluster_by=["k"])
+    snap = snapshot(spark, tbl)
+    snap.domain_metadata["delta.clustering"] = {
+        "domain": "delta.clustering",
+        "configuration": _json.dumps({"clusteringColumns": [["info", "x"]]}),
+        "removed": False,
+    }
+    with pytest.raises(DeltaProtocolError, match="nested clustering"):
+        _clustering_columns(snap)
