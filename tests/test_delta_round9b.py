@@ -179,9 +179,7 @@ def test_optimize_autoclusters_two_columns(spark, tbl):
 
 
 def test_optimize_autoclusters_single_column(spark, tbl):
-    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
-        prune_files_by_stats,
-    )
+    import json as _json
 
     df = spark.range(60000).selectExpr(
         "id AS a", "(id * 37) % 1000 AS b"
@@ -189,9 +187,20 @@ def test_optimize_autoclusters_single_column(spark, tbl):
     write_delta(df, tbl, mode="overwrite", cluster_by=["b"])
     optimize_delta(spark, tbl, target_files=8)
     snap = snapshot(spark, tbl)
-    cand, total = prune_files_by_stats(snap, "b", 0, 249)
-    # range-sorted on b: a quarter-band reads ~a quarter of the files
-    assert total >= 2 and len(cand) <= max(1, total // 2)
+    # the single-column auto-cluster property itself: each compacted
+    # file covers a DISJOINT b-range (file counts vary with AQE state
+    # under the shared test session, so assert the layout, not a count)
+    ranges = sorted(
+        (
+            int(_json.loads(a["stats"])["minValues"]["b"]),
+            int(_json.loads(a["stats"])["maxValues"]["b"]),
+        )
+        for a in snap.files.values()
+    )
+    assert len(ranges) >= 2
+    assert all(
+        ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1)
+    ), f"overlapping b-ranges after range-cluster: {ranges}"
     assert read_delta(spark, tbl).count() == 60000
 
 
