@@ -410,7 +410,27 @@ def _snapshot_partitions(
         import pyarrow.parquet as pq
 
         ckpt_v = max(checkpoints)
+        # a V2 checkpoint's file actions live in SIDECAR parquet under
+        # _delta_log/_sidecars/ — the named file is only a manifest;
+        # reading it alone would silently plan an empty table
+        action_files = list(checkpoints[ckpt_v])
+        sidecars: list[str] = []
         for part in checkpoints[ckpt_v]:
+            t = pq.read_table(part)
+            if "sidecar" in t.column_names:
+                log_dir = os.path.dirname(part)
+                for sc in t.column("sidecar").to_pylist():
+                    if sc and sc.get("path"):
+                        sidecars.append(
+                            os.path.join(log_dir, "_sidecars", sc["path"])
+                        )
+        missing = [p for p in sidecars if not os.path.exists(p)]
+        if missing:
+            raise DeltaProtocolError(
+                f"v2 checkpoint references missing sidecars {missing}"
+            )
+        action_files.extend(sidecars)
+        for part in action_files:
             t = pq.read_table(part)
             for col, key in (("add", "path"), ("remove", "path")):
                 if col not in t.column_names:

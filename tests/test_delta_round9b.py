@@ -353,3 +353,24 @@ def test_nested_clustering_path_rejected(spark, tbl):
     }
     with pytest.raises(DeltaProtocolError, match="nested clustering"):
         _clustering_columns(snap)
+
+
+def test_pysource_reads_truncated_v2_checkpoint_table(spark, tbl):
+    # the v2 manifest carries no add actions — the pysource planner
+    # must fold the sidecars or it silently plans an EMPTY table
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        truncate_log,
+        write_checkpoint_v2,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_pysource import (
+        register_delta_source,
+    )
+
+    write_delta(_kv(spark, 0, 40), tbl, mode="overwrite")
+    write_delta(_kv(spark, 40, 60), tbl, mode="append")
+    delete_rows(spark, tbl, "k >= 50")
+    write_checkpoint_v2(spark, tbl, sidecar_parts=2)
+    assert truncate_log(tbl)
+    register_delta_source(spark)
+    out = spark.read.format("delta_pylog").option("path", tbl).load()
+    assert out.count() == 50
