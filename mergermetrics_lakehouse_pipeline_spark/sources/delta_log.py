@@ -82,6 +82,7 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: reader-version-3 features this implementation actually honors
 SUPPORTED_READER_FEATURES = {
     "columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
+    "typeWidening",
 }
 _CDF_PROP = "delta.enableChangeDataFeed"
 _CM_MODE = "delta.columnMapping.mode"
@@ -114,6 +115,29 @@ _CLUSTER_DOMAIN = "delta.clustering"
 # transactions are rejected outright
 _AO_PROP = "delta.appendOnly"
 _SIDECAR_DIR = "_sidecars"
+# type widening (reader-writer feature typeWidening, delta.io
+# PROTOCOL.md): a mergeSchema-style write may WIDEN a column's type
+# instead of rejecting it; every widen is recorded in the field's
+# delta.typeChanges metadata and files written before the change keep
+# their narrow physical type — readers upcast at scan time
+_TW_PROP = "delta.enableTypeWidening"
+_TW_KEY = "delta.typeChanges"
+#: fromType -> allowed toTypes: the spec's stable widening matrix
+#: restricted to the primitive types this engine's tables use
+_TW_MATRIX: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+}
+
+
+def _is_widening(src: DataType, dst: DataType) -> bool:
+    return dst.typeName() in _TW_MATRIX.get(src.typeName(), set())
+
+
+def _has_type_changes(schema: StructType) -> bool:
+    return any(_TW_KEY in (f.metadata or {}) for f in schema.fields)
 
 
 class DeltaProtocolError(RuntimeError):
@@ -242,6 +266,14 @@ def _explicit_features(snap: DeltaSnapshot) -> tuple[set[str], set[str]]:
     if snap.column_mapping_mode != "none":
         rfeats |= {"columnMapping"}
         wfeats |= {"columnMapping"}
+    if (
+        snap.configuration.get(_TW_PROP, "").lower() == "true"
+        or _has_type_changes(snap.schema)
+    ):
+        # typeWidening is a reader-writer feature: files keep their
+        # pre-widen physical type, so readers MUST know to upcast
+        rfeats |= {"typeWidening"}
+        wfeats |= {"typeWidening"}
     return rfeats, wfeats
 
 
@@ -631,6 +663,21 @@ def _raw_reader(
         schema = _id_read_schema(snap)
         if extra_fields:
             schema = StructType(list(schema.fields) + list(extra_fields))
+        reader = reader.schema(schema)
+    elif _has_type_changes(snap.schema):
+        # a WIDENED table (typeWidening feature): files written before
+        # the widen keep the narrow physical type, and footer-merge
+        # refuses to merge int32/int64 schemas — an EXPLICIT read
+        # schema makes Spark's parquet reader upcast per file instead
+        # (the feature's read contract). Missing columns still
+        # NULL-fill; partition columns resolve from hive paths.
+        schema = StructType(
+            [
+                StructField(snap.physical(f.name), f.dataType, True)
+                for f in snap.schema.fields
+            ]
+            + list(extra_fields)
+        )
         reader = reader.schema(schema)
     return reader
 
@@ -1401,6 +1448,8 @@ def write_delta(
     evolved_schema: StructType | None = None
     prev_configuration: dict[str, str] = {}
     evolved_configuration: dict[str, str] = {}
+    #: columns this write WIDENS (type-widening evolution)
+    widen_cols: dict[str, tuple[DataType, DataType]] = {}
     #: identity-column assignment state for this write
     id_hwm_updates: dict[str, int] = {}
     id_unpersist: list[DataFrame] = []
@@ -1542,12 +1591,37 @@ def write_delta(
         # rejected (Delta requires explicit overwriteSchema for that).
         old_fields = {f.name: f.dataType for f in prev.schema.fields}
         new_fields = {f.name: f.dataType for f in df.schema.fields}
+        # type widening (reader-writer feature typeWidening): with
+        # delta.enableTypeWidening set at creation, a frame whose column
+        # is a spec-sanctioned WIDER type widens the TABLE (recorded in
+        # the field's delta.typeChanges metadata; existing files keep
+        # their narrow physical type and upcast at read — see
+        # _raw_reader); a NARROWER frame column upcasts to the table
+        # type before staging. Anything else still rejects.
+        tw_enabled = prev_configuration.get(_TW_PROP, "").lower() == "true"
+        upcast_cols: dict[str, DataType] = {}
         for name, dt in old_fields.items():
-            if name in new_fields and new_fields[name] != dt:
+            if name not in new_fields or new_fields[name] == dt:
+                continue
+            protected = name in _identity_specs(prev.schema) or name in (
+                _generated_exprs(prev.schema)
+            )
+            if tw_enabled and not protected and _is_widening(
+                dt, new_fields[name]
+            ):
+                widen_cols[name] = (dt, new_fields[name])
+            elif tw_enabled and not protected and _is_widening(
+                new_fields[name], dt
+            ):
+                upcast_cols[name] = dt
+            else:
                 raise DeltaProtocolError(
                     f"column {name!r} type change {dt} -> {new_fields[name]} "
-                    "needs an explicit schema overwrite"
+                    "needs an explicit schema overwrite (or, for widening, "
+                    f"a table created with {_TW_PROP}=true)"
                 )
+        for name, dt in upcast_cols.items():
+            df = df.withColumn(name, F.col(name).cast(dt))
         if set(old_fields) - set(new_fields):
             raise DeltaProtocolError(
                 f"{mode} is missing existing columns "
@@ -1591,6 +1665,28 @@ def write_delta(
                     for f in df.schema.fields
                 ]
             evolved_schema = StructType(ordered)
+        if widen_cols:
+            stamped_fields = []
+            for f in (evolved_schema or prev.schema).fields:
+                if f.name in widen_cols:
+                    old_dt, new_dt = widen_cols[f.name]
+                    md = dict(f.metadata or {})
+                    changes = list(md.get(_TW_KEY) or [])
+                    changes.append(
+                        {
+                            "fromType": old_dt.typeName(),
+                            "toType": new_dt.typeName(),
+                        }
+                    )
+                    md[_TW_KEY] = changes
+                    stamped_fields.append(
+                        StructField(f.name, new_dt, f.nullable, md)
+                    )
+                else:
+                    stamped_fields.append(f)
+            evolved_schema = StructType(stamped_fields)
+            if not evolved_configuration:
+                evolved_configuration = dict(prev_configuration)
 
     create_conf: dict[str, str] = {}
     create_schema: StructType | None = None
@@ -1746,21 +1842,28 @@ def write_delta(
             v7_feats |= {"inCommitTimestamp"}
         if cluster_by:
             v7_feats |= {"clusteredTable", "domainMetadata"}
+        if conf.get(_TW_PROP, "").lower() == "true":
+            v7_feats |= {"typeWidening"}
         if v7_feats:
             # these capabilities exist only as writer-v7 table features;
-            # re-state everything the legacy writer version implied
-            # (the reader version stays legacy — neither asks anything
-            # of readers)
+            # re-state everything the legacy writer version implied.
+            # The reader version stays legacy — none of them asks
+            # anything of readers — EXCEPT typeWidening, a reader-writer
+            # feature: pre-widen files keep the narrow physical type, so
+            # readers must know to upcast (reader 3 + readerFeatures)
             wfeats = _implied_writer_features(writer_v) | v7_feats
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": reader_v,
-                        "minWriterVersion": 7,
-                        "writerFeatures": sorted(wfeats),
-                    }
-                }
-            )
+            proto: dict[str, Any] = {
+                "minReaderVersion": reader_v,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(wfeats),
+            }
+            if "typeWidening" in v7_feats:
+                rfeats = {"typeWidening"}
+                if reader_v >= 2:  # column mapping was implied at r2
+                    rfeats |= {"columnMapping"}
+                proto["minReaderVersion"] = 3
+                proto["readerFeatures"] = sorted(rfeats)
+            actions.append({"protocol": proto})
         else:
             actions.append(
                 {
@@ -1795,6 +1898,25 @@ def write_delta(
                 }
             )
     elif evolved_schema is not None:
+        if widen_cols and "typeWidening" not in set(
+            prev.protocol.get("writerFeatures") or []
+        ) | _implied_writer_features(
+            int(prev.protocol.get("minWriterVersion", 2))
+        ):
+            # a widen on a table whose protocol predates the feature
+            # (foreign table carrying the property): upgrade in the
+            # same commit, everything implied made explicit
+            rf, wf = _explicit_features(prev)
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(rf | {"typeWidening"}),
+                        "writerFeatures": sorted(wf | {"typeWidening"}),
+                    }
+                }
+            )
         actions.append(
             {
                 "metaData": {
