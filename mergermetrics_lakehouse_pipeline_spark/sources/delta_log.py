@@ -203,6 +203,8 @@ def _list_versions(table_path: str) -> tuple[list[int], dict[int, list[str]]]:
     multi: dict[int, dict[int, tuple[int, str]]] = {}
     log_dir = _log_path(table_path)
     for name in os.listdir(log_dir):
+        if name.endswith(".compacted.json"):
+            continue  # minor log compactions — see _list_compactions
         if name.endswith(".json") and name[:20].isdigit():
             commits.append(int(name[:20]))
         elif name.endswith(".checkpoint.parquet") and name[:20].isdigit():
@@ -234,6 +236,38 @@ def _list_versions(table_path: str) -> tuple[list[int], dict[int, list[str]]]:
             continue
         checkpoints[v] = [p for _, (_, p) in sorted(parts.items())]
     return sorted(commits), checkpoints
+
+
+def _list_compactions(table_path: str) -> dict[int, list[tuple[int, str]]]:
+    """Minor LOG COMPACTION files ``<start>.<end>.compacted.json``
+    (delta.io PROTOCOL.md): start version -> [(end version, path), ...].
+    A reader may replay one in place of the individual commit JSONs in
+    its inclusive range — this engine does so whenever a commit JSON is
+    missing (snapshot(), the Python DataSource planner)."""
+    out: dict[int, list[tuple[int, str]]] = {}
+    log_dir = _log_path(table_path)
+    if not os.path.isdir(log_dir):
+        return out
+    for name in os.listdir(log_dir):
+        if not name.endswith(".compacted.json"):
+            continue
+        bits = name.split(".")
+        if (
+            len(bits) == 4
+            and bits[0].isdigit()
+            and bits[1].isdigit()
+            and int(bits[0]) < int(bits[1])
+        ):
+            out.setdefault(int(bits[0]), []).append(
+                (int(bits[1]), os.path.join(log_dir, name))
+            )
+    return out
+
+
+def _parse_log_file(path: str) -> list[dict[str, Any]]:
+    """Actions of one JSON-lines log file (commit or compaction)."""
+    with open(path, encoding="utf-8") as fh:
+        return [json.loads(line) for line in fh if line.strip()]
 
 
 def _check_protocol(action: dict[str, Any]) -> None:
@@ -401,11 +435,15 @@ def snapshot(
 ) -> DeltaSnapshot:
     """Reconstruct the table state at ``version`` (default: latest)."""
     commits, checkpoints = _list_versions(table_path)
-    if not commits and not checkpoints:
+    compactions = _list_compactions(table_path)
+    compaction_ends = [e for lst in compactions.values() for (e, _p) in lst]
+    if not commits and not checkpoints and not compaction_ends:
         raise FileNotFoundError(f"no Delta log at {_log_path(table_path)}")
-    latest = max(commits + list(checkpoints))
+    latest = max(commits + list(checkpoints) + compaction_ends)
     target = latest if version is None else version
-    if version is not None and version not in set(commits) | set(checkpoints):
+    if version is not None and version not in (
+        set(commits) | set(checkpoints) | set(compaction_ends)
+    ):
         raise ValueError(
             f"version {version} not in log (have commits {commits})"
         )
@@ -417,10 +455,22 @@ def snapshot(
         ckpt_v = max(usable_ckpts)
         _read_checkpoint(spark, snap, checkpoints[ckpt_v])
         start = ckpt_v + 1
-    for v in range(start, target + 1):
+    v = start
+    while v <= target:
         path = _commit_file(table_path, v)
         if not os.path.exists(path):
+            # a minor log compaction whose range fits replays in place
+            # of the deleted commit JSONs (the protocol's answer to
+            # long tails of small commits between checkpoints)
+            fits = [t for t in compactions.get(v, ()) if t[0] <= target]
+            if fits:
+                end, cpath = max(fits)
+                for action in _parse_log_file(cpath):
+                    _apply_action(snap, action)
+                v = end + 1
+                continue
             if v in checkpoints:  # state already folded in
+                v += 1
                 continue
             raise FileNotFoundError(
                 f"missing commit {v} (log truncated past last checkpoint?)"
@@ -430,6 +480,7 @@ def snapshot(
                 line = line.strip()
                 if line:
                     _apply_action(snap, json.loads(line))
+        v += 1
     if not snap.schema.fields:
         raise DeltaProtocolError("no metaData action found in log")
     return snap
@@ -913,13 +964,7 @@ class _CommitGuard:
 
 
 def _parse_commit(table_path: str, version: int) -> list[dict[str, Any]]:
-    actions = []
-    with open(_commit_file(table_path, version), encoding="utf-8") as fh:
-        for line in fh:
-            line = line.strip()
-            if line:
-                actions.append(json.loads(line))
-    return actions
+    return _parse_log_file(_commit_file(table_path, version))
 
 
 def _try_write_commit(
@@ -1024,10 +1069,25 @@ def _commit_info_ts(table_path: str, version: int) -> int:
 
 
 def _commit_info_ts_ict(table_path: str, version: int) -> tuple[int, bool]:
-    """(timestamp, carries-inCommitTimestamp) of ``version``."""
-    if version < 0 or not os.path.exists(_commit_file(table_path, version)):
+    """(timestamp, carries-inCommitTimestamp) of ``version``. When the
+    commit JSON was deleted after a minor log compaction, the
+    compaction ENDING at ``version`` preserves that commit's commitInfo
+    — so in-commit-timestamp chains stay monotonic across compacted
+    ranges."""
+    if version < 0:
         return 0, False
-    with open(_commit_file(table_path, version), encoding="utf-8") as fh:
+    path = _commit_file(table_path, version)
+    if not os.path.exists(path):
+        ends = [
+            (e, p)
+            for lst in _list_compactions(table_path).values()
+            for (e, p) in lst
+            if e == version
+        ]
+        if not ends:
+            return 0, False
+        path = ends[0][1]
+    with open(path, encoding="utf-8") as fh:
         for line in fh:
             if '"commitInfo"' not in line:
                 continue
@@ -1097,10 +1157,17 @@ def version_at_timestamp(table_path: str, ts_ms: int) -> int:
     rule). Timestamps are strictly monotonic by construction
     (_clamp_commit_ts), so the answer is unique. Raises ValueError when
     ``ts_ms`` predates the first available commit. O(commits) driver
-    metadata reads."""
+    metadata reads. Compacted-away versions resolve at the granularity
+    the log retains: a compaction's end version keeps its commitInfo,
+    interior versions do not (their JSONs are gone)."""
     commits, _ = _list_versions(table_path)
+    ends = {
+        e
+        for lst in _list_compactions(table_path).values()
+        for (e, _p) in lst
+    }
     best = None
-    for v in sorted(commits):
+    for v in sorted(set(commits) | ends):
         t = _commit_info_ts(table_path, v)
         if t and t > ts_ms:
             break
@@ -2386,6 +2453,97 @@ def truncate_log(table_path: str) -> list[int]:
             os.remove(_commit_file(table_path, v))
             removed.append(v)
     return removed
+
+
+def compact_log(
+    table_path: str, start_version: int, end_version: int
+) -> str:
+    """Author a MINOR LOG COMPACTION file (delta.io PROTOCOL.md, log
+    compaction): ``<start>.<end>.compacted.json`` holding the exact
+    action reconciliation of the inclusive commit range — per-path
+    latest add/remove, latest metaData/protocol, per-appId latest txn,
+    per-domain latest domainMetadata (removal markers carried so they
+    override earlier state), plus the LAST commit's commitInfo, which
+    keeps in-commit-timestamp chains and AS-OF-TIMESTAMP resolution at
+    the range boundary intact after the individual JSONs are deleted.
+
+    Readers replay the file in place of the range: snapshot() and the
+    Python DataSource planner consult it whenever a commit JSON is
+    missing. CDF/commit-stream replay needs the per-commit files and
+    keeps failing loudly across a compacted gap (as after
+    ``truncate_log``).
+
+    Scale: compaction is O(actions in range) driver-side metadata work,
+    no data movement — the protocol's answer to long tails of small
+    commits between checkpoints; at 100 TB a 1000-commit tail becomes
+    one sequential read.
+    """
+    if start_version < 0 or end_version <= start_version:
+        raise ValueError(
+            f"need 0 <= start < end, got [{start_version}, {end_version}]"
+        )
+    adds: dict[str, dict[str, Any]] = {}
+    removes: dict[str, dict[str, Any]] = {}
+    meta: dict[str, Any] | None = None
+    proto: dict[str, Any] | None = None
+    last_ci: dict[str, Any] | None = None
+    txns: dict[str, dict[str, Any]] = {}
+    domains: dict[str, dict[str, Any]] = {}
+    for v in range(start_version, end_version + 1):
+        if not os.path.exists(_commit_file(table_path, v)):
+            raise FileNotFoundError(
+                f"commit {v} missing — compaction needs the full "
+                f"[{start_version}, {end_version}] range"
+            )
+        for action in _parse_commit(table_path, v):
+            if "add" in action:
+                p = action["add"]["path"]
+                adds[p] = action["add"]
+                removes.pop(p, None)
+            elif "remove" in action:
+                p = action["remove"]["path"]
+                adds.pop(p, None)
+                removes[p] = action["remove"]
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "protocol" in action:
+                proto = action["protocol"]
+            elif "txn" in action:
+                t = action["txn"]
+                prev = txns.get(t["appId"])
+                if prev is None or int(t["version"]) >= int(prev["version"]):
+                    txns[t["appId"]] = t
+            elif "domainMetadata" in action:
+                domains[action["domainMetadata"]["domain"]] = action[
+                    "domainMetadata"
+                ]
+            elif "commitInfo" in action and v == end_version:
+                last_ci = action["commitInfo"]
+    lines: list[dict[str, Any]] = []
+    if proto is not None:
+        lines.append({"protocol": proto})
+    if meta is not None:
+        lines.append({"metaData": meta})
+    for t in txns.values():
+        lines.append({"txn": t})
+    for d in domains.values():
+        lines.append({"domainMetadata": d})
+    for r in removes.values():
+        lines.append({"remove": r})
+    for a in adds.values():
+        lines.append({"add": a})
+    if last_ci is not None:
+        lines.append({"commitInfo": last_ci})
+    out_path = os.path.join(
+        _log_path(table_path),
+        f"{start_version:020d}.{end_version:020d}.compacted.json",
+    )
+    tmp = f"{out_path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    os.replace(tmp, out_path)
+    return out_path
 
 
 _CONSTRAINT_PREFIX = "delta.constraints."

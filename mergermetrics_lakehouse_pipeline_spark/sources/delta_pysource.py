@@ -69,9 +69,12 @@ from pyspark.sql.types import StructType
 from .delta_log import (
     CDF_DIR,
     DeltaProtocolError,
+    _commit_file,
+    _list_compactions,
     _list_versions,
     _may_intersect,
     _parse_commit,
+    _parse_log_file,
     version_at_timestamp,
 )
 from urllib.parse import unquote
@@ -84,13 +87,31 @@ FORMAT_NAME = "delta_pylog"
 # --------------------------------------------------------------------------
 
 
+def _log_files_desc(table_path: str) -> list[tuple[int, str]]:
+    """(version, path) of every commit JSON plus every minor log
+    compaction (positioned at its END version — its table-level actions
+    are the latest in range), newest first, commits preferred on ties.
+    The version-ordered walk matters: a compaction covering deleted
+    commits may hold a NEWER metaData/protocol than any surviving
+    commit JSON, and returning the newest surviving commit's action
+    would silently read stale table state (the r9 sidecar bug class)."""
+    commits, _ = _list_versions(table_path)
+    entries = [(v, 1, _commit_file(table_path, v)) for v in commits] + [
+        (e, 0, p)
+        for lst in _list_compactions(table_path).values()
+        for (e, p) in lst
+    ]
+    entries.sort(reverse=True)
+    return [(v, p) for v, _pref, p in entries]
+
+
 def _latest_metadata(table_path: str) -> dict[str, Any]:
     """The newest metaData action, parsed without a SparkSession:
-    commit JSONs scanned newest-first, checkpoint parquet (pyarrow)
-    as fallback for truncated logs."""
-    commits, checkpoints = _list_versions(table_path)
-    for v in sorted(commits, reverse=True):
-        for action in _parse_commit(table_path, v):
+    commit JSONs and log compactions scanned newest-first, checkpoint
+    parquet (pyarrow) as fallback for truncated logs."""
+    _commits, checkpoints = _list_versions(table_path)
+    for _v, path in _log_files_desc(table_path):
+        for action in _parse_log_file(path):
             if "metaData" in action:
                 return action["metaData"]
     if checkpoints:
@@ -133,9 +154,9 @@ def _check_reader_protocol(table_path: str) -> None:
     silently misread (ADVICE r6 #2)."""
     from .delta_log import _check_protocol
 
-    commits, checkpoints = _list_versions(table_path)
-    for v in sorted(commits, reverse=True):
-        for action in _parse_commit(table_path, v):
+    _commits, checkpoints = _list_versions(table_path)
+    for _v, path in _log_files_desc(table_path):
+        for action in _parse_log_file(path):
             if "protocol" in action:
                 _check_protocol(action["protocol"])
                 return
@@ -443,12 +464,33 @@ def _snapshot_partitions(
                     else:
                         files.pop(unquote(a["path"]), None)
         start = ckpt_v + 1
-    for v in sorted(c for c in commits if c >= start):
+    compactions = _list_compactions(table_path)
+    ends = [e for lst in compactions.values() for (e, _p) in lst]
+    target = max(commits + ends, default=start - 1)
+
+    def _fold(action: dict) -> None:
+        if "add" in action:
+            files[unquote(action["add"]["path"])] = action["add"]
+        elif "remove" in action:
+            files.pop(unquote(action["remove"]["path"]), None)
+
+    v = start
+    while v <= target:
+        if not os.path.exists(_commit_file(table_path, v)):
+            # a minor log compaction replays in place of deleted commit
+            # JSONs — skipping the gap would silently plan stale state
+            fits = [t for t in compactions.get(v, ()) if t[0] <= target]
+            if fits:
+                end, cpath = max(fits)
+                for action in _parse_log_file(cpath):
+                    _fold(action)
+                v = end + 1
+                continue
+            v += 1  # checkpoint-covered hole (post-truncate_log)
+            continue
         for action in _parse_commit(table_path, v):
-            if "add" in action:
-                files[unquote(action["add"]["path"])] = action["add"]
-            elif "remove" in action:
-                files.pop(unquote(action["remove"]["path"]), None)
+            _fold(action)
+        v += 1
     return [
         _DeltaFilePartition(
             table_path,

@@ -111,7 +111,7 @@ def test_checkpoint_folds_state_and_survives_log_truncation(spark, tbl):
 
 
 def test_reader_feature_gate(spark, tbl):
-    """Unsupported reader-v3 features (e.g. typeWidening) stay loudly
+    """Unsupported reader-v3 features (e.g. variantType) stay loudly
     gated; supported ones (deletionVectors, columnMapping — round 6;
     v2Checkpoint — round 9) pass the protocol check."""
     write_delta(_nation(spark).select("n_nationkey"), tbl)
@@ -121,13 +121,13 @@ def test_reader_feature_gate(spark, tbl):
                 {
                     "protocol": {
                         "minReaderVersion": 3,
-                        "readerFeatures": ["deletionVectors", "typeWidening"],
+                        "readerFeatures": ["deletionVectors", "variantType"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="variantType"):
         read_delta(spark, tbl)
 
     # a supported v3 feature set is accepted
