@@ -375,8 +375,8 @@ def jpeg_gray_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if ncomp != 1:
                 raise ValueError(
-                    "multi-component (color) JPEG decode is documented "
-                    "out of scope; luminance-only streams decode for real"
+                    "multi-component stream: use jpeg_color_decode "
+                    "(jpeg_gray_decode is the single-component fast path)"
                 )
             qid = body[8]
         elif marker == 0xC4:  # DHT

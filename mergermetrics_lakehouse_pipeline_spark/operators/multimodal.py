@@ -5,14 +5,15 @@ the Spark-native shape for 100 TB multimodal corpora (payload stays
 columnar/compressed, metadata prunes without touching bytes).
 
 Decode kernels: WAV audio, non-interlaced 8-bit PNG (grayscale, RGB,
-RGBA; all five spec filters), uncompressed 24-bit BMP, GIF, and — round
-9 — baseline grayscale JPEG (operators/jpeg.py: full T.81 marker/
-Huffman/DCT pipeline, encode AND decode) decode for REAL via the
-stdlib + numpy — magic bytes are sniffed per payload. Formats still
-needing codec libraries absent from this container (color/progressive
-JPEG, MP4, compressed audio) fall back to a clearly-marked
-deterministic stub derived from the payload digest (or raise
-NotImplementedError in strict mode), so the Spark-side contract —
+RGBA; all five spec filters), uncompressed 24-bit BMP, GIF, and
+baseline sequential JPEG — grayscale (round 9) AND 3-component YCbCr
+color with 4:4:4/4:2:2/4:2:0 subsampling (round 10) — decode for REAL
+via the stdlib + numpy (operators/jpeg.py: full T.81 marker/Huffman/
+DCT pipeline, encode AND decode); magic bytes are sniffed per payload.
+Formats still needing codec libraries absent from this container
+(progressive JPEG, MP4, compressed audio) fall back to a
+clearly-marked deterministic stub derived from the payload digest (or
+raise NotImplementedError in strict mode), so the Spark-side contract —
 schema, Arrow batch shape, partitioning — is identical on every path
 and tested end-to-end.
 
@@ -273,14 +274,22 @@ def _decode_png(payload: bytes) -> dict:
 
 
 def _decode_jpeg(payload: bytes) -> dict:
-    """REAL image decode for baseline sequential grayscale JPEG
-    (operators/jpeg.py: marker parse -> Huffman entropy decode ->
-    dequantize -> IDCT, from the public T.81 spec — round 9, VERDICT r8
-    next-step #5). Color/progressive streams raise and the caller falls
-    back to the stub, with the boundary stated in jpeg.py."""
-    from .jpeg import jpeg_gray_decode
+    """REAL image decode for baseline sequential JPEG (operators/
+    jpeg.py: marker parse -> Huffman entropy decode -> dequantize ->
+    IDCT, from the public T.81 spec). Grayscale landed round 9; round
+    10 adds 3-component YCbCr with 4:4:4/4:2:2/4:2:0 subsampling —
+    dispatch reads the SOF component count, the color path upsamples
+    chroma and applies the JFIF BT.601 inverse, and luminance for the
+    feature/phash uses the same (r+g+b)//3 convention as the PNG path.
+    Progressive streams raise and the caller falls back to the stub,
+    with the boundary stated in jpeg.py."""
+    from .jpeg import jpeg_color_decode, jpeg_gray_decode, jpeg_sof_components
 
-    width, height, matrix = jpeg_gray_decode(payload)
+    if jpeg_sof_components(payload) == 1:
+        width, height, matrix = jpeg_gray_decode(payload)
+    else:
+        width, height, rgb = jpeg_color_decode(payload)
+        matrix = rgb.astype("int64").sum(axis=2) // 3
     rows = matrix.tolist()
     pixels = (matrix.ravel() / 255.0).tolist()
     return {
@@ -563,8 +572,8 @@ def _decode_payload(payload: bytes, *, strict: bool = False) -> dict:
     if strict:
         raise NotImplementedError(
             "payload format needs codec libraries not present in this "
-            "container (color JPEG/MP4/compressed audio); run with "
-            "strict=False for the stubbed deterministic kernel"
+            "container (progressive JPEG/MP4/compressed audio); run "
+            "with strict=False for the stubbed deterministic kernel"
         )
     return {
         "decoder": "stub",
