@@ -1664,6 +1664,7 @@ def _load_extensions() -> None:
         registry_r6,
         registry_r7,
         registry_r9,
+        registry_r10,
         registry_scale,
         registry_sinks,
         registry_tpch,
