@@ -232,6 +232,29 @@ EXTENDED_R9: list[str] = [
     "events_cadence_drift",
 ]
 
+#: Round-10 additions, reported under "extended_r10" — all earlier sets
+#: stay frozen so BENCH_r0N compare like-for-like.
+EXTENDED_R10: list[str] = [
+    "media_jpeg_color_roundtrip",
+    "delta_type_widening_roundtrip",
+    "delta_type_widening_pysource",
+    "delta_log_compaction_roundtrip",
+    "orders_quarter_momentum",
+    "order_to_ship_latency_bands",
+    "customer_balance_quartiles",
+    "supplier_revenue_rank_topk",
+    "part_brand_size_grid",
+    "events_weekday_type_mix",
+    "docs_lang_source_matrix",
+    "customer_top_spender_share_by_nation",
+    "customer_acctbal_sign_by_region",
+    "events_user_burst_histogram",
+    "lineitem_tax_discount_grid",
+    "orders_priority_weekday_heat",
+    "emb_dim_sign_profile",
+    "supplier_acctbal_extremes_by_nation",
+]
+
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -279,6 +302,7 @@ def main() -> None:
     extended_r6 = time_set(EXTENDED_R6)
     extended_r7 = time_set(EXTENDED_R7)
     extended_r9 = time_set(EXTENDED_R9)
+    extended_r10 = time_set(EXTENDED_R10)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -301,6 +325,8 @@ def main() -> None:
         "extended_r7_total": round(sum(extended_r7.values()), 3),
         "extended_r9": extended_r9,
         "extended_r9_total": round(sum(extended_r9.values()), 3),
+        "extended_r10": extended_r10,
+        "extended_r10_total": round(sum(extended_r10.values()), 3),
     }
     # Full detail to a file (the driver's stdout tail capture clipped the
     # r3 single-line output, losing the headline total)...
@@ -327,6 +353,7 @@ def main() -> None:
                 "extended_r6_total": full["extended_r6_total"],
                 "extended_r7_total": full["extended_r7_total"],
                 "extended_r9_total": full["extended_r9_total"],
+                "extended_r10_total": full["extended_r10_total"],
                 "detail": "BENCH_LOCAL.json",
             }
         )

@@ -1441,12 +1441,31 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # --- ROUND-9 ROTATION: head = this round's 15 new queries (the
-    # writer-v7 protocol increment, the real-JPEG codec row, and the
+    # --- ROUND-10 ROTATION: head = this round's 18 new queries (color
+    # JPEG, the typeWidening + log-compaction Delta increment, and the
     # analytics batch — all hash-green at sf0.001 AND sf0.01 and on a
     # vanilla session); the remainder re-verifies prior-round rows at
     # zero risk. ---
-    # round-9 additions (new surface)
+    # round-10 additions (new surface)
+    "media_jpeg_color_roundtrip",
+    "delta_type_widening_roundtrip",
+    "delta_type_widening_pysource",
+    "delta_log_compaction_roundtrip",
+    "orders_quarter_momentum",
+    "order_to_ship_latency_bands",
+    "customer_balance_quartiles",
+    "supplier_revenue_rank_topk",
+    "part_brand_size_grid",
+    "events_weekday_type_mix",
+    "docs_lang_source_matrix",
+    "customer_top_spender_share_by_nation",
+    "customer_acctbal_sign_by_region",
+    "events_user_burst_histogram",
+    "lineitem_tax_discount_grid",
+    "orders_priority_weekday_heat",
+    "emb_dim_sign_profile",
+    "supplier_acctbal_extremes_by_nation",
+    # --- round-9 additions (re-verification) ---
     "delta_identity_columns_roundtrip",
     "delta_row_tracking_roundtrip",
     "delta_row_tracking_optimize",
