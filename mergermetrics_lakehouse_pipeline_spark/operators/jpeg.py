@@ -334,18 +334,27 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def jpeg_gray_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline single-component JPEG; returns
-    (width, height, HxW uint8 matrix). Raises on multi-component,
-    progressive, or arithmetic-coded streams (documented scope)."""
+
+def _parse_headers(payload: bytes) -> dict:
+    """The ONE T.81 marker walk every decoder entry point shares
+    (review r10 finding #7 — three independent copies diverge): parses
+    DQT/DHT/SOF0/SOS/DRI/APP14 up to the entropy data. Returns
+    {width, height, comps: [(cid, h, v, tq)], scan: [(cid, td, ta)],
+    quant, huff, restart_interval, data_start, adobe_transform}.
+    ``adobe_transform`` is the APP14 color-transform flag (None when
+    absent): 0 = components are straight R,G,B (Photoshop-style
+    streams), 1 = YCbCr — review r10 finding #4: assuming YCbCr for
+    every 3-component stream silently garbles Adobe-RGB payloads."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    qid = dc_id = ac_id = 0
+    comps: list[tuple[int, int, int, int]] = []
+    scan: list[tuple[int, int, int]] = []
     restart_interval = 0
+    adobe_transform = None
     data_start = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -369,16 +378,19 @@ def jpeg_gray_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"only baseline sequential (SOF0) supported, got SOF{marker - 0xC0}"
+                f"only baseline sequential (SOF0) supported, got "
+                f"SOF{marker - 0xC0}"
             )
         elif marker == 0xC0:  # SOF0
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise ValueError(
-                    "multi-component stream: use jpeg_color_decode "
-                    "(jpeg_gray_decode is the single-component fast path)"
-                )
-            qid = body[8]
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                hf, vf = hv >> 4, hv & 0x0F
+                if not (1 <= hf <= 2 and 1 <= vf <= 2):
+                    raise ValueError(
+                        f"sampling factor {hf}x{vf} out of the 1-2 range"
+                    )
+                comps.append((cid, hf, vf, tq))
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -390,47 +402,89 @@ def jpeg_gray_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise ValueError("interleaved multi-component scan")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            if ns != len(comps):
+                raise ValueError("non-interleaved multi-scan unsupported")
+            for si in range(ns):
+                cid = body[1 + 2 * si]
+                tt = body[2 + 2 * si]
+                scan.append((cid, tt >> 4, tt & 0x0F))
             data_start = pos + 2 + length
             break
         pos += 2 + length
-    if data_start is None or width is None:
+    if data_start is None or width is None or not comps:
         raise ValueError("missing SOS/SOF0")
+    return {
+        "width": width,
+        "height": height,
+        "comps": comps,
+        "scan": scan,
+        "quant": quant,
+        "huff": huff,
+        "restart_interval": restart_interval,
+        "adobe_transform": adobe_transform,
+        "data_start": data_start,
+    }
 
-    reader = _BitReader(payload[data_start:])
-    q = quant[qid].astype(np.float64)
-    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+
+def _decode_block_zz(
+    reader: _BitReader,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    dc_pred: int,
+) -> tuple[list[int], int]:
+    """Entropy-decode one block into its zigzag coefficient list
+    (F.2.2: DC difference + AC run/size with ZRL and EOB); returns
+    (zz, new DC predictor). Shared by the gray and color walks."""
+    zz = [0] * 64
+    size = _read_huff(reader, dc_tab)
+    dc_pred += _extend(reader.bits(size), size)
+    zz[0] = dc_pred
+    k = 1
+    while k < 64:
+        rs = _read_huff(reader, ac_tab)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(reader.bits(rs & 0x0F), rs & 0x0F)
+        k += 1
+    return zz, dc_pred
+
+
+def jpeg_gray_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline single-component JPEG; returns
+    (width, height, HxW uint8 matrix). Raises on multi-component
+    (use jpeg_color_decode), progressive, or arithmetic-coded streams.
+    The IDCT stays the per-block matrix form (bit-identical to the
+    round-9 decoder the oracle row pinned its error bound against)."""
+    hdr = _parse_headers(payload)
+    if len(hdr["comps"]) != 1:
+        raise ValueError(
+            "multi-component stream: use jpeg_color_decode "
+            "(jpeg_gray_decode is the single-component fast path)"
+        )
+    if hdr["restart_interval"]:
+        raise ValueError("restart markers unsupported")
+    width, height = hdr["width"], hdr["height"]
+    _cid, _hf, _vf, qid = hdr["comps"][0]
+    _scid, dc_id, ac_id = hdr["scan"][0]
+    reader = _BitReader(payload[hdr["data_start"]:])
+    q = hdr["quant"][qid].astype(np.float64)
+    dc_tab, ac_tab = hdr["huff"][(0, dc_id)], hdr["huff"][(1, ac_id)]
     bh, bw = -(-height // 8), -(-width // 8)
     out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
     prev_dc = 0
-    mcu = 0
     for by in range(bh):
         for bx in range(bw):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                raise ValueError("restart markers unsupported")
-            mcu += 1
-            zz = [0] * 64
-            size = _read_huff(reader, dc_tab)
-            prev_dc += _extend(reader.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _read_huff(reader, ac_tab)
-                run, size = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
+            zz, prev_dc = _decode_block_zz(reader, dc_tab, ac_tab, prev_dc)
             coeffs = np.zeros((8, 8))
             for i, (r, c) in enumerate(ZIGZAG):
                 coeffs[r, c] = zz[i]
@@ -581,109 +635,34 @@ def jpeg_color_encode(rgb: np.ndarray, subsampling: str = "420") -> bytes:
 
 
 def jpeg_sof_components(payload: bytes) -> int:
-    """Component count from the SOF0 header (cheap marker walk) — how
-    the multimodal router dispatches gray vs color without decoding."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG")
-    pos = 2
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"marker expected at {pos}")
-        marker = payload[pos + 1]
-        if marker in (0xD9, 0xDA):
-            break
-        (length,) = struct.unpack(">H", payload[pos + 2:pos + 4])
-        if marker == 0xC0:
-            return payload[pos + 4 + 5]
-        pos += 2 + length
-    raise ValueError("no SOF0 header found")
+    """Component count from the SOF0 header — how the multimodal
+    router dispatches gray vs color without decoding."""
+    return len(_parse_headers(payload)["comps"])
 
 
 def jpeg_color_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline 3-component YCbCr JPEG (sampling factors 1-2
-    per axis; 4:4:4, 4:2:2, and 4:2:0 layouts all fall out of the
-    general MCU walk); returns (width, height, HxWx3 uint8 RGB).
+    """Decode a baseline 3-component JPEG (sampling factors 1-2 per
+    axis; 4:4:4, 4:2:2, and 4:2:0 layouts all fall out of the general
+    MCU walk); returns (width, height, HxWx3 uint8 RGB).
     Entropy decode is the sequential Huffman walk the format forces;
     dequantize + IDCT run as ONE vectorized einsum per component.
-    Chroma upsampling is pixel replication; the color transform is the
-    JFIF full-range BT.601 inverse. Progressive/arithmetic streams and
-    restart markers raise (documented scope, as in jpeg_gray_decode)."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG")
-    pos = 2
-    quant: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    width = height = None
-    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
-    scan: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
-    restart_interval = 0
-    data_start = None
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"marker expected at {pos}")
-        marker = payload[pos + 1]
-        if marker == 0xD9:
-            break
-        (length,) = struct.unpack(">H", payload[pos + 2:pos + 4])
-        body = payload[pos + 4:pos + 2 + length]
-        if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                tbl = np.zeros((8, 8), dtype=np.int32)
-                for k, (r, c) in enumerate(ZIGZAG):
-                    tbl[r, c] = body[i + 1 + k]
-                quant[tq] = tbl
-                i += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                f"only baseline sequential (SOF0) supported, got "
-                f"SOF{marker - 0xC0}"
-            )
-        elif marker == 0xC0:  # SOF0
-            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 3:
-                raise ValueError(
-                    f"{ncomp}-component stream: use jpeg_gray_decode for "
-                    "single-component baselines"
-                )
-            for ci in range(ncomp):
-                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                hf, vf = hv >> 4, hv & 0x0F
-                if not (1 <= hf <= 2 and 1 <= vf <= 2):
-                    raise ValueError(
-                        f"sampling factor {hf}x{vf} out of the 1-2 range"
-                    )
-                comps.append((cid, hf, vf, tq))
-        elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17:i + 17 + n])
-                huff[(tc, th)] = _decode_table(bits, vals)
-                i += 17 + n
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            if ns != len(comps):
-                raise ValueError("non-interleaved multi-scan unsupported")
-            for si in range(ns):
-                cid = body[1 + 2 * si]
-                tt = body[2 + 2 * si]
-                scan.append((cid, tt >> 4, tt & 0x0F))
-            data_start = pos + 2 + length
-            break
-        pos += 2 + length
-    if data_start is None or width is None or not comps:
-        raise ValueError("missing SOS/SOF0")
-    if restart_interval:
+    Chroma upsampling is pixel replication. The color transform is the
+    JFIF full-range BT.601 inverse — unless the stream's APP14 Adobe
+    marker declares transform=0 or the component ids spell 'R','G','B',
+    in which case the planes are already RGB and pass through (review
+    r10 finding #4). Progressive/arithmetic streams and restart markers
+    raise (documented scope, as in jpeg_gray_decode)."""
+    hdr = _parse_headers(payload)
+    comps = hdr["comps"]
+    if len(comps) != 3:
+        raise ValueError(
+            f"{len(comps)}-component stream: use jpeg_gray_decode for "
+            "single-component baselines"
+        )
+    if hdr["restart_interval"]:
         raise ValueError("restart markers unsupported")
+    width, height = hdr["width"], hdr["height"]
+    quant, huff, scan = hdr["quant"], hdr["huff"], hdr["scan"]
 
     by_cid = {c[0]: c for c in comps}
     hmax = max(c[1] for c in comps)
@@ -691,7 +670,7 @@ def jpeg_color_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
 
-    reader = _BitReader(payload[data_start:])
+    reader = _BitReader(payload[hdr["data_start"]:])
     # per-component zigzag coefficient grids, filled by the scan walk
     grids: dict[int, np.ndarray] = {
         cid: np.zeros((mcuy * vf, mcux * hf, 64), dtype=np.int32)
@@ -705,25 +684,9 @@ def jpeg_color_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
                 dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
                 for by in range(vf):
                     for bx in range(hf):
-                        zz = np.zeros(64, dtype=np.int32)
-                        size = _read_huff(reader, dc_tab)
-                        prev_dc[cid] += _extend(reader.bits(size), size)
-                        zz[0] = prev_dc[cid]
-                        k = 1
-                        while k < 64:
-                            rs = _read_huff(reader, ac_tab)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(
-                                reader.bits(rs & 0x0F), rs & 0x0F
-                            )
-                            k += 1
+                        zz, prev_dc[cid] = _decode_block_zz(
+                            reader, dc_tab, ac_tab, prev_dc[cid]
+                        )
                         grids[cid][my * vf + by, mx * hf + bx] = zz
 
     planes: dict[int, np.ndarray] = {}
@@ -743,6 +706,15 @@ def jpeg_color_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         )
         planes[cid] = plane[:height, :width]
 
-    y_cid, cb_cid, cr_cid = (c[0] for c in comps)
-    rgb = _ycbcr_to_rgb(planes[y_cid], planes[cb_cid], planes[cr_cid])
-    return width, height, rgb
+    c0, c1, c2 = (c[0] for c in comps)
+    ids = tuple(c[0] for c in comps)
+    is_rgb = hdr["adobe_transform"] == 0 or ids == (0x52, 0x47, 0x42)
+    if hdr["adobe_transform"] == 2:
+        raise ValueError("APP14 YCCK transform unsupported")
+    if is_rgb:
+        rgb = np.clip(
+            np.rint(np.stack([planes[c0], planes[c1], planes[c2]], axis=-1)),
+            0, 255,
+        ).astype(np.uint8)
+        return width, height, rgb
+    return width, height, _ycbcr_to_rgb(planes[c0], planes[c1], planes[c2])

@@ -140,6 +140,23 @@ def _has_type_changes(schema: StructType) -> bool:
     return any(_TW_KEY in (f.metadata or {}) for f in schema.fields)
 
 
+def _check_type_changes(schema: StructType) -> None:
+    """Gate foreign typeChanges trails to the widenings this reader
+    actually implements: SUPPORTED_READER_FEATURES lists typeWidening,
+    but the spec's full matrix also covers decimal growth, int->decimal
+    and date->timestampNtz — a trail outside _TW_MATRIX must raise the
+    clean protocol error here, not an opaque parquet conversion failure
+    mid-scan."""
+    for f in schema.fields:
+        for ch in (f.metadata or {}).get(_TW_KEY) or []:
+            if ch.get("toType") not in _TW_MATRIX.get(ch.get("fromType"), set()):
+                raise DeltaProtocolError(
+                    f"column {f.name!r} records a type change "
+                    f"{ch.get('fromType')} -> {ch.get('toType')} outside "
+                    f"this reader's widening support {_TW_MATRIX}"
+                )
+
+
 class DeltaProtocolError(RuntimeError):
     """Table requires reader features this implementation doesn't have."""
 
@@ -192,19 +209,37 @@ def _commit_file(table_path: str, version: int) -> str:
     return os.path.join(_log_path(table_path), f"{version:020d}.json")
 
 
-def _list_versions(table_path: str) -> tuple[list[int], dict[int, list[str]]]:
-    """Commit versions present as JSON, and checkpoint version -> its
-    parquet part files (one for single-part checkpoints; the complete
+def _scan_log(
+    table_path: str,
+) -> tuple[list[int], dict[int, list[str]], dict[int, list[tuple[int, str]]]]:
+    """ONE directory listing -> (commits, checkpoints, compactions):
+    commit versions present as JSON; checkpoint version -> its parquet
+    part files (one for single-part checkpoints; the complete
     ``<v>.checkpoint.<i>.<n>.parquet`` set for multi-part ones, which
     other engines write for large tables — an incomplete set raises
-    rather than silently reading half the state)."""
+    rather than silently reading half the state); and minor log
+    compactions ``<start>.<end>.compacted.json`` as start -> [(end,
+    path), ...]. On an object-store log every listing is a LIST
+    round-trip, so callers needing more than one facet share this
+    single pass."""
     commits: list[int] = []
     checkpoints: dict[int, list[str]] = {}
+    compactions: dict[int, list[tuple[int, str]]] = {}
     multi: dict[int, dict[int, tuple[int, str]]] = {}
     log_dir = _log_path(table_path)
     for name in os.listdir(log_dir):
         if name.endswith(".compacted.json"):
-            continue  # minor log compactions — see _list_compactions
+            bits = name.split(".")
+            if (
+                len(bits) == 4
+                and bits[0].isdigit()
+                and bits[1].isdigit()
+                and int(bits[0]) < int(bits[1])
+            ):
+                compactions.setdefault(int(bits[0]), []).append(
+                    (int(bits[1]), os.path.join(log_dir, name))
+                )
+            continue
         if name.endswith(".json") and name[:20].isdigit():
             commits.append(int(name[:20]))
         elif name.endswith(".checkpoint.parquet") and name[:20].isdigit():
@@ -235,33 +270,21 @@ def _list_versions(table_path: str) -> tuple[list[int], dict[int, list[str]]]:
             # only offered while correctness is provable.
             continue
         checkpoints[v] = [p for _, (_, p) in sorted(parts.items())]
-    return sorted(commits), checkpoints
+    return sorted(commits), checkpoints, compactions
+
+
+def _list_versions(table_path: str) -> tuple[list[int], dict[int, list[str]]]:
+    """(commits, checkpoints) — see _scan_log."""
+    commits, checkpoints, _compactions = _scan_log(table_path)
+    return commits, checkpoints
 
 
 def _list_compactions(table_path: str) -> dict[int, list[tuple[int, str]]]:
-    """Minor LOG COMPACTION files ``<start>.<end>.compacted.json``
-    (delta.io PROTOCOL.md): start version -> [(end version, path), ...].
-    A reader may replay one in place of the individual commit JSONs in
-    its inclusive range — this engine does so whenever a commit JSON is
-    missing (snapshot(), the Python DataSource planner)."""
-    out: dict[int, list[tuple[int, str]]] = {}
-    log_dir = _log_path(table_path)
-    if not os.path.isdir(log_dir):
-        return out
-    for name in os.listdir(log_dir):
-        if not name.endswith(".compacted.json"):
-            continue
-        bits = name.split(".")
-        if (
-            len(bits) == 4
-            and bits[0].isdigit()
-            and bits[1].isdigit()
-            and int(bits[0]) < int(bits[1])
-        ):
-            out.setdefault(int(bits[0]), []).append(
-                (int(bits[1]), os.path.join(log_dir, name))
-            )
-    return out
+    """Minor LOG COMPACTION files (see _scan_log): a reader may replay
+    one in place of the individual commit JSONs in its inclusive range —
+    this engine does so whenever a commit JSON is missing (snapshot(),
+    the Python DataSource planner)."""
+    return _scan_log(table_path)[2]
 
 
 def _parse_log_file(path: str) -> list[dict[str, Any]]:
@@ -434,8 +457,7 @@ def snapshot(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DeltaSnapshot:
     """Reconstruct the table state at ``version`` (default: latest)."""
-    commits, checkpoints = _list_versions(table_path)
-    compactions = _list_compactions(table_path)
+    commits, checkpoints, compactions = _scan_log(table_path)
     compaction_ends = [e for lst in compactions.values() for (e, _p) in lst]
     if not commits and not checkpoints and not compaction_ends:
         raise FileNotFoundError(f"no Delta log at {_log_path(table_path)}")
@@ -459,10 +481,21 @@ def snapshot(
     while v <= target:
         path = _commit_file(table_path, v)
         if not os.path.exists(path):
-            # a minor log compaction whose range fits replays in place
-            # of the deleted commit JSONs (the protocol's answer to
-            # long tails of small commits between checkpoints)
-            fits = [t for t in compactions.get(v, ()) if t[0] <= target]
+            # a minor log compaction COVERING v replays in place of the
+            # deleted commit JSONs (the protocol's answer to long tails
+            # of small commits between checkpoints). The range may
+            # start below v (e.g. straddling the checkpoint the replay
+            # resumed from): re-applying already-applied versions is
+            # safe — reconciliation is last-writer-wins per path/domain
+            # and monotone for txn watermarks — but the range must END
+            # at or below the target or the replay would overshoot.
+            fits = [
+                (e, p)
+                for s, lst in compactions.items()
+                if s <= v
+                for (e, p) in lst
+                if v <= e <= target
+            ]
             if fits:
                 end, cpath = max(fits)
                 for action in _parse_log_file(cpath):
@@ -722,6 +755,7 @@ def _raw_reader(
         # schema makes Spark's parquet reader upcast per file instead
         # (the feature's read contract). Missing columns still
         # NULL-fill; partition columns resolve from hive paths.
+        _check_type_changes(snap.schema)
         schema = StructType(
             [
                 StructField(snap.physical(f.name), f.dataType, True)
@@ -1055,7 +1089,11 @@ def _check_rebase(
     return
 
 
-def _commit_info_ts(table_path: str, version: int) -> int:
+def _commit_info_ts(
+    table_path: str,
+    version: int,
+    compactions: dict[int, list[tuple[int, str]]] | None = None,
+) -> int:
     """Authoritative timestamp of ``version`` — ``inCommitTimestamp``
     when the commit carries the writer-v7 feature's field, else the
     plain commitInfo timestamp (0 when the commit JSON or its
@@ -1064,11 +1102,15 @@ def _commit_info_ts(table_path: str, version: int) -> int:
     probe) — a 50k-add commit would otherwise be fully JSON-parsed on
     every subsequent commit attempt just to read one timestamp
     (round-7 review finding #8)."""
-    ts, _ = _commit_info_ts_ict(table_path, version)
+    ts, _ = _commit_info_ts_ict(table_path, version, compactions)
     return ts
 
 
-def _commit_info_ts_ict(table_path: str, version: int) -> tuple[int, bool]:
+def _commit_info_ts_ict(
+    table_path: str,
+    version: int,
+    compactions: dict[int, list[tuple[int, str]]] | None = None,
+) -> tuple[int, bool]:
     """(timestamp, carries-inCommitTimestamp) of ``version``. When the
     commit JSON was deleted after a minor log compaction, the
     compaction ENDING at ``version`` preserves that commit's commitInfo
@@ -1078,9 +1120,11 @@ def _commit_info_ts_ict(table_path: str, version: int) -> tuple[int, bool]:
         return 0, False
     path = _commit_file(table_path, version)
     if not os.path.exists(path):
+        if compactions is None:  # callers in loops pass the scan once
+            compactions = _list_compactions(table_path)
         ends = [
             (e, p)
-            for lst in _list_compactions(table_path).values()
+            for lst in compactions.values()
             for (e, p) in lst
             if e == version
         ]
@@ -1160,15 +1204,11 @@ def version_at_timestamp(table_path: str, ts_ms: int) -> int:
     metadata reads. Compacted-away versions resolve at the granularity
     the log retains: a compaction's end version keeps its commitInfo,
     interior versions do not (their JSONs are gone)."""
-    commits, _ = _list_versions(table_path)
-    ends = {
-        e
-        for lst in _list_compactions(table_path).values()
-        for (e, _p) in lst
-    }
+    commits, _ckpts, compactions = _scan_log(table_path)
+    ends = {e for lst in compactions.values() for (e, _p) in lst}
     best = None
     for v in sorted(set(commits) | ends):
-        t = _commit_info_ts(table_path, v)
+        t = _commit_info_ts(table_path, v, compactions)
         if t and t > ts_ms:
             break
         best = v
@@ -1507,8 +1547,14 @@ def write_delta(
     partition_by = list(partition_by or [])
     spark = df.sparkSession
     os.makedirs(_log_path(table_path), exist_ok=True)
-    commits, checkpoints = _list_versions(table_path)
-    known_versions = set(commits) | set(checkpoints)
+    commits, checkpoints, compactions = _scan_log(table_path)
+    # a log whose only surviving artifacts are compaction files is an
+    # EXISTING table (snapshot() reads it) — treating it as brand-new
+    # would re-create it over its own history
+    compaction_ends = {
+        e for lst in compactions.values() for (e, _p) in lst
+    }
+    known_versions = set(commits) | set(checkpoints) | compaction_ends
     base_version = max(known_versions) if known_versions else -1
 
     prev_files: dict[str, dict] = {}

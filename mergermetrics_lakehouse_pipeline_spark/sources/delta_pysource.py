@@ -70,11 +70,11 @@ from .delta_log import (
     CDF_DIR,
     DeltaProtocolError,
     _commit_file,
-    _list_compactions,
     _list_versions,
     _may_intersect,
     _parse_commit,
     _parse_log_file,
+    _scan_log,
     version_at_timestamp,
 )
 from urllib.parse import unquote
@@ -95,11 +95,9 @@ def _log_files_desc(table_path: str) -> list[tuple[int, str]]:
     commits may hold a NEWER metaData/protocol than any surviving
     commit JSON, and returning the newest surviving commit's action
     would silently read stale table state (the r9 sidecar bug class)."""
-    commits, _ = _list_versions(table_path)
+    commits, _ckpts, compactions = _scan_log(table_path)
     entries = [(v, 1, _commit_file(table_path, v)) for v in commits] + [
-        (e, 0, p)
-        for lst in _list_compactions(table_path).values()
-        for (e, p) in lst
+        (e, 0, p) for lst in compactions.values() for (e, p) in lst
     ]
     entries.sort(reverse=True)
     return [(v, p) for v, _pref, p in entries]
@@ -142,6 +140,9 @@ def _table_schema(table_path: str) -> tuple[StructType, list[str]]:
         )
     _check_reader_protocol(table_path)
     schema = StructType.fromJson(json.loads(md["schemaString"]))
+    from .delta_log import _check_type_changes
+
+    _check_type_changes(schema)  # gate unsupported foreign widenings
     return schema, list(md.get("partitionColumns") or [])
 
 
@@ -424,7 +425,7 @@ def _snapshot_partitions(
     (from pushed filters) stats-prunes: a file whose footer min/max or
     partition value provably cannot intersect every bound is never
     planned, the same data-skipping read_delta_pruned applies."""
-    commits, checkpoints = _list_versions(table_path)
+    commits, checkpoints, compactions = _scan_log(table_path)
     files: dict[str, dict] = {}
     start = 0
     if checkpoints:
@@ -464,7 +465,6 @@ def _snapshot_partitions(
                     else:
                         files.pop(unquote(a["path"]), None)
         start = ckpt_v + 1
-    compactions = _list_compactions(table_path)
     ends = [e for lst in compactions.values() for (e, _p) in lst]
     target = max(commits + ends, default=start - 1)
 
@@ -474,20 +474,35 @@ def _snapshot_partitions(
         elif "remove" in action:
             files.pop(unquote(action["remove"]["path"]), None)
 
+    checkpoint_versions = set(checkpoints)
     v = start
     while v <= target:
         if not os.path.exists(_commit_file(table_path, v)):
-            # a minor log compaction replays in place of deleted commit
-            # JSONs — skipping the gap would silently plan stale state
-            fits = [t for t in compactions.get(v, ()) if t[0] <= target]
+            # a minor log compaction COVERING v (its range may start
+            # below v — re-applying reconciled actions is last-wins
+            # safe) replays in place of deleted commit JSONs; an
+            # uncovered gap raises, matching snapshot() — skipping it
+            # would silently plan stale state (the r9 sidecar class)
+            fits = [
+                (e, p)
+                for s, lst in compactions.items()
+                if s <= v
+                for (e, p) in lst
+                if v <= e <= target
+            ]
             if fits:
                 end, cpath = max(fits)
                 for action in _parse_log_file(cpath):
                     _fold(action)
                 v = end + 1
                 continue
-            v += 1  # checkpoint-covered hole (post-truncate_log)
-            continue
+            if v in checkpoint_versions:  # state already folded in
+                v += 1
+                continue
+            raise DeltaProtocolError(
+                f"missing commit {v} (log truncated past last "
+                "checkpoint?) — refusing to plan a partial snapshot"
+            )
         for action in _parse_commit(table_path, v):
             _fold(action)
         v += 1

@@ -119,3 +119,64 @@ def test_bad_subsampling_rejected():
         jpeg_color_encode(_ramp(8, 8), "422")
     with pytest.raises(ValueError, match="HxWx3"):
         jpeg_color_encode(np.zeros((8, 8), np.uint8))
+
+
+def _splice_app14(payload: bytes, transform: int) -> bytes:
+    """Insert an APP14 Adobe segment right after SOI."""
+    import struct
+
+    body = b"Adobe" + b"\x00\x64" + b"\x00\x00" + b"\x00\x00" + bytes(
+        [transform]
+    )
+    seg = struct.pack(">HH", 0xFFEE, len(body) + 2) + body
+    return payload[:2] + seg + payload[2:]
+
+
+def test_app14_transform0_skips_color_transform():
+    """Review r10 finding #4: APP14 transform=0 declares the components
+    are straight R,G,B — the BT.601 inverse must NOT run."""
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 100, 50
+    payload = jpeg_color_encode(img, "444")
+    # what the encoder actually stored per plane (the YCbCr values)
+    y = 0.299 * 200 + 0.587 * 100 + 0.114 * 50
+    cb = 128 - 0.168736 * 200 - 0.331264 * 100 + 0.5 * 50
+    cr = 128 + 0.5 * 200 - 0.418688 * 100 - 0.081312 * 50
+
+    _w, _h, as_rgbmode = jpeg_color_decode(_splice_app14(payload, 0))
+    # plane pass-through: channel k ~= the stored plane value
+    assert abs(int(as_rgbmode[4, 4, 0]) - y) <= 2
+    assert abs(int(as_rgbmode[4, 4, 1]) - cb) <= 2
+    assert abs(int(as_rgbmode[4, 4, 2]) - cr) <= 2
+
+    # transform=1 (explicit YCbCr) matches the default decode
+    _w, _h, as_ycbcr = jpeg_color_decode(_splice_app14(payload, 1))
+    _w, _h, default = jpeg_color_decode(payload)
+    assert np.array_equal(as_ycbcr, default)
+    assert np.abs(default[4, 4].astype(int) - [200, 100, 50]).max() <= 2
+
+
+def test_app14_ycck_rejected():
+    payload = jpeg_color_encode(_ramp(8, 8), "444")
+    with pytest.raises(ValueError, match="YCCK"):
+        jpeg_color_decode(_splice_app14(payload, 2))
+
+
+def test_rgb_component_ids_skip_color_transform():
+    """Component ids 'R','G','B' (no APP14) also mean straight RGB."""
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 100, 50
+    payload = bytearray(jpeg_color_encode(img, "444"))
+    sof = bytes(payload).index(b"\xff\xc0")
+    # component ids live at sof+10, +13, +16 (cid, hv, tq triplets)
+    assert payload[sof + 10] == 1 and payload[sof + 13] == 2
+    for off, cid in ((10, 0x52), (13, 0x47), (16, 0x42)):
+        payload[sof + off] = cid
+    sos = bytes(payload).index(b"\xff\xda")
+    # SOS component selectors at sos+5, +7, +9
+    assert payload[sos + 5] == 1
+    for off, cid in ((5, 0x52), (7, 0x47), (9, 0x42)):
+        payload[sos + off] = cid
+    _w, _h, dec = jpeg_color_decode(bytes(payload))
+    y = 0.299 * 200 + 0.587 * 100 + 0.114 * 50
+    assert abs(int(dec[4, 4, 0]) - y) <= 2  # plane passed through raw

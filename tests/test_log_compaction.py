@@ -159,3 +159,62 @@ def test_bad_range_rejected(spark, tbl):
         compact_log(tbl, 3, 3)
     with pytest.raises(ValueError):
         compact_log(tbl, -1, 2)
+
+
+def test_write_after_full_compaction_appends_not_recreates(spark, tbl):
+    """Review r10 finding #1: a log whose only surviving artifacts are
+    compaction files is an EXISTING table — a write must append on top
+    of version 3, not re-create at version 0."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        snapshot,
+    )
+
+    _build(spark, tbl)
+    compact_log(tbl, 0, 3)
+    _rm_commits(tbl, [0, 1, 2, 3])
+    v = write_delta(_kv(spark, 25, 30), tbl, mode="append")
+    assert v == 4
+    snap = snapshot(spark, tbl)
+    assert snap.version == 4
+    assert sorted(r.k for r in read_delta(spark, tbl).collect()) == list(
+        range(5, 30)
+    )
+
+
+def test_compaction_straddling_checkpoint_still_replays(spark, tbl):
+    """Review r10 finding #3: a compaction range that STARTS below the
+    latest checkpoint must still serve the versions above it —
+    re-applying reconciled actions over checkpoint state is
+    last-writer-wins safe."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        snapshot,
+    )
+
+    _build(spark, tbl)  # v0..v3
+    write_checkpoint(spark, tbl)  # checkpoint at v3
+    write_delta(_kv(spark, 25, 30), tbl, mode="append")  # v4
+    write_delta(_kv(spark, 30, 35), tbl, mode="append")  # v5
+    compact_log(tbl, 2, 5)  # straddles the checkpoint
+    _rm_commits(tbl, [0, 1, 2, 3, 4, 5])
+    snap = snapshot(spark, tbl)
+    assert snap.version == 5
+    assert sorted(r.k for r in read_delta(spark, tbl).collect()) == list(
+        range(5, 35)
+    )
+
+
+def test_pysource_raises_on_uncovered_gap(spark, tbl):
+    """Review r10 finding #2: the Python DataSource planner must FAIL
+    on a commit gap no compaction or checkpoint covers — silently
+    skipping it would plan stale state (read_delta raises here too)."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        DeltaProtocolError,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_pysource import (
+        _snapshot_partitions,
+    )
+
+    _build(spark, tbl)
+    _rm_commits(tbl, [2])  # no compaction covers v2
+    with pytest.raises(DeltaProtocolError, match="missing commit 2"):
+        _snapshot_partitions(tbl)

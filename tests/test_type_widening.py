@@ -226,3 +226,42 @@ def test_widen_plus_add_column_in_one_write(spark, tbl):
     # pre-evolution rows NULL-fill the added column
     assert out.filter("extra is null").count() == 5
     assert out.agg(F.sum("a")).first()[0] == sum(range(5)) + 303
+
+
+def test_unsupported_foreign_type_change_gated(spark, tbl):
+    """Review r10 finding #5: a foreign typeChanges trail outside the
+    implemented matrix (e.g. the spec's date->timestampNtz) must raise
+    the clean protocol error at plan time, on BOTH readers, not an
+    opaque parquet conversion failure mid-scan."""
+    import json
+    import os
+
+    write_delta(_narrow(spark, 0, 5), tbl, configuration=_TW_CONF)
+    write_delta(_wide(spark, 100, 104), tbl, mode="append")
+    # forge a trail this reader does not implement
+    commit = os.path.join(tbl, "_delta_log", f"{1:020d}.json")
+    lines = []
+    with open(commit, encoding="utf-8") as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "metaData" in a:
+                sch = json.loads(a["metaData"]["schemaString"])
+                for f in sch["fields"]:
+                    if f["name"] == "a":
+                        f["metadata"]["delta.typeChanges"] = [
+                            {"fromType": "date", "toType": "timestampNtz"}
+                        ]
+                a["metaData"]["schemaString"] = json.dumps(sch)
+            lines.append(json.dumps(a))
+    with open(commit, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    with pytest.raises(DeltaProtocolError, match="timestampNtz"):
+        read_delta(spark, tbl).collect()
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_pysource import (
+        _table_schema,
+    )
+
+    with pytest.raises(DeltaProtocolError, match="timestampNtz"):
+        _table_schema(tbl)
