@@ -1062,3 +1062,71 @@ def q_supplier_acctbal_extremes_by_nation(
         F.col("bal_c").alias("lo_bal_c"),
     )
     return hi.join(lo, "nation").orderBy("nation")
+
+
+@register(
+    "delta_vacuum_protocol_roundtrip",
+    f"""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", "price_mass")}
+    FROM orders
+    WHERE o_orderkey <= 3000 AND o_orderkey % 3 = 0
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["S6", "delta", "vacuumProtocolCheck", "vacuum", "roundtrip"],
+)
+def q_delta_vacuum_protocol_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VACUUM under the vacuumProtocolCheck reader-writer feature
+    (delta.io PROTOCOL.md — the last writer-feature gap after round
+    10's typeWidening/log-compaction): upgrade the protocol to list the
+    feature, overwrite so the old snapshot's files become unreferenced,
+    VACUUM, and scan the survivor. The in-query guards pin the
+    feature's CONTRACT: the protocol stamp is present, vacuum reclaimed
+    the overwritten files, and a table whose head protocol this reader
+    cannot honor aborts the vacuum BEFORE deleting anything (the
+    data-destruction mode the feature exists to prevent).
+
+    Scale: vacuum is O(files x retained versions) driver metadata with
+    no Spark job; the protocol gate adds one snapshot read."""
+    from .sources.delta_log import (
+        read_delta,
+        snapshot,
+        upgrade_protocol_vacuum_check,
+        vacuum_delta,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="mm_vac_rt_") + "/orders_vac"
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter("o_orderkey <= 3000")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    write_delta(o, root, mode="overwrite")
+    upgrade_protocol_vacuum_check(spark, root)
+    write_delta(o.filter("o_orderkey % 3 = 0"), root, mode="overwrite")
+
+    snap = snapshot(spark, root)
+    if "vacuumProtocolCheck" not in set(
+        snap.protocol.get("readerFeatures") or []
+    ):
+        raise RuntimeError("vacuumProtocolCheck not stamped")
+    removed = vacuum_delta(spark, root)
+    if not removed:
+        raise RuntimeError("vacuum reclaimed nothing (v0 files expected)")
+    live = set(snapshot(spark, root).files)
+    if set(removed) & live:
+        raise RuntimeError("vacuum deleted a live file")
+
+    return (
+        read_delta(spark, root)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dsum("o_totalprice", "price_mass"),
+        )
+        .orderBy("status")
+    )

@@ -82,7 +82,7 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: reader-version-3 features this implementation actually honors
 SUPPORTED_READER_FEATURES = {
     "columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
-    "typeWidening",
+    "typeWidening", "vacuumProtocolCheck",
 }
 _CDF_PROP = "delta.enableChangeDataFeed"
 _CM_MODE = "delta.columnMapping.mode"
@@ -2422,6 +2422,42 @@ def upgrade_protocol_v2_checkpoint(spark: SparkSession, table_path: str) -> int:
     )
 
 
+def upgrade_protocol_vacuum_check(spark: SparkSession, table_path: str) -> int:
+    """Commit a protocol upgrade adding the ``vacuumProtocolCheck``
+    reader-writer feature (reader 3 / writer 7, all implied features
+    made explicit) unless already listed. The feature's whole point is
+    to make every engine's VACUUM read and honor the protocol before
+    deleting files — this implementation always does (vacuum_delta
+    checks the head snapshot's protocol first and aborts on any
+    retained version it cannot read); listing the feature makes other
+    engines do the same before they vacuum this table. Returns the
+    version holding the upgraded protocol."""
+    snap = snapshot(spark, table_path)
+    if "vacuumProtocolCheck" in set(snap.protocol.get("readerFeatures") or []):
+        return snap.version
+    rfeats, wfeats = _explicit_features(snap)
+    action = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeats | {"vacuumProtocolCheck"}),
+            "writerFeatures": sorted(wfeats | {"vacuumProtocolCheck"}),
+        }
+    }
+    info = {
+        "commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": "UPGRADE PROTOCOL",
+            "operationParameters": {},
+        }
+    }
+    return _commit(
+        table_path, [action, info],
+        _CommitGuard(has_metadata=True, ict=_ict_on(snap.configuration)),
+        snap.version,
+    )
+
+
 def write_checkpoint_v2(
     spark: SparkSession, table_path: str, sidecar_parts: int = 2
 ) -> int:
@@ -3184,15 +3220,29 @@ def vacuum_delta(
     and ``_change_data`` CDF files are never touched (underscore dirs
     and non-parquet files are out of scope for the listing).
 
+    Protocol safety (the reader-writer feature ``vacuumProtocolCheck``
+    exists to FORCE implementations to do this): the table protocol is
+    checked — via the head snapshot — BEFORE anything is deleted, and a
+    retained version whose protocol this reader cannot honor aborts the
+    vacuum instead of being skipped. Skipping would classify that
+    snapshot's live files as unreferenced and delete them — the exact
+    data-destruction mode the feature guards against.
+
     Driver-side filesystem metadata work, O(files x retained versions)
     — no Spark job. Returns the removed relative paths.
     """
-    commits, checkpoints = _list_versions(table_path)
-    versions = sorted(set(commits) | set(checkpoints))
+    commits, checkpoints, compactions = _scan_log(table_path)
+    compaction_ends = {e for lst in compactions.values() for (e, _p) in lst}
+    versions = sorted(set(commits) | set(checkpoints) | compaction_ends)
+    # the head snapshot must be fully readable (protocol gate included)
+    # before ANY file is considered for deletion
+    snapshot(spark, table_path, versions[-1])
     if retain_ms is not None:
         cutoff = int(time.time() * 1000) - retain_ms
         retained = [
-            v for v in versions if _commit_info_ts(table_path, v) >= cutoff
+            v
+            for v in versions
+            if _commit_info_ts(table_path, v, compactions) >= cutoff
         ]
         if not retained or retained[-1] != versions[-1]:
             retained.append(versions[-1])  # the head always survives
@@ -3202,7 +3252,7 @@ def vacuum_delta(
     for v in retained:
         try:
             snap_v = snapshot(spark, table_path, v)
-        except (DeltaProtocolError, FileNotFoundError):
+        except (FileNotFoundError, ValueError):
             continue  # pre-checkpoint version already unreachable
         live |= {os.path.normpath(p) for p in snap_v.files}
     removed = []
