@@ -236,6 +236,7 @@ EXTENDED_R9: list[str] = [
 #: stay frozen so BENCH_r0N compare like-for-like.
 EXTENDED_R10: list[str] = [
     "media_jpeg_color_roundtrip",
+    "media_jpeg_progressive_roundtrip",
     "delta_type_widening_roundtrip",
     "delta_type_widening_pysource",
     "delta_log_compaction_roundtrip",

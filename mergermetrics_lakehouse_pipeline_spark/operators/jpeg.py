@@ -634,6 +634,26 @@ def jpeg_color_encode(rgb: np.ndarray, subsampling: str = "420") -> bytes:
     )
 
 
+def jpeg_frame_marker(payload: bytes) -> int:
+    """The stream's SOFn marker byte (0xC0 baseline, 0xC2 progressive,
+    ...) from a cheap segment walk — how the multimodal router picks a
+    decoder without decoding."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = payload[pos + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        if marker in (0xD9, 0xDA):
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        pos += 2 + length
+    raise ValueError("no SOF header found")
+
+
 def jpeg_sof_components(payload: bytes) -> int:
     """Component count from the SOF0 header — how the multimodal
     router dispatches gray vs color without decoding."""

@@ -6,16 +6,17 @@ columnar/compressed, metadata prunes without touching bytes).
 
 Decode kernels: WAV audio, non-interlaced 8-bit PNG (grayscale, RGB,
 RGBA; all five spec filters), uncompressed 24-bit BMP, GIF, and
-baseline sequential JPEG — grayscale (round 9) AND 3-component YCbCr
-color with 4:4:4/4:2:2/4:2:0 subsampling (round 10) — decode for REAL
-via the stdlib + numpy (operators/jpeg.py: full T.81 marker/Huffman/
-DCT pipeline, encode AND decode); magic bytes are sniffed per payload.
-Formats still needing codec libraries absent from this container
-(progressive JPEG, MP4, compressed audio) fall back to a
-clearly-marked deterministic stub derived from the payload digest (or
-raise NotImplementedError in strict mode), so the Spark-side contract —
-schema, Arrow batch shape, partitioning — is identical on every path
-and tested end-to-end.
+JPEG — grayscale baseline (round 9), 3-component YCbCr color with
+4:4:4/4:2:2/4:2:0 subsampling, AND progressive SOF2 with spectral
+selection + successive approximation (round 10) — decode for REAL via
+the stdlib + numpy (operators/jpeg.py + jpeg_progressive.py: the full
+T.81 marker/Huffman/DCT pipeline, encode AND decode); magic bytes are
+sniffed per payload. Formats still needing codec libraries absent from
+this container (arithmetic-coded/hierarchical JPEG, MP4, compressed
+audio) fall back to a clearly-marked deterministic stub derived from
+the payload digest (or raise NotImplementedError in strict mode), so
+the Spark-side contract — schema, Arrow batch shape, partitioning — is
+identical on every path and tested end-to-end.
 
 The distributed plumbing is production-shaped: ``mapInPandas`` with
 Arrow batches, bounded batch memory via
@@ -281,11 +282,27 @@ def _decode_jpeg(payload: bytes) -> dict:
     dispatch reads the SOF component count, the color path upsamples
     chroma and applies the JFIF BT.601 inverse, and luminance for the
     feature/phash uses the same (r+g+b)//3 convention as the PNG path.
-    Progressive streams raise and the caller falls back to the stub,
-    with the boundary stated in jpeg.py."""
-    from .jpeg import jpeg_color_decode, jpeg_gray_decode, jpeg_sof_components
+    Round 10 also decodes PROGRESSIVE streams (SOF2 — spectral
+    selection + successive approximation; operators/jpeg_progressive.py)
+    for real: the stub now covers only arithmetic-coded/hierarchical
+    JPEG, MP4, and compressed audio."""
+    from .jpeg import (
+        jpeg_color_decode,
+        jpeg_frame_marker,
+        jpeg_gray_decode,
+        jpeg_sof_components,
+    )
 
-    if jpeg_sof_components(payload) == 1:
+    if jpeg_frame_marker(payload) == 0xC2:
+        from .jpeg_progressive import jpeg_progressive_decode
+
+        width, height, decoded = jpeg_progressive_decode(payload)
+        matrix = (
+            decoded
+            if decoded.ndim == 2
+            else decoded.astype("int64").sum(axis=2) // 3
+        )
+    elif jpeg_sof_components(payload) == 1:
         width, height, matrix = jpeg_gray_decode(payload)
     else:
         width, height, rgb = jpeg_color_decode(payload)
@@ -572,7 +589,8 @@ def _decode_payload(payload: bytes, *, strict: bool = False) -> dict:
     if strict:
         raise NotImplementedError(
             "payload format needs codec libraries not present in this "
-            "container (progressive JPEG/MP4/compressed audio); run "
+            "container (arithmetic/hierarchical JPEG, MP4, compressed "
+            "audio); run "
             "with strict=False for the stubbed deterministic kernel"
         )
     return {

@@ -1448,6 +1448,7 @@ DRIVER_PRIORITY: list[str] = [
     # zero risk. ---
     # round-10 additions (new surface)
     "media_jpeg_color_roundtrip",
+    "media_jpeg_progressive_roundtrip",
     "delta_type_widening_roundtrip",
     "delta_type_widening_pysource",
     "delta_log_compaction_roundtrip",

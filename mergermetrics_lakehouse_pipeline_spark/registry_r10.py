@@ -1130,3 +1130,127 @@ def q_delta_vacuum_protocol_roundtrip(
         )
         .orderBy("status")
     )
+
+
+@register(
+    "media_jpeg_progressive_roundtrip",
+    """
+    SELECT CAST(doc_id % 3 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(*) AS BIGINT) AS n_exact_vs_baseline,
+           CAST(COUNT(*) AS BIGINT) AS n_sof2,
+           CAST(SUM((16 + (doc_id % 4) * 8) * (16 + (doc_id % 2) * 8)
+                    * CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END)
+                AS BIGINT) AS px_mass
+    FROM documents
+    WHERE doc_id < 180
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["LLM-multimodal", "jpeg", "progressive", "codec", "roundtrip"],
+)
+def q_media_jpeg_progressive_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE JPEG (operators/jpeg_progressive.py — T.81 Annex G,
+    spectral selection + successive approximation, encode AND decode):
+    per document, synthesize a deterministic image (grayscale every 5th
+    doc, RGB otherwise; 4:2:0/4:4:4 alternating), encode it with the
+    libjpeg-style multi-scan script and decode the SOF2 stream back —
+    all executor-side in one Arrow-batched mapInPandas pass. The
+    decisive oracle-checkable fact: successive approximation transmits
+    the FULL quantized coefficients, so the progressive decode must
+    equal the sequential baseline codec's decode BYTE-FOR-BYTE
+    (n_exact_vs_baseline = n_images — an exact count, not a bound).
+
+    Scale: per-row numpy kernels inside Arrow batches — no shuffle, no
+    driver bytes; partition-parallel at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.jpeg import jpeg_frame_marker
+    from .operators.jpeg_progressive import jpeg_progressive_encode
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter("doc_id < 180")
+        .select(F.col("doc_id").cast("long"))
+    )
+
+    out_schema = (
+        "doc_id long, dec_width int, dec_height int, n_px long, "
+        "exact boolean, sof2 boolean"
+    )
+
+    def roundtrip(batches):
+        from .operators.jpeg import (
+            jpeg_color_decode,
+            jpeg_color_encode,
+            jpeg_gray_decode,
+            jpeg_gray_encode,
+        )
+        from .operators.jpeg_progressive import (
+            jpeg_progressive_decode,
+            jpeg_progressive_encode,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 16 + (d % 4) * 8
+                h = 16 + (d % 2) * 8
+                rng = np.random.default_rng(d)
+                if d % 5 == 0:
+                    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+                    prog = jpeg_progressive_encode(img)
+                    base = jpeg_gray_decode(jpeg_gray_encode(img))[2]
+                else:
+                    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    sub = "420" if d % 2 == 0 else "444"
+                    prog = jpeg_progressive_encode(img, sub)
+                    base = jpeg_color_decode(jpeg_color_encode(img, sub))[2]
+                dw, dh, dec = jpeg_progressive_decode(prog)
+                rows.append(
+                    (
+                        d, dw, dh, int(dec.size),
+                        bool(
+                            (dw, dh) == (w, h) and np.array_equal(dec, base)
+                        ),
+                        jpeg_frame_marker(prog) == 0xC2,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "dec_width", "dec_height", "n_px",
+                    "exact", "sof2",
+                ],
+            )
+
+    decoded = docs.mapInPandas(roundtrip, out_schema)
+
+    # pin that the shared multimodal dispatch routes SOF2 to the REAL
+    # progressive kernel, not the stub
+    from .operators.multimodal import _decode_payload
+
+    probe = _decode_payload(
+        jpeg_progressive_encode(np.full((8, 8, 3), 128, dtype=np.uint8)),
+        strict=True,
+    )
+    if probe["decoder"] != "jpeg":
+        raise RuntimeError(f"progressive JPEG routed to {probe['decoder']!r}")
+
+    return (
+        decoded.groupBy((F.col("doc_id") % 3).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum(F.when(F.col("exact"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_vs_baseline"),
+            F.sum(F.when(F.col("sof2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sof2"),
+            F.sum("n_px").cast("bigint").alias("px_mass"),
+        )
+        .orderBy("bucket")
+    )
