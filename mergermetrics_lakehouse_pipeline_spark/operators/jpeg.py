@@ -634,10 +634,11 @@ def jpeg_color_encode(rgb: np.ndarray, subsampling: str = "420") -> bytes:
     )
 
 
-def jpeg_frame_marker(payload: bytes) -> int:
-    """The stream's SOFn marker byte (0xC0 baseline, 0xC2 progressive,
-    ...) from a cheap segment walk — how the multimodal router picks a
-    decoder without decoding."""
+def _sof_probe(payload: bytes) -> tuple[int, int]:
+    """(SOFn marker byte, component count) from ONE cheap segment walk
+    — no table construction, no entropy work: the multimodal router's
+    dispatch cost (review r10 pass-2 finding #5 flagged the router
+    running the FULL header parse just to read ncomp)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -646,7 +647,7 @@ def jpeg_frame_marker(payload: bytes) -> int:
             raise ValueError(f"marker expected at {pos}")
         marker = payload[pos + 1]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return marker
+            return marker, payload[pos + 4 + 5]
         if marker in (0xD9, 0xDA):
             break
         (length,) = struct.unpack(">H", payload[pos + 2:pos + 4])
@@ -654,10 +655,16 @@ def jpeg_frame_marker(payload: bytes) -> int:
     raise ValueError("no SOF header found")
 
 
+def jpeg_frame_marker(payload: bytes) -> int:
+    """The stream's SOFn marker byte (0xC0 baseline, 0xC2 progressive,
+    ...) — how the multimodal router picks a decoder without decoding."""
+    return _sof_probe(payload)[0]
+
+
 def jpeg_sof_components(payload: bytes) -> int:
-    """Component count from the SOF0 header — how the multimodal
-    router dispatches gray vs color without decoding."""
-    return len(_parse_headers(payload)["comps"])
+    """Component count from the SOF header — how the multimodal router
+    dispatches gray vs color without decoding."""
+    return _sof_probe(payload)[1]
 
 
 def jpeg_color_decode(payload: bytes) -> tuple[int, int, np.ndarray]:

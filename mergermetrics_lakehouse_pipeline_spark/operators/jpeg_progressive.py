@@ -198,6 +198,26 @@ def _dc_first_scan(sink, comps, grids, mcux, mcuy, al):
                         sink.bits(_amplitude_bits(diff, size), size)
 
 
+def _dc_first_scan_nonint(sink, grid, nbh, nbw, al):
+    """Single-component (non-interleaved) DC first scan: the walk is
+    the component's own block grid, fresh predictor."""
+    pred = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            dc = int(grid[by, bx, 0]) >> al
+            diff = dc - pred
+            pred = dc
+            size = _category(diff)
+            sink.symbol(size)
+            sink.bits(_amplitude_bits(diff, size), size)
+
+
+def _dc_refine_scan_nonint(writer, grid, nbh, nbw, al):
+    for by in range(nbh):
+        for bx in range(nbw):
+            writer.put((abs(int(grid[by, bx, 0])) >> al) & 1, 1)
+
+
 def _dc_refine_scan(writer, comps, grids, mcux, mcuy, al):
     # raw bits only — no Huffman symbols, no statistics pass needed
     for my in range(mcuy):
@@ -351,14 +371,19 @@ def _raw_scan_bytes(comps_in_scan, ss, se, ah, al, fill) -> bytes:
 
 
 def jpeg_progressive_encode(
-    img: np.ndarray, subsampling: str = "420"
+    img: np.ndarray, subsampling: str = "420", dc_scans: str = "interleaved"
 ) -> bytes:
     """Encode a grayscale HxW or RGB HxWx3 uint8 image as a PROGRESSIVE
     JPEG (SOF2) with the libjpeg-style scan script: interleaved DC at
     Al=1, AC bands per component at Al=2 (luma) / Al=1 (chroma), an AC
     luma refinement to Al=1, then DC and AC refinements down to Al=0.
     The quantized coefficients are identical to the sequential
-    encoder's, so a full decode reconstructs the same image bytes."""
+    encoder's, so a full decode reconstructs the same image bytes.
+    ``dc_scans="per-component"`` emits the mozjpeg-style variant — one
+    non-interleaved DC scan (and refinement) per component over its own
+    block grid — exercising the other legal G.1 traversal."""
+    if dc_scans not in ("interleaved", "per-component"):
+        raise ValueError("dc_scans must be 'interleaved' or 'per-component'")
     img = np.asarray(img, dtype=np.uint8)
     comps, hs, vs = _comp_grids(img, subsampling)
     h, w = img.shape[:2]
@@ -387,12 +412,26 @@ def jpeg_progressive_encode(
     out += _seg(0xFFC2, sof_body)  # SOF2 = progressive, Huffman
 
     all_cids = [c[0] for c in comp_hdr]
-    # scan 1: DC of every component, interleaved, Al=1
-    out += _scan_bytes(
-        all_cids, 0, 0, 0, 1,
-        lambda sink: _dc_first_scan(sink, comp_hdr, grids, mcux, mcuy, 1),
-        dc_class=True,
-    )
+    per_comp_dims = {
+        cid: _nonint_grid_dims(w, h, hf, vf, hmax, vmax)
+        for cid, hf, vf, _tq in comp_hdr
+    }
+    if dc_scans == "per-component":
+        for cid in all_cids:
+            nbh, nbw = per_comp_dims[cid]
+            out += _scan_bytes(
+                [cid], 0, 0, 0, 1,
+                lambda sink, g=grids[cid], a=nbh, b=nbw:
+                    _dc_first_scan_nonint(sink, g, a, b, 1),
+                dc_class=True,
+            )
+    else:
+        # scan 1: DC of every component, interleaved, Al=1
+        out += _scan_bytes(
+            all_cids, 0, 0, 0, 1,
+            lambda sink: _dc_first_scan(sink, comp_hdr, grids, mcux, mcuy, 1),
+            dc_class=True,
+        )
 
     def ac(cid, hf, vf, ss, se, ah, al):
         nbh, nbw = _nonint_grid_dims(w, h, hf, vf, hmax, vmax)
@@ -410,11 +449,20 @@ def jpeg_progressive_encode(
             out += ac(cid, hf, vf, 1, 63, 0, 1)
     out += ac(y_cid, y_hf, y_vf, 6, 63, 0, 2)
     out += ac(y_cid, y_hf, y_vf, 1, 63, 2, 1)  # luma AC refine 2 -> 1
-    # DC refinement Ah=1 -> Al=0 (raw bits, interleaved)
-    out += _raw_scan_bytes(
-        all_cids, 0, 0, 1, 0,
-        lambda wtr: _dc_refine_scan(wtr, comp_hdr, grids, mcux, mcuy, 0),
-    )
+    # DC refinement Ah=1 -> Al=0 (raw bits)
+    if dc_scans == "per-component":
+        for cid in all_cids:
+            nbh, nbw = per_comp_dims[cid]
+            out += _raw_scan_bytes(
+                [cid], 0, 0, 1, 0,
+                lambda wtr, g=grids[cid], a=nbh, b=nbw:
+                    _dc_refine_scan_nonint(wtr, g, a, b, 0),
+            )
+    else:
+        out += _raw_scan_bytes(
+            all_cids, 0, 0, 1, 0,
+            lambda wtr: _dc_refine_scan(wtr, comp_hdr, grids, mcux, mcuy, 0),
+        )
     if not gray:
         for cid, hf, vf, _tq in comp_hdr[1:]:
             out += ac(cid, hf, vf, 1, 63, 1, 0)
@@ -435,7 +483,6 @@ def _parse_progressive(payload: bytes) -> dict:
         raise ValueError("not a JPEG")
     pos = 2
     quant: dict[int, np.ndarray] = {}
-    huff_specs: list[tuple[int, int, int]] = []  # parse order for scans
     width = height = None
     comps: list[tuple[int, int, int, int]] = []
     scans: list[dict] = []
@@ -523,7 +570,6 @@ def _parse_progressive(payload: bytes) -> dict:
         raise ValueError("missing SOF2/SOS")
     if restart_interval:
         raise ValueError("restart markers unsupported")
-    del huff_specs
     return {
         "width": width,
         "height": height,
@@ -534,26 +580,43 @@ def _parse_progressive(payload: bytes) -> dict:
     }
 
 
-def _decode_dc_scan(scan, comps, grids, preds, mcux, mcuy):
+def _decode_dc_scan(
+    scan, comps, grids, preds, mcux, mcuy, width, height, hmax, vmax
+):
+    """DC scan walk: ns>1 traverses the interleaved MCU grid; ns=1 is a
+    NON-interleaved scan and traverses the component's own
+    ceil(dims/8) block grid (T.81 G.1 / A.2 — review r10 pass-2
+    finding #2: mozjpeg-style scan scripts emit per-component DC scans,
+    and the MCU-padded grid is bigger for subsampled layouts)."""
     reader = _BitReader(scan["data"])
     al, ah = scan["al"], scan["ah"]
     in_scan = {cid for cid, _td, _ta in scan["comps"]}
     members = [c for c in comps if c[0] in in_scan]
     if ah == 0:
         tabs = {cid: scan["tables"][(0, td)] for cid, td, _ta in scan["comps"]}
+
+    def one(cid, by, bx):
+        g = grids[cid]
+        if ah == 0:
+            size = _read_huff(reader, tabs[cid])
+            preds[cid] += _extend(reader.bits(size), size)
+            g[by, bx, 0] = preds[cid] << al
+        elif reader.bit():
+            g[by, bx, 0] |= 1 << al
+
+    if len(scan["comps"]) == 1:
+        cid, hf, vf, _tq = members[0]
+        nbh, nbw = _nonint_grid_dims(width, height, hf, vf, hmax, vmax)
+        for by in range(nbh):
+            for bx in range(nbw):
+                one(cid, by, bx)
+        return
     for my in range(mcuy):
         for mx in range(mcux):
             for cid, hf, vf, _tq in members:
-                g = grids[cid]
                 for by in range(vf):
                     for bx in range(hf):
-                        if ah == 0:
-                            size = _read_huff(reader, tabs[cid])
-                            preds[cid] += _extend(reader.bits(size), size)
-                            g[my * vf + by, mx * hf + bx, 0] = preds[cid] << al
-                        else:
-                            if reader.bit():
-                                g[my * vf + by, mx * hf + bx, 0] |= 1 << al
+                        one(cid, my * vf + by, mx * hf + bx)
 
 
 def _decode_ac_first(scan, grid, nbh, nbw):
@@ -665,7 +728,10 @@ def jpeg_progressive_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         if scan["ss"] == 0:
             if scan["se"] != 0:
                 raise ValueError("scan mixing DC and AC bands")
-            _decode_dc_scan(scan, comps, grids, preds, mcux, mcuy)
+            _decode_dc_scan(
+                scan, comps, grids, preds, mcux, mcuy,
+                width, height, hmax, vmax,
+            )
             continue
         if len(scan["comps"]) != 1:
             raise ValueError("interleaved AC scan is not legal progressive")

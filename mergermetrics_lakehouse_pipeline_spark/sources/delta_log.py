@@ -2390,22 +2390,24 @@ def write_checkpoint(
     return snap.version
 
 
-def upgrade_protocol_v2_checkpoint(spark: SparkSession, table_path: str) -> int:
-    """Commit a protocol upgrade adding the ``v2Checkpoint``
-    reader-writer feature (reader 3 / writer 7, all implied features
-    made explicit) unless the table already lists it; the spec requires
-    the TABLE protocol to carry the feature before any v2 checkpoint
-    exists. Returns the table version holding the upgraded protocol."""
+def _upgrade_protocol_feature(
+    spark: SparkSession, table_path: str, feature: str
+) -> int:
+    """Commit a protocol upgrade adding one READER-WRITER feature
+    (reader 3 / writer 7, every implied legacy capability restated —
+    a v7 engine honors only the listed features), idempotent when the
+    feature is already listed. Returns the version holding the
+    upgraded protocol."""
     snap = snapshot(spark, table_path)
-    if "v2Checkpoint" in set(snap.protocol.get("readerFeatures") or []):
+    if feature in set(snap.protocol.get("readerFeatures") or []):
         return snap.version
     rfeats, wfeats = _explicit_features(snap)
     action = {
         "protocol": {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": sorted(rfeats | {"v2Checkpoint"}),
-            "writerFeatures": sorted(wfeats | {"v2Checkpoint"}),
+            "readerFeatures": sorted(rfeats | {feature}),
+            "writerFeatures": sorted(wfeats | {feature}),
         }
     }
     info = {
@@ -2420,42 +2422,22 @@ def upgrade_protocol_v2_checkpoint(spark: SparkSession, table_path: str) -> int:
         _CommitGuard(has_metadata=True, ict=_ict_on(snap.configuration)),
         snap.version,
     )
+
+
+def upgrade_protocol_v2_checkpoint(spark: SparkSession, table_path: str) -> int:
+    """Add the ``v2Checkpoint`` reader-writer feature; the spec requires
+    the TABLE protocol to carry it before any v2 checkpoint exists."""
+    return _upgrade_protocol_feature(spark, table_path, "v2Checkpoint")
 
 
 def upgrade_protocol_vacuum_check(spark: SparkSession, table_path: str) -> int:
-    """Commit a protocol upgrade adding the ``vacuumProtocolCheck``
-    reader-writer feature (reader 3 / writer 7, all implied features
-    made explicit) unless already listed. The feature's whole point is
-    to make every engine's VACUUM read and honor the protocol before
-    deleting files — this implementation always does (vacuum_delta
-    checks the head snapshot's protocol first and aborts on any
-    retained version it cannot read); listing the feature makes other
-    engines do the same before they vacuum this table. Returns the
-    version holding the upgraded protocol."""
-    snap = snapshot(spark, table_path)
-    if "vacuumProtocolCheck" in set(snap.protocol.get("readerFeatures") or []):
-        return snap.version
-    rfeats, wfeats = _explicit_features(snap)
-    action = {
-        "protocol": {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": sorted(rfeats | {"vacuumProtocolCheck"}),
-            "writerFeatures": sorted(wfeats | {"vacuumProtocolCheck"}),
-        }
-    }
-    info = {
-        "commitInfo": {
-            "timestamp": int(time.time() * 1000),
-            "operation": "UPGRADE PROTOCOL",
-            "operationParameters": {},
-        }
-    }
-    return _commit(
-        table_path, [action, info],
-        _CommitGuard(has_metadata=True, ict=_ict_on(snap.configuration)),
-        snap.version,
-    )
+    """Add the ``vacuumProtocolCheck`` reader-writer feature. Its whole
+    point is to make every engine's VACUUM read and honor the protocol
+    before deleting files — this implementation always does
+    (vacuum_delta gates on the head snapshot and aborts on any retained
+    version it cannot read); listing the feature makes other engines do
+    the same before they vacuum this table."""
+    return _upgrade_protocol_feature(spark, table_path, "vacuumProtocolCheck")
 
 
 def write_checkpoint_v2(
@@ -3235,8 +3217,8 @@ def vacuum_delta(
     compaction_ends = {e for lst in compactions.values() for (e, _p) in lst}
     versions = sorted(set(commits) | set(checkpoints) | compaction_ends)
     # the head snapshot must be fully readable (protocol gate included)
-    # before ANY file is considered for deletion
-    snapshot(spark, table_path, versions[-1])
+    # before ANY file is considered for deletion; reused in the loop
+    head_snap = snapshot(spark, table_path, versions[-1])
     if retain_ms is not None:
         cutoff = int(time.time() * 1000) - retain_ms
         retained = [
@@ -3251,9 +3233,17 @@ def vacuum_delta(
     live: set[str] = set()
     for v in retained:
         try:
-            snap_v = snapshot(spark, table_path, v)
-        except (FileNotFoundError, ValueError):
-            continue  # pre-checkpoint version already unreachable
+            snap_v = (
+                head_snap
+                if v == versions[-1]
+                else snapshot(spark, table_path, v)
+            )
+        except FileNotFoundError:
+            # pre-checkpoint version already unreachable. ONLY this —
+            # a ValueError arm would swallow json.JSONDecodeError from
+            # a corrupt retained commit and re-open the skip-and-delete
+            # hole (review r10 pass-2 finding #1)
+            continue
         live |= {os.path.normpath(p) for p in snap_v.files}
     removed = []
     for rel in _list_data_files(table_path):

@@ -99,3 +99,51 @@ def test_sparse_and_saturated_content():
         )
         _w, _h, bdec = jpeg_color_decode(jpeg_color_encode(img, sub))
         assert np.array_equal(pdec, bdec)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_per_component_dc_scans_decode(sub):
+    """Review r10 pass-2 finding #2: ns=1 DC scans are non-interleaved
+    and traverse the component's own block grid (mozjpeg-style scan
+    scripts) — smaller than the MCU-padded grid for subsampled luma."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 33, 3), dtype=np.uint8)
+    prog = jpeg_progressive_encode(img, sub, dc_scans="per-component")
+    base = jpeg_color_decode(jpeg_color_encode(img, sub))[2]
+    assert np.array_equal(jpeg_progressive_decode(prog)[2], base)
+    # the per-component script has two extra DC scans (3 first + 3
+    # refine vs 1 + 1)
+    inter = jpeg_progressive_encode(img, sub, dc_scans="interleaved")
+    assert prog.count(b"\xff\xda") == inter.count(b"\xff\xda") + 4
+
+
+def test_vacuum_corrupt_retained_commit_aborts(spark, tmp_path):
+    """Review r10 pass-2 finding #1: a corrupt retained commit must
+    ABORT the vacuum (JSONDecodeError propagates), not skip-and-delete
+    that snapshot's files."""
+    import glob
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        vacuum_delta,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "t")
+    kv = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+    )
+    write_delta(kv(0, 10), tbl, mode="overwrite")
+    write_delta(kv(10, 20), tbl, mode="append")
+    write_delta(kv(20, 30), tbl, mode="append")
+    # corrupt a retained (non-head) commit
+    c1 = os.path.join(tbl, "_delta_log", f"{1:020d}.json")
+    with open(c1, "a", encoding="utf-8") as fh:
+        fh.write('{"add": {"path": truncated\n')
+    n_files = len(glob.glob(os.path.join(tbl, "*.parquet")))
+    with _pytest.raises(Exception, match="Expecting|JSON|value"):
+        vacuum_delta(spark, tbl, retain_last=3)
+    assert len(glob.glob(os.path.join(tbl, "*.parquet"))) == n_files
