@@ -24,8 +24,10 @@ interleaved MCUs (data units per component per the SOF sampling
 factors), separate DC predictors per component, the Annex-K chrominance
 quantization (K.2) and Huffman (K.3.2.x) tables, box-filter chroma
 downsampling on encode, pixel-replication upsampling on decode, and the
-JFIF/BT.601 full-range color transform. Progressive JPEG, restart
-markers, and arithmetic coding stay documented out of scope.
+JFIF/BT.601 full-range color transform. Progressive JPEG (SOF2,
+spectral selection + successive approximation) lives in the sibling
+jpeg_progressive.py; restart markers and arithmetic coding stay
+documented out of scope.
 """
 
 from __future__ import annotations
