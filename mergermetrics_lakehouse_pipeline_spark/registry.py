@@ -1453,6 +1453,7 @@ DRIVER_PRIORITY: list[str] = [
     "delta_type_widening_pysource",
     "delta_log_compaction_roundtrip",
     "delta_vacuum_protocol_roundtrip",
+    "delta_version_checksum_roundtrip",
     "orders_quarter_momentum",
     "order_to_ship_latency_bands",
     "customer_balance_quartiles",

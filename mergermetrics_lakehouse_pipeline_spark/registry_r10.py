@@ -1254,3 +1254,101 @@ def q_media_jpeg_progressive_roundtrip(
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "delta_version_checksum_roundtrip",
+    """
+    WITH live AS (
+      SELECT c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey <= 2400 AND NOT (c_custkey % 7 = 0)
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_c
+    FROM live GROUP BY 1 ORDER BY 1
+    """,
+    tags=["S6", "delta", "versionChecksum", "roundtrip"],
+)
+def q_delta_version_checksum_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERSION CHECKSUM files (the ``<v>.crc`` state summary delta-spark
+    writes beside each commit): build a 3-commit history, write the
+    checksum, VERIFY the replayed state against it field by field, and
+    prove the validation has teeth — tampering an add action out of the
+    log makes verification raise BEFORE any query would silently read
+    partial state. The returned frame scans the intact table; the
+    in-query guards pin verified-ok, tamper-detected, and
+    checksum-invisible-to-log-listing.
+
+    Scale: the checksum is O(files) driver metadata (one replay +
+    one JSON); verification is the same replay a read needs anyway."""
+    import json as _json
+    import shutil
+
+    from .sources.delta_log import (
+        DeltaProtocolError,
+        delete_rows,
+        read_delta,
+        verify_version_checksum,
+        write_delta,
+        write_version_checksum,
+    )
+
+    root = tempfile.mkdtemp(prefix="mm_crc_rt_") + "/cust_crc"
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter("c_custkey <= 2400")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    write_delta(c.filter("c_custkey % 2 = 0"), root, mode="overwrite")
+    write_delta(
+        c.filter("c_custkey % 2 = 1"), root, mode="append",
+        txn=("crc-app", 3),
+    )
+    delete_rows(spark, root, "c_custkey % 7 = 0")
+    write_version_checksum(spark, root)
+    got = verify_version_checksum(spark, root)
+    if got["setTransactions"] != [{"appId": "crc-app", "version": 3}]:
+        raise RuntimeError("txn watermark missing from verified checksum")
+
+    # tampering must be LOUD: clone the table, drop one LIVE add
+    # action (commit 2 — the copy-on-write DELETE's rewrite; commit 0's
+    # adds are already superseded there, so dropping one of those would
+    # legitimately leave the head state unchanged)
+    tampered = root + "_tampered"
+    shutil.copytree(root, tampered)
+    commit0 = os.path.join(tampered, "_delta_log", f"{2:020d}.json")
+    lines = [
+        _json.loads(line)
+        for line in open(commit0, encoding="utf-8")
+        if line.strip()
+    ]
+    kept, dropped = [], False
+    for a in lines:
+        if "add" in a and not dropped:
+            dropped = True
+            continue
+        kept.append(a)
+    with open(commit0, "w", encoding="utf-8") as fh:
+        for a in kept:
+            fh.write(_json.dumps(a) + "\n")
+    try:
+        verify_version_checksum(spark, tampered)
+        raise RuntimeError("tampered log verified clean")
+    except DeltaProtocolError:
+        pass
+
+    return (
+        read_delta(spark, root)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_c"),
+        )
+        .orderBy("segment")
+    )

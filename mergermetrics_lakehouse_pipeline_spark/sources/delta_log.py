@@ -2390,6 +2390,94 @@ def write_checkpoint(
     return snap.version
 
 
+def _version_checksum_payload(snap: DeltaSnapshot) -> dict[str, Any]:
+    """The VERSION CHECKSUM body delta-spark writes as ``<v>.crc``
+    beside each commit: a summary of the reconstructed table state a
+    reader can compare its own replay against. Field subset kept to the
+    replay-derivable core (delta-spark's VersionChecksum): table size,
+    file count, DV count, the metaData/protocol actions verbatim, txn
+    watermarks and live domain metadata (both canonically sorted so the
+    comparison is order-free)."""
+    return {
+        "tableSizeBytes": int(
+            sum(int(a.get("size") or 0) for a in snap.files.values())
+        ),
+        "numFiles": len(snap.files),
+        "numDeletionVectors": sum(
+            1 for a in snap.files.values() if a.get("deletionVector")
+        ),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": {
+            "id": snap.metadata_id,
+            "schemaString": snap.schema.json(),
+            "partitionColumns": list(snap.partition_columns),
+            "configuration": dict(snap.configuration),
+        },
+        "protocol": snap.protocol,
+        "setTransactions": [
+            {"appId": app, "version": int(v)}
+            for app, v in sorted(snap.txns.items())
+        ],
+        "domainMetadata": [
+            snap.domain_metadata[d] for d in sorted(snap.domain_metadata)
+        ],
+    }
+
+
+def _crc_file(table_path: str, version: int) -> str:
+    return os.path.join(_log_path(table_path), f"{version:020d}.crc")
+
+
+def write_version_checksum(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> str:
+    """Author the ``<v>.crc`` version-checksum file for ``version``
+    (default: latest) from a full snapshot reconstruction. O(replay)
+    driver metadata work, atomic rename; returns the path."""
+    snap = snapshot(spark, table_path, version)
+    out = _crc_file(table_path, snap.version)
+    tmp = f"{out}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(_version_checksum_payload(snap)))
+    os.replace(tmp, out)
+    return out
+
+
+def verify_version_checksum(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> dict[str, Any]:
+    """Recompute the state summary at ``version`` and compare it with
+    the stored ``<v>.crc`` field by field — the reader-side validation
+    the checksum exists for (a divergence means the log was tampered
+    with or a replay bug corrupted state; both must be LOUD). Raises
+    DeltaProtocolError on any mismatch or a missing checksum; returns
+    the verified payload."""
+    snap = snapshot(spark, table_path, version)
+    path = _crc_file(table_path, snap.version)
+    if not os.path.exists(path):
+        raise DeltaProtocolError(
+            f"no version checksum at {path} — run write_version_checksum"
+        )
+    with open(path, encoding="utf-8") as fh:
+        stored = json.loads(fh.read())
+    computed = _version_checksum_payload(snap)
+    diffs = {
+        k: (stored.get(k), computed[k])
+        for k in computed
+        if k in stored and stored[k] != computed[k]
+    }
+    if diffs:
+        raise DeltaProtocolError(
+            f"version checksum mismatch at v{snap.version}: "
+            + "; ".join(
+                f"{k}: stored={s!r} computed={c!r}"
+                for k, (s, c) in diffs.items()
+            )
+        )
+    return computed
+
+
 def _upgrade_protocol_feature(
     spark: SparkSession, table_path: str, feature: str
 ) -> int:
