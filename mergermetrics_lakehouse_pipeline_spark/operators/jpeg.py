@@ -24,9 +24,11 @@ interleaved MCUs (data units per component per the SOF sampling
 factors), separate DC predictors per component, the Annex-K chrominance
 quantization (K.2) and Huffman (K.3.2.x) tables, box-filter chroma
 downsampling on encode, pixel-replication upsampling on decode, and the
-JFIF/BT.601 full-range color transform. Progressive JPEG (SOF2,
-spectral selection + successive approximation) lives in the sibling
-jpeg_progressive.py; restart markers and arithmetic coding stay
+JFIF/BT.601 full-range color transform — plus 4:2:2 and RESTART
+MARKERS (DRI/RSTn with per-interval DC predictor resets, the camera
+streams' error-resilience layout) on both encode and decode.
+Progressive JPEG (SOF2, spectral selection + successive approximation)
+lives in the sibling jpeg_progressive.py; arithmetic coding stays
 documented out of scope.
 """
 
@@ -187,6 +189,13 @@ class _BitWriter:
             pad = 8 - self.n
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
 
+    def emit_restart(self, m: int) -> None:
+        """Byte-align and write RSTm (E.1.4) — markers are raw bytes,
+        never stuffed."""
+        self.flush()
+        self.out.append(0xFF)
+        self.out.append(0xD0 | (m & 7))
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
@@ -234,10 +243,15 @@ def _encode_block(
     return zz[0]
 
 
-def jpeg_gray_encode(pixels: np.ndarray) -> bytes:
+def jpeg_gray_encode(
+    pixels: np.ndarray, restart_interval: int = 0
+) -> bytes:
     """Encode an HxW uint8 grayscale matrix as a baseline JFIF JPEG
     (single luminance component, Annex-K quant + Huffman tables).
-    Blocks on the right/bottom edge pad by edge replication."""
+    Blocks on the right/bottom edge pad by edge replication.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
+    every that-many MCUs (camera streams use them for error
+    resilience); the DC predictor resets at each marker."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     bh, bw = -(-h // 8), -(-w // 8)
@@ -248,8 +262,13 @@ def jpeg_gray_encode(pixels: np.ndarray) -> bytes:
     writer = _BitWriter()
     q = STD_LUMA_QUANT.astype(np.float64)
     prev_dc = 0
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.emit_restart(mcu // restart_interval - 1)
+                prev_dc = 0
+            mcu += 1
             block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
             shifted = block.astype(np.float64) - 128.0
             coeffs = _DCT_M @ shifted @ _DCT_M.T
@@ -272,7 +291,12 @@ def jpeg_gray_encode(pixels: np.ndarray) -> bytes:
     dht = seg(
         0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
     ) + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    sos = dri + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     app0 = seg(
         0xFF_E0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
     )
@@ -310,6 +334,24 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> int:
+        """Consume an RSTm marker at the current byte boundary (E.1.4):
+        drop any partial bits (the encoder 1-padded to align), expect
+        0xFF 0xD0..0xD7, return m."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError(
+                f"expected restart marker at byte {self.pos}"
+            )
+        m = self.data[self.pos + 1] & 7
+        self.pos += 2
+        return m
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -473,9 +515,8 @@ def jpeg_gray_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
             "multi-component stream: use jpeg_color_decode "
             "(jpeg_gray_decode is the single-component fast path)"
         )
-    if hdr["restart_interval"]:
-        raise ValueError("restart markers unsupported")
     width, height = hdr["width"], hdr["height"]
+    ri = hdr["restart_interval"]
     _cid, _hf, _vf, qid = hdr["comps"][0]
     _scid, dc_id, ac_id = hdr["scan"][0]
     reader = _BitReader(payload[hdr["data_start"]:])
@@ -484,8 +525,17 @@ def jpeg_gray_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     bh, bw = -(-height // 8), -(-width // 8)
     out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
     prev_dc = 0
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if ri and mcu and mcu % ri == 0:
+                m = reader.restart()
+                if m != (mcu // ri - 1) & 7:
+                    raise ValueError(
+                        f"restart marker out of sequence: RST{m}"
+                    )
+                prev_dc = 0
+            mcu += 1
             zz, prev_dc = _decode_block_zz(reader, dc_tab, ac_tab, prev_dc)
             coeffs = np.zeros((8, 8))
             for i, (r, c) in enumerate(ZIGZAG):
@@ -544,31 +594,36 @@ def _plane_zigzag_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return quant[..., _ZZ_ROWS, _ZZ_COLS]
 
 
-def jpeg_color_encode(rgb: np.ndarray, subsampling: str = "420") -> bytes:
+def jpeg_color_encode(
+    rgb: np.ndarray, subsampling: str = "420", restart_interval: int = 0
+) -> bytes:
     """Encode an HxWx3 uint8 RGB image as a baseline 3-component YCbCr
     JFIF JPEG. ``subsampling`` is ``"420"`` (2x2 luma blocks per MCU,
-    box-filtered chroma — the dominant real-corpus layout) or ``"444"``
-    (full-resolution chroma). Luma uses the Annex-K K.1/K.3.1 tables,
-    chroma the K.2/K.3.2 tables; edges pad by replication."""
+    box-filtered chroma — the dominant real-corpus layout), ``"422"``
+    (horizontal-only chroma subsampling, the camera/video favorite) or
+    ``"444"`` (full-resolution chroma). Luma uses the Annex-K K.1/K.3.1
+    tables, chroma the K.2/K.3.2 tables; edges pad by replication."""
     rgb = np.asarray(rgb, dtype=np.uint8)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("jpeg_color_encode expects an HxWx3 RGB array")
     if subsampling == "420":
-        hs = vs = 2
+        hs, vs = 2, 2
+    elif subsampling == "422":
+        hs, vs = 2, 1
     elif subsampling == "444":
-        hs = vs = 1
+        hs, vs = 1, 1
     else:
-        raise ValueError("subsampling must be '420' or '444'")
+        raise ValueError("subsampling must be '420', '422' or '444'")
     h, w = rgb.shape[:2]
-    mcu_px = 8 * hs
-    ph = -(-h // mcu_px) * mcu_px
-    pw = -(-w // mcu_px) * mcu_px
+    ph = -(-h // (8 * vs)) * (8 * vs)
+    pw = -(-w // (8 * hs)) * (8 * hs)
     padded = np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     y, cb, cr = _rgb_to_ycbcr(padded)
-    if hs == 2:
-        # box-filter 2x2 downsample (the standard's suggested filter)
-        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if hs == 2 or vs == 2:
+        # box-filter downsample (the standard's suggested filter):
+        # 2x2 for 4:2:0, horizontal-only for 4:2:2
+        cb = cb.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+        cr = cr.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
 
     ql = STD_LUMA_QUANT.astype(np.float64)
     qc = STD_CHROMA_QUANT.astype(np.float64)
@@ -583,9 +638,14 @@ def jpeg_color_encode(rgb: np.ndarray, subsampling: str = "420") -> bytes:
 
     writer = _BitWriter()
     prev = [0, 0, 0]  # per-component DC predictors
-    mcux, mcuy = pw // mcu_px, ph // mcu_px
+    mcux, mcuy = pw // (8 * hs), ph // (8 * vs)
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.emit_restart(mcu // restart_interval - 1)
+                prev = [0, 0, 0]
+            mcu += 1
             for by in range(vs):
                 for bx in range(hs):
                     zz = zz_y[my * vs + by, mx * hs + bx]
@@ -626,7 +686,12 @@ def jpeg_color_encode(rgb: np.ndarray, subsampling: str = "420") -> bytes:
         + seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
         + seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
     )
-    sos = seg(
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    sos = dri + seg(
         0xFFDA,
         bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
     )
@@ -688,9 +753,8 @@ def jpeg_color_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
             f"{len(comps)}-component stream: use jpeg_gray_decode for "
             "single-component baselines"
         )
-    if hdr["restart_interval"]:
-        raise ValueError("restart markers unsupported")
     width, height = hdr["width"], hdr["height"]
+    ri = hdr["restart_interval"]
     quant, huff, scan = hdr["quant"], hdr["huff"], hdr["scan"]
 
     by_cid = {c[0]: c for c in comps}
@@ -706,8 +770,17 @@ def jpeg_color_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         for cid, hf, vf, _tq in comps
     }
     prev_dc = {cid: 0 for cid, *_rest in comps}
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                m = reader.restart()
+                if m != (mcu // ri - 1) & 7:
+                    raise ValueError(
+                        f"restart marker out of sequence: RST{m}"
+                    )
+                prev_dc = {cid: 0 for cid, *_rest in comps}
+            mcu += 1
             for cid, td, ta in scan:
                 _cid, hf, vf, _tq = by_cid[cid]
                 dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]

@@ -146,20 +146,21 @@ def _comp_grids(img: np.ndarray, subsampling: str):
                 grid[by, bx] = quant[_ZZ_ROWS, _ZZ_COLS]
         return [(1, 1, 1, 0, grid)], 1, 1
     if subsampling == "420":
-        hs = vs = 2
+        hs, vs = 2, 2
+    elif subsampling == "422":
+        hs, vs = 2, 1
     elif subsampling == "444":
-        hs = vs = 1
+        hs, vs = 1, 1
     else:
-        raise ValueError("subsampling must be '420' or '444'")
+        raise ValueError("subsampling must be '420', '422' or '444'")
     h, w = img.shape[:2]
-    mcu_px = 8 * hs
-    ph = -(-h // mcu_px) * mcu_px
-    pw = -(-w // mcu_px) * mcu_px
+    ph = -(-h // (8 * vs)) * (8 * vs)
+    pw = -(-w // (8 * hs)) * (8 * hs)
     padded = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     y, cb, cr = _rgb_to_ycbcr(padded)
-    if hs == 2:
-        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if hs == 2 or vs == 2:
+        cb = cb.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+        cr = cr.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
     ql = STD_LUMA_QUANT.astype(np.float64)
     qc = STD_CHROMA_QUANT.astype(np.float64)
     return (

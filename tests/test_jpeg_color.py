@@ -116,9 +116,34 @@ def test_multimodal_router_dispatches_color():
 
 def test_bad_subsampling_rejected():
     with pytest.raises(ValueError, match="subsampling"):
-        jpeg_color_encode(_ramp(8, 8), "422")
+        jpeg_color_encode(_ramp(8, 8), "411")
     with pytest.raises(ValueError, match="HxWx3"):
         jpeg_color_encode(np.zeros((8, 8), np.uint8))
+
+
+def test_422_encode_roundtrip():
+    """4:2:2 (horizontal-only chroma subsampling): sampling byte 0x21,
+    the decoder's general MCU walk handles the 2x1 layout."""
+    img = np.zeros((17, 35, 3), np.uint8)
+    img[..., 0] = 40 + 2 * np.arange(35)[None, :] + 3 * np.arange(17)[:, None]
+    img[..., 1] = 90 + np.arange(35)[None, :] + np.arange(17)[:, None]
+    img[..., 2] = 10 + 2 * np.arange(35)[None, :]
+    p = jpeg_color_encode(img, "422")
+    i = p.find(b"\xff\xc0")
+    assert p[i + 11] == 0x21
+    w, h, dec = jpeg_color_decode(p)
+    assert (w, h) == (35, 17)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 14
+    # chroma cost sits between 4:2:0 and 4:4:4 (strict on noise, where
+    # chroma blocks actually carry data; smooth ramps converge)
+    noisy = np.random.default_rng(4).integers(
+        0, 256, (32, 32, 3), dtype=np.uint8
+    )
+    assert (
+        len(jpeg_color_encode(noisy, "420"))
+        < len(jpeg_color_encode(noisy, "422"))
+        < len(jpeg_color_encode(noisy, "444"))
+    )
 
 
 def _splice_app14(payload: bytes, transform: int) -> bytes:
@@ -180,3 +205,44 @@ def test_rgb_component_ids_skip_color_transform():
     _w, _h, dec = jpeg_color_decode(bytes(payload))
     y = 0.299 * 200 + 0.587 * 100 + 0.114 * 50
     assert abs(int(dec[4, 4, 0]) - y) <= 2  # plane passed through raw
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_restart_markers_roundtrip(ri):
+    """DRI/RSTn streams (camera layout): decode must equal the
+    restart-free stream bit-for-bit — markers only segment the entropy
+    data and reset DC predictors."""
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    from mergermetrics_lakehouse_pipeline_spark.operators.jpeg import (
+        jpeg_gray_decode as gdec,
+        jpeg_gray_encode as genc,
+    )
+
+    with_rst = genc(g, restart_interval=ri)
+    assert b"\xff\xdd" in with_rst  # DRI present
+    assert any(bytes([0xFF, 0xD0 | m]) in with_rst for m in range(8))
+    assert np.array_equal(gdec(with_rst)[2], gdec(genc(g))[2])
+
+    c = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    for sub in ("444", "420", "422"):
+        with_rst = jpeg_color_encode(c, sub, restart_interval=ri)
+        assert np.array_equal(
+            jpeg_color_decode(with_rst)[2],
+            jpeg_color_decode(jpeg_color_encode(c, sub))[2],
+        )
+
+
+def test_restart_marker_out_of_sequence_raises():
+    g = np.full((24, 40), 77, np.uint8)
+    from mergermetrics_lakehouse_pipeline_spark.operators.jpeg import (
+        jpeg_gray_decode as gdec,
+        jpeg_gray_encode as genc,
+    )
+
+    payload = bytearray(genc(g, restart_interval=2))
+    i = bytes(payload).find(b"\xff\xd0")
+    assert i > 0
+    payload[i + 1] = 0xD5  # wrong counter
+    with pytest.raises(ValueError, match="out of sequence"):
+        gdec(bytes(payload))
