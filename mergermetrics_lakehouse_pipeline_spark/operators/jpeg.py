@@ -744,8 +744,9 @@ def jpeg_color_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     JFIF full-range BT.601 inverse — unless the stream's APP14 Adobe
     marker declares transform=0 or the component ids spell 'R','G','B',
     in which case the planes are already RGB and pass through (review
-    r10 finding #4). Progressive/arithmetic streams and restart markers
-    raise (documented scope, as in jpeg_gray_decode)."""
+    r10 finding #4). Restart markers (DRI/RSTn) decode with the
+    modulo-8 sequence verified; progressive streams route to
+    jpeg_progressive_decode and arithmetic coding raises."""
     hdr = _parse_headers(payload)
     comps = hdr["comps"]
     if len(comps) != 3:

@@ -29,6 +29,31 @@ from pyspark.sql import functions as F
 
 from .registry import T, dsum, register, sql_dsum
 
+
+def drop_first_add(commit_path: str) -> None:
+    """Tamper helper shared with tests/test_version_checksum.py: rewrite
+    a commit JSON without its first add action — the corruption the
+    version-checksum verifier must catch."""
+    import json as _json
+
+    lines = [
+        _json.loads(line)
+        for line in open(commit_path, encoding="utf-8")
+        if line.strip()
+    ]
+    kept, dropped = [], False
+    for a in lines:
+        if "add" in a and not dropped:
+            dropped = True
+            continue
+        kept.append(a)
+    if not dropped:
+        raise ValueError(f"no add action in {commit_path}")
+    with open(commit_path, "w", encoding="utf-8") as fh:
+        for a in kept:
+            fh.write(_json.dumps(a) + "\n")
+
+
 # ---------------------------------------------------------------------------
 # multimodal: color JPEG (round-10, VERDICT r9 next-step #1)
 # ---------------------------------------------------------------------------
@@ -1285,7 +1310,6 @@ def q_delta_version_checksum_roundtrip(
 
     Scale: the checksum is O(files) driver metadata (one replay +
     one JSON); verification is the same replay a read needs anyway."""
-    import json as _json
     import shutil
 
     from .sources.delta_log import (
@@ -1314,27 +1338,18 @@ def q_delta_version_checksum_roundtrip(
     if got["setTransactions"] != [{"appId": "crc-app", "version": 3}]:
         raise RuntimeError("txn watermark missing from verified checksum")
 
-    # tampering must be LOUD: clone the table, drop one LIVE add
-    # action (commit 2 — the copy-on-write DELETE's rewrite; commit 0's
-    # adds are already superseded there, so dropping one of those would
+    # tampering must be LOUD: clone the LOG ONLY (verification replays
+    # the log, never the data files), drop one LIVE add action
+    # (commit 2 — the copy-on-write DELETE's rewrite; commit 0's adds
+    # are already superseded there, so dropping one of those would
     # legitimately leave the head state unchanged)
     tampered = root + "_tampered"
-    shutil.copytree(root, tampered)
-    commit0 = os.path.join(tampered, "_delta_log", f"{2:020d}.json")
-    lines = [
-        _json.loads(line)
-        for line in open(commit0, encoding="utf-8")
-        if line.strip()
-    ]
-    kept, dropped = [], False
-    for a in lines:
-        if "add" in a and not dropped:
-            dropped = True
-            continue
-        kept.append(a)
-    with open(commit0, "w", encoding="utf-8") as fh:
-        for a in kept:
-            fh.write(_json.dumps(a) + "\n")
+    os.makedirs(tampered)
+    shutil.copytree(
+        os.path.join(root, "_delta_log"),
+        os.path.join(tampered, "_delta_log"),
+    )
+    drop_first_add(os.path.join(tampered, "_delta_log", f"{2:020d}.json"))
     try:
         verify_version_checksum(spark, tampered)
         raise RuntimeError("tampered log verified clean")

@@ -2462,10 +2462,13 @@ def verify_version_checksum(
     with open(path, encoding="utf-8") as fh:
         stored = json.loads(fh.read())
     computed = _version_checksum_payload(snap)
+    # a MISSING field is a mismatch too — otherwise a truncated or
+    # field-stripped checksum verifies clean (review r10 pass-3 #1)
+    missing = object()
     diffs = {
-        k: (stored.get(k), computed[k])
+        k: (stored.get(k, missing), computed[k])
         for k in computed
-        if k in stored and stored[k] != computed[k]
+        if stored.get(k, missing) != computed[k]
     }
     if diffs:
         raise DeltaProtocolError(

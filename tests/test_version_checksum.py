@@ -49,25 +49,22 @@ def test_write_and_verify_roundtrip(spark, tbl):
 
 
 def test_tampered_log_detected(spark, tbl):
+    from mergermetrics_lakehouse_pipeline_spark.registry_r10 import drop_first_add
+
     write_delta(_kv(spark, 0, 10), tbl, mode="overwrite")
     write_version_checksum(spark, tbl)
-    # tamper: drop an add action from the commit (simulated corruption)
-    c0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
-    lines = [
-        json.loads(line)
-        for line in open(c0, encoding="utf-8")
-        if line.strip()
-    ]
-    kept, dropped = [], False
-    for a in lines:
-        if "add" in a and not dropped:
-            dropped = True
-            continue
-        kept.append(a)
-    assert dropped
-    with open(c0, "w", encoding="utf-8") as fh:
-        for a in kept:
-            fh.write(json.dumps(a) + "\n")
+    drop_first_add(os.path.join(tbl, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(DeltaProtocolError, match="checksum mismatch"):
+        verify_version_checksum(spark, tbl)
+
+
+def test_truncated_checksum_detected(spark, tbl):
+    """Review r10 pass-3 finding #1: a field-stripped .crc must NOT
+    verify clean — missing fields are mismatches."""
+    write_delta(_kv(spark, 0, 10), tbl, mode="overwrite")
+    path = write_version_checksum(spark, tbl)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("{}")
     with pytest.raises(DeltaProtocolError, match="checksum mismatch"):
         verify_version_checksum(spark, tbl)
 
