@@ -403,6 +403,10 @@ def _parse_headers(payload: bytes) -> dict:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker byte (r10 advice) — skip them so padded streams parse
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
@@ -712,6 +716,9 @@ def _sof_probe(payload: bytes) -> tuple[int, int]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # B.1.1.2 fill bytes (r10 advice) — same skip as _parse_headers
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return marker, payload[pos + 4 + 5]

@@ -493,6 +493,10 @@ def _parse_progressive(payload: bytes) -> dict:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # B.1.1.2 fill bytes (r10 advice) — same skip as the baseline
+        # walks in jpeg.py
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break

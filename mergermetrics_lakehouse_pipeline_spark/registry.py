@@ -1441,7 +1441,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # --- ROUND-10 ROTATION: head = this round's 18 new queries (color
+    # --- ROUND-10 ROTATION: head = this round's 21 new queries (color
     # JPEG, the typeWidening + log-compaction Delta increment, and the
     # analytics batch — all hash-green at sf0.001 AND sf0.01 and on a
     # vanilla session); the remainder re-verifies prior-round rows at

@@ -2394,18 +2394,19 @@ def _version_checksum_payload(snap: DeltaSnapshot) -> dict[str, Any]:
     """The VERSION CHECKSUM body delta-spark writes as ``<v>.crc``
     beside each commit: a summary of the reconstructed table state a
     reader can compare its own replay against. Field subset kept to the
-    replay-derivable core (delta-spark's VersionChecksum): table size,
-    file count, DV count, the metaData/protocol actions verbatim, txn
-    watermarks and live domain metadata (both canonically sorted so the
-    comparison is order-free)."""
-    return {
+    replay-derivable core, with delta-spark's field NAMES
+    (``numDeletionVectorsOpt``, not a repo-local spelling) so a .crc
+    this engine writes is comparable against one delta-spark writes:
+    table size, file count, DV count, the metaData/protocol actions
+    verbatim, txn watermarks and live domain metadata (both canonically
+    sorted so the comparison is order-free). Empty optionals are
+    OMITTED from the written JSON, mirroring delta-spark's
+    ``Option[...]`` serialisation."""
+    payload: dict[str, Any] = {
         "tableSizeBytes": int(
             sum(int(a.get("size") or 0) for a in snap.files.values())
         ),
         "numFiles": len(snap.files),
-        "numDeletionVectors": sum(
-            1 for a in snap.files.values() if a.get("deletionVector")
-        ),
         "numMetadata": 1,
         "numProtocol": 1,
         "metadata": {
@@ -2415,14 +2416,20 @@ def _version_checksum_payload(snap: DeltaSnapshot) -> dict[str, Any]:
             "configuration": dict(snap.configuration),
         },
         "protocol": snap.protocol,
-        "setTransactions": [
+    }
+    num_dv = sum(1 for a in snap.files.values() if a.get("deletionVector"))
+    if num_dv:
+        payload["numDeletionVectorsOpt"] = num_dv
+    if snap.txns:
+        payload["setTransactions"] = [
             {"appId": app, "version": int(v)}
             for app, v in sorted(snap.txns.items())
-        ],
-        "domainMetadata": [
+        ]
+    if snap.domain_metadata:
+        payload["domainMetadata"] = [
             snap.domain_metadata[d] for d in sorted(snap.domain_metadata)
-        ],
-    }
+        ]
+    return payload
 
 
 def _crc_file(table_path: str, version: int) -> str:
@@ -2461,15 +2468,39 @@ def verify_version_checksum(
         )
     with open(path, encoding="utf-8") as fh:
         stored = json.loads(fh.read())
+    # a .crc that is not even checksum-SHAPED (not an object, or missing
+    # the mandatory state summary delta-spark always writes) is a format
+    # incompatibility, not evidence of tampering — surface it as such so
+    # callers can tell "foreign layout" from "state diverged"
+    if not isinstance(stored, dict) or not {
+        "tableSizeBytes",
+        "numFiles",
+    } <= stored.keys():
+        raise DeltaProtocolError(
+            f"incompatible version checksum format at {path}: expected a "
+            "delta-spark VersionChecksum object with tableSizeBytes/"
+            "numFiles — cannot compare, refusing to report tamper"
+        )
     computed = _version_checksum_payload(snap)
-    # a MISSING field is a mismatch too — otherwise a truncated or
-    # field-stripped checksum verifies clean (review r10 pass-3 #1)
-    missing = object()
-    diffs = {
-        k: (stored.get(k, missing), computed[k])
-        for k in computed
-        if stored.get(k, missing) != computed[k]
+    # optional fields delta-spark omits when empty compare as empty;
+    # nested ACTION fields compare on the keys this engine derives
+    # (foreign writers add createdTime/format/name to metaData — extras
+    # are not divergence). A MISSING mandatory field is a mismatch —
+    # otherwise a truncated checksum verifies clean (review r10 pass-3).
+    empties: dict[str, Any] = {
+        "numDeletionVectorsOpt": 0,
+        "setTransactions": [],
+        "domainMetadata": [],
     }
+    missing = object()
+    diffs: dict[str, tuple[Any, Any]] = {}
+    for k in set(computed) | set(empties):
+        comp = computed.get(k, empties.get(k))
+        got = stored.get(k, empties.get(k, missing))
+        if isinstance(comp, dict) and isinstance(got, dict):
+            got = {f: got.get(f, missing) for f in comp}
+        if got != comp:
+            diffs[k] = (got, comp)
     if diffs:
         raise DeltaProtocolError(
             f"version checksum mismatch at v{snap.version}: "

@@ -87,15 +87,21 @@ FORMAT_NAME = "delta_pylog"
 # --------------------------------------------------------------------------
 
 
-def _log_files_desc(table_path: str) -> list[tuple[int, str]]:
+def _log_files_desc(
+    table_path: str,
+    scanned: tuple | None = None,
+) -> list[tuple[int, str]]:
     """(version, path) of every commit JSON plus every minor log
     compaction (positioned at its END version — its table-level actions
     are the latest in range), newest first, commits preferred on ties.
     The version-ordered walk matters: a compaction covering deleted
     commits may hold a NEWER metaData/protocol than any surviving
     commit JSON, and returning the newest surviving commit's action
-    would silently read stale table state (the r9 sidecar bug class)."""
-    commits, _ckpts, compactions = _scan_log(table_path)
+    would silently read stale table state (the r9 sidecar bug class).
+    Pass ``scanned`` (a prior ``_scan_log`` result) to reuse ONE
+    directory listing per caller (r10 advice: _latest_metadata and
+    _check_reader_protocol were each paying two LIST round-trips)."""
+    commits, _ckpts, compactions = scanned or _scan_log(table_path)
     entries = [(v, 1, _commit_file(table_path, v)) for v in commits] + [
         (e, 0, p) for lst in compactions.values() for (e, p) in lst
     ]
@@ -107,8 +113,9 @@ def _latest_metadata(table_path: str) -> dict[str, Any]:
     """The newest metaData action, parsed without a SparkSession:
     commit JSONs and log compactions scanned newest-first, checkpoint
     parquet (pyarrow) as fallback for truncated logs."""
-    _commits, checkpoints = _list_versions(table_path)
-    for _v, path in _log_files_desc(table_path):
+    scanned = _scan_log(table_path)  # ONE listing for files + ckpts
+    checkpoints = scanned[1]
+    for _v, path in _log_files_desc(table_path, scanned):
         for action in _parse_log_file(path):
             if "metaData" in action:
                 return action["metaData"]
@@ -155,8 +162,9 @@ def _check_reader_protocol(table_path: str) -> None:
     silently misread (ADVICE r6 #2)."""
     from .delta_log import _check_protocol
 
-    _commits, checkpoints = _list_versions(table_path)
-    for _v, path in _log_files_desc(table_path):
+    scanned = _scan_log(table_path)  # ONE listing for files + ckpts
+    checkpoints = scanned[1]
+    for _v, path in _log_files_desc(table_path, scanned):
         for action in _parse_log_file(path):
             if "protocol" in action:
                 _check_protocol(action["protocol"])

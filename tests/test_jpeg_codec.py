@@ -118,3 +118,38 @@ def test_quant_table_is_annex_k():
              92, 95, 98, 112, 100, 103, 99]
         )
     )
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker byte (r10 advice) — a padded foreign stream must decode
+    identically, not raise / fall back to the stub decoder."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.jpeg import (
+        _sof_probe,
+        jpeg_frame_marker,
+    )
+
+    img = (
+        25 + np.arange(24)[None, :] * 3 + np.arange(16)[:, None] * 2
+    ).astype(np.uint8)
+    plain = jpeg_gray_encode(img)
+    # re-pad: insert two fill 0xFFs before every marker after SOI
+    padded = bytearray(plain[:2])
+    pos = 2
+    while pos + 4 <= len(plain):
+        assert plain[pos] == 0xFF
+        m = plain[pos + 1]
+        padded += b"\xff\xff" + plain[pos:pos + 2]
+        if m == 0xDA:
+            padded += plain[pos + 2:]
+            break
+        (ln,) = __import__("struct").unpack(">H", plain[pos + 2:pos + 4])
+        padded += plain[pos + 2:pos + 2 + ln]
+        pos += 2 + ln
+    padded = bytes(padded)
+    assert jpeg_frame_marker(padded) == 0xC0
+    assert _sof_probe(padded)[1] == 1
+    w0, h0, dec0 = jpeg_gray_decode(plain)
+    w1, h1, dec1 = jpeg_gray_decode(padded)
+    assert (w0, h0) == (w1, h1) == (24, 16)
+    assert np.array_equal(dec0, dec1)

@@ -60,13 +60,57 @@ def test_tampered_log_detected(spark, tbl):
 
 def test_truncated_checksum_detected(spark, tbl):
     """Review r10 pass-3 finding #1: a field-stripped .crc must NOT
-    verify clean — missing fields are mismatches."""
+    verify clean — missing MANDATORY fields are mismatches."""
+    write_delta(_kv(spark, 0, 10), tbl, mode="overwrite")
+    path = write_version_checksum(spark, tbl)
+    stored = json.loads(open(path, encoding="utf-8").read())
+    del stored["metadata"]  # keep the format-identifying core fields
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(stored))
+    with pytest.raises(DeltaProtocolError, match="checksum mismatch"):
+        verify_version_checksum(spark, tbl)
+
+
+def test_foreign_layout_is_distinct_error(spark, tbl):
+    """r10 advice: a .crc that is not even VersionChecksum-shaped (no
+    tableSizeBytes/numFiles core) must raise an 'incompatible format'
+    error, NOT be reported as tampering."""
     write_delta(_kv(spark, 0, 10), tbl, mode="overwrite")
     path = write_version_checksum(spark, tbl)
     with open(path, "w", encoding="utf-8") as fh:
         fh.write("{}")
-    with pytest.raises(DeltaProtocolError, match="checksum mismatch"):
+    with pytest.raises(DeltaProtocolError, match="incompatible"):
         verify_version_checksum(spark, tbl)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write('["not-an-object"]')
+    with pytest.raises(DeltaProtocolError, match="incompatible"):
+        verify_version_checksum(spark, tbl)
+
+
+def test_delta_spark_layout_extras_tolerated(spark, tbl):
+    """A .crc written by delta-spark carries fields this engine does not
+    derive (txnId, allFiles, histogramOpt; metaData.format/createdTime).
+    When the derivable core matches, verification must pass — extras are
+    layout, not divergence; delta-spark also omits empty optionals."""
+    write_delta(_kv(spark, 0, 10), tbl, mode="overwrite")
+    path = write_version_checksum(spark, tbl)
+    stored = json.loads(open(path, encoding="utf-8").read())
+    assert "setTransactions" not in stored  # empty optional omitted
+    assert "numDeletionVectorsOpt" not in stored
+    stored["txnId"] = "11111111-2222-3333-4444-555555555555"
+    stored["allFiles"] = []
+    stored["histogramOpt"] = {"sortedBinBoundaries": [], "fileCounts": []}
+    stored["metadata"] = dict(
+        stored["metadata"],
+        format={"provider": "parquet", "options": {}},
+        createdTime=1700000000000,
+        name=None,
+        description=None,
+    )
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(stored))
+    got = verify_version_checksum(spark, tbl)
+    assert got["numFiles"] >= 1
 
 
 def test_missing_checksum_is_loud(spark, tbl):
@@ -80,7 +124,7 @@ def test_counts_deletion_vectors(spark, tbl):
     delete_delta_dv(spark, tbl, "k", 0, 4)  # range-predicate DV delete
     write_version_checksum(spark, tbl)
     got = verify_version_checksum(spark, tbl)
-    assert got["numDeletionVectors"] >= 1
+    assert got["numDeletionVectorsOpt"] >= 1
 
 
 def test_crc_files_invisible_to_log_listing(spark, tbl):
