@@ -1687,6 +1687,7 @@ def _load_extensions() -> None:
         registry_r7,
         registry_r9,
         registry_r10,
+        registry_r11,
         registry_scale,
         registry_sinks,
         registry_tpch,

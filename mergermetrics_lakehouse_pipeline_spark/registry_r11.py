@@ -1,0 +1,200 @@
+"""Round-11 surface: column DEFAULT values (writer-v7 feature
+allowColumnDefaults — CURRENT_DEFAULT fills omitted columns at write,
+EXISTS_DEFAULT fills pre-ALTER files at read, on both the JVM scan and
+the Spark-free python source), checkpoint protection interplay, plus
+this round's exact-arithmetic analytics batch.
+
+Determinism discipline (project-wide): every aggregate is exact BIGINT
+or DECIMAL arithmetic with at most one trailing double division; ranks
+and top-k carry full tie-breakers; float payloads quantize through
+FLOOR(x*1000) or integer-cent recovery before any SUM.
+
+Parity note: the reference writes managed Delta tables on a platform
+where column defaults are a standard writer surface (reference:
+consolidated_pipeline/1_customer_data_processing.py:50-53); the
+reference itself never declares one, so these rows are extension
+surface proving the protocol feature on this engine's own log.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import T, register
+
+
+# ---------------------------------------------------------------------------
+# Delta: column DEFAULT values (round-11, VERDICT r10 next-step #1)
+# ---------------------------------------------------------------------------
+
+
+def _build_defaults_table(spark: SparkSession, sf_dir: str, limit: int) -> str:
+    """Shared construction for the defaultColumns rows: customers write
+    in three batches — (1) BEFORE the column exists, (2) explicit values
+    including real NULLs, (3) omitting the column under a changed
+    CURRENT_DEFAULT — so one table exercises EXISTS_DEFAULT fill,
+    supplied-wins, NULL-vs-missing distinction, and the live default."""
+    from .sources.delta_log import (
+        add_column,
+        set_column_default,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="mm_cd_rt_") + "/cust_defaults"
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(f"c_custkey <= {limit}")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    # batch 1: the column does not exist yet
+    write_delta(c.filter("k % 2 = 0"), root, mode="overwrite")
+    # ALTER ADD COLUMN ... DEFAULT: metadata-only; batch-1 files must
+    # read back as the FOLDED constant ('STD'), never NULL
+    add_column(spark, root, "tier", "string", default_sql="upper('std')")
+    # batch 2: explicit values, including genuine NULLs (k % 5 = 0) —
+    # the per-file distinction EXISTS_DEFAULT exists for
+    write_delta(
+        c.filter("k % 2 = 1 AND k % 11 != 0").withColumn(
+            "tier", F.when(F.col("k") % 5 != 0, F.lit("gold"))
+        ),
+        root,
+        mode="append",
+    )
+    # change the live INSERT default, then omit the column entirely
+    set_column_default(spark, root, "tier", "'silver'")
+    write_delta(c.filter("k % 2 = 1 AND k % 11 = 0"), root, mode="append")
+    return root
+
+
+@register(
+    "delta_default_columns_roundtrip",
+    """
+    WITH src AS (
+      SELECT c_custkey AS k, c_acctbal AS bal
+      FROM customer WHERE c_custkey <= 2400
+    ),
+    tiers AS (
+      SELECT k, bal,
+             CASE WHEN k % 2 = 0 THEN 'STD'
+                  WHEN k % 11 = 0 THEN 'silver'
+                  WHEN k % 5 = 0 THEN NULL
+                  ELSE 'gold' END AS tier
+      FROM src
+    )
+    SELECT COALESCE(tier, 'none') AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+    FROM tiers GROUP BY 1 ORDER BY 1
+    """,
+    tags=["S6", "delta", "allowColumnDefaults", "writer-v7", "roundtrip"],
+)
+def q_delta_default_columns_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLUMN DEFAULT VALUES (writer-v7 feature allowColumnDefaults,
+    VERDICT r10 next-step #1): add_column(default) on a populated table
+    is ONE metaData commit — pre-ALTER files read back as the folded
+    EXISTS_DEFAULT constant while explicit NULLs in post-ALTER files
+    stay NULL (a coalesce-based fill would conflate the two); a later
+    set_column_default changes what OMITTING writes fill without
+    touching history. In-query guards pin the protocol stamp
+    (writer-only: minWriterVersion 7 + feature listed, reader version
+    untouched), the physical absence of the column from pre-ALTER
+    footers, and both metadata keys.
+
+    Scale: the ALTER is O(1) metadata — a 100 TB table gains a
+    non-NULL-backfilled column with zero data rewrite; the read-side
+    footer probe is gated to tables carrying an EXISTS_DEFAULT and
+    runs distributed (one KB-sized footer read per file)."""
+    import pyarrow.parquet as pq
+
+    from .sources.delta_log import read_delta, snapshot
+
+    root = _build_defaults_table(spark, sf_dir, 2400)
+    snap = snapshot(spark, root)
+    proto = snap.protocol
+    if proto.get("minWriterVersion") != 7 or "allowColumnDefaults" not in (
+        proto.get("writerFeatures") or []
+    ):
+        raise RuntimeError("allowColumnDefaults writer feature not stamped")
+    if proto.get("minReaderVersion") != 1 or "readerFeatures" in proto:
+        raise RuntimeError(
+            "writer-only feature must leave the reader version untouched"
+        )
+    md = {f.name: dict(f.metadata or {}) for f in snap.schema.fields}["tier"]
+    if md.get("CURRENT_DEFAULT") != "'silver'":
+        raise RuntimeError("live CURRENT_DEFAULT not updated by SET DEFAULT")
+    if md.get("EXISTS_DEFAULT") != "'STD'":
+        raise RuntimeError("EXISTS_DEFAULT not the folded ADD-time constant")
+    for rel in snapshot(spark, root, 0).files:
+        sch = pq.read_schema(glob.glob(os.path.join(root, rel))[0])
+        if "tier" in sch.names:
+            raise RuntimeError("pre-ALTER file was rewritten (has tier)")
+
+    return (
+        read_delta(spark, root)
+        .groupBy(F.coalesce(F.col("tier"), F.lit("none")).alias("tier"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("bal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_c"),
+        )
+        .orderBy("tier")
+    )
+
+
+@register(
+    "delta_default_columns_pysource",
+    """
+    WITH src AS (
+      SELECT c_custkey AS k, c_acctbal AS bal
+      FROM customer WHERE c_custkey <= 1200
+    ),
+    tiers AS (
+      SELECT k, bal,
+             CASE WHEN k % 2 = 0 THEN 'STD'
+                  WHEN k % 11 = 0 THEN 'silver'
+                  WHEN k % 5 = 0 THEN NULL
+                  ELSE 'gold' END AS tier
+      FROM src
+    )
+    SELECT COALESCE(tier, 'none') AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+    FROM tiers GROUP BY 1 ORDER BY 1
+    """,
+    tags=["S6", "delta", "allowColumnDefaults", "pysource"],
+)
+def q_delta_default_columns_pysource(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PYTHON DATASOURCE over a defaulted table: EXISTS_DEFAULT is
+    parsed executor-side from the field metadata riding inside the
+    schema (no JVM, no SparkSession on the worker) and filled per file
+    — only files physically lacking the column get the constant, so
+    explicit NULLs written after the ALTER survive. Proves the fill
+    logic in BOTH readers from one construction."""
+    from .sources.delta_pysource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    root = _build_defaults_table(spark, sf_dir, 1200)
+    out = spark.read.format("delta_pylog").option("path", root).load()
+    return (
+        out.groupBy(F.coalesce(F.col("tier"), F.lit("none")).alias("tier"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("bal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("bal_c"),
+        )
+        .orderBy("tier")
+    )

@@ -130,6 +130,118 @@ _TW_MATRIX: dict[str, set[str]] = {
     "integer": {"long", "double"},
     "float": {"double"},
 }
+# column DEFAULT values (writer-v7 feature allowColumnDefaults,
+# delta.io PROTOCOL.md "Column Default Values"): the declaration lives
+# in StructField metadata under Spark's own resolver keys.
+# CURRENT_DEFAULT is the SQL expression a write evaluates when the
+# frame OMITS the column; EXISTS_DEFAULT is the constant-folded literal
+# a reader fills for files physically LACKING the column (Spark's
+# ALTER TABLE ADD COLUMN ... DEFAULT read contract — folded once at
+# DDL time so history is immutable even for CURRENT_DATE-style
+# expressions). delta-spark refuses ADD COLUMN DEFAULT and so never
+# stores EXISTS_DEFAULT; this engine implements the full two-key Spark
+# contract behind the same metadata keys.
+_CD_CURRENT = "CURRENT_DEFAULT"
+_CD_EXISTS = "EXISTS_DEFAULT"
+_CD_FEATURE = "allowColumnDefaults"
+
+
+def _column_defaults(schema: StructType) -> dict[str, str]:
+    """{column: CURRENT_DEFAULT sql expression} for defaulted columns."""
+    return {
+        f.name: str((f.metadata or {})[_CD_CURRENT])
+        for f in schema.fields
+        if _CD_CURRENT in (f.metadata or {})
+    }
+
+
+def _exists_defaults(schema: StructType) -> dict[str, str]:
+    """{column: EXISTS_DEFAULT literal} for columns ADDED with a
+    default — the constant reads fill for files predating the column."""
+    return {
+        f.name: str((f.metadata or {})[_CD_EXISTS])
+        for f in schema.fields
+        if _CD_EXISTS in (f.metadata or {})
+    }
+
+
+def _render_literal(v: Any, dtype: DataType) -> str:
+    """Canonical SQL literal for a constant-folded default — parseable
+    by BOTH Spark (F.expr on the JVM read path) and the Spark-free
+    python source (_parse_literal): the EXISTS_DEFAULT storage format."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, _dec.Decimal)):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    raise DeltaProtocolError(
+        f"unsupported default value type {type(v).__name__} for "
+        f"{dtype.simpleString()}"
+    )
+
+
+def _parse_literal(s: str, dtype: DataType | None = None) -> Any:
+    """Inverse of _render_literal. Runs on EXECUTORS with no JVM — the
+    python source's EXISTS_DEFAULT fill — so it parses only the
+    canonical forms _render_literal emits."""
+    import datetime as _dt
+    import decimal as _dec
+
+    t = s.strip()
+    u = t.upper()
+    if u == "NULL":
+        return None
+    if u in ("TRUE", "FALSE"):
+        return u == "TRUE"
+    if t.startswith("'") and t.endswith("'") and len(t) >= 2:
+        return t[1:-1].replace("''", "'")
+    if u.startswith("DATE '") and t.endswith("'"):
+        return _dt.date.fromisoformat(t[6:-1])
+    if u.startswith("TIMESTAMP '") and t.endswith("'"):
+        return _dt.datetime.fromisoformat(t[11:-1])
+    tname = dtype.typeName() if dtype is not None else None
+    if tname == "decimal":
+        return _dec.Decimal(t)
+    if tname in ("double", "float"):
+        return float(t)
+    try:
+        return int(t)
+    except ValueError:
+        return float(t)
+
+
+def _eval_default(
+    spark: SparkSession, col: str, sql_expr: str, dtype: DataType
+) -> Any:
+    """Constant-fold a default expression at DDL time (Spark's
+    ResolveDefaultColumns contract: the expression must evaluate with
+    no input columns and cast to the column type). Returns the folded
+    python value; raises at the DDL — not at first write — when the
+    expression references columns or cannot cast."""
+    try:
+        row = (
+            spark.createDataFrame([(0,)], "__mm_no_columns__ int")
+            .select(F.expr(sql_expr).cast(dtype).alias("v"))
+            .first()
+        )
+    except Exception as exc:
+        raise DeltaProtocolError(
+            f"default for {col!r} is not a constant-foldable expression "
+            f"castable to {dtype.simpleString()}: {sql_expr!r} ({exc})"
+        ) from exc
+    return row["v"]
 
 
 def _is_widening(src: DataType, dst: DataType) -> bool:
@@ -777,6 +889,42 @@ def _hive_base(path: str) -> str:
     return d
 
 
+def _probe_missing_columns(
+    spark: SparkSession,
+    table_path: str,
+    rels: list[str],
+    phys_cols: set[str],
+) -> dict[str, tuple[str, ...]]:
+    """rel -> sorted tuple of ``phys_cols`` ABSENT from the file's
+    parquet footer — the per-file presence fact EXISTS_DEFAULT filling
+    needs. Spark's own vectorized reader makes this check inside the
+    scan it runs anyway; out here it is one footer read per file:
+    metadata-only (KB-sized footers, no data pages), distributed over
+    the executors so a million-file table probes in parallel, and only
+    reached for tables that carry an EXISTS_DEFAULT field."""
+    pairs = [
+        (r, r if os.path.isabs(r) else os.path.join(table_path, r))
+        for r in rels
+    ]
+    cols = sorted(phys_cols)
+
+    def probe(it):
+        import pyarrow.parquet as pq
+
+        for rel, full in it:
+            names = set(pq.read_schema(full).names)
+            miss = tuple(c for c in cols if c not in names)
+            if miss:
+                yield rel, miss
+
+    n_slices = max(1, min(len(pairs), 64))
+    return dict(
+        spark.sparkContext.parallelize(pairs, n_slices)
+        .mapPartitions(probe)
+        .collect()
+    )
+
+
 def _scan_files(
     spark: SparkSession, table_path: str, snap: DeltaSnapshot, rels: list[str]
 ) -> DataFrame:
@@ -793,22 +941,46 @@ def _scan_files(
     review finding #3). The common single-base case stays one scan."""
     if not rels:
         return spark.createDataFrame([], snap.schema)
-    groups: dict[str, list[str]] = {}
+    # EXISTS_DEFAULT (allowColumnDefaults): files written BEFORE a
+    # column was added with a default must scan as the folded constant,
+    # while genuine NULLs in files that HAVE the column stay NULL — a
+    # per-file fact, so such files scan in their own group (footer
+    # probe gated to tables that actually carry an EXISTS_DEFAULT;
+    # every other table pays nothing)
+    ed = _exists_defaults(snap.schema)
+    phys_ed: dict[str, str] = {}
+    missing_by_rel: dict[str, tuple[str, ...]] = {}
+    if ed:
+        phys_ed = {
+            snap.physical(c): c
+            for c in ed
+            if c not in snap.partition_columns
+        }
+        if phys_ed:
+            missing_by_rel = _probe_missing_columns(
+                spark, table_path, rels, set(phys_ed)
+            )
+    groups: dict[tuple[str, tuple[str, ...]], list[str]] = {}
     for p in rels:
         base = _hive_base(p) if os.path.isabs(p) else table_path
-        groups.setdefault(base, []).append(p)
+        groups.setdefault((base, missing_by_rel.get(p, ())), []).append(p)
     parts = []
-    for base, grels in groups.items():
+    ftypes = {f.name: f.dataType for f in snap.schema.fields}
+    for (base, miss), grels in groups.items():
         d = _raw_reader(spark, table_path, snap, base_path=base).parquet(
             *[os.path.join(table_path, p) for p in grels]
         )
         # DV subtraction consumes _metadata, which is scan-scoped: apply
         # per group, before any union
-        parts.append(
-            _subtract_dv_rows(
-                d, spark, table_path, _dv_descriptors(table_path, snap, grels)
-            )
+        d = _subtract_dv_rows(
+            d, spark, table_path, _dv_descriptors(table_path, snap, grels)
         )
+        for phys in miss:
+            # every file in this group physically lacks the column:
+            # the folded default replaces the scan's NULL fill
+            logical = phys_ed[phys]
+            d = d.withColumn(phys, F.expr(ed[logical]).cast(ftypes[logical]))
+        parts.append(d)
     df = parts[0]
     for q in parts[1:]:
         df = df.unionByName(q, allowMissingColumns=True)
@@ -1491,6 +1663,7 @@ def write_delta(
     generated: dict[str, str] | None = None,
     identity: dict[str, dict[str, Any]] | None = None,
     cluster_by: list[str] | None = None,
+    column_defaults: dict[str, str] | None = None,
 ) -> int:
     """Write ``df`` as a protocol-valid Delta commit; returns the version.
 
@@ -1524,6 +1697,16 @@ def write_delta(
     supply it; GENERATED BY DEFAULT (allow_explicit) accepts explicit
     values and advances the high-water mark past them. Every assigning
     write re-commits metaData with the updated high-water mark.
+
+    ``column_defaults`` (creation only) declares column DEFAULT values
+    (the writer-v7 allowColumnDefaults feature): ``{col: sql_expr}``.
+    The expression lands in the field's ``CURRENT_DEFAULT`` metadata —
+    Spark's own resolver key, which is what delta-spark stores — and
+    every later write that OMITS the column evaluates it; a write that
+    supplies the column wins. Set or clear the default later with
+    ``set_column_default`` / ``drop_column_default``; add a NEW column
+    whose pre-existing files read back as a constant with
+    ``add_column(..., default_sql=...)`` (EXISTS_DEFAULT).
 
     ``cluster_by`` (creation only) declares CLUSTERING columns (the
     writer-v7 clusteredTable feature): the column list lands in the
@@ -1683,6 +1866,17 @@ def write_delta(
         id_specs = _identity_specs(prev.schema)
         if id_specs:
             df, id_hwm_updates, id_unpersist = _apply_identity(df, id_specs)
+        # column DEFAULT values (writer-v7 allowColumnDefaults): a frame
+        # that OMITS a defaulted column gets CURRENT_DEFAULT evaluated
+        # and filled — BEFORE the schema checks, so the omission is not
+        # misread as dropping the column (delta-spark's
+        # ResolveDefaultColumns INSERT behavior; a supplied column wins)
+        defaults = _column_defaults(prev.schema)
+        if defaults:
+            ptypes = {f.name: f.dataType for f in prev.schema.fields}
+            for c, d_sql in defaults.items():
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(d_sql).cast(ptypes[c]))
         # partitioning is a TABLE property, not a per-write choice:
         # inherit it when the caller omits partition_by, reject ANY
         # conflicting spec — including partitioning a previously
@@ -1918,6 +2112,40 @@ def write_delta(
                 else:
                     stamped.append(f)
             create_schema = StructType(stamped)
+        if column_defaults:
+            # the DEFAULT declaration lands in field metadata under
+            # Spark's CURRENT_DEFAULT key — honored by every later
+            # write that omits the column. Validated NOW (constant-
+            # foldable, castable), not at first omitting write.
+            bad = sorted(
+                set(column_defaults)
+                & (set(generated or {}) | set(identity or {}))
+            )
+            if bad:
+                raise DeltaProtocolError(
+                    f"columns {bad} cannot carry a DEFAULT and a "
+                    "generation/identity declaration"
+                )
+            missing_cd = sorted(set(column_defaults) - set(df.columns))
+            if missing_cd:
+                raise DeltaProtocolError(
+                    f"DEFAULT declared for unknown columns {missing_cd}"
+                )
+            base_fields = (create_schema or df.schema).fields
+            stamped = []
+            for f in base_fields:
+                if f.name in column_defaults:
+                    _eval_default(
+                        spark, f.name, column_defaults[f.name], f.dataType
+                    )
+                    md = dict(f.metadata or {})
+                    md[_CD_CURRENT] = column_defaults[f.name]
+                    stamped.append(
+                        StructField(f.name, f.dataType, f.nullable, md)
+                    )
+                else:
+                    stamped.append(f)
+            create_schema = StructType(stamped)
         _enforce_constraints(df, create_conf)
     part_store = [mapping.get(c, c) for c in partition_by]
     added = _stage_write(
@@ -1957,6 +2185,8 @@ def write_delta(
             v7_feats |= {"clusteredTable", "domainMetadata"}
         if conf.get(_TW_PROP, "").lower() == "true":
             v7_feats |= {"typeWidening"}
+        if column_defaults:
+            v7_feats |= {_CD_FEATURE}  # writer-only: reads unaffected
         if v7_feats:
             # these capabilities exist only as writer-v7 table features;
             # re-state everything the legacy writer version implied.
@@ -3148,14 +3378,17 @@ def _alter_schema_commit(
     new_conf: dict[str, str],
     op: str,
     params: dict[str, str],
+    protocol: dict[str, Any] | None = None,
 ) -> int:
     """Shared tail of the metadata-only ALTER COLUMN commands: ONE
     metaData action re-stating schema/partitioning/configuration, zero
     data files touched — the entire point of column mapping (a rename
     or drop on a 100 TB table is a single JSON commit). Conflicts with
-    ANY concurrent commit (metadata changes always do)."""
+    ANY concurrent commit (metadata changes always do). ``protocol``
+    rides a protocol upgrade in the SAME commit (how delta-spark adds
+    a table feature an ALTER first requires)."""
     now_ms = int(time.time() * 1000)
-    actions: list[dict[str, Any]] = [
+    actions: list[dict[str, Any]] = ([{"protocol": protocol}] if protocol else []) + [
         {
             "metaData": {
                 # the table identity is immutable: re-emit the existing
@@ -3279,18 +3512,40 @@ def add_column(
     table_path: str,
     name: str,
     data_type: DataType | str,
+    *,
+    default_sql: str | None = None,
 ) -> int:
     """ALTER TABLE ... ADD COLUMN (nullable) — metadata-only on ANY
     table: existing files simply lack the column and scans NULL-fill it
     (_select_logical), exactly Delta's behavior. Under column mapping
     the new field gets a fresh id/physical name past maxColumnId.
-    ``data_type`` is a DataType or a DDL string ("decimal(12,2)")."""
+    ``data_type`` is a DataType or a DDL string ("decimal(12,2)").
+
+    ``default_sql`` adds the column WITH a DEFAULT (Spark's ALTER TABLE
+    ADD COLUMN ... DEFAULT semantics): the expression is constant-
+    folded NOW and stored twice — ``CURRENT_DEFAULT`` (the live
+    expression later omitting writes evaluate) and ``EXISTS_DEFAULT``
+    (the folded literal reads fill for every file written BEFORE this
+    ALTER, instead of NULL). Still metadata-only: a 100 TB table gains
+    a non-NULL-backfilled column in one JSON commit, zero data rewrite.
+    delta-spark refuses this ALTER precisely because its reader lacks
+    the EXISTS_DEFAULT fill; this engine implements Spark's full
+    two-key contract (see _scan_files / the python source), so the
+    protocol's allowColumnDefaults writer feature rides in the same
+    commit."""
     snap = snapshot(spark, table_path)
     if any(f.name == name for f in snap.schema.fields):
         raise DeltaProtocolError(f"column {name!r} already exists")
     if isinstance(data_type, str):
         data_type = StructType.fromDDL(f"`{name}` {data_type}")[0].dataType
-    f = StructField(name, data_type, True)
+    md: dict[str, Any] = {}
+    proto = None
+    if default_sql is not None:
+        folded = _eval_default(spark, name, default_sql, data_type)
+        md[_CD_CURRENT] = default_sql
+        md[_CD_EXISTS] = _render_literal(folded, data_type)
+        proto = _writer_feature_protocol(snap, _CD_FEATURE)
+    f = StructField(name, data_type, True, md)
     new_conf = dict(snap.configuration)
     if snap.column_mapping_mode != "none":
         next_id = int(new_conf.get(_CM_MAXID, "0")) + 1
@@ -3300,6 +3555,106 @@ def add_column(
         table_path, snap, StructType(list(snap.schema.fields) + [f]),
         snap.partition_columns, new_conf, "ADD COLUMNS",
         {"column": name, "type": f.dataType.simpleString()},
+        protocol=proto,
+    )
+
+
+def _writer_feature_protocol(
+    snap: DeltaSnapshot, feature: str
+) -> dict[str, Any] | None:
+    """Protocol action adding one WRITER-ONLY feature (minWriterVersion
+    7; the reader version is untouched — the feature asks nothing of
+    readers), or None when already in force. Every capability the
+    legacy writer version implied is re-stated (a v7 engine honors only
+    the listed features)."""
+    if (
+        int(snap.protocol.get("minWriterVersion", 2)) >= 7
+        and feature in set(snap.protocol.get("writerFeatures") or [])
+    ):
+        return None
+    rfeats, wfeats = _explicit_features(snap)
+    r = int(snap.protocol.get("minReaderVersion", 1))
+    proto: dict[str, Any] = {
+        "minReaderVersion": r,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wfeats | {feature}),
+    }
+    if r >= 3:
+        # readerFeatures may only be listed at reader v3+
+        proto["readerFeatures"] = sorted(rfeats)
+    return proto
+
+
+def set_column_default(
+    spark: SparkSession, table_path: str, col: str, default_sql: str
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN col SET DEFAULT expr (writer-v7
+    feature allowColumnDefaults; delta.io PROTOCOL.md "Column Default
+    Values"): metadata-only — the expression lands in the field's
+    CURRENT_DEFAULT metadata (Spark's resolver key, what delta-spark
+    stores) and every later write that OMITS the column evaluates it.
+    Existing rows are untouched: they already hold values, so no
+    EXISTS_DEFAULT is recorded — exactly delta-spark's SET DEFAULT.
+    Constant-foldability and castability are validated here, at DDL
+    time, not at the first omitting write."""
+    snap = snapshot(spark, table_path)
+    by_name = {f.name: f for f in snap.schema.fields}
+    if col not in by_name:
+        raise DeltaProtocolError(f"no such column {col!r}")
+    if col in _identity_specs(snap.schema) or col in _generated_exprs(
+        snap.schema
+    ):
+        raise DeltaProtocolError(
+            f"column {col!r} is identity/generated — it already has "
+            "fill semantics; a DEFAULT cannot coexist"
+        )
+    _eval_default(spark, col, default_sql, by_name[col].dataType)
+    new_fields = []
+    for f in snap.schema.fields:
+        if f.name == col:
+            md = dict(f.metadata or {})
+            md[_CD_CURRENT] = default_sql
+            new_fields.append(
+                StructField(f.name, f.dataType, f.nullable, md)
+            )
+        else:
+            new_fields.append(f)
+    return _alter_schema_commit(
+        table_path, snap, StructType(new_fields), snap.partition_columns,
+        dict(snap.configuration), "ALTER COLUMN",
+        {"column": col, "setDefault": default_sql},
+        protocol=_writer_feature_protocol(snap, _CD_FEATURE),
+    )
+
+
+def drop_column_default(
+    spark: SparkSession, table_path: str, col: str
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN col DROP DEFAULT: removes
+    CURRENT_DEFAULT, so later omitting writes NULL-fill again.
+    EXISTS_DEFAULT — the read-side constant for files predating an
+    add_column default — is deliberately KEPT, as Spark keeps it:
+    dropping the INSERT default must not rewrite how history reads."""
+    snap = snapshot(spark, table_path)
+    by_name = {f.name: f for f in snap.schema.fields}
+    if col not in by_name:
+        raise DeltaProtocolError(f"no such column {col!r}")
+    if _CD_CURRENT not in (by_name[col].metadata or {}):
+        raise DeltaProtocolError(f"column {col!r} has no DEFAULT")
+    new_fields = []
+    for f in snap.schema.fields:
+        if f.name == col:
+            md = dict(f.metadata or {})
+            del md[_CD_CURRENT]
+            new_fields.append(
+                StructField(f.name, f.dataType, f.nullable, md)
+            )
+        else:
+            new_fields.append(f)
+    return _alter_schema_commit(
+        table_path, snap, StructType(new_fields), snap.partition_columns,
+        dict(snap.configuration), "ALTER COLUMN",
+        {"column": col, "dropDefault": "true"},
     )
 
 

@@ -370,6 +370,16 @@ def _read_partition(
         elif phys in p.partition_values:
             val = _coerce_partition_value(p.partition_values[phys], f.dataType)
             arrays.append(pa.array([val] * n, type=at))
+        elif "EXISTS_DEFAULT" in fmd:
+            # allowColumnDefaults: a file predating an
+            # add_column(default_sql=...) reads as the folded constant,
+            # not NULL — the literal rides inside the field metadata,
+            # so this fill is Spark-free (delta_log._parse_literal is
+            # pure python)
+            from .delta_log import _parse_literal
+
+            val = _parse_literal(str(fmd["EXISTS_DEFAULT"]), f.dataType)
+            arrays.append(pa.array([val] * n, type=at))
         else:
             arrays.append(pa.nulls(n, type=at))
         fields.append(pa.field(f.name, at))
