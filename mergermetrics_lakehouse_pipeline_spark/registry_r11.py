@@ -198,3 +198,132 @@ def q_delta_default_columns_pysource(
         )
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta: checkpoint protection (round-11, VERDICT r10 next-step #2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delta_checkpoint_protection_roundtrip",
+    """
+    WITH src AS (
+      SELECT o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey <= 20000
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT)
+             AS price_c
+    FROM src GROUP BY 1 ORDER BY 1
+    """,
+    tags=["S6", "delta", "checkpointProtection", "writer-v7", "roundtrip"],
+)
+def q_delta_checkpoint_protection_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECKPOINT PROTECTION (writer-v7 feature checkpointProtection,
+    VERDICT r10 next-step #2) — the interplay of truncate_log (r6),
+    checkpoints, and log compaction (r10): with
+    delta.requireCheckpointProtectionBeforeVersion set, (a) compact_log
+    REFUSES a range straddling a protected checkpoint, (b) truncate_log
+    REFUSES a partial cleanup whose boundary checkpoint sits below the
+    protection version, (c) replay IGNORES a pre-existing straddling
+    compaction — a tampered log-only clone with deleted commits raises
+    loudly instead of folding across the protected boundary — and
+    (d) a one-sweep cleanup up to a checkpoint AT OR PAST the
+    protection version is allowed, after which the protected checkpoint
+    file still exists and the table reads correctly.
+
+    Scale: every guard is O(log listing) driver metadata; protection
+    changes WHICH cleanups are legal, never what data moves."""
+    import shutil
+
+    from .sources.delta_log import (
+        DeltaProtocolError,
+        compact_log,
+        read_delta,
+        snapshot,
+        truncate_log,
+        upgrade_protocol_checkpoint_protection,
+        write_checkpoint,
+        write_delta,
+    )
+
+    root = tempfile.mkdtemp(prefix="mm_cp_rt_") + "/orders_cp"
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter("o_orderkey <= 20000")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    for b in range(4):  # v0..v3
+        write_delta(
+            o.filter(F.col("k") % 4 == b),
+            root,
+            mode="overwrite" if b == 0 else "append",
+        )
+        if b == 2:
+            write_checkpoint(spark, root)  # checkpoint at v2
+    compact_log(root, 1, 3)  # straddles ckpt 2 — legal pre-protection
+    upgrade_protocol_checkpoint_protection(spark, root)  # v4, protects <5
+
+    try:
+        compact_log(root, 2, 4)
+        raise RuntimeError("straddling compaction authored under protection")
+    except DeltaProtocolError:
+        pass
+    try:
+        truncate_log(root)
+        raise RuntimeError("partial truncation below protection allowed")
+    except DeltaProtocolError:
+        pass
+
+    # tamper clone (LOG ONLY — replay never touches data files): delete
+    # the commits the straddling compaction covers; protected replay
+    # must raise, not fold across the boundary
+    tampered = root + "_tampered"
+    os.makedirs(tampered)
+    shutil.copytree(
+        os.path.join(root, "_delta_log"),
+        os.path.join(tampered, "_delta_log"),
+    )
+    os.remove(
+        os.path.join(tampered, "_delta_log", f"{3:020d}.json")
+    )
+    try:
+        snapshot(spark, tampered)
+        raise RuntimeError("replay folded across a protected checkpoint")
+    except FileNotFoundError:
+        pass
+
+    # the sanctioned one-sweep cleanup: boundary checkpoint >= 5
+    write_delta(o.filter("k % 4 = 3 AND k < 0"), root, mode="append")  # v5
+    write_checkpoint(spark, root)  # at v5 >= 5
+    removed = truncate_log(root)
+    if not removed or max(removed) != 5:
+        raise RuntimeError(f"one-sweep cleanup removed {removed}")
+    ckpt2 = os.path.join(root, "_delta_log", f"{2:020d}.checkpoint.parquet")
+    if not os.path.exists(ckpt2):
+        raise RuntimeError("protected checkpoint did not survive cleanup")
+    snap = snapshot(spark, root)
+    if "checkpointProtection" not in (
+        snap.protocol.get("writerFeatures") or []
+    ):
+        raise RuntimeError("checkpointProtection feature not stamped")
+
+    return (
+        read_delta(spark, root)
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("price") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        .orderBy("status")
+    )

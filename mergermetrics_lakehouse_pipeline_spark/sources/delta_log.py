@@ -114,6 +114,17 @@ _CLUSTER_DOMAIN = "delta.clustering"
 # append-only tables (delta.appendOnly, writer v2): row-removing
 # transactions are rejected outright
 _AO_PROP = "delta.appendOnly"
+# checkpoint protection (writer-v7 feature checkpointProtection,
+# delta.io PROTOCOL.md): history below
+# delta.requireCheckpointProtectionBeforeVersion may only be cleaned up
+# in ONE sweep whose boundary checkpoint sits at or past that version;
+# checkpoints below it are PROTECTED — partial cleanups must leave them
+# intact, and replay must never reconcile ACROSS one via a log
+# compaction that straddles it (the compaction's last-writer-wins fold
+# could override the pinned state the protection exists for, e.g. a
+# drop-feature boundary)
+_CP_PROP = "delta.requireCheckpointProtectionBeforeVersion"
+_CP_FEATURE = "checkpointProtection"
 _SIDECAR_DIR = "_sidecars"
 # type widening (reader-writer feature typeWidening, delta.io
 # PROTOCOL.md): a mergeSchema-style write may WIDEN a column's type
@@ -405,6 +416,22 @@ def _parse_log_file(path: str) -> list[dict[str, Any]]:
         return [json.loads(line) for line in fh if line.strip()]
 
 
+def _protection_version(table_path: str) -> int:
+    """``delta.requireCheckpointProtectionBeforeVersion`` from the
+    NEWEST metaData action (0 when unset): consulted by the cleanup
+    commands (truncate_log, compact_log) and by replay before a
+    compaction substitutes for missing commits. Spark-free (newest
+    commit/compaction walk with checkpoint-parquet fallback) so the
+    driver-only cleanup commands stay Spark-free."""
+    from .delta_pysource import _latest_metadata
+
+    try:
+        md = _latest_metadata(table_path)
+    except (DeltaProtocolError, OSError):
+        return 0
+    return int((md.get("configuration") or {}).get(_CP_PROP, 0) or 0)
+
+
 def _check_protocol(action: dict[str, Any]) -> None:
     v = int(action.get("minReaderVersion", 1))
     feats = set(action.get("readerFeatures") or [])
@@ -585,10 +612,12 @@ def snapshot(
     snap = DeltaSnapshot(version=target, schema=StructType([]), partition_columns=[])
     start = 0
     usable_ckpts = [v for v in checkpoints if v <= target]
+    ckpt_used: int | None = None
     if usable_ckpts:
-        ckpt_v = max(usable_ckpts)
-        _read_checkpoint(spark, snap, checkpoints[ckpt_v])
-        start = ckpt_v + 1
+        ckpt_used = max(usable_ckpts)
+        _read_checkpoint(spark, snap, checkpoints[ckpt_used])
+        start = ckpt_used + 1
+    prot_v: int | None = None  # lazy: only read when a commit is missing
     v = start
     while v <= target:
         path = _commit_file(table_path, v)
@@ -601,10 +630,20 @@ def snapshot(
             # safe — reconciliation is last-writer-wins per path/domain
             # and monotone for txn watermarks — but the range must END
             # at or below the target or the replay would overshoot.
+            # EXCEPT under checkpointProtection: a compaction straddling
+            # a PROTECTED resume checkpoint is ignored outright — its
+            # fold could override the pinned boundary state.
+            if prot_v is None:
+                prot_v = _protection_version(table_path)
             fits = [
                 (e, p)
                 for s, lst in compactions.items()
                 if s <= v
+                and not (
+                    ckpt_used is not None
+                    and ckpt_used < prot_v
+                    and s <= ckpt_used
+                )
                 for (e, p) in lst
                 if v <= e <= target
             ]
@@ -2782,6 +2821,29 @@ def upgrade_protocol_v2_checkpoint(spark: SparkSession, table_path: str) -> int:
     return _upgrade_protocol_feature(spark, table_path, "v2Checkpoint")
 
 
+def upgrade_protocol_checkpoint_protection(
+    spark: SparkSession, table_path: str, before_version: int | None = None
+) -> int:
+    """Enable CHECKPOINT PROTECTION (writer-v7 feature
+    checkpointProtection): one commit carrying the feature and the
+    ``delta.requireCheckpointProtectionBeforeVersion`` property —
+    default: the version this commit creates, protecting ALL existing
+    history (the drop-feature flow's shape: pin the boundary, then
+    forbid partial cleanups below it). After this commit, truncate_log
+    below the property version refuses unless the boundary checkpoint
+    reaches it, compact_log refuses straddling ranges, and replay
+    ignores pre-existing straddling compactions."""
+    snap = snapshot(spark, table_path)
+    n = int(before_version) if before_version is not None else snap.version + 1
+    new_conf = dict(snap.configuration)
+    new_conf[_CP_PROP] = str(n)
+    return _alter_schema_commit(
+        table_path, snap, snap.schema, snap.partition_columns, new_conf,
+        "SET TBLPROPERTIES", {_CP_PROP: str(n)},
+        protocol=_writer_feature_protocol(snap, _CP_FEATURE),
+    )
+
+
 def upgrade_protocol_vacuum_check(spark: SparkSession, table_path: str) -> int:
     """Add the ``vacuumProtocolCheck`` reader-writer feature. Its whole
     point is to make every engine's VACUUM read and honor the protocol
@@ -2858,11 +2920,26 @@ def truncate_log(table_path: str) -> list[int]:
     protocol's log-retention story (delta.logRetentionDuration): state
     up to the checkpoint replays from the checkpoint parquet alone.
     Returns the removed versions. Time travel to truncated versions and
-    commit-stream replay across them fail loudly afterwards."""
+    commit-stream replay across them fail loudly afterwards.
+
+    checkpointProtection: when
+    ``delta.requireCheckpointProtectionBeforeVersion`` = N is set, the
+    cleanup must reach a boundary checkpoint AT OR PAST N in one sweep
+    — a partial truncation below N is refused (it could strand replay
+    on a protected boundary); protected checkpoint files themselves are
+    never deleted (this command removes only commit JSONs)."""
     commits, checkpoints = _list_versions(table_path)
     if not checkpoints:
         return []
     horizon = max(checkpoints)
+    prot = _protection_version(table_path)
+    if prot and horizon < prot:
+        raise DeltaProtocolError(
+            f"checkpointProtection: log cleanup below version {prot} "
+            f"requires the truncation boundary checkpoint at or past it "
+            f"(latest checkpoint is {horizon}); write a checkpoint at "
+            f"version >= {prot} first"
+        )
     removed = []
     for v in commits:
         if v <= horizon:
@@ -2898,6 +2975,22 @@ def compact_log(
         raise ValueError(
             f"need 0 <= start < end, got [{start_version}, {end_version}]"
         )
+    # checkpointProtection: a compaction STRADDLING a protected
+    # checkpoint could later be replayed across it, overriding the
+    # pinned boundary state — refuse to author one
+    prot = _protection_version(table_path)
+    if prot:
+        _pc, ckpts, _pcomp = _scan_log(table_path)
+        straddled = sorted(
+            c for c in ckpts
+            if c < prot and start_version <= c < end_version
+        )
+        if straddled:
+            raise DeltaProtocolError(
+                f"checkpointProtection: compaction range "
+                f"[{start_version}, {end_version}] straddles protected "
+                f"checkpoint(s) {straddled} (< {prot})"
+            )
     adds: dict[str, dict[str, Any]] = {}
     removes: dict[str, dict[str, Any]] = {}
     meta: dict[str, Any] | None = None

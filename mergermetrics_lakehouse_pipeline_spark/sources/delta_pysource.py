@@ -493,6 +493,8 @@ def _snapshot_partitions(
             files.pop(unquote(action["remove"]["path"]), None)
 
     checkpoint_versions = set(checkpoints)
+    ckpt_used = max(checkpoint_versions) if checkpoints else None
+    prot_v: int | None = None  # lazy: only read when a commit is missing
     v = start
     while v <= target:
         if not os.path.exists(_commit_file(table_path, v)):
@@ -500,11 +502,22 @@ def _snapshot_partitions(
             # below v — re-applying reconciled actions is last-wins
             # safe) replays in place of deleted commit JSONs; an
             # uncovered gap raises, matching snapshot() — skipping it
-            # would silently plan stale state (the r9 sidecar class)
+            # would silently plan stale state (the r9 sidecar class).
+            # checkpointProtection: a compaction straddling a PROTECTED
+            # resume checkpoint is ignored, matching snapshot()
+            if prot_v is None:
+                from .delta_log import _protection_version
+
+                prot_v = _protection_version(table_path)
             fits = [
                 (e, p)
                 for s, lst in compactions.items()
                 if s <= v
+                and not (
+                    ckpt_used is not None
+                    and ckpt_used < prot_v
+                    and s <= ckpt_used
+                )
                 for (e, p) in lst
                 if v <= e <= target
             ]
