@@ -28,8 +28,8 @@ JFIF/BT.601 full-range color transform — plus 4:2:2 and RESTART
 MARKERS (DRI/RSTn with per-interval DC predictor resets, the camera
 streams' error-resilience layout) on both encode and decode.
 Progressive JPEG (SOF2, spectral selection + successive approximation)
-lives in the sibling jpeg_progressive.py; arithmetic coding stays
-documented out of scope.
+lives in the sibling jpeg_progressive.py; arithmetic coding (SOF9, the
+T.81 Annex-D QM-coder) lives in jpeg_arith.py (round 11).
 """
 
 from __future__ import annotations
@@ -400,6 +400,8 @@ def _parse_headers(payload: bytes) -> dict:
     restart_interval = 0
     adobe_transform = None
     data_start = None
+    frame = None
+    arith_cond: dict[tuple[int, int], int] = {}
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -424,12 +426,13 @@ def _parse_headers(payload: bytes) -> dict:
                 quant[tq] = tbl
                 i += 65
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"only baseline sequential (SOF0) supported, got "
-                f"SOF{marker - 0xC0}"
+                f"only baseline sequential (SOF0) and arithmetic "
+                f"sequential (SOF9) supported, got SOF{marker - 0xC0}"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC9):  # SOF0 / SOF9 (arithmetic)
+            frame = marker
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -448,6 +451,11 @@ def _parse_headers(payload: bytes) -> dict:
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
+        elif marker == 0xCC:  # DAC (B.2.4.3, arithmetic conditioning)
+            i = 0
+            while i + 1 < len(body):
+                arith_cond[(body[i] >> 4, body[i] & 0x0F)] = body[i + 1]
+                i += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
@@ -475,6 +483,8 @@ def _parse_headers(payload: bytes) -> dict:
         "restart_interval": restart_interval,
         "adobe_transform": adobe_transform,
         "data_start": data_start,
+        "frame": frame,
+        "arith_cond": arith_cond,
     }
 
 
@@ -514,6 +524,10 @@ def jpeg_gray_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     The IDCT stays the per-block matrix form (bit-identical to the
     round-9 decoder the oracle row pinned its error bound against)."""
     hdr = _parse_headers(payload)
+    if hdr["frame"] == 0xC9:
+        raise ValueError(
+            "arithmetic-coded stream: use jpeg_arith.jpeg_arith_decode"
+        )
     if len(hdr["comps"]) != 1:
         raise ValueError(
             "multi-component stream: use jpeg_color_decode "
@@ -755,6 +769,10 @@ def jpeg_color_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     modulo-8 sequence verified; progressive streams route to
     jpeg_progressive_decode and arithmetic coding raises."""
     hdr = _parse_headers(payload)
+    if hdr["frame"] == 0xC9:
+        raise ValueError(
+            "arithmetic-coded stream: use jpeg_arith.jpeg_arith_decode"
+        )
     comps = hdr["comps"]
     if len(comps) != 3:
         raise ValueError(

@@ -284,8 +284,9 @@ def _decode_jpeg(payload: bytes) -> dict:
     feature/phash uses the same (r+g+b)//3 convention as the PNG path.
     Round 10 also decodes PROGRESSIVE streams (SOF2 — spectral
     selection + successive approximation; operators/jpeg_progressive.py)
-    for real: the stub now covers only arithmetic-coded/hierarchical
-    JPEG, MP4, and compressed audio."""
+    and round 11 ARITHMETIC-CODED streams (SOF9 — T.81 Annex-D
+    QM-coder; operators/jpeg_arith.py) for real: the stub now covers
+    only hierarchical JPEG, MP4, and compressed audio."""
     from .jpeg import (
         jpeg_color_decode,
         jpeg_frame_marker,
@@ -293,10 +294,20 @@ def _decode_jpeg(payload: bytes) -> dict:
         jpeg_sof_components,
     )
 
-    if jpeg_frame_marker(payload) == 0xC2:
+    frame = jpeg_frame_marker(payload)
+    if frame == 0xC2:
         from .jpeg_progressive import jpeg_progressive_decode
 
         width, height, decoded = jpeg_progressive_decode(payload)
+        matrix = (
+            decoded
+            if decoded.ndim == 2
+            else decoded.astype("int64").sum(axis=2) // 3
+        )
+    elif frame == 0xC9:  # arithmetic-coded sequential (round 11)
+        from .jpeg_arith import jpeg_arith_decode
+
+        width, height, decoded = jpeg_arith_decode(payload)
         matrix = (
             decoded
             if decoded.ndim == 2

@@ -1158,3 +1158,157 @@ def q_orders_priority_value_ntile_grid(
         )
         .orderBy("priority", "value_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: arithmetic-coded JPEG (round-11, VERDICT r10 next-step #4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_jpeg_arith_roundtrip",
+    """
+    SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(*) AS BIGINT) AS n_byte_equal,
+           CAST(COUNT(*) AS BIGINT) AS n_dims_ok,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gray,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_color,
+           CAST(SUM((16 + (doc_id % 3) * 8) * (16 + (doc_id % 2) * 8)
+                    * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END))
+                AS BIGINT) AS px_mass
+    FROM documents
+    WHERE doc_id < 200
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["LLM-multimodal", "jpeg", "arithmetic", "codec", "roundtrip"],
+)
+def q_media_jpeg_arith_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded JPEG (operators/jpeg_arith.py: T.81 Annex-D
+    QM-coder + Annex-F conditioning, SOF9/DAC marker syntax): per
+    document synthesize a deterministic ramp — grayscale for even
+    doc_ids (rotating non-default DAC conditioning L/U/Kx), YCbCr color
+    for odd (rotating 4:4:4 / 4:2:0 / 4:2:2) — encode it with BOTH
+    entropy layers, decode both, and pin the decodes BYTE-EQUAL
+    (n_byte_equal == n_images): the encoder shares the Huffman
+    baseline's forward DCT/quantization, so the arithmetic layer is
+    correct iff the pixels match exactly — an exact-equality oracle for
+    a lossy codec family, the same trick the progressive codec pinned
+    in round 10.
+
+    Scale: encode+decode are per-row numpy kernels inside Arrow
+    batches (mapInPandas) — no shuffle, no driver bytes; the entropy
+    walk is the sequential part the format forces."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import _decode_payload
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter("doc_id < 200")
+        .select(F.col("doc_id").cast("long"))
+    )
+
+    out_schema = (
+        "doc_id long, dec_width int, dec_height int, is_gray boolean, "
+        "byte_equal boolean, dims_ok boolean, n_px long"
+    )
+
+    def roundtrip(batches):
+        from .operators.jpeg import (
+            jpeg_color_decode,
+            jpeg_color_encode,
+            jpeg_gray_decode,
+            jpeg_gray_encode,
+        )
+        from .operators.jpeg_arith import (
+            jpeg_arith_decode,
+            jpeg_color_encode_arith,
+            jpeg_gray_encode_arith,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 16 + (d % 3) * 8
+                h = 16 + (d % 2) * 8
+                if d % 2 == 0:
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = (40 + 2 * xx + 3 * yy + d % 40).astype(np.uint8)
+                    dc_l, dc_u, kx = [(0, 1, 5), (1, 3, 20), (0, 2, 1)][
+                        d % 3
+                    ]
+                    huff = jpeg_gray_encode(img)
+                    arith = jpeg_gray_encode_arith(
+                        img, dc_l=dc_l, dc_u=dc_u, kx=kx
+                    )
+                    dw, dh, dec_h = jpeg_gray_decode(huff)
+                    aw, ah, dec_a = jpeg_arith_decode(arith)
+                else:
+                    img = np.zeros((h, w, 3), np.uint8)
+                    img[..., 0] = (
+                        40 + 2 * np.arange(w)[None, :]
+                        + 3 * np.arange(h)[:, None] + d % 40
+                    )
+                    img[..., 1] = (
+                        90 + np.arange(w)[None, :]
+                        + np.arange(h)[:, None] + d % 40
+                    )
+                    img[..., 2] = 10 + 2 * np.arange(w)[None, :] + d % 40
+                    sub = ["444", "420", "422"][d % 3]
+                    huff = jpeg_color_encode(img, sub)
+                    arith = jpeg_color_encode_arith(img, sub)
+                    dw, dh, dec_h = jpeg_color_decode(huff)
+                    aw, ah, dec_a = jpeg_arith_decode(arith)
+                rows.append(
+                    (
+                        d, aw, ah, d % 2 == 0,
+                        bool(np.array_equal(dec_h, dec_a)),
+                        (dw, dh) == (aw, ah) == (w, h),
+                        int(dec_a.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "dec_width", "dec_height", "is_gray",
+                    "byte_equal", "dims_ok", "n_px",
+                ],
+            )
+
+    decoded = docs.mapInPandas(roundtrip, out_schema)
+
+    # pin that the shared multimodal dispatch routes SOF9 payloads to
+    # the REAL arithmetic kernel, not the stub
+    from .operators.jpeg_arith import jpeg_gray_encode_arith as _enc_probe
+
+    probe = _decode_payload(
+        _enc_probe(np.full((8, 8), 128, dtype=np.uint8)), strict=True
+    )
+    if probe["decoder"] != "jpeg":
+        raise RuntimeError(f"arith JPEG routed to {probe['decoder']!r}")
+
+    return (
+        decoded.groupBy((F.col("doc_id") % 4).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum(F.when(F.col("byte_equal"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_byte_equal"),
+            F.sum(F.when(F.col("dims_ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dims_ok"),
+            F.sum(F.when(F.col("is_gray"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_gray"),
+            F.sum(F.when(~F.col("is_gray"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_color"),
+            F.sum("n_px").cast("bigint").alias("px_mass"),
+        )
+        .orderBy("bucket")
+    )
