@@ -258,6 +258,29 @@ EXTENDED_R10: list[str] = [
     "supplier_acctbal_extremes_by_nation",
 ]
 
+#: Round-11 additions, reported under "extended_r11" — all earlier sets
+#: stay frozen so BENCH_r0N compare like-for-like.
+EXTENDED_R11: list[str] = [
+    "delta_default_columns_roundtrip",
+    "delta_default_columns_pysource",
+    "delta_checkpoint_protection_roundtrip",
+    "media_jpeg_arith_roundtrip",
+    "customer_percentile_bridge",
+    "order_lineitem_conformance",
+    "supplier_flag_mix",
+    "events_dwell_deciles",
+    "docs_source_contamination_rates",
+    "orders_customer_cohorts",
+    "segment_balance_median_disc",
+    "events_hourly_load_profile",
+    "lineitem_discount_effect_bridge",
+    "supplier_top2_parts_by_volume",
+    "parts_brand_price_rank_matrix",
+    "customer_order_gap_bands",
+    "docs_length_ecdf_points",
+    "orders_priority_value_ntile_grid",
+]
+
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -306,6 +329,7 @@ def main() -> None:
     extended_r7 = time_set(EXTENDED_R7)
     extended_r9 = time_set(EXTENDED_R9)
     extended_r10 = time_set(EXTENDED_R10)
+    extended_r11 = time_set(EXTENDED_R11)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -330,6 +354,8 @@ def main() -> None:
         "extended_r9_total": round(sum(extended_r9.values()), 3),
         "extended_r10": extended_r10,
         "extended_r10_total": round(sum(extended_r10.values()), 3),
+        "extended_r11": extended_r11,
+        "extended_r11_total": round(sum(extended_r11.values()), 3),
     }
     # Full detail to a file (the driver's stdout tail capture clipped the
     # r3 single-line output, losing the headline total)...
@@ -357,6 +383,7 @@ def main() -> None:
                 "extended_r7_total": full["extended_r7_total"],
                 "extended_r9_total": full["extended_r9_total"],
                 "extended_r10_total": full["extended_r10_total"],
+                "extended_r11_total": full["extended_r11_total"],
                 "detail": "BENCH_LOCAL.json",
             }
         )

@@ -1441,12 +1441,31 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # --- ROUND-10 ROTATION: head = this round's 21 new queries (color
-    # JPEG, the typeWidening + log-compaction Delta increment, and the
-    # analytics batch — all hash-green at sf0.001 AND sf0.01 and on a
-    # vanilla session); the remainder re-verifies prior-round rows at
-    # zero risk. ---
-    # round-10 additions (new surface)
+    # --- ROUND-11 ROTATION: head = this round's 18 new queries (the
+    # defaultColumns + checkpointProtection Delta increments, the
+    # arithmetic-coded JPEG family closure, and the analytics batch —
+    # all hash-green at sf0.001 AND sf0.01 and on a vanilla session);
+    # the remainder re-verifies prior-round rows at zero risk. ---
+    # round-11 additions (new surface)
+    "delta_default_columns_roundtrip",
+    "delta_default_columns_pysource",
+    "delta_checkpoint_protection_roundtrip",
+    "media_jpeg_arith_roundtrip",
+    "customer_percentile_bridge",
+    "order_lineitem_conformance",
+    "supplier_flag_mix",
+    "events_dwell_deciles",
+    "docs_source_contamination_rates",
+    "orders_customer_cohorts",
+    "segment_balance_median_disc",
+    "events_hourly_load_profile",
+    "lineitem_discount_effect_bridge",
+    "supplier_top2_parts_by_volume",
+    "parts_brand_price_rank_matrix",
+    "customer_order_gap_bands",
+    "docs_length_ecdf_points",
+    "orders_priority_value_ntile_grid",
+    # --- round-10 additions (re-verification) ---
     "media_jpeg_color_roundtrip",
     "media_jpeg_progressive_roundtrip",
     "delta_type_widening_roundtrip",

@@ -83,6 +83,10 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 SUPPORTED_READER_FEATURES = {
     "columnMapping", "deletionVectors", "timestampNtz", "v2Checkpoint",
     "typeWidening", "vacuumProtocolCheck",
+    # round 11: VARIANT columns (semi-structured binary encoding; the
+    # parquet VARIANT logical type Spark 4 reads/writes natively). The
+    # GA name and the preview alias delta-spark stamped before GA.
+    "variantType", "variantType-preview",
 }
 _CDF_PROP = "delta.enableChangeDataFeed"
 _CM_MODE = "delta.columnMapping.mode"
@@ -257,6 +261,24 @@ def _eval_default(
 
 def _is_widening(src: DataType, dst: DataType) -> bool:
     return dst.typeName() in _TW_MATRIX.get(src.typeName(), set())
+
+
+def _schema_has_variant(dt: DataType) -> bool:
+    """True when VARIANT appears anywhere in the type tree (top level
+    or nested in struct/array/map) — the condition under which the
+    variantType reader-writer feature must be stamped."""
+    tn = dt.typeName()
+    if tn == "variant":
+        return True
+    if tn == "struct":
+        return any(_schema_has_variant(f.dataType) for f in dt.fields)
+    if tn == "array":
+        return _schema_has_variant(dt.elementType)
+    if tn == "map":
+        return _schema_has_variant(dt.keyType) or _schema_has_variant(
+            dt.valueType
+        )
+    return False
 
 
 def _has_type_changes(schema: StructType) -> bool:
@@ -470,6 +492,9 @@ def _explicit_features(snap: DeltaSnapshot) -> tuple[set[str], set[str]]:
         # pre-widen physical type, so readers MUST know to upcast
         rfeats |= {"typeWidening"}
         wfeats |= {"typeWidening"}
+    if _schema_has_variant(snap.schema):
+        rfeats |= {"variantType"}
+        wfeats |= {"variantType"}
     return rfeats, wfeats
 
 
@@ -2226,6 +2251,11 @@ def write_delta(
             v7_feats |= {"typeWidening"}
         if column_defaults:
             v7_feats |= {_CD_FEATURE}  # writer-only: reads unaffected
+        if _schema_has_variant(create_schema or df.schema):
+            # VARIANT columns: reader-writer feature — files carry the
+            # parquet VARIANT logical type, so readers must understand
+            # the binary encoding (reader 3 + readerFeatures)
+            v7_feats |= {"variantType"}
         if v7_feats:
             # these capabilities exist only as writer-v7 table features;
             # re-state everything the legacy writer version implied.
@@ -2239,8 +2269,9 @@ def write_delta(
                 "minWriterVersion": 7,
                 "writerFeatures": sorted(wfeats),
             }
-            if "typeWidening" in v7_feats:
-                rfeats = {"typeWidening"}
+            rw_feats = v7_feats & {"typeWidening", "variantType"}
+            if rw_feats:
+                rfeats = set(rw_feats)
                 if reader_v >= 2:  # column mapping was implied at r2
                     rfeats |= {"columnMapping"}
                 proto["minReaderVersion"] = 3
@@ -2280,22 +2311,35 @@ def write_delta(
                 }
             )
     elif evolved_schema is not None:
-        if widen_cols and "typeWidening" not in set(
+        prev_features = set(
             prev.protocol.get("writerFeatures") or []
         ) | _implied_writer_features(
             int(prev.protocol.get("minWriterVersion", 2))
-        ):
+        )
+        upgrade_feats: set[str] = set()
+        if widen_cols and "typeWidening" not in prev_features:
             # a widen on a table whose protocol predates the feature
             # (foreign table carrying the property): upgrade in the
             # same commit, everything implied made explicit
+            upgrade_feats |= {"typeWidening"}
+        if (
+            _schema_has_variant(evolved_schema)
+            and not _schema_has_variant(prev.schema)
+            and "variantType" not in prev_features
+        ):
+            # mergeSchema evolution introducing the table's first
+            # VARIANT column: stamp the reader-writer feature in the
+            # same commit (same shape as the widening upgrade)
+            upgrade_feats |= {"variantType"}
+        if upgrade_feats:
             rf, wf = _explicit_features(prev)
             actions.append(
                 {
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": sorted(rf | {"typeWidening"}),
-                        "writerFeatures": sorted(wf | {"typeWidening"}),
+                        "readerFeatures": sorted(rf | upgrade_feats),
+                        "writerFeatures": sorted(wf | upgrade_feats),
                     }
                 }
             )

@@ -147,9 +147,19 @@ def _table_schema(table_path: str) -> tuple[StructType, list[str]]:
         )
     _check_reader_protocol(table_path)
     schema = StructType.fromJson(json.loads(md["schemaString"]))
-    from .delta_log import _check_type_changes
+    from .delta_log import _check_type_changes, _schema_has_variant
 
     _check_type_changes(schema)  # gate unsupported foreign widenings
+    if _schema_has_variant(schema):
+        # this container's pyarrow cannot open parquet footers carrying
+        # the VARIANT logical type ("Thrift LogicalType that is not
+        # recognized") — raise the documented gate instead of a cryptic
+        # OSError mid-scan; the JVM scan path reads these tables fine
+        raise DeltaProtocolError(
+            "variantType tables are not readable through the python "
+            "datasource (pyarrow lacks the parquet VARIANT logical "
+            "type); use the JVM scan (read_delta)"
+        )
     return schema, list(md.get("partitionColumns") or [])
 
 

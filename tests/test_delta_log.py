@@ -111,9 +111,10 @@ def test_checkpoint_folds_state_and_survives_log_truncation(spark, tbl):
 
 
 def test_reader_feature_gate(spark, tbl):
-    """Unsupported reader-v3 features (e.g. variantType) stay loudly
-    gated; supported ones (deletionVectors, columnMapping — round 6;
-    v2Checkpoint — round 9) pass the protocol check."""
+    """Unsupported reader-v3 features (e.g. collations-preview) stay
+    loudly gated; supported ones (deletionVectors, columnMapping —
+    round 6; v2Checkpoint — round 9; variantType — round 11) pass the
+    protocol check."""
     write_delta(_nation(spark).select("n_nationkey"), tbl)
     with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json"), "w") as fh:
         fh.write(
@@ -121,13 +122,16 @@ def test_reader_feature_gate(spark, tbl):
                 {
                     "protocol": {
                         "minReaderVersion": 3,
-                        "readerFeatures": ["deletionVectors", "variantType"],
+                        "readerFeatures": [
+                            "deletionVectors",
+                            "collations-preview",
+                        ],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="variantType"):
+    with pytest.raises(DeltaProtocolError, match="collations"):
         read_delta(spark, tbl)
 
     # a supported v3 feature set is accepted

@@ -1,0 +1,203 @@
+"""SF1 scale smoke (round 11, VERDICT r10 next-step #5): replicate the
+sf0.1 tables 10x into an on-disk sf1-shaped dataset (~6M lineitem rows)
+and run the frozen HEADLINE set once — one order of magnitude beyond
+the growth smoke's 10x candidate-count measurements, closing the
+extrapolation gap between "measured at sf0.1" and "claimed for 100 TB".
+
+Replication is FK-consistent and disjoint-by-construction:
+
+- fact/dim keys get per-replica offsets applied to BOTH sides of every
+  foreign key (orders.o_orderkey and lineitem.l_orderkey shift
+  together, and so on), so join selectivity and per-key group sizes
+  match a real 10x corpus rather than 10x-deeper hot keys;
+- nation/region stay fixed (TPC-H dims that do not scale with SF);
+- events offset event_id/user_id (disjoint user populations — per-user
+  windows scale by k, not k^2) with a value jitter to keep top-k
+  selection non-degenerate;
+- documents get per-replica word suffixes (disjoint shingle spaces);
+- embeddings shift one dimension per replica (disjoint clouds).
+
+Besides wall times, the smoke re-fingerprints each headline plan at
+sf1 (tools/plan_fingerprints.fingerprint) and reports drift vs the
+committed PLAN_FP.json — a plan that changes shape at 10x (e.g. an
+AQE broadcast decision flipping to sort-merge as a dim outgrows the
+threshold) is exactly what this smoke exists to surface.
+
+Usage: python tools/sf1_smoke.py [sf_dir] [factor] [out_dir]
+Prints one JSON line per query and a summary line; SCALE.md records
+the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from mergermetrics_lakehouse_pipeline_spark import registry  # noqa: E402
+from mergermetrics_lakehouse_pipeline_spark.session import get_spark  # noqa: E402
+
+OFF = 100_000_000  # per-replica key offset, far above any sf1 key
+
+
+def _replicate(
+    df: DataFrame, k: int, key_cols: list[str], extra=None
+) -> DataFrame:
+    out = None
+    for i in range(k):
+        r = df
+        for c in key_cols:
+            r = r.withColumn(c, F.col(c) + F.lit(i * OFF))
+        if extra is not None:
+            r = extra(r, i)
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def build_sf1(spark, sf_dir: str, k: int, out_dir: str) -> None:
+    T = registry.T
+
+    def write(name: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    # fixed dims: straight copies
+    for name in ("region", "nation"):
+        write(name, T(spark, sf_dir, name))
+
+    write("customer", _replicate(T(spark, sf_dir, "customer"), k, ["c_custkey"]))
+    write("supplier", _replicate(T(spark, sf_dir, "supplier"), k, ["s_suppkey"]))
+    write("part", _replicate(T(spark, sf_dir, "part"), k, ["p_partkey"]))
+    write(
+        "orders",
+        _replicate(T(spark, sf_dir, "orders"), k, ["o_orderkey", "o_custkey"]),
+    )
+    write(
+        "lineitem",
+        _replicate(
+            T(spark, sf_dir, "lineitem"),
+            k,
+            ["l_orderkey", "l_partkey", "l_suppkey"],
+        ),
+    )
+    write(
+        "events",
+        _replicate(
+            registry.events_table(spark, sf_dir),
+            k,
+            ["event_id", "user_id"],
+            extra=lambda r, i: r.withColumn(
+                "value", F.col("value") + F.lit(i * 1e-7)
+            ),
+        ),
+    )
+    write(
+        "documents",
+        _replicate(
+            T(spark, sf_dir, "documents"),
+            k,
+            ["doc_id"],
+            extra=lambda r, i: r.withColumn(
+                "text", F.regexp_replace("text", r"(\w+)", f"$1x{i}")
+            ),
+        ),
+    )
+
+    dim_expr = (
+        "transform(embedding, (v, j) -> CASE WHEN j = {i} % size(embedding) "
+        "THEN v + 8.0 ELSE v END)"
+    )
+    write(
+        "embeddings",
+        _replicate(
+            T(spark, sf_dir, "embeddings"),
+            k,
+            ["vec_id"],
+            extra=lambda r, i: r.withColumn(
+                "embedding",
+                F.expr(dim_expr.format(i=i)).cast("array<float>"),
+            ),
+        ),
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    out_dir = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else tempfile.mkdtemp(prefix="mm_sf1_")
+    )
+    spark = get_spark("sf1-smoke")
+
+    t0 = time.time()
+    build_sf1(spark, sf_dir, k, out_dir)
+    n_li = spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
+    print(
+        json.dumps(
+            {
+                "step": "build",
+                "factor": k,
+                "lineitem_rows": n_li,
+                "sec": round(time.time() - t0, 1),
+            }
+        )
+    )
+
+    import bench
+    from tools.plan_fingerprints import fingerprint
+
+    baseline = {}
+    fp_path = "/root/repo/PLAN_FP.json"
+    if os.path.exists(fp_path):
+        baseline = json.load(open(fp_path))
+
+    qs = registry.queries()
+    bench.run_query(qs["topk_global"](spark, out_dir))  # warm codegen
+
+    timings: dict[str, float] = {}
+    drift: dict[str, dict] = {}
+    for name in bench.HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, out_dir)
+        bench.run_query(df)
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        fp = None
+        try:
+            df2 = qs[name](spark, out_dir)
+            df2.collect()
+            plan = df2._jdf.queryExecution().executedPlan().toString()
+            fp = fingerprint(plan)
+        except Exception as e:  # noqa: BLE001
+            fp = {"error": str(e)[:80]}
+        if name in baseline and fp != baseline[name]:
+            drift[name] = {"sf0001": baseline[name], "sf1": fp}
+        print(json.dumps({"query": name, "sec": dt}))
+
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "factor": k,
+                "lineitem_rows": n_li,
+                "queries": timings,
+                "plan_drift": drift,
+            }
+        )
+    )
+    if out_dir.startswith(tempfile.gettempdir()):
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
