@@ -264,6 +264,7 @@ EXTENDED_R11: list[str] = [
     "delta_default_columns_roundtrip",
     "delta_default_columns_pysource",
     "delta_checkpoint_protection_roundtrip",
+    "delta_variant_roundtrip",
     "media_jpeg_arith_roundtrip",
     "customer_percentile_bridge",
     "order_lineitem_conformance",
