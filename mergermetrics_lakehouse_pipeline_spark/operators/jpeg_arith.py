@@ -256,6 +256,8 @@ class QMDecoder:
         self.data = data
         self.pos = pos
         self.hit_marker = False
+        self.next_marker = -1  # marker byte value once hit (e.g. 0xD0)
+        self.marker_end = -1  # index just past the marker byte
         self.cur = 0
         self.nb = 0
         self.a = 0x10000
@@ -276,8 +278,33 @@ class QMDecoder:
                 self.pos += 1
                 return 0xFF
             self.hit_marker = True
+            if self.pos < len(self.data):
+                self.next_marker = self.data[self.pos]
+                self.marker_end = self.pos + 1
             return 0
         return b
+
+    def find_marker(self) -> tuple[int, int]:
+        """(marker byte, index past it) for the next marker at/after the
+        current read position — the RSTn lookup at a restart boundary.
+        Decoding may not have consumed every byte of the finished
+        segment (the coder reads lazily), so unread data bytes before
+        the marker are skipped; 0xFF 0x00 is data, never a marker."""
+        if self.hit_marker and self.next_marker >= 0:
+            return self.next_marker, self.marker_end
+        i = self.pos
+        data = self.data
+        while i < len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            j = i + 1
+            while j < len(data) and data[j] == 0xFF:
+                j += 1
+            if j < len(data) and data[j] != 0x00:
+                return data[j], j + 1
+            i = j + 1  # stuffed data byte, keep scanning
+        raise ValueError("expected a marker in the entropy stream")
 
     def _bit(self) -> int:
         if self.nb == 0:
@@ -548,6 +575,7 @@ def jpeg_gray_encode_arith(
     dc_l: int = DC_L_DEFAULT,
     dc_u: int = DC_U_DEFAULT,
     kx: int = AC_KX_DEFAULT,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an HxW uint8 grayscale matrix as an SOF9 (extended
     sequential, arithmetic-coded) JFIF stream. The forward path (level
@@ -557,7 +585,11 @@ def jpeg_gray_encode_arith(
     entropy layer differs. ``dc_l``/``dc_u`` (0 <= L <= U <= 15) and
     ``kx`` (1-63) are the DAC conditioning parameters — non-default
     values change the context allocation on BOTH sides, so they
-    exercise the DAC segment for real."""
+    exercise the DAC segment for real. ``restart_interval`` > 0 emits
+    DRI + RSTm markers every that-many MCUs: per F.1.4 the arithmetic
+    coder is REINITIALIZED and every statistics area reset at each
+    restart (unlike Huffman restarts, which only reset DC
+    predictors)."""
     if not (0 <= dc_l <= dc_u <= 15):
         raise ValueError("DC conditioning requires 0 <= L <= U <= 15")
     if not (1 <= kx <= 63):
@@ -574,8 +606,22 @@ def jpeg_gray_encode_arith(
     q = STD_LUMA_QUANT.astype(np.float64)
     ctx = 0
     prev = 0
+    mcu = 0
+    parts: list[bytes] = []
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # F.1.4: coder reinit + ALL statistics reset at RSTm
+                parts.append(enc.finish())
+                parts.append(
+                    bytes([0xFF, 0xD0 | ((mcu // restart_interval - 1) & 7)])
+                )
+                enc = QMEncoder()
+                dc_stats = bytearray(_DC_STAT_BINS)
+                ac_stats = bytearray(_AC_STAT_BINS)
+                ctx = 0
+                prev = 0
+            mcu += 1
             # per-block matrix DCT, NOT the einsum batch: the two sum
             # in different orders and a last-ulp difference can cross
             # an rint boundary (r10 parity lesson) — the gray Huffman
@@ -589,7 +635,8 @@ def jpeg_gray_encode_arith(
             ctx = _encode_dc(enc, dc_stats, ctx, zz[0] - prev, lo, hi)
             prev = zz[0]
             _encode_ac(enc, ac_stats, zz, kx)
-    data = enc.finish()
+    parts.append(enc.finish())
+    data = b"".join(parts)
 
     app0 = _seg(
         0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
@@ -609,12 +656,17 @@ def jpeg_gray_encode_arith(
             ]
         ),
     )
-    sos = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    sos = dri + _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + app0 + dqt + sof + dac + sos + data + b"\xff\xd9"
 
 
 def jpeg_color_encode_arith(
-    rgb: np.ndarray, subsampling: str = "420"
+    rgb: np.ndarray, subsampling: str = "420", restart_interval: int = 0
 ) -> bytes:
     """Encode an HxWx3 uint8 RGB image as a 3-component YCbCr SOF9
     arithmetic-coded stream (4:2:0 / 4:2:2 / 4:4:4). Forward path
@@ -647,30 +699,51 @@ def jpeg_color_encode_arith(
     zz_cb = _plane_zigzag_blocks(cb, qc)
     zz_cr = _plane_zigzag_blocks(cr, qc)
 
-    enc = QMEncoder()
     lo, hi = (1 << DC_L_DEFAULT) >> 1, (1 << DC_U_DEFAULT) >> 1
-    dc_stats = {0: bytearray(_DC_STAT_BINS), 1: bytearray(_DC_STAT_BINS)}
-    ac_stats = {0: bytearray(_AC_STAT_BINS), 1: bytearray(_AC_STAT_BINS)}
-    prev = [0, 0, 0]
-    ctx = [0, 0, 0]
+    st = {
+        "enc": QMEncoder(),
+        "dc": {0: bytearray(_DC_STAT_BINS), 1: bytearray(_DC_STAT_BINS)},
+        "ac": {0: bytearray(_AC_STAT_BINS), 1: bytearray(_AC_STAT_BINS)},
+        "prev": [0, 0, 0],
+        "ctx": [0, 0, 0],
+    }
     mcux, mcuy = pw // (8 * hs), ph // (8 * vs)
+
+    def reset() -> None:
+        st["enc"] = QMEncoder()
+        st["dc"] = {0: bytearray(_DC_STAT_BINS), 1: bytearray(_DC_STAT_BINS)}
+        st["ac"] = {0: bytearray(_AC_STAT_BINS), 1: bytearray(_AC_STAT_BINS)}
+        st["prev"] = [0, 0, 0]
+        st["ctx"] = [0, 0, 0]
 
     def put(ci: int, tbl: int, zz_vec) -> None:
         zz = [int(v) for v in zz_vec]
-        ctx[ci] = _encode_dc(
-            enc, dc_stats[tbl], ctx[ci], zz[0] - prev[ci], lo, hi
+        st["ctx"][ci] = _encode_dc(
+            st["enc"], st["dc"][tbl], st["ctx"][ci],
+            zz[0] - st["prev"][ci], lo, hi,
         )
-        prev[ci] = zz[0]
-        _encode_ac(enc, ac_stats[tbl], zz, AC_KX_DEFAULT)
+        st["prev"][ci] = zz[0]
+        _encode_ac(st["enc"], st["ac"][tbl], zz, AC_KX_DEFAULT)
 
+    parts: list[bytes] = []
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # F.1.4: coder reinit + ALL statistics reset at RSTm
+                parts.append(st["enc"].finish())
+                parts.append(
+                    bytes([0xFF, 0xD0 | ((mcu // restart_interval - 1) & 7)])
+                )
+                reset()
+            mcu += 1
             for by in range(vs):
                 for bx in range(hs):
                     put(0, 0, zz_y[my * vs + by, mx * hs + bx])
             put(1, 1, zz_cb[my, mx])
             put(2, 1, zz_cr[my, mx])
-    data = enc.finish()
+    parts.append(st["enc"].finish())
+    data = b"".join(parts)
 
     app0 = _seg(
         0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
@@ -699,7 +772,12 @@ def jpeg_color_encode_arith(
             ]
         ),
     )
-    sos = _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    sos = dri + _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return b"\xff\xd8" + app0 + dqt + sof + dac + sos + data + b"\xff\xd9"
 
 
@@ -710,13 +788,12 @@ def jpeg_arith_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     HxWx3 uint8 RGB) for color. The MCU walk is the general interleaved
     form jpeg_color_decode uses; dequant + IDCT are the same vectorized
     einsum, so pixels match the Huffman decode of identical
-    coefficients byte-for-byte. Restart intervals are not emitted by
-    this encoder and raise here (the Huffman codecs prove DRI/RSTn)."""
+    coefficients byte-for-byte. Restart intervals (DRI/RSTn) decode
+    with the modulo-8 sequence verified; per F.1.4 each interval gets
+    a fresh coder AND fresh statistics areas."""
     hdr = _parse_headers(payload)
     if hdr.get("frame") != 0xC9:
         raise ValueError("not an arithmetic-coded sequential stream")
-    if hdr["restart_interval"]:
-        raise ValueError("restart markers unsupported in arithmetic scans")
     comps = hdr["comps"]
     width, height = hdr["width"], hdr["height"]
     quant, scan = hdr["quant"], hdr["scan"]
@@ -749,8 +826,26 @@ def jpeg_arith_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     }
     prev_dc = {cid: 0 for cid, *_rest in comps}
     ctx = {cid: 0 for cid, *_rest in comps}
+    ri = hdr["restart_interval"]
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                mk, end = dec.find_marker()
+                if not (0xD0 <= mk <= 0xD7) or (mk & 7) != (
+                    (mcu // ri - 1) & 7
+                ):
+                    raise ValueError(
+                        f"restart marker out of sequence: {hex(mk)}"
+                    )
+                # F.1.4: fresh coder + fresh statistics + fresh
+                # predictors/contexts per restart interval
+                dec = QMDecoder(payload, end)
+                dc_stats = {td: bytearray(_DC_STAT_BINS) for td in dc_stats}
+                ac_stats = {ta: bytearray(_AC_STAT_BINS) for ta in ac_stats}
+                prev_dc = {cid: 0 for cid, *_rest in comps}
+                ctx = {cid: 0 for cid, *_rest in comps}
+            mcu += 1
             for cid, td, ta in scan:
                 _cid, hf, vf, _tq = by_cid[cid]
                 lo, hi = dc_cond[td]

@@ -304,3 +304,44 @@ def test_multimodal_router_dispatches_sof9():
     # same pixels as the Huffman stream -> same perceptual hash
     ref = _decode_jpeg(jpeg_gray_encode(img))
     assert out["phash"] == ref["phash"]
+
+
+# ---------------------------------------------------------------------------
+# restart markers (DRI/RSTn) — F.1.4: fresh coder + fresh statistics
+# ---------------------------------------------------------------------------
+
+
+def test_gray_restart_intervals_bit_identical():
+    rng = np.random.default_rng(55)
+    img = rng.integers(0, 256, size=(56, 72), dtype=np.uint8)
+    base = jpeg_arith_decode(jpeg_gray_encode_arith(img))[2]
+    huff = jpeg_gray_decode(jpeg_gray_encode(img))[2]
+    assert np.array_equal(base, huff)
+    for ri in (1, 2, 3, 5, 9, 63):
+        stream = jpeg_gray_encode_arith(img, restart_interval=ri)
+        assert b"\xff\xdd" in stream  # DRI present
+        assert np.array_equal(jpeg_arith_decode(stream)[2], base)
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_color_restart_intervals_bit_identical(sub):
+    rng = np.random.default_rng(60 + ord(sub[2]))
+    img = rng.integers(0, 256, size=(40, 48, 3), dtype=np.uint8)
+    base = jpeg_arith_decode(jpeg_color_encode_arith(img, sub))[2]
+    for ri in (1, 2, 4):
+        got = jpeg_arith_decode(
+            jpeg_color_encode_arith(img, sub, restart_interval=ri)
+        )[2]
+        assert np.array_equal(base, got)
+
+
+def test_restart_marker_out_of_sequence_raises():
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    stream = bytearray(jpeg_gray_encode_arith(img, restart_interval=1))
+    # find the first RST0 and corrupt its modulo index
+    i = stream.find(b"\xff\xd0")
+    assert i > 0
+    stream[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker"):
+        jpeg_arith_decode(bytes(stream))
