@@ -183,9 +183,13 @@ def q_delta_default_columns_pysource(
     — only files physically lacking the column get the constant, so
     explicit NULLs written after the ALTER survive. Proves the fill
     logic in BOTH readers from one construction."""
-    from .sources.delta_pysource import DeltaLogDataSource
+    from .sources.delta_pysource import register_delta_source
 
-    spark.dataSource.register(DeltaLogDataSource)
+    # register_delta_source, NOT the raw dataSource.register: the reader
+    # implements pushFilters, which FAILS planning on a foreign session
+    # unless the runtime-settable filterPushdown conf is pinned too
+    # (vanilla-gate catch, round 11)
+    register_delta_source(spark)
     root = _build_defaults_table(spark, sf_dir, 1200)
     out = spark.read.format("delta_pylog").option("path", root).load()
     return (
