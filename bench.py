@@ -265,6 +265,7 @@ EXTENDED_R11: list[str] = [
     "delta_default_columns_pysource",
     "delta_checkpoint_protection_roundtrip",
     "delta_variant_roundtrip",
+    "delta_catalog_owned_roundtrip",
     "media_jpeg_arith_roundtrip",
     "customer_percentile_bridge",
     "order_lineitem_conformance",

@@ -1400,3 +1400,95 @@ def q_delta_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta: catalog-owned commits (round-11 extension; delta.io PROTOCOL.md
+# catalogOwned-preview — commit ownership at a coordinator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delta_catalog_owned_roundtrip",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderpriority AS priority, o_totalprice
+      FROM orders WHERE o_orderkey <= 6000
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c
+    FROM src GROUP BY priority ORDER BY priority
+    """,
+    tags=["S6", "delta", "catalogOwned", "coordinated-commits", "roundtrip"],
+)
+def q_delta_catalog_owned_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CATALOG-OWNED COMMITS (reader-writer feature catalogOwned-preview,
+    sources/delta_coordinated.py): the table is created then handed to a
+    commit coordinator; three batches land as STAGED commits
+    (_delta_log/_staged_commits/<v>.<uuid>.json) ratified by the
+    coordinator — no put-if-absent on the numbered log anywhere — with
+    the last one left unbackfilled plus a forged never-ratified staged
+    file, so the read exercises both invisibility rules: the
+    coordinated read consults the catalog, backfills exactly the
+    ratified history, and ignores the garbage; in-query guards pin that
+    a FILESYSTEM-ONLY read raises the protocol gate (the spec's
+    stale-listing hazard) and that the unbackfilled commit was indeed
+    absent from the numbered log before the read.
+
+    Scale: ratification is one conditional write at the catalog —
+    commit latency stops depending on log LISTing and on the object
+    store's atomic-create support (the S3 multi-writer problem);
+    backfill is lazy O(unbackfilled) metadata work any client may do."""
+    from .sources.delta_coordinated import (
+        _stage_commit,
+        append_coordinated,
+        create_catalog_owned,
+        FileCommitCoordinator,
+        read_delta_coordinated,
+    )
+    from .sources.delta_log import DeltaProtocolError
+    from .sources.delta_log import read_delta as _fs_read
+
+    base = tempfile.mkdtemp(prefix="mm_co_rt_")
+    root = os.path.join(base, "orders_owned")
+    cat = FileCommitCoordinator(os.path.join(base, "catalog"))
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    ).filter("k <= 6000")
+
+    create_catalog_owned(o.filter("k % 3 = 0"), root, cat)
+    append_coordinated(o.filter("k % 3 = 1"), root, cat)
+    v_last = append_coordinated(o.filter("k % 3 = 2"), root, cat)
+
+    # the last ratified commit must still be staged-only...
+    numbered = os.path.join(root, "_delta_log", f"{v_last:020d}.json")
+    if os.path.exists(numbered):
+        raise RuntimeError("last commit was backfilled prematurely")
+    # ...a never-ratified staged file must be invisible...
+    _stage_commit(root, 99, [{"commitInfo": {"timestamp": 1}}])
+    # ...and a filesystem-only reader must refuse the table outright
+    try:
+        _fs_read(spark, root)
+        raise RuntimeError("filesystem read of a catalog-owned table")
+    except DeltaProtocolError:
+        pass
+
+    out = read_delta_coordinated(spark, root, cat)
+    if not os.path.exists(numbered):
+        raise RuntimeError("coordinated read did not backfill")
+    return (
+        out.groupBy("priority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        .orderBy("priority")
+    )

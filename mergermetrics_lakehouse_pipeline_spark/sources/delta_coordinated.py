@@ -1,0 +1,335 @@
+"""Catalog-owned commits (round 11): the ``catalogOwned-preview``
+table feature from the public Delta protocol (delta.io PROTOCOL.md) —
+commit ownership moves from the filesystem to a COMMIT COORDINATOR.
+
+Why the feature exists (the 100 TB story): the classic log commits by
+atomic put-if-absent on ``<v>.json``, which object stores without
+atomic create (S3 without a DynamoDB LogStore) cannot provide, and
+which makes every commit a LIST + PUT race. Under catalog ownership a
+writer stages its commit under a collision-free name and asks the
+catalog to RATIFY it as version v — the catalog serializes ratification
+(one cheap conditional write in the catalog database), so commit
+latency stops depending on log listing and the put-if-absent
+primitive. Backfill copies ratified commits into the classic
+``<v>.json`` names lazily, keeping the log self-describing for
+catalog-aware readers and for the table's history after a DOWNGRADE.
+
+Wire layout implemented (per the protocol's preview spec):
+
+- staged commits at ``_delta_log/_staged_commits/<v>.<uuid>.json``
+  (full 20-digit version + a fresh uuid — concurrent stagers can never
+  collide on the name; files that never win ratification are garbage,
+  ignored by every reader);
+- the reader-writer table feature ``catalogOwned-preview``
+  (minReader 3 / minWriter 7) stamped by the upgrade commit — the LAST
+  plain filesystem commit the table ever takes;
+- a filesystem-only reader MUST NOT read the table (the numbered log
+  may be arbitrarily stale): ``snapshot()``/``read_delta`` raise their
+  protocol gate on the feature, and only ``snapshot_coordinated`` —
+  which consults the coordinator and backfills every ratified commit
+  first — opens the scoped-feature context that lets replay proceed.
+
+``FileCommitCoordinator`` is the reference coordinator: catalog state
+as a directory where ratifying version v = one atomic
+O_CREAT|O_EXCL create of ``<table_id>/<v>.json`` (the same
+put-if-absent contract a catalog database row provides). Production
+deployments swap in a real catalog; everything above the two-method
+surface (``ratify`` / ``ratified``) is coordinator-agnostic.
+
+Parity note: the reference runs on a managed platform whose tables are
+catalog-owned by default (Unity Catalog); the reference itself only
+ever writes through that platform (e.g.
+consolidated_pipeline/1_customer_data_processing.py:50-53), so this
+module is extension surface proving the protocol feature on this
+engine's own log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .delta_log import (
+    ConcurrentModificationError,
+    DeltaProtocolError,
+    DeltaSnapshot,
+    _add_action,
+    _allow_reader_features,
+    _check_rebase,
+    _commit_file,
+    _CommitGuard,
+    _explicit_features,
+    _parse_log_file,
+    _scan_files,
+    _stage_write,
+    _stats_columns,
+    _try_write_commit,
+    snapshot,
+    write_delta,
+)
+
+CATALOG_OWNED_FEATURE = "catalogOwned-preview"
+_STAGED_DIR = "_staged_commits"
+_ENGINE = "mergermetrics-lakehouse-pipeline-spark"
+
+
+class FileCommitCoordinator:
+    """Directory-backed reference commit coordinator.
+
+    Ratification of version v for a table = one atomic
+    O_CREAT|O_EXCL create of ``<root>/<table_id>/<v>.json`` carrying
+    the staged commit's relative name. Exactly one writer can win each
+    version — the same conditional-write contract a catalog database
+    provides, made filesystem-observable for tests."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _tdir(self, table_id: str) -> str:
+        d = os.path.join(self.root, table_id)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def ratify(self, table_id: str, version: int, staged_name: str) -> bool:
+        """Atomically ratify ``staged_name`` as ``version``; False when
+        another writer already won this version."""
+        path = os.path.join(self._tdir(table_id), f"{version:020d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump({"staged": staged_name}, fh)
+        return True
+
+    def ratified(self, table_id: str) -> dict[int, str]:
+        """version -> staged commit name, every ratified commit."""
+        out: dict[int, str] = {}
+        for name in os.listdir(self._tdir(table_id)):
+            stem = name.split(".")[0]
+            if name.endswith(".json") and stem.isdigit():
+                with open(
+                    os.path.join(self._tdir(table_id), name),
+                    encoding="utf-8",
+                ) as fh:
+                    out[int(stem)] = json.load(fh)["staged"]
+        return out
+
+
+def _staged_dir(table_path: str) -> str:
+    d = os.path.join(table_path, "_delta_log", _STAGED_DIR)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _table_id(table_path: str) -> str:
+    """The table's immutable metaData.id — the coordinator key (a real
+    catalog keys tables by id, never by path). Spark-free probe."""
+    from .delta_pysource import _latest_metadata
+
+    tid = _latest_metadata(table_path).get("id")
+    if not tid:
+        raise DeltaProtocolError(f"no metaData.id in the log at {table_path}")
+    return tid
+
+
+def _is_catalog_owned(snap: DeltaSnapshot) -> bool:
+    return CATALOG_OWNED_FEATURE in (
+        set(snap.protocol.get("readerFeatures") or [])
+        | set(snap.protocol.get("writerFeatures") or [])
+    )
+
+
+def upgrade_to_catalog_owned(
+    spark: SparkSession, table_path: str, coordinator: FileCommitCoordinator
+) -> int:
+    """Stamp ``catalogOwned-preview`` — the LAST plain filesystem
+    commit this table ever takes; every later commit must go through
+    the coordinator. Every capability the legacy protocol implied is
+    restated explicitly (the v7 contract). Returns the upgrade
+    version; the coordinator's history starts empty at that point."""
+    for _attempt in range(16):
+        snap = snapshot(spark, table_path)
+        if _is_catalog_owned(snap):
+            raise DeltaProtocolError(f"{table_path} is already catalog-owned")
+        rf, wf = _explicit_features(snap)
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "UPGRADE PROTOCOL",
+                    "operationParameters": {"feature": CATALOG_OWNED_FEATURE},
+                    "engineInfo": _ENGINE,
+                }
+            },
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(rf | {CATALOG_OWNED_FEATURE}),
+                    "writerFeatures": sorted(wf | {CATALOG_OWNED_FEATURE}),
+                }
+            },
+        ]
+        v = snap.version + 1
+        if _try_write_commit(table_path, v, actions):
+            coordinator._tdir(_table_id(table_path))  # register
+            return v
+    raise ConcurrentModificationError(
+        f"could not win a version for the catalog-owned upgrade of "
+        f"{table_path}"
+    )
+
+
+def _stage_commit(
+    table_path: str, version: int, actions: list[dict[str, Any]]
+) -> str:
+    """Write the commit under its collision-free staged name; returns
+    the name (relative to _staged_commits/)."""
+    name = f"{version:020d}.{uuid.uuid4().hex}.json"
+    path = os.path.join(_staged_dir(table_path), name)
+    with open(path, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    return name
+
+
+def _winner_actions(
+    table_path: str, staged_name: str, version: int
+) -> list[dict[str, Any]]:
+    staged = os.path.join(_staged_dir(table_path), staged_name)
+    if os.path.exists(staged):
+        return _parse_log_file(staged)
+    return _parse_log_file(_commit_file(table_path, version))
+
+
+def backfill(
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    up_to: int | None = None,
+) -> list[int]:
+    """Copy ratified staged commits onto their classic ``<v>.json``
+    names — idempotent and race-safe (put-if-absent; a concurrent
+    backfiller of the same ratified content is a no-op loss). Any
+    client may backfill at any time; the catalog stays authoritative
+    regardless. Returns the versions this call materialized."""
+    tid = _table_id(table_path)
+    done: list[int] = []
+    for v, staged_name in sorted(coordinator.ratified(tid).items()):
+        if up_to is not None and v > up_to:
+            break
+        if os.path.exists(_commit_file(table_path, v)):
+            continue
+        staged = os.path.join(_staged_dir(table_path), staged_name)
+        if _try_write_commit(table_path, v, _parse_log_file(staged)):
+            done.append(v)
+    return done
+
+
+def append_coordinated(
+    df: DataFrame, table_path: str, coordinator: FileCommitCoordinator
+) -> int:
+    """Blind-append ``df`` through the coordinator: stage data files,
+    stage the commit JSON under its uuid name, then ratify — losing a
+    ratification race re-checks the winner against the optimistic
+    conflict matrix (metadata/protocol changes abort; data commits
+    compose with a blind append) and retries at the next version.
+    The data files are staged ONCE; only the tiny commit JSON restages
+    per attempt. No put-if-absent on the numbered log anywhere."""
+    spark = df.sparkSession
+    snap = snapshot_coordinated(spark, table_path, coordinator)
+    tid = _table_id(table_path)
+    expected = [f.name for f in snap.schema.fields]
+    if [c for c in df.columns] != expected:
+        raise ValueError(
+            f"append schema {df.columns} != table schema {expected} "
+            "(coordinated appends do not evolve schemas)"
+        )
+    rels = _stage_write(df, table_path, snap.partition_columns)
+    now_ms = int(time.time() * 1000)
+    stat_cols = _stats_columns(snap.schema, snap.partition_columns)
+    adds = [
+        _add_action(table_path, rel, snap.partition_columns, stat_cols, now_ms)
+        for rel in rels
+    ]
+    guard = _CommitGuard(blind_append=True)
+    v = snap.version + 1
+    for _attempt in range(64):
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Append"},
+                    "engineInfo": _ENGINE,
+                }
+            },
+            *adds,
+        ]
+        staged_name = _stage_commit(table_path, v, actions)
+        if coordinator.ratify(tid, v, staged_name):
+            return v
+        # lost the race: the staged file is never-ratified garbage
+        os.unlink(os.path.join(_staged_dir(table_path), staged_name))
+        winner_name = coordinator.ratified(tid).get(v)
+        if winner_name is None:
+            raise DeltaProtocolError(
+                f"coordinator refused version {v} but reports no winner"
+            )
+        _check_rebase(_winner_actions(table_path, winner_name, v), guard, v)
+        v += 1
+    raise ConcurrentModificationError(
+        f"could not win a ratification for {table_path} after 64 attempts"
+    )
+
+
+def snapshot_coordinated(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    version: int | None = None,
+) -> DeltaSnapshot:
+    """Catalog-consulting snapshot: learn the ratified history from the
+    coordinator, backfill everything ratified (making the filesystem
+    log provably current — a LIST alone can never prove that), then
+    replay with the feature's scoped reader gate open. Staged files
+    that never won ratification are invisible throughout (replay reads
+    only numbered JSONs)."""
+    backfill(table_path, coordinator, up_to=version)
+    with _allow_reader_features({CATALOG_OWNED_FEATURE}):
+        return snapshot(spark, table_path, version)
+
+
+def read_delta_coordinated(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    version: int | None = None,
+) -> DataFrame:
+    """Scan a catalog-owned table (the coordinated analogue of
+    read_delta)."""
+    snap = snapshot_coordinated(spark, table_path, coordinator, version)
+    with _allow_reader_features({CATALOG_OWNED_FEATURE}):
+        return _scan_files(spark, table_path, snap, list(snap.files))
+
+
+def create_catalog_owned(
+    df: DataFrame,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    **write_kwargs: Any,
+) -> int:
+    """Create a table and hand it to the catalog in one call: commit 0
+    lands as a plain filesystem commit (the protocol requires version 0
+    backfilled so the table is discoverable), the upgrade commit
+    immediately follows. Returns the upgrade version (1)."""
+    write_delta(df, table_path, mode="overwrite", **write_kwargs)
+    return upgrade_to_catalog_owned(df.sparkSession, table_path, coordinator)

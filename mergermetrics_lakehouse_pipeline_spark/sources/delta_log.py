@@ -68,6 +68,7 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any
 from urllib.parse import quote, unquote
@@ -454,11 +455,34 @@ def _protection_version(table_path: str) -> int:
     return int((md.get("configuration") or {}).get(_CP_PROP, 0) or 0)
 
 
+#: reader features honored ONLY via a dedicated entry point (never the
+#: plain filesystem snapshot): catalogOwned-preview tables MUST be read
+#: through the commit coordinator (sources/delta_coordinated.py), so
+#: snapshot() keeps raising unless that module's context is active.
+_SCOPED_READER_FEATURES: set[str] = set()
+
+
+@contextmanager
+def _allow_reader_features(feats: set[str]):
+    """Temporarily extend the reader gate — used by delta_coordinated
+    AFTER it has consulted the coordinator and backfilled every
+    ratified commit, i.e. once the filesystem log is provably current.
+    Driver-side replay only (single-threaded), restored on exit."""
+    added = feats - _SCOPED_READER_FEATURES
+    _SCOPED_READER_FEATURES.update(added)
+    try:
+        yield
+    finally:
+        _SCOPED_READER_FEATURES.difference_update(added)
+
+
 def _check_protocol(action: dict[str, Any]) -> None:
     v = int(action.get("minReaderVersion", 1))
     feats = set(action.get("readerFeatures") or [])
     if v >= 3 or feats:
-        unsupported = feats - SUPPORTED_READER_FEATURES
+        unsupported = (
+            feats - SUPPORTED_READER_FEATURES - _SCOPED_READER_FEATURES
+        )
         if v > 3 or unsupported:
             raise DeltaProtocolError(
                 f"table requires reader version {v} features "
