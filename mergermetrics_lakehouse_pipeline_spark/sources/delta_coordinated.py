@@ -253,6 +253,22 @@ def append_coordinated(
             f"append schema {df.columns} != table schema {expected} "
             "(coordinated appends do not evolve schemas)"
         )
+    # preview scope: plain-layout tables only. Row tracking / identity /
+    # column mapping need the add-action stamping write_delta performs;
+    # silently skipping it would corrupt those features' invariants.
+    conf = snap.configuration
+    if conf.get("delta.enableRowTracking", "").lower() == "true" or conf.get(
+        "delta.columnMapping.mode", "none"
+    ) != "none" or any(
+        "delta.identity.start" in (f.metadata or {})
+        for f in snap.schema.fields
+    ):
+        raise DeltaProtocolError(
+            "append_coordinated supports plain-layout tables; this table "
+            "carries row tracking / column mapping / identity columns, "
+            "whose add-action stamping the coordinated path does not "
+            "implement yet"
+        )
     rels = _stage_write(df, table_path, snap.partition_columns)
     now_ms = int(time.time() * 1000)
     stat_cols = _stats_columns(snap.schema, snap.partition_columns)

@@ -212,3 +212,34 @@ def test_scoped_gate_restores_after_read(spark, coord_table):
     read_delta_coordinated(spark, root, cat).count()
     with pytest.raises(DeltaProtocolError, match="catalogOwned"):
         snapshot(spark, root)
+
+
+def test_plain_writers_and_dml_are_gated(spark, coord_table):
+    """Every filesystem-committing entry point refuses a catalog-owned
+    table (they all snapshot first): split-brain is impossible."""
+    root, _cat = coord_table
+    with pytest.raises(DeltaProtocolError, match="catalogOwned"):
+        write_delta(_g(spark, 0, 3), root, mode="append")
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        delete_delta,
+    )
+
+    with pytest.raises(DeltaProtocolError, match="catalogOwned"):
+        delete_delta(spark, root, "id", 0, 3)
+
+
+def test_stamped_feature_tables_refuse_coordinated_append(spark):
+    """Preview scope gate: row-tracking tables need add-action stamping
+    the coordinated path does not implement — refuse loudly."""
+    base = tempfile.mkdtemp(prefix="mm_co_rt_")
+    root = os.path.join(base, "t")
+    cat = FileCommitCoordinator(os.path.join(base, "catalog"))
+    write_delta(
+        _g(spark, 0, 5),
+        root,
+        mode="overwrite",
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    upgrade_to_catalog_owned(spark, root, cat)
+    with pytest.raises(DeltaProtocolError, match="row tracking"):
+        append_coordinated(_g(spark, 5, 8), root, cat)
