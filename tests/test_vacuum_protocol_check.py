@@ -65,14 +65,14 @@ def test_vacuum_aborts_on_unreadable_protocol_without_deleting(spark, tbl):
                 {
                     "protocol": {
                         "minReaderVersion": 3,
-                        "readerFeatures": ["variantType"],
+                        "readerFeatures": ["collations-preview"],
                     }
                 }
             )
             + "\n"
         )
     n_files = len(glob.glob(os.path.join(tbl, "*.parquet")))
-    with pytest.raises(DeltaProtocolError, match="variantType"):
+    with pytest.raises(DeltaProtocolError, match="collations"):
         vacuum_delta(spark, tbl)
     assert len(glob.glob(os.path.join(tbl, "*.parquet"))) == n_files
 

@@ -23,9 +23,10 @@ committed PLAN_FP.json — a plan that changes shape at 10x (e.g. an
 AQE broadcast decision flipping to sort-merge as a dim outgrows the
 threshold) is exactly what this smoke exists to surface.
 
-Usage: python tools/sf1_smoke.py [sf_dir] [factor] [out_dir]
-Prints one JSON line per query and a summary line; SCALE.md records
-the table.
+Usage: python tools/sf1_smoke.py [sf_dir] [factor] [out_dir] [set]
+``set`` names a bench query list (HEADLINE default; EXTENDED_R11,
+EXTENDED, ...). Prints one JSON line per query and a summary line;
+SCALE.md records the table.
 """
 
 from __future__ import annotations
@@ -132,9 +133,10 @@ def main() -> None:
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     out_dir = (
         sys.argv[3]
-        if len(sys.argv) > 3
+        if len(sys.argv) > 3 and sys.argv[3] != "-"
         else tempfile.mkdtemp(prefix="mm_sf1_")
     )
+    set_name = sys.argv[4] if len(sys.argv) > 4 else "HEADLINE"
     spark = get_spark("sf1-smoke")
 
     t0 = time.time()
@@ -164,7 +166,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     drift: dict[str, dict] = {}
-    for name in bench.HEADLINE:
+    for name in getattr(bench, set_name):
         t0 = time.time()
         df = qs[name](spark, out_dir)
         bench.run_query(df)
@@ -185,7 +187,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "sf1_headline_total",
+                "metric": f"sf1_{set_name.lower()}_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "factor": k,
