@@ -345,3 +345,73 @@ def test_restart_marker_out_of_sequence_raises():
     stream[i + 1] = 0xD5
     with pytest.raises(ValueError, match="restart marker"):
         jpeg_arith_decode(bytes(stream))
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): the coder pair under adversarial inputs
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 1)),
+            min_size=1,
+            max_size=1500,
+        )
+    )
+    def test_qm_roundtrip_property(seq):
+        enc = QMEncoder()
+        est = bytearray(8)
+        for ctx, bit in seq:
+            enc.encode(est, ctx, bit)
+        dec = QMDecoder(enc.finish())
+        dst = bytearray(8)
+        for ctx, bit in seq:
+            assert dec.decode(dst, ctx) == bit
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(-1023, 1023), min_size=1, max_size=80))
+    def test_dc_chain_roundtrip_property(dcs):
+        """Arbitrary DC sequences (every context-classification path)
+        roundtrip through the Annex-F DC model."""
+        lo, hi = (1 << DC_L_DEFAULT) >> 1, (1 << DC_U_DEFAULT) >> 1
+        enc = QMEncoder()
+        stats = bytearray(_DC_STAT_BINS)
+        ctx = prev = 0
+        for dc in dcs:
+            ctx = _encode_dc(enc, stats, ctx, dc - prev, lo, hi)
+            prev = dc
+        dec = QMDecoder(enc.finish())
+        stats2 = bytearray(_DC_STAT_BINS)
+        ctx2 = prev2 = 0
+        out = []
+        for _ in dcs:
+            diff, ctx2 = _decode_dc(dec, stats2, ctx2, lo, hi)
+            prev2 += diff
+            out.append(prev2)
+        assert out == dcs
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+def test_truncated_stream_never_hangs():
+    """Arithmetic streams are marker-terminated, so truncation is not
+    generally detectable (the decoder zero-feeds) — but decode must
+    TERMINATE for every prefix: either a ValueError from a model
+    guard or a full-size (wrong-pixel) image, never a hang/crash."""
+    rng = np.random.default_rng(83)
+    img = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    stream = jpeg_gray_encode_arith(img)
+    sos_end = stream.find(b"\xff\xda") + 14  # past the SOS header
+    for cut in range(sos_end, len(stream) - 2, 7):
+        trunc = stream[:cut] + b"\xff\xd9"
+        try:
+            w, h, dec = jpeg_arith_decode(trunc)
+            assert (w, h) == (32, 24) and dec.shape == (24, 32)
+        except ValueError:
+            pass  # a model guard fired — fine
