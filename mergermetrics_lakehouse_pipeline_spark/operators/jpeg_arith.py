@@ -445,7 +445,10 @@ def _decode_dc(
         while dec.decode(stats, st):
             m <<= 1
             st += 1
-            if m > (1 << 15):
+            # IJG's 0x8000 check: m == 1<<15 would index mantissa bin
+            # st+14 == 49, past the 49-entry DC stats area — corrupt
+            # stream, not a larger category.
+            if m >= (1 << 15):
                 raise ValueError("DC magnitude category overflow")
     v = m
     mst = st + 14

@@ -226,9 +226,25 @@ def backfill(
     for v, staged_name in sorted(coordinator.ratified(tid).items()):
         if up_to is not None and v > up_to:
             break
-        if os.path.exists(_commit_file(table_path, v)):
-            continue
         staged = os.path.join(_staged_dir(table_path), staged_name)
+        existing = _commit_file(table_path, v)
+        if os.path.exists(existing):
+            # Not a silent skip: an existing <v>.json must BE the
+            # ratified commit (a prior backfill). Anything else means a
+            # filesystem writer won the same version the coordinator
+            # ratified — split-brain; surface it, never drop the
+            # ratified data (round-11 review).
+            if os.path.exists(staged) and _parse_log_file(
+                existing
+            ) != _parse_log_file(staged):
+                raise DeltaProtocolError(
+                    f"split-brain at version {v} of {table_path}: the "
+                    f"filesystem commit differs from the "
+                    f"coordinator-ratified staged commit {staged_name}; "
+                    "a non-coordinated writer committed to a "
+                    "catalog-owned table"
+                )
+            continue
         if _try_write_commit(table_path, v, _parse_log_file(staged)):
             done.append(v)
     return done
@@ -321,7 +337,21 @@ def snapshot_coordinated(
     only numbered JSONs)."""
     backfill(table_path, coordinator, up_to=version)
     with _allow_reader_features({CATALOG_OWNED_FEATURE}):
-        return snapshot(spark, table_path, version)
+        snap = snapshot(spark, table_path, version)
+    if not _is_catalog_owned(snap):
+        # Guard BOTH directions: a coordinated writer on a plain table
+        # would ratify versions the filesystem path legitimately wins,
+        # silently orphaning the ratified data (round-11 review). The
+        # plain path already refuses catalog-owned tables; refuse the
+        # converse here, which gates every coordinated entry point
+        # (append / DML / read all snapshot through this).
+        raise DeltaProtocolError(
+            f"{table_path} is not catalog-owned; use the plain "
+            "write_delta/read_delta path (or upgrade_to_catalog_owned "
+            "first) — coordinating commits on a filesystem-owned table "
+            "risks split-brain with concurrent filesystem writers"
+        )
+    return snap
 
 
 def read_delta_coordinated(

@@ -63,6 +63,7 @@ and consuming cdc files where it is not (copy-on-write DELETE/UPDATE).
 
 from __future__ import annotations
 
+import contextvars
 import json
 import os
 import shutil
@@ -459,7 +460,13 @@ def _protection_version(table_path: str) -> int:
 #: plain filesystem snapshot): catalogOwned-preview tables MUST be read
 #: through the commit coordinator (sources/delta_coordinated.py), so
 #: snapshot() keeps raising unless that module's context is active.
-_SCOPED_READER_FEATURES: set[str] = set()
+#: A ContextVar so the allowance is confined to the coordinated call
+#: stack — a concurrent plain snapshot() on another driver thread never
+#: sees it (round-11 review).
+_scoped_reader_features: contextvars.ContextVar[frozenset[str]] = (
+    contextvars.ContextVar("delta_scoped_reader_features",
+                           default=frozenset())
+)
 
 
 @contextmanager
@@ -467,13 +474,14 @@ def _allow_reader_features(feats: set[str]):
     """Temporarily extend the reader gate — used by delta_coordinated
     AFTER it has consulted the coordinator and backfilled every
     ratified commit, i.e. once the filesystem log is provably current.
-    Driver-side replay only (single-threaded), restored on exit."""
-    added = feats - _SCOPED_READER_FEATURES
-    _SCOPED_READER_FEATURES.update(added)
+    Scoped to this call stack (ContextVar token), restored on exit."""
+    token = _scoped_reader_features.set(
+        _scoped_reader_features.get() | frozenset(feats)
+    )
     try:
         yield
     finally:
-        _SCOPED_READER_FEATURES.difference_update(added)
+        _scoped_reader_features.reset(token)
 
 
 def _check_protocol(action: dict[str, Any]) -> None:
@@ -481,7 +489,7 @@ def _check_protocol(action: dict[str, Any]) -> None:
     feats = set(action.get("readerFeatures") or [])
     if v >= 3 or feats:
         unsupported = (
-            feats - SUPPORTED_READER_FEATURES - _SCOPED_READER_FEATURES
+            feats - SUPPORTED_READER_FEATURES - _scoped_reader_features.get()
         )
         if v > 3 or unsupported:
             raise DeltaProtocolError(

@@ -243,3 +243,66 @@ def test_stamped_feature_tables_refuse_coordinated_append(spark):
     upgrade_to_catalog_owned(spark, root, cat)
     with pytest.raises(DeltaProtocolError, match="row tracking"):
         append_coordinated(_g(spark, 5, 8), root, cat)
+
+
+def test_coordinated_paths_refuse_plain_tables(spark):
+    """The converse gate (round-11 review): coordinating commits on a
+    filesystem-owned table would ratify versions concurrent plain
+    writers legitimately win on disk — refuse before any
+    ratification."""
+    base = tempfile.mkdtemp(prefix="mm_co_plain_")
+    root = os.path.join(base, "t")
+    cat = FileCommitCoordinator(os.path.join(base, "catalog"))
+    write_delta(_g(spark, 0, 6), root, mode="overwrite")
+    with pytest.raises(DeltaProtocolError, match="not catalog-owned"):
+        append_coordinated(_g(spark, 6, 9), root, cat)
+    with pytest.raises(DeltaProtocolError, match="not catalog-owned"):
+        read_delta_coordinated(spark, root, cat)
+    # nothing was ratified and the table is untouched
+    assert cat.ratified(_table_id(root)) == {}
+    assert read_delta(spark, root).count() == 6
+
+
+def test_backfill_detects_split_brain(spark, coord_table):
+    """An existing <v>.json that differs from the ratified staged
+    commit is a non-coordinated writer having won the same version —
+    surfaced loudly, never skipped (round-11 review)."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        _commit_file,
+    )
+
+    root, cat = coord_table
+    v = append_coordinated(_g(spark, 12, 15), root, cat)
+    with open(_commit_file(root, v), "w", encoding="utf-8") as fh:
+        fh.write(
+            json.dumps({"commitInfo": {"operation": "ROGUE WRITE"}}) + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="split-brain"):
+        backfill(root, cat)
+
+
+def test_scoped_gate_is_thread_local(spark, coord_table):
+    """The reader-feature allowance is confined to the coordinated call
+    stack: another driver thread's plain snapshot stays gated even
+    while this thread holds the context open (round-11 review)."""
+    import threading
+
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        _allow_reader_features,
+    )
+
+    root, _cat = coord_table
+    outcome: list[str] = []
+
+    def probe() -> None:
+        try:
+            snapshot(spark, root)
+            outcome.append("leaked")
+        except DeltaProtocolError:
+            outcome.append("gated")
+
+    with _allow_reader_features({CATALOG_OWNED_FEATURE}):
+        t = threading.Thread(target=probe)
+        t.start()
+        t.join()
+    assert outcome == ["gated"]

@@ -415,3 +415,22 @@ def test_truncated_stream_never_hangs():
             assert (w, h) == (32, 24) and dec.shape == (24, 32)
         except ValueError:
             pass  # a model guard fired — fine
+
+
+def test_decode_dc_magnitude_overflow_raises_valueerror():
+    """A corrupt stream whose magnitude-category run reaches m == 1<<15
+    must raise the model's ValueError (IJG's 0x8000 check), never an
+    IndexError from the mantissa bin st+14 == 49 running past the
+    49-entry DC stats area (round-11 review)."""
+    enc = QMEncoder()
+    est = bytearray(64)
+    enc.encode(est, 0, 1)  # nonzero
+    enc.encode(est, 1, 0)  # positive -> st = 2
+    enc.encode(est, 2, 1)  # m = 1, jump to the X bins at 20
+    for st in range(20, 35):  # 15 widenings: m reaches exactly 1<<15
+        enc.encode(est, st, 1)
+    enc.encode(est, 35, 0)  # loop would EXIT here -> mantissa bin 49
+    dec = QMDecoder(enc.finish())
+    with pytest.raises(ValueError, match="overflow"):
+        _decode_dc(dec, bytearray(_DC_STAT_BINS), 0, DC_L_DEFAULT,
+                   DC_U_DEFAULT)
