@@ -1709,6 +1709,7 @@ def _load_extensions() -> None:
         registry_r9,
         registry_r10,
         registry_r11,
+        registry_r12,
         registry_scale,
         registry_sinks,
         registry_tpch,

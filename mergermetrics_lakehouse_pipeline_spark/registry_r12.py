@@ -1,0 +1,257 @@
+"""Round-12 surface: coordinated-commit DML (DELETE/UPDATE/MERGE
+through the catalogOwned-preview commit coordinator with the same
+optimistic conflict matrix as the filesystem path), the distributed
+quantile twin of the global-NTILE row, and this round's
+exact-arithmetic analytics batch.
+
+Determinism discipline (project-wide): every aggregate is exact BIGINT
+or DECIMAL arithmetic with at most one trailing double division; ranks
+and top-k carry full tie-breakers; float payloads quantize through
+FLOOR(x*1000) or integer-cent recovery before any SUM.
+
+Parity note: the reference runs its MERGE-based upserts on a managed
+platform whose tables are catalog-owned by default (reference:
+consolidated_pipeline/1_customer_data_processing.py:311-318); routing
+this engine's own DML through its commit coordinator is the extension
+surface that closes that gap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import T, register
+
+
+# ---------------------------------------------------------------------------
+# Delta: coordinated-commit DML (round-12, VERDICT r11 next-step #1)
+# ---------------------------------------------------------------------------
+
+
+def _foreign_append(root: str, rows: list[tuple[int, str, int]]) -> list:
+    """A REAL foreign blind-append commit for the race guards below: a
+    parquet file in the table directory plus its add action with
+    truthful footer stats (the conflict matrix proves disjointness from
+    stats, so they must be real)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = f"part-foreign-{uuid.uuid4().hex}.parquet"
+    tbl = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "priority": pa.array([r[1] for r in rows], pa.string()),
+            "price_c": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(root, name))
+    ks = [r[0] for r in rows]
+    ps = [r[1] for r in rows]
+    cs = [r[2] for r in rows]
+    stats = json.dumps(
+        {
+            "numRecords": len(rows),
+            "minValues": {"k": min(ks), "priority": min(ps),
+                          "price_c": min(cs)},
+            "maxValues": {"k": max(ks), "priority": max(ps),
+                          "price_c": max(cs)},
+            "nullCount": {"k": 0, "priority": 0, "price_c": 0},
+        }
+    )
+    return [
+        {
+            "commitInfo": {
+                "timestamp": 1,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Append"},
+            }
+        },
+        {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, name)),
+                "modificationTime": 1,
+                "dataChange": True,
+                "stats": stats,
+            }
+        },
+    ]
+
+
+@register(
+    "delta_catalog_owned_dml_roundtrip",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey <= 6000
+    ),
+    after_update AS (
+      SELECT k,
+             CASE WHEN k BETWEEN 3000 AND 4000
+                  THEN '0-TOUCHED' ELSE priority END AS priority,
+             CASE WHEN k BETWEEN 3000 AND 4000
+                  THEN price_c + 1 ELSE price_c END AS price_c
+      FROM base
+    ),
+    merge_src AS (
+      SELECT k, '9-MERGED' AS priority, price_c * 2 AS price_c
+      FROM after_update WHERE k % 97 = 0
+      UNION ALL
+      SELECT k + 1000000 AS k, priority, price_c
+      FROM base WHERE k <= 50
+    ),
+    after_merge AS (
+      SELECT a.k, COALESCE(m.priority, a.priority) AS priority,
+             COALESCE(m.price_c, a.price_c) AS price_c
+      FROM after_update a LEFT JOIN merge_src m ON a.k = m.k
+      UNION ALL
+      SELECT m.k, m.priority, m.price_c FROM merge_src m
+      WHERE NOT EXISTS (SELECT 1 FROM after_update a WHERE a.k = m.k)
+    ),
+    final AS (
+      SELECT * FROM after_merge WHERE k NOT BETWEEN 1000 AND 2000
+      UNION ALL
+      SELECT 2000001 AS k, 'Z-RACED' AS priority, 4242 AS price_c
+    )
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price_c) AS BIGINT) AS price_mass,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(MAX(k) AS BIGINT) AS k_max
+    FROM final GROUP BY priority ORDER BY priority
+    """,
+    tags=["S6", "J5", "delta", "catalogOwned", "coordinated-commits",
+          "dml", "roundtrip"],
+)
+def q_delta_catalog_owned_dml_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COORDINATED-COMMIT DML (round 12, sources/delta_coordinated.py):
+    UPDATE, MERGE and DELETE run against a catalog-owned table, every
+    commit staged + RATIFIED at the coordinator — no put-if-absent on
+    the numbered log anywhere — with the optimistic conflict matrix
+    exercised both ways in-query:
+
+    - the first DELETE loses its ratification race to a concurrent
+      blind append whose stats prove it DISJOINT from the predicate —
+      the matrix says rebase, and the guards pin that the DELETE landed
+      exactly one version later with both effects present;
+    - the second DELETE loses to an append that MAY contain matching
+      rows — the matrix says abort (rebasing would miss rows), pinned
+      by the ConcurrentModificationError guard — then succeeds on the
+      mandated re-run from a fresh snapshot, which removes the raced-in
+      rows too (all but one kept as hash-visible evidence).
+
+    Scale: ratification is one conditional write at the catalog, so
+    DML commit latency is independent of log size; the rewrite itself
+    is the same stats-pruned/touched-file surgery as the filesystem
+    path — O(affected files) on a 100 TB table, with conflict checks
+    reading only the winner's commit JSON."""
+    from .sources.delta_coordinated import (
+        _stage_commit,
+        append_coordinated,
+        create_catalog_owned,
+        delete_coordinated,
+        FileCommitCoordinator,
+        merge_coordinated,
+        read_delta_coordinated,
+        snapshot_coordinated,
+        update_coordinated,
+    )
+    from .sources.delta_log import ConcurrentModificationError
+
+    base_dir = tempfile.mkdtemp(prefix="mm_co_dml_")
+    root = os.path.join(base_dir, "orders_owned")
+    cat = FileCommitCoordinator(os.path.join(base_dir, "catalog"))
+
+    class _RacingCoordinator(FileCommitCoordinator):
+        """Ratifies one foreign commit at the contested version between
+        the victim's snapshot and its ratify call — a deterministic
+        concurrent writer."""
+
+        def __init__(self, shared: FileCommitCoordinator, foreign) -> None:
+            super().__init__(shared.root)
+            self._foreign = foreign
+            self.raced = False
+
+        def ratify(self, table_id, version, staged_name):
+            if not self.raced:
+                self.raced = True
+                name = _stage_commit(root, version, self._foreign)
+                if not super().ratify(table_id, version, name):
+                    raise RuntimeError("race injection lost its own ratify")
+            return super().ratify(table_id, version, staged_name)
+
+    base = (
+        T(spark, sf_dir, "orders")
+        .filter("o_orderkey <= 6000")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("price_c"),
+        )
+    )
+    create_catalog_owned(base.filter("k % 2 = 0"), root, cat)
+    append_coordinated(base.filter("k % 2 = 1"), root, cat)
+
+    update_coordinated(
+        spark, root, cat, "k", 3000, 4000,
+        {"priority": "'0-TOUCHED'", "price_c": "price_c + 1"},
+    )
+
+    cur = read_delta_coordinated(spark, root, cat)
+    merge_src = cur.filter("k % 97 = 0").select(
+        "k",
+        F.lit("9-MERGED").alias("priority"),
+        (F.col("price_c") * 2).alias("price_c"),
+    ).unionByName(
+        base.filter("k <= 50").select(
+            (F.col("k") + 1000000).alias("k"), "priority", "price_c"
+        )
+    )
+    merge_coordinated(spark, root, cat, merge_src, "k")
+
+    # DELETE racing a DISJOINT blind append: the matrix says rebase
+    v_before = snapshot_coordinated(spark, root, cat).version
+    raced = [(2000001 + i, "Z-RACED", 4242) for i in range(3)]
+    racing = _RacingCoordinator(cat, _foreign_append(root, raced))
+    v_del, n_del = delete_coordinated(spark, root, racing, "k", 1000, 2000)
+    if not (racing.raced and v_del == v_before + 2 and n_del >= 1):
+        raise RuntimeError(
+            f"disjoint-append race did not rebase: raced={racing.raced} "
+            f"v={v_del} expected={v_before + 2} n={n_del}"
+        )
+
+    # DELETE racing an INTERSECTING append: the matrix says abort
+    lost = [(2000003, "Y-LOST", 1)]
+    racing2 = _RacingCoordinator(cat, _foreign_append(root, lost))
+    try:
+        delete_coordinated(spark, root, racing2, "k", 2000002, 2000003)
+        raise RuntimeError("intersecting-append race did not abort")
+    except ConcurrentModificationError:
+        pass
+    # the mandated re-run from a fresh snapshot removes the raced-in
+    # rows as well; k=2000001 'Z-RACED' survives as hash evidence
+    _v, n_retry = delete_coordinated(spark, root, cat, "k", 2000002, 2000003)
+    if n_retry < 1:
+        raise RuntimeError("post-abort retry rewrote no files")
+
+    out = read_delta_coordinated(spark, root, cat)
+    return (
+        out.groupBy("priority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("price_c").cast("bigint").alias("price_mass"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+        .orderBy("priority")
+    )

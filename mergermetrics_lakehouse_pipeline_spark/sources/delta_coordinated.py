@@ -46,6 +46,7 @@ engine's own log.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -61,6 +62,7 @@ from .delta_log import (
     _add_action,
     _allow_reader_features,
     _check_rebase,
+    _clamp_commit_ts,
     _commit_file,
     _CommitGuard,
     _explicit_features,
@@ -69,7 +71,12 @@ from .delta_log import (
     _stage_write,
     _stats_columns,
     _try_write_commit,
+    delete_delta,
+    delete_rows,
+    merge_delta,
     snapshot,
+    update_delta,
+    update_rows,
     write_delta,
 )
 
@@ -288,24 +295,61 @@ def append_coordinated(
     rels = _stage_write(df, table_path, snap.partition_columns)
     now_ms = int(time.time() * 1000)
     stat_cols = _stats_columns(snap.schema, snap.partition_columns)
-    adds = [
-        _add_action(table_path, rel, snap.partition_columns, stat_cols, now_ms)
-        for rel in rels
+    actions: list[dict[str, Any]] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Append"},
+                "engineInfo": _ENGINE,
+            }
+        },
+        *[
+            _add_action(
+                table_path, rel, snap.partition_columns, stat_cols, now_ms
+            )
+            for rel in rels
+        ],
     ]
-    guard = _CommitGuard(blind_append=True)
-    v = snap.version + 1
+    return _commit_coordinated(
+        table_path,
+        actions,
+        _CommitGuard(blind_append=True),
+        snap.version,
+        coordinator=coordinator,
+    )
+
+
+def _commit_coordinated(
+    table_path: str,
+    actions: list[dict[str, Any]],
+    guard: _CommitGuard,
+    base_version: int,
+    *,
+    coordinator: FileCommitCoordinator,
+) -> int:
+    """The coordinated analogue of delta_log._commit (same signature
+    plus the coordinator, so DML front ends can take it as their
+    ``commit_fn``): stage the commit JSON under its uuid name, ask the
+    coordinator to RATIFY it as the next version — losing a
+    ratification race re-checks the winner against the SAME optimistic
+    conflict matrix the filesystem path uses (_check_rebase: metadata/
+    protocol winners abort; data winners disjoint from this
+    transaction's read/remove/predicate footprint rebase) and retries
+    at the next version. The staged data files are written ONCE by the
+    caller; only the tiny commit JSON restages per attempt. No
+    put-if-absent on the numbered log anywhere."""
+    tid = _table_id(table_path)
+    v = base_version + 1
     for _attempt in range(64):
-        actions = [
-            {
-                "commitInfo": {
-                    "timestamp": int(time.time() * 1000),
-                    "operation": "WRITE",
-                    "operationParameters": {"mode": "Append"},
-                    "engineInfo": _ENGINE,
-                }
-            },
-            *adds,
-        ]
+        # make <v-1>.json present so the in-commit-timestamp clamp can
+        # read its predecessor (ratified-but-unbackfilled is legal)
+        backfill(table_path, coordinator, up_to=v - 1)
+        if guard.stamp_row_commit_version:
+            for a in actions:
+                if "add" in a and "defaultRowCommitVersion" in a["add"]:
+                    a["add"]["defaultRowCommitVersion"] = v
+        _clamp_commit_ts(table_path, v, actions, ict=guard.ict)
         staged_name = _stage_commit(table_path, v, actions)
         if coordinator.ratify(tid, v, staged_name):
             return v
@@ -379,3 +423,118 @@ def create_catalog_owned(
     immediately follows. Returns the upgrade version (1)."""
     write_delta(df, table_path, mode="overwrite", **write_kwargs)
     return upgrade_to_catalog_owned(df.sparkSession, table_path, coordinator)
+
+
+def _coordinated_dml(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    front_end,
+    *args: Any,
+    **kwargs: Any,
+) -> tuple[int, int]:
+    """Route a copy-on-write DML front end through the coordinator:
+    snapshot via the catalog (backfills + enforces the ownership gate),
+    then run the front end against that snapshot with
+    ``_commit_coordinated`` as its commit protocol. The front end's
+    predicate/whole-table _CommitGuard flows into the ratification
+    loop, so conflict semantics are IDENTICAL to the filesystem path —
+    a concurrent blind append whose stats prove it disjoint from the
+    DML predicate rebases; an intersecting or metadata winner aborts."""
+    snap = snapshot_coordinated(spark, table_path, coordinator)
+    fn = functools.partial(_commit_coordinated, coordinator=coordinator)
+    with _allow_reader_features({CATALOG_OWNED_FEATURE}):
+        return front_end(
+            spark, table_path, *args, snap=snap, commit_fn=fn, **kwargs
+        )
+
+
+def delete_coordinated(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    col: str,
+    lo: Any,
+    hi: Any,
+) -> tuple[int, int]:
+    """Stats-pruned copy-on-write DELETE on a catalog-owned table —
+    delete_delta's surgery (only files whose stats interval intersects
+    [lo, hi] rewrite; CDF flows when enabled) committed by
+    ratification. Returns (new_version, n_files_rewritten)."""
+    return _coordinated_dml(
+        spark, table_path, coordinator, delete_delta, col, lo, hi
+    )
+
+
+def update_coordinated(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    col: str,
+    lo: Any,
+    hi: Any,
+    set_exprs: dict[str, str],
+) -> tuple[int, int]:
+    """Stats-pruned copy-on-write UPDATE on a catalog-owned table
+    (update_delta committed by ratification)."""
+    return _coordinated_dml(
+        spark, table_path, coordinator, update_delta, col, lo, hi, set_exprs
+    )
+
+
+def delete_rows_coordinated(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    where: str,
+) -> tuple[int, int]:
+    """Arbitrary-predicate DELETE (touched-file discovery scan) on a
+    catalog-owned table. The discovery scan reads every file, so the
+    guard is whole-table: ANY concurrent data winner aborts — same as
+    the filesystem path."""
+    return _coordinated_dml(
+        spark, table_path, coordinator, delete_rows, where
+    )
+
+
+def update_rows_coordinated(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    where: str,
+    set_exprs: dict[str, str],
+) -> tuple[int, int]:
+    """Arbitrary-predicate UPDATE (touched-file discovery scan) on a
+    catalog-owned table, whole-table guard as on the filesystem path."""
+    return _coordinated_dml(
+        spark, table_path, coordinator, update_rows, where, set_exprs
+    )
+
+
+def merge_coordinated(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    source: DataFrame,
+    key: str | list[str],
+    *,
+    when_matched: str = "update",
+    when_not_matched_by_source: str | None = None,
+) -> tuple[int, int]:
+    """MERGE INTO a catalog-owned table: merge_delta's touched-file
+    algorithm (semi-join discovery, per-target-row update, unmatched
+    inserts appended, optional by-source delete) committed by
+    ratification. The two-clause guard keeps the source's key interval,
+    so a concurrent coordinated append with provably-disjoint stats
+    rebases cleanly; the by-source clause holds the whole-table guard.
+    Returns (new_version, n_files_rewritten)."""
+    return _coordinated_dml(
+        spark,
+        table_path,
+        coordinator,
+        merge_delta,
+        source,
+        key,
+        when_matched=when_matched,
+        when_not_matched_by_source=when_not_matched_by_source,
+    )

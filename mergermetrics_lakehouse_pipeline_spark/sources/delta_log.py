@@ -4481,6 +4481,7 @@ def _dml_rewrite(
     survivors_of,
     changes_of,
     snap: DeltaSnapshot | None = None,
+    commit_fn=None,
 ) -> tuple[int, int]:
     """Shared copy-on-write DML engine: stats pruning selects the files
     that CAN contain matches; only those are rewritten through
@@ -4489,7 +4490,10 @@ def _dml_rewrite(
     O(affected files). ``changes_of`` supplies CDF rows when the table
     has delta.enableChangeDataFeed. A caller that already snapshotted
     (to build its closures) passes ``snap`` — one log replay, one
-    consistent version for plan AND closures."""
+    consistent version for plan AND closures. ``commit_fn`` swaps the
+    commit protocol (filesystem put-if-absent by default; the
+    catalog-owned coordinator passes its ratifying commit, round 12) —
+    everything above the commit is protocol-agnostic."""
     snap = snap or snapshot(spark, table_path)
     _reject_if_append_only(snap, op)
     _reject_rewrite_row_tracking(snap, f"{op} (copy-on-write)")
@@ -4507,6 +4511,7 @@ def _dml_rewrite(
             spark, table_path, snap, candidates,
             survivors_of=survivors_of, changes_of=changes_of,
             op=op, pred_desc=f"{col} BETWEEN {lo} AND {hi}", guard=guard,
+            commit_fn=commit_fn,
         ),
         len(candidates),
     )
@@ -4524,6 +4529,7 @@ def _dml_commit(
     pred_desc: str,
     guard: _CommitGuard,
     extra_actions: list[dict[str, Any]] | None = None,
+    commit_fn=None,
 ) -> int:
     """Rewrite ``candidates`` through ``survivors_of`` and author the
     remove+add (+cdc) commit — the shared tail of every copy-on-write
@@ -4562,11 +4568,15 @@ def _dml_commit(
         }
     )
     guard.ict = _ict_on(snap.configuration)
-    return _commit(table_path, actions, guard, snap.version)
+    return (commit_fn or _commit)(table_path, actions, guard, snap.version)
 
 
 def delete_rows(
-    spark: SparkSession, table_path: str, where: str
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+    snap: DeltaSnapshot | None = None,
+    commit_fn=None,
 ) -> tuple[int, int]:
     """DELETE FROM t WHERE <arbitrary SQL predicate> — the general DML
     front end: one touched-file discovery scan finds the files with
@@ -4579,7 +4589,7 @@ def delete_rows(
     files that actually contain matches — tighter than stats pruning,
     at the cost of the extra scan (the same trade delta-spark makes)."""
     pred = F.coalesce(F.expr(where), F.lit(False))
-    snap = snapshot(spark, table_path)
+    snap = snap or snapshot(spark, table_path)
     _reject_if_append_only(snap, "DELETE")
     _reject_rewrite_row_tracking(snap, "DELETE (copy-on-write)")
     candidates = _matched_files(spark, table_path, snap, pred)
@@ -4596,7 +4606,7 @@ def delete_rows(
         changes_of=lambda df: df.filter(pred).withColumn(
             "_change_type", F.lit("delete")
         ),
-        op="DELETE", pred_desc=where, guard=guard,
+        op="DELETE", pred_desc=where, guard=guard, commit_fn=commit_fn,
     )
     return v, len(candidates)
 
@@ -4606,13 +4616,15 @@ def update_rows(
     table_path: str,
     where: str,
     set_exprs: dict[str, str],
+    snap: DeltaSnapshot | None = None,
+    commit_fn=None,
 ) -> tuple[int, int]:
     """UPDATE t SET ... WHERE <arbitrary SQL predicate> — same
     touched-file surgery as ``delete_rows`` with matching rows
     projected through ``set_exprs``; preimage/postimage CDF rows flow
     when enabled. Returns (new_version, n_files_rewritten)."""
     pred = F.coalesce(F.expr(where), F.lit(False))
-    snap = snapshot(spark, table_path)
+    snap = snap or snapshot(spark, table_path)
     _reject_if_append_only(snap, "UPDATE")
     _reject_rewrite_row_tracking(snap, "UPDATE (copy-on-write)")
     _reject_identity_assignment(snap.schema, set(set_exprs), "UPDATE")
@@ -4629,7 +4641,7 @@ def update_rows(
     v = _dml_commit(
         spark, table_path, snap, candidates,
         survivors_of=_apply, changes_of=_changes,
-        op="UPDATE", pred_desc=where, guard=guard,
+        op="UPDATE", pred_desc=where, guard=guard, commit_fn=commit_fn,
     )
     return v, len(candidates)
 
@@ -4707,6 +4719,8 @@ def delete_delta(
     col: str,
     lo: Any,
     hi: Any,
+    snap: DeltaSnapshot | None = None,
+    commit_fn=None,
 ) -> tuple[int, int]:
     """Copy-on-write DELETE of rows with ``col`` in [lo, hi]: only files
     whose stats interval intersects are rewritten (matching rows
@@ -4723,6 +4737,7 @@ def delete_delta(
         changes_of=lambda df: df.filter(pred).withColumn(
             "_change_type", F.lit("delete")
         ),
+        snap=snap, commit_fn=commit_fn,
     )
 
 
@@ -4733,6 +4748,8 @@ def update_delta(
     lo: Any,
     hi: Any,
     set_exprs: dict[str, str],
+    snap: DeltaSnapshot | None = None,
+    commit_fn=None,
 ) -> tuple[int, int]:
     """Copy-on-write UPDATE of rows with ``col`` in [lo, hi]: the same
     stats-pruned file surgery as ``delete_delta``, matching rows
@@ -4741,7 +4758,7 @@ def update_delta(
     and update_postimage change row. Returns (new_version,
     n_files_rewritten)."""
     pred = F.col(col).isNotNull() & F.col(col).between(lo, hi)
-    snap = snapshot(spark, table_path)
+    snap = snap or snapshot(spark, table_path)
     _reject_identity_assignment(snap.schema, set(set_exprs), "UPDATE")
     gen = _generated_exprs(snap.schema)
     _apply, _changes = _update_closures(pred, set_exprs, gen)
@@ -4750,7 +4767,7 @@ def update_delta(
         op="UPDATE",
         survivors_of=_apply,
         changes_of=_changes,
-        snap=snap,
+        snap=snap, commit_fn=commit_fn,
     )
 
 
@@ -4762,6 +4779,8 @@ def merge_delta(
     *,
     when_matched: str = "update",
     when_not_matched_by_source: str | None = None,
+    snap: DeltaSnapshot | None = None,
+    commit_fn=None,
 ) -> tuple[int, int]:
     """MERGE INTO target USING source ON target.k = source.k [AND ...]
     WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT * —
@@ -4796,7 +4815,7 @@ def merge_delta(
     if when_not_matched_by_source not in (None, "delete"):
         raise ValueError("when_not_matched_by_source must be None or 'delete'")
     keys = [key] if isinstance(key, str) else list(key)
-    snap = snapshot(spark, table_path)
+    snap = snap or snapshot(spark, table_path)
     _reject_if_append_only(snap, "MERGE")
     _reject_rewrite_row_tracking(snap, "MERGE (copy-on-write)")
     tcols = [f.name for f in snap.schema.fields]
@@ -4990,7 +5009,7 @@ def merge_delta(
             survivors_of=lambda _df: new_content,
             changes_of=_changes,
             op="MERGE", pred_desc=on_desc, guard=guard,
-            extra_actions=id_extra,
+            extra_actions=id_extra, commit_fn=commit_fn,
         )
     finally:
         # release the cached source on EVERY path — including the

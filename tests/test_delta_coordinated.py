@@ -306,3 +306,195 @@ def test_scoped_gate_is_thread_local(spark, coord_table):
         t.start()
         t.join()
     assert outcome == ["gated"]
+
+
+# ---------------------------------------------------------------------------
+# coordinated DML (round 12): DELETE/UPDATE/MERGE through the coordinator
+# ---------------------------------------------------------------------------
+
+from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (  # noqa: E402
+    delete_coordinated,
+    delete_rows_coordinated,
+    merge_coordinated,
+    update_coordinated,
+    update_rows_coordinated,
+)
+
+
+def _foreign_append_actions(root, ids):
+    """A REAL foreign blind-append commit: a parquet file in the table
+    directory plus its add action with truthful footer stats — so a
+    rebased DML's subsequent reads see the foreign rows."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = f"part-foreign-{_uuid.uuid4().hex}.parquet"
+    tbl = pa.table(
+        {
+            "id": pa.array(list(ids), pa.int64()),
+            "g": pa.array([i % 3 for i in ids], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(root, name))
+    stats = json.dumps(
+        {
+            "numRecords": len(ids),
+            "minValues": {"id": min(ids), "g": min(i % 3 for i in ids)},
+            "maxValues": {"id": max(ids), "g": max(i % 3 for i in ids)},
+            "nullCount": {"id": 0, "g": 0},
+        }
+    )
+    return [
+        {
+            "commitInfo": {
+                "timestamp": 1,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Append"},
+            }
+        },
+        {
+            "add": {
+                "path": name,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, name)),
+                "modificationTime": 1,
+                "dataChange": True,
+                "stats": stats,
+            }
+        },
+    ]
+
+
+def test_coordinated_delete_roundtrip(spark, coord_table):
+    root, cat = coord_table
+    v, n = delete_coordinated(spark, root, cat, "id", 0, 5)
+    assert n >= 1 and v == 2
+    out = read_delta_coordinated(spark, root, cat)
+    assert sorted(r.id for r in out.collect()) == list(range(6, 12))
+    # time travel still sees the pre-DML table
+    assert read_delta_coordinated(spark, root, cat, version=1).count() == 12
+
+
+def test_coordinated_update_roundtrip(spark, coord_table):
+    root, cat = coord_table
+    v, n = update_coordinated(
+        spark, root, cat, "id", 0, 3, {"g": "g + 100"}
+    )
+    assert n >= 1
+    rows = {
+        r.id: r.g for r in read_delta_coordinated(spark, root, cat).collect()
+    }
+    for i in range(12):
+        assert rows[i] == (i % 3 + 100 if i <= 3 else i % 3)
+
+
+def test_coordinated_arbitrary_predicate_dml(spark, coord_table):
+    root, cat = coord_table
+    _v, n = update_rows_coordinated(
+        spark, root, cat, "g = 2 AND id < 6", {"g": "-1"}
+    )
+    assert n >= 1
+    _v, n = delete_rows_coordinated(spark, root, cat, "g = -1")
+    assert n >= 1
+    out = sorted(
+        r.id for r in read_delta_coordinated(spark, root, cat).collect()
+    )
+    assert out == [i for i in range(12) if not (i % 3 == 2 and i < 6)]
+
+
+def test_coordinated_merge_roundtrip(spark, coord_table):
+    root, cat = coord_table
+    source = spark.createDataFrame(
+        [(0, 99), (1, 99), (50, 7), (51, 7)], "id long, g long"
+    )
+    v, n = merge_coordinated(spark, root, cat, source, "id")
+    assert n >= 1
+    rows = {
+        r.id: r.g for r in read_delta_coordinated(spark, root, cat).collect()
+    }
+    assert rows[0] == 99 and rows[1] == 99  # matched -> updated
+    assert rows[50] == 7 and rows[51] == 7  # unmatched -> inserted
+    assert rows[5] == 2  # untouched row keeps its value
+    assert len(rows) == 14
+
+
+def test_coordinated_dml_rebases_over_disjoint_append(spark, coord_table):
+    """Predicate-guard rebase on ratification loss: a concurrent blind
+    append whose stats prove it disjoint from the DELETE's predicate
+    wins the contested version; the DML rebases onto the next one and
+    BOTH effects land."""
+    root, cat = coord_table
+    racing = _RacingCoordinator(
+        cat.root, root, _foreign_append_actions(root, range(100, 103))
+    )
+    v, n = delete_coordinated(spark, root, racing, "id", 0, 5)
+    assert racing.raced and n >= 1
+    assert v == 3  # lost 2 to the append, rebased onto 3
+    out = sorted(
+        r.id for r in read_delta_coordinated(spark, root, cat).collect()
+    )
+    assert out == list(range(6, 12)) + [100, 101, 102]
+
+
+def test_coordinated_dml_aborts_on_intersecting_append(spark, coord_table):
+    """The same race with an append whose rows MAY match the predicate
+    aborts: rebasing would silently miss rows the DELETE should have
+    removed."""
+    root, cat = coord_table
+    racing = _RacingCoordinator(
+        cat.root, root, _foreign_append_actions(root, range(3, 5))
+    )
+    with pytest.raises(ConcurrentModificationError, match="predicate"):
+        delete_coordinated(spark, root, racing, "id", 0, 5)
+
+
+def test_coordinated_dml_aborts_when_winner_removed_read_files(
+    spark, coord_table
+):
+    """A concurrent DML winner that removed a file this transaction
+    read aborts the loser (write-write conflict)."""
+    root, cat = coord_table
+    foreign = [
+        {"commitInfo": {"timestamp": 1, "operation": "DELETE"}},
+        *[
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": 1,
+                    "dataChange": True,
+                }
+            }
+            for rel in snapshot_coordinated(spark, root, cat).files
+        ],
+    ]
+    racing = _RacingCoordinator(cat.root, root, foreign)
+    with pytest.raises(ConcurrentModificationError, match="removed"):
+        delete_coordinated(spark, root, racing, "id", 0, 5)
+
+
+def test_coordinated_merge_by_source_holds_whole_table_guard(
+    spark, coord_table
+):
+    """The by-source delete clause reads the whole table, so ANY
+    concurrent data winner aborts it — same as the filesystem path."""
+    root, cat = coord_table
+    racing = _RacingCoordinator(
+        cat.root, root, _foreign_append_actions(root, range(100, 102))
+    )
+    source = spark.createDataFrame([(0, 99)], "id long, g long")
+    with pytest.raises(ConcurrentModificationError):
+        merge_coordinated(
+            spark, root, racing, source, "id",
+            when_not_matched_by_source="delete",
+        )
+
+
+def test_coordinated_dml_refuses_plain_table(spark):
+    base = tempfile.mkdtemp(prefix="mm_co_dmlplain_")
+    root = os.path.join(base, "t")
+    cat = FileCommitCoordinator(os.path.join(base, "catalog"))
+    write_delta(_g(spark, 0, 6), root, mode="overwrite")
+    with pytest.raises(DeltaProtocolError, match="not catalog-owned"):
+        delete_coordinated(spark, root, cat, "id", 0, 2)
