@@ -255,3 +255,120 @@ def q_delta_catalog_owned_dml_roundtrip(
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed decile twin (round-12, VERDICT r11 next-step #2): the same
+# exact deciles as events_dwell_deciles with NO global per-row total order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dwell_deciles_distributed",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), dec AS (
+      SELECT gap_s,
+             CAST(NTILE(10) OVER (ORDER BY gap_s, user_id, event_id)
+                  AS BIGINT) AS decile
+      FROM gaps WHERE gap_s IS NOT NULL
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(gap_s) AS BIGINT) AS gap_mass_s
+    FROM dec GROUP BY decile ORDER BY decile
+    """,
+    tags=["analytics", "deciles", "count-collapse", "scale",
+          "sessionization"],
+)
+def q_events_dwell_deciles_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME exact dwell-time deciles as events_dwell_deciles (same
+    oracle, hash-matched) computed WITHOUT ranking every row through
+    one global total-order window — the scale path the NTILE row's
+    docstring promises:
+
+    1. per-user lag gaps (shuffle on user_id, the natural key);
+    2. groupBy(gap_s) collapses the corpus to its DISTINCT whole-second
+       values with counts — map-side partial aggregation does most of
+       the work before the shuffle;
+    3. one cumulative-count window over |distinct gap_s| rows (tiny —
+       bounded by the value domain, not the row count) yields each
+       value's global rank interval [cum-c+1, cum];
+    4. NTILE(10)'s bucket boundaries are pure arithmetic on n (the
+       first n%10 buckets take n//10+1 ranks, the rest n//10), so a
+       broadcast 10-row decile spine joined on interval overlap
+       reconstructs exactly how many of each value's rows land in each
+       decile: overlap = min(hi_d, cum) - max(lo_d, cum-c+1) + 1.
+
+    Ties need no per-row ordering: a tie group occupies a contiguous
+    rank range whatever the (user_id, event_id) tie-break order, and
+    every reported aggregate depends only on gap_s — so the collapsed
+    reconstruction is EXACT, not approximate. The oracle deliberately
+    keeps the per-row NTILE formulation: the two engines cross-check
+    independent algorithms.
+
+    Scale: no stage ever holds more than |distinct gap_s| rows in one
+    task; at 100 TB the same plan runs with the window over (say) a few
+    hundred thousand distinct seconds instead of trillions of rows —
+    this is the count-collapse rank-selection pattern of
+    docs_length_quantiles applied to NTILE reconstruction."""
+    from .functions.dates import epoch_us
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        ((epoch_us("ts") - epoch_us(F.lag("ts").over(w))) / F.lit(1000000))
+        .cast("bigint")
+        .alias("gap_s"),
+    ).filter("gap_s IS NOT NULL")
+
+    counts = gaps.groupBy("gap_s").agg(F.count("*").alias("c"))
+    cw = Window.orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.select(
+        "gap_s",
+        "c",
+        F.sum("c").over(cw).alias("cum_hi"),
+    ).withColumn("cum_lo", F.col("cum_hi") - F.col("c") + 1)
+
+    # n from the collapsed counts, not from gaps — re-aggregating the
+    # distinct-value table avoids a second lag-window pass over events
+    total = counts.agg(F.sum("c").alias("n"))
+    spine = spark.range(1, 11).select(F.col("id").alias("decile"))
+    q = F.expr("n DIV 10")
+    r = F.col("n") % 10
+    d = F.col("decile")
+    lo_d = (d - 1) * q + F.least(d - 1, r) + 1
+    hi_d = d * q + F.least(d, r)
+    overlap = (
+        F.least(hi_d, F.col("cum_hi"))
+        - F.greatest(lo_d, F.col("cum_lo"))
+        + 1
+    )
+    cells = (
+        ranked.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(spine))
+        .withColumn("overlap", overlap)
+        .filter(F.col("overlap") > 0)
+    )
+    return (
+        cells.groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.sum("overlap").cast("bigint").alias("n_gaps"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+            F.sum(F.col("gap_s") * F.col("overlap"))
+            .cast("bigint")
+            .alias("gap_mass_s"),
+        )
+        .orderBy("decile")
+    )
