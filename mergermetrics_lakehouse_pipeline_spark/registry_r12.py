@@ -372,3 +372,110 @@ def q_events_dwell_deciles_distributed(
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-occupancy guard (round-12, VERDICT r11 next-step #3)
+# ---------------------------------------------------------------------------
+
+
+def _sql_lsh_capped(cap: int, n_clones: int) -> str:
+    """DuckDB twin of the capped LSH pipeline over the salted corpus:
+    the identical shingle -> minhash -> band CTEs as the uncapped
+    oracle, then the bucket census splits all-pairs (small buckets)
+    from hub-star expansion (oversized buckets)."""
+    from .registry_llm import _BANDS, _NUM_HASHES, _ROWS, SQL_SHINGLES
+
+    sig_cols = ",\n    ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}|' || x)), 'min')"
+        f" AS h{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5('{b}|' || {cat}) AS band_key"
+        " FROM sig".format(
+            b=b,
+            cat=" || '|' || ".join(
+                f"h{b * _ROWS + r}" for r in range(_ROWS)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT 2000000 + r.range AS doc_id, d.text
+      FROM range({n_clones}) r
+      CROSS JOIN (SELECT text FROM documents WHERE doc_id = 1) d
+    ), sh AS (
+      SELECT doc_id, {SQL_SHINGLES} AS s FROM corpus
+    ), sig AS (
+      SELECT doc_id, {sig_cols} FROM sh
+    ), bands AS (
+{band_rows}
+    ), sized AS (
+      SELECT band, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2
+    ), small AS (
+      SELECT b.* FROM bands b JOIN sized s
+        ON b.band = s.band AND b.band_key = s.band_key
+      WHERE s.n <= {cap}
+    ), big AS (
+      SELECT b.* FROM bands b JOIN sized s
+        ON b.band = s.band AND b.band_key = s.band_key
+      WHERE s.n > {cap}
+    ), hubs AS (
+      SELECT band, band_key, MIN(doc_id) AS id_a FROM big GROUP BY 1, 2
+    )
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM small a JOIN small b
+        ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT h.id_a, b.doc_id AS id_b
+      FROM big b JOIN hubs h
+        ON b.band = h.band AND b.band_key = h.band_key
+      WHERE b.doc_id <> h.id_a
+    )
+    """
+
+
+_LSH_CAP, _LSH_CLONES = 8, 200
+
+
+@register(
+    "docs_lsh_capped_pairs",
+    _sql_lsh_capped(_LSH_CAP, _LSH_CLONES),
+    tags=["LLM-dedup", "lsh", "occupancy-guard", "scale"],
+)
+def q_docs_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH degenerate-bucket guard (operators/dedup.py max_bucket),
+    hash-checked: the corpus is salted with 200 byte-identical clones
+    of doc 1, creating one oversized bucket per band; buckets over the
+    cap divert to the distributed hub-star expansion (min id paired
+    with each member, O(k) edges, no collect_set) while small buckets
+    keep the complete all-pairs semantics. The DuckDB twin runs the
+    identical split, so the guard's SEMANTICS are verified — which
+    edges survive the cap — not just that something completes.
+
+    Scale: the census is one partial-aggregating groupBy over band
+    keys; no task ever buffers more than ``cap`` ids, so a corpus
+    where millions of documents are byte-identical costs O(k) instead
+    of one O(k^2) straggler task."""
+    from .operators import dedup as dd
+    from .registry_llm import _BANDS, _NUM_HASHES
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    clone_src = d.filter(F.col("doc_id") == 1).select("text")
+    clones = (
+        spark.range(_LSH_CLONES)
+        .select((F.col("id") + 2000000).alias("doc_id"))
+        .crossJoin(F.broadcast(clone_src))
+    )
+    corpus = d.unionByName(clones)
+    return dd.minhash_lsh_candidates(
+        corpus, "text", "doc_id",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
+        max_bucket=_LSH_CAP,
+    )

@@ -490,3 +490,84 @@ def test_multi_suite_decontamination_constant_scan_count(spark, sf_dir):
         r.doc_id % 97 != 0 and r.doc_id % 89 != 0 and r.doc_id % 83 != 0
         for r in rows
     )
+
+
+def test_lsh_max_bucket_degenerate_corpus_bounded(spark):
+    """The occupancy guard (round 12): 10^4 byte-identical docs form one
+    bucket per band; with max_bucket set the expansion is the O(k) star
+    around the minimum id — n-1 pairs, never the ~5*10^7 all-pairs
+    explosion."""
+    n = 10_000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document text repeated verbatim").alias(
+            "text"
+        ),
+    )
+    pairs = dd.minhash_lsh_candidates(
+        d, "text", "doc_id", max_bucket=64
+    )
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 and r.id_b > 0 for r in rows)  # hub = min id
+
+
+def test_lsh_max_bucket_star_is_subset_and_high_cap_is_exact(spark, sf_dir):
+    """Capped output is always a subset of the complete all-pairs set
+    (star edges live inside their bucket), and a cap no bucket exceeds
+    reproduces the complete set exactly."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    full = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(d, "text", "doc_id").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(
+            d, "text", "doc_id", max_bucket=2
+        ).collect()
+    }
+    assert capped <= full
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(
+            d, "text", "doc_id", max_bucket=10**9
+        ).collect()
+    }
+    assert exact == full
+
+
+def test_lsh_max_bucket_preserves_cluster_connectivity(spark):
+    """Every duplicate CLUSTER the complete candidate graph connects
+    stays connected under the cap — the invariant that makes the star
+    diversion safe for dedup (connected components downstream)."""
+    rows = []
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet colors",
+        "north south east west compass headings travel map",
+    ]
+    for g, text in enumerate(texts):
+        for i in range(30):
+            rows.append((g * 100 + i, text))
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dd.minhash_lsh_candidates(
+        d, "text", "doc_id", max_bucket=5
+    ).collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in capped:
+        parent[find(r.id_a)] = find(r.id_b)
+    for g in range(len(texts)):
+        roots = {find(g * 100 + i) for i in range(30)}
+        assert len(roots) == 1  # each identical-text group is one component
+    # groups with disjoint vocabulary stay apart
+    assert len({find(g * 100) for g in range(len(texts))}) == len(texts)
