@@ -479,3 +479,109 @@ def q_docs_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
         max_bucket=_LSH_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# Collation semantics (round-12, VERDICT r11 next-step #4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "collated_group_dedup",
+    """
+    WITH cased AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 3 = 0 THEN upper(p_brand)
+                  WHEN p_partkey % 3 = 1 THEN lower(p_brand)
+                  ELSE p_brand END AS brand_cased,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part
+    ), grouped AS (
+      SELECT MIN(brand_cased) AS canonical_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(COUNT(DISTINCT brand_cased) AS BIGINT) AS n_case_variants,
+             CAST(MIN(p_partkey) AS BIGINT) AS first_key,
+             CAST(SUM(price_c) AS BIGINT) AS price_mass
+      FROM cased GROUP BY brand_cased COLLATE NOCASE
+    ), survivors AS (
+      SELECT brand_cased AS survivor_brand, p_partkey AS first_key
+      FROM (
+        SELECT brand_cased, p_partkey,
+               ROW_NUMBER() OVER (
+                 PARTITION BY brand_cased COLLATE NOCASE
+                 ORDER BY p_partkey) AS rn
+        FROM cased
+      ) WHERE rn = 1
+    )
+    SELECT g.canonical_brand, g.n_parts, g.n_case_variants,
+           g.first_key, g.price_mass, s.survivor_brand
+    FROM grouped g JOIN survivors s ON g.first_key = s.first_key
+    ORDER BY g.canonical_brand
+    """,
+    tags=["collations", "dedup", "group-by", "analytics"],
+)
+def q_collated_group_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-AWARE grouping + keep-first dedup
+    (functions/collations.py over Spark 4's native UTF8_LCASE): part
+    brands are deterministically case-mangled (upper/lower/original by
+    partkey mod 3), then grouped under the UTF8_LCASE collation — case
+    variants of one brand merge into one group — with the
+    deterministic canonical key (binary-min of the variants), the
+    variant census, exact price mass, and the keep-first survivor row
+    (full partkey tie-break). DuckDB runs the same pipeline under its
+    COLLATE NOCASE, so the collation's equality classes — not just row
+    counts — are hash-verified across two independent collation
+    implementations (ICU vs DuckDB's).
+
+    The Delta WIRE stamp for collated schemas stays deliberately
+    unwritten (the verified-layout rationale in
+    functions/collations.py); the reader gate on foreign
+    collations-preview tables is unchanged and separately tested.
+
+    Scale: collated comparisons are JVM expressions inside codegen;
+    the group-by shuffles once on the collation key like any
+    aggregation, and the window runs per collated brand (25 groups x
+    tiny rows after the map-side-combined census — the keep-first
+    window is over the raw rows but partitioned on a key with even
+    cardinality)."""
+    from .functions import collations as cl
+
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 3 == 0, F.upper("p_brand"))
+        .when(F.col("p_partkey") % 3 == 1, F.lower("p_brand"))
+        .otherwise(F.col("p_brand"))
+        .alias("brand_cased"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        .alias("price_c"),
+    )
+    grouped = cl.collated_group(
+        p,
+        "brand_cased",
+        "UTF8_LCASE",
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.countDistinct("brand_cased").cast("bigint")
+        .alias("n_case_variants"),
+        F.min("p_partkey").cast("bigint").alias("first_key"),
+        F.sum("price_c").cast("bigint").alias("price_mass"),
+    ).select(
+        F.col("canonical_key").alias("canonical_brand"),
+        "n_parts",
+        "n_case_variants",
+        "first_key",
+        "price_mass",
+    )
+    survivors = cl.collated_dedup_first(
+        p, "brand_cased", ["p_partkey"], "UTF8_LCASE"
+    ).select(
+        F.col("brand_cased").alias("survivor_brand"),
+        F.col("p_partkey").cast("bigint").alias("first_key"),
+    )
+    return grouped.join(F.broadcast(survivors), "first_key").select(
+        "canonical_brand",
+        "n_parts",
+        "n_case_variants",
+        "first_key",
+        "price_mass",
+        "survivor_brand",
+    ).orderBy("canonical_brand")
