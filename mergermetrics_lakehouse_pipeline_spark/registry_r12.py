@@ -585,3 +585,277 @@ def q_collated_group_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_mass",
         "survivor_brand",
     ).orderBy("canonical_brand")
+
+
+# ---------------------------------------------------------------------------
+# Round-12 analytics batch (VERDICT r11 next-step #5): conformance
+# censuses, inequality/concentration drill-downs, dedup-rate bridges —
+# exact-arithmetic discipline throughout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_value_gini_by_priority",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                        o_orderkey
+             ) AS r
+      FROM orders
+    ), agg AS (
+      SELECT priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(v) AS DECIMAL(38,0)) AS s_v,
+             CAST(SUM(CAST(r AS DECIMAL(19,0)) * v) AS DECIMAL(38,0)) AS s_rv
+      FROM ranked GROUP BY 1
+    )
+    SELECT priority, n_orders,
+           CAST(s_v AS BIGINT) AS value_mass_c,
+           (2 * CAST(s_rv AS DOUBLE)
+             - CAST(n_orders + 1 AS DOUBLE) * CAST(s_v AS DOUBLE))
+           / (CAST(n_orders AS DOUBLE) * CAST(s_v AS DOUBLE)) AS gini
+    FROM agg ORDER BY priority
+    """,
+    tags=["inequality", "gini", "drill-down", "analytics"],
+)
+def q_orders_value_gini_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of ORDER VALUE per priority class — the
+    inequality drill-down beside the segment-grain balance Gini
+    (registry_r6): rank formula G = (2·Σr·v − (n+1)·Σv)/(n·Σv) over
+    integer cents with a full (value, orderkey) tie-break, both
+    evidence masses exact DECIMAL(38,0), division as the single
+    trailing double step (the double subexpressions are evaluated in
+    the same order on both engines).
+
+    Scale: the rank window partitions by priority (5 groups — the
+    known low-cardinality-partition family; the count-collapse twin
+    pattern of events_dwell_deciles_distributed applies if priorities
+    ever stop bounding partition size)."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("priority").orderBy("v", "o_orderkey")
+    ranked = o.withColumn("r", F.row_number().over(w))
+    agg = ranked.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("v").cast("decimal(38,0)").alias("s_v"),
+        F.sum(F.col("r").cast("decimal(19,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("s_rv"),
+    )
+    return agg.select(
+        "priority",
+        "n_orders",
+        F.col("s_v").cast("bigint").alias("value_mass_c"),
+        (
+            (
+                2 * F.col("s_rv").cast("double")
+                - (F.col("n_orders") + 1).cast("double")
+                * F.col("s_v").cast("double")
+            )
+            / (
+                F.col("n_orders").cast("double")
+                * F.col("s_v").cast("double")
+            )
+        ).alias("gini"),
+    ).orderBy("priority")
+
+
+@register(
+    "customer_nation_order_hhi",
+    """
+    WITH per_cust AS (
+      SELECT c_nationkey, o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DECIMAL(19,0)) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_buyers,
+           CAST(SUM(v) AS BIGINT) AS value_mass_c,
+           CAST(SUM(v * v) AS DOUBLE)
+             / (CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)) AS hhi
+    FROM per_cust GROUP BY 1 ORDER BY 1
+    """,
+    tags=["concentration", "hhi", "drill-down", "join", "analytics"],
+)
+def q_customer_nation_order_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue-concentration HHI per nation: how concentrated each
+    nation's purchase value is across its customers — Σvᵢ²/(Σvᵢ)² from
+    exact integer cents, the squares in DECIMAL(19,0)×DECIMAL(19,0) →
+    DECIMAL(38,0) so the quadratic mass cannot overflow BIGINT at any
+    realistic SF; one trailing double division. 1/HHI = effective
+    number of buyers, the account-risk metric beside the supplier-base
+    HHI (registry_r6).
+
+    Scale: orders⋈customer shuffles on custkey; both aggregations are
+    map-side combinable; nothing holds more than a nation's distinct
+    buyers."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc"),
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("pc").cast("decimal(19,0)").alias("v"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_buyers"),
+            F.sum("v").cast("bigint").alias("value_mass_c"),
+            (
+                F.sum(F.col("v") * F.col("v")).cast("double")
+                / (
+                    F.sum("v").cast("double") * F.sum("v").cast("double")
+                )
+            ).alias("hhi"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "docs_source_dedup_bridge",
+    """
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, 'resyndicated', text
+      FROM documents WHERE doc_id % 7 = 0
+    ), keys AS (
+      SELECT source,
+             md5(array_to_string(
+               regexp_split_to_array(trim(text), '\\s+'), ' ')) AS k
+      FROM corpus
+    ), per_key AS (
+      SELECT k, COUNT(*) AS n_members,
+             COUNT(DISTINCT source) AS n_sources
+      FROM keys GROUP BY 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_contents,
+           CAST(SUM(CASE WHEN n_members > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_members,
+           CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_source,
+           CAST((1000 * SUM(CASE WHEN n_members > 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS dup_rate_pm
+    FROM keys JOIN per_key USING (k)
+    GROUP BY source ORDER BY source
+    """,
+    tags=["LLM-dedup", "per-source", "bridge", "rates"],
+)
+def q_docs_source_dedup_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup-rate bridge: for every source, how many of its
+    documents are members of a duplicate content group and how many
+    collide with ANOTHER source (the resyndication signal a corpus
+    curator gates on). The corpus is salted with re-keyed copies of
+    every 7th document under a 'resyndicated' source so cross-source
+    groups exist; rates are exact per-mille integer division.
+
+    Scale: one groupBy on the md5 content key (map-side combinable),
+    one key-colocated join back, one groupBy(source) — no pair
+    explosion anywhere; this is the exact-dedup census shape at
+    corpus scale."""
+    from .operators.dedup import content_key
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    salted = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.lit("resyndicated").alias("source"),
+        "text",
+    )
+    keys = (
+        d.unionByName(salted)
+        .select("source", content_key("text").alias("k"))
+    )
+    per_key = keys.groupBy("k").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    joined = keys.join(per_key, "k")
+    dup = F.when(F.col("n_members") > 1, 1).otherwise(0)
+    cross = F.when(F.col("n_sources") > 1, 1).otherwise(0)
+    agg = joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("k").cast("bigint").alias("n_contents"),
+        F.sum(dup).cast("bigint").alias("n_dup_members"),
+        F.sum(cross).cast("bigint").alias("n_cross_source"),
+    )
+    return agg.withColumn(
+        "dup_rate_pm", F.expr("(1000 * n_dup_members) div n_docs")
+    ).orderBy("source")
+
+
+@register(
+    "events_user_lifecycle_census",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             date_diff('day', MIN(CAST(ts AS DATE)),
+                       MAX(CAST(ts AS DATE))) AS span_days,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(span_days AS BIGINT) AS span_days,
+           CASE WHEN active_days <= 24 THEN 'low'
+                WHEN active_days <= 27 THEN 'mid'
+                ELSE 'high' END AS activity_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(active_days) AS BIGINT) AS active_day_mass,
+           CAST(MIN(active_days) AS BIGINT) AS min_active_days
+    FROM per_user GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["events", "lifecycle", "census", "analytics"],
+)
+def q_events_user_lifecycle_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """User-lifecycle census: per user the observation span (first to
+    last event day, exact) and the number of distinct active days,
+    cross-tabulated as span × activity-band — the engagement-shape
+    summary a growth team reads before cohort analysis. Whole-day
+    integer arithmetic throughout.
+
+    Scale: one groupBy(user_id) with map-side combine (the distinct-day
+    count collapses inside the aggregate), then a census over the tiny
+    span × band grid."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.datediff(F.max("d"), F.min("d")).alias("span_days"),
+        F.countDistinct("d").alias("active_days"),
+    )
+    act_band = (
+        F.when(F.col("active_days") <= 24, "low")
+        .when(F.col("active_days") <= 27, "mid")
+        .otherwise("high")
+    )
+    return (
+        per_user.groupBy(
+            F.col("span_days").cast("bigint").alias("span_days"),
+            act_band.alias("activity_band"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("active_days").cast("bigint").alias("active_day_mass"),
+            F.min("active_days").cast("bigint").alias("min_active_days"),
+        )
+        .orderBy("span_days", "activity_band")
+    )
