@@ -859,3 +859,306 @@ def q_events_user_lifecycle_census(
         )
         .orderBy("span_days", "activity_band")
     )
+
+
+@register(
+    "nation_customer_supplier_balance",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nk,
+             COUNT(*) AS n_customers,
+             SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cust_bal_c
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nk,
+             COUNT(*) AS n_suppliers,
+             SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS supp_bal_c
+      FROM supplier GROUP BY 1
+    )
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(COALESCE(c.n_customers, 0) AS BIGINT) AS n_customers,
+           CAST(COALESCE(s.n_suppliers, 0) AS BIGINT) AS n_suppliers,
+           CAST(COALESCE(c.cust_bal_c, 0) AS BIGINT) AS cust_bal_c,
+           CAST(COALESCE(s.supp_bal_c, 0) AS BIGINT) AS supp_bal_c,
+           CAST(CASE WHEN COALESCE(s.n_suppliers, 0) = 0 THEN -1
+                     ELSE (1000 * COALESCE(c.n_customers, 0))
+                          // s.n_suppliers END AS BIGINT)
+             AS cust_per_supp_pm
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN c ON c.nk = n.n_nationkey
+    LEFT JOIN s ON s.nk = n.n_nationkey
+    ORDER BY nation
+    """,
+    tags=["join", "census", "dimensions", "analytics"],
+)
+def q_nation_customer_supplier_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation market-structure census: customer and supplier
+    headcounts, exact balance masses in cents, and the
+    customers-per-supplier ratio as per-mille integer division (-1
+    sentinel for supplier-less nations, so the row never divides by
+    zero and never goes NULL). Nation and region resolve by name via
+    broadcast joins — every nation appears even with zero activity.
+
+    Scale: two map-side-combinable fact aggregations to 25-row
+    summaries, then broadcast-joined to the dims; no shuffle larger
+    than the aggregations'."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .alias("cust_bal_c"),
+        )
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("bigint"))
+            .alias("supp_bal_c"),
+        )
+    )
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    out = (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(c), F.col("nk") == F.col("n_nationkey"), "left")
+        .drop("nk")
+        .join(F.broadcast(s), F.col("nk") == F.col("n_nationkey"), "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.coalesce("n_customers", F.lit(0)).cast("bigint")
+            .alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("bigint")
+            .alias("n_suppliers"),
+            F.coalesce("cust_bal_c", F.lit(0)).cast("bigint")
+            .alias("cust_bal_c"),
+            F.coalesce("supp_bal_c", F.lit(0)).cast("bigint")
+            .alias("supp_bal_c"),
+        )
+        .withColumn(
+            "cust_per_supp_pm",
+            F.when(F.col("n_suppliers") == 0, F.lit(-1))
+            .otherwise(F.expr("(1000 * n_customers) div n_suppliers"))
+            .cast("bigint"),
+        )
+    )
+    return out.orderBy("nation")
+
+
+@register(
+    "orders_weekend_share_by_segment",
+    """
+    WITH o AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS wknd,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(wknd) AS BIGINT) AS n_weekend,
+           CAST((1000 * SUM(wknd)) // COUNT(*) AS BIGINT)
+             AS weekend_rate_pm,
+           CAST(SUM(CASE WHEN wknd = 1 THEN price_c ELSE 0 END)
+                AS BIGINT) AS weekend_mass_c,
+           CAST(SUM(price_c) AS BIGINT) AS total_mass_c
+    FROM o GROUP BY segment ORDER BY segment
+    """,
+    tags=["calendar", "join", "rates", "analytics"],
+)
+def q_orders_weekend_share_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekend-ordering share per market segment: ISO weekday (Sat/Sun
+    = isodow 6/7 = Spark weekday() 5/6 — the one day-numbering pair
+    that agrees across engines without an offset table), counts and
+    exact cent masses, rate as per-mille integer division.
+
+    Scale: broadcast customer? No — orders⋈customer shuffles on
+    custkey (both fact-sized); the census after it is map-side
+    combinable to 5 rows."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.expr("weekday(o_orderdate)") >= 5, 1).otherwise(0)
+        .alias("wknd"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("price_c"),
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    agg = j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("wknd").cast("bigint").alias("n_weekend"),
+        F.sum(F.when(F.col("wknd") == 1, F.col("price_c")).otherwise(0))
+        .cast("bigint")
+        .alias("weekend_mass_c"),
+        F.sum("price_c").cast("bigint").alias("total_mass_c"),
+    )
+    return agg.select(
+        "segment",
+        "n_orders",
+        "n_weekend",
+        F.expr("(1000 * n_weekend) div n_orders").cast("bigint")
+        .alias("weekend_rate_pm"),
+        "weekend_mass_c",
+        "total_mass_c",
+    ).orderBy("segment")
+
+
+@register(
+    "part_name_token_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(p_name, ' ')) AS token,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part
+    ), counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(price_c) AS BIGINT) AS price_mass_c
+      FROM toks GROUP BY 1
+    )
+    SELECT token, n_parts, price_mass_c
+    FROM counts ORDER BY n_parts DESC, token LIMIT 30
+    """,
+    tags=["tokenize", "topk", "explode", "analytics"],
+)
+def q_part_name_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 part-name vocabulary: explode the space-delimited name
+    tokens (TPC-H draws them from a fixed color vocabulary), count
+    parts and exact retail-cent mass per token, rank with the full
+    (count desc, token) tie-break so the cut is deterministic.
+
+    Scale: explode + map-side-combined count collapses to the ~90-word
+    vocabulary before the shuffle; top-k is a sort over that tiny
+    table, never over parts."""
+    toks = T(spark, sf_dir, "part").select(
+        F.explode(F.split("p_name", " ")).alias("token"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        .alias("price_c"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("price_c").cast("bigint").alias("price_mass_c"),
+        )
+        .orderBy(F.desc("n_parts"), "token")
+        .limit(30)
+    )
+
+
+@register(
+    "events_hour_user_concentration",
+    """
+    WITH per AS (
+      SELECT hour(ts) AS hr, user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(hr AS BIGINT) AS hr,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MAX(n) AS BIGINT) AS top_user_events,
+           CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT)
+             AS top_share_ppm
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+    tags=["events", "concentration", "census", "analytics"],
+)
+def q_events_hour_user_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-of-day load concentration: events and distinct users per
+    hour plus the heaviest single user's share (parts-per-million
+    integer division) — the abuse/bot-screening profile beside the
+    hourly load rows. Exact integer arithmetic only.
+
+    Scale: two stacked map-side-combinable aggregations — (hour, user)
+    then hour; nothing larger than the per-hour user census shuffles."""
+    e = T(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hr"), "user_id"
+    )
+    per = e.groupBy("hr", "user_id").agg(F.count("*").alias("n"))
+    agg = per.groupBy(F.col("hr").cast("bigint").alias("hr")).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.max("n").cast("bigint").alias("top_user_events"),
+    )
+    return agg.select(
+        "hr",
+        "n_events",
+        "n_users",
+        "top_user_events",
+        F.expr("(1000000 * top_user_events) div n_events").cast("bigint")
+        .alias("top_share_ppm"),
+    ).orderBy("hr")
+
+
+@register(
+    "supplier_balance_band_by_region",
+    """
+    WITH banded AS (
+      SELECT r_name AS region,
+             CASE WHEN s_acctbal < 0 THEN 'a_negative'
+                  WHEN s_acctbal < 3000 THEN 'b_low'
+                  WHEN s_acctbal < 7000 THEN 'c_mid'
+                  ELSE 'd_high' END AS bal_band,
+             CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_c
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT region, bal_band,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(bal_c) AS BIGINT) AS bal_mass_c,
+           CAST(MIN(bal_c) AS BIGINT) AS min_bal_c,
+           CAST(MAX(bal_c) AS BIGINT) AS max_bal_c
+    FROM banded GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["census", "join", "banding", "analytics"],
+)
+def q_supplier_balance_band_by_region(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier account-balance bands per region (negative / low / mid
+    / high on the raw dollar thresholds, masses in exact cents) through
+    the nation→region dim chain — the credit-exposure census a
+    procurement-risk team keeps. Band edges compare the raw double
+    against integer literals (exact in both engines); all sums are
+    integer cents.
+
+    Scale: two broadcast dim joins, one map-side-combinable census over
+    a 20-row grid."""
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = T(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    band = (
+        F.when(F.col("s_acctbal") < 0, "a_negative")
+        .when(F.col("s_acctbal") < 3000, "b_low")
+        .when(F.col("s_acctbal") < 7000, "c_mid")
+        .otherwise("d_high")
+    )
+    j = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return (
+        j.select(
+            F.col("r_name").alias("region"),
+            band.alias("bal_band"),
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_c"),
+        )
+        .groupBy("region", "bal_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("bal_c").cast("bigint").alias("bal_mass_c"),
+            F.min("bal_c").cast("bigint").alias("min_bal_c"),
+            F.max("bal_c").cast("bigint").alias("max_bal_c"),
+        )
+        .orderBy("region", "bal_band")
+    )
