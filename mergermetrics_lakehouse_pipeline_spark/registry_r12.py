@@ -1162,3 +1162,240 @@ def q_supplier_balance_band_by_region(
         )
         .orderBy("region", "bal_band")
     )
+
+
+@register(
+    "part_brand_price_size_ols",
+    """
+    WITH pts AS (
+      SELECT p_brand AS brand,
+             CAST(p_size AS BIGINT) AS x,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS y
+      FROM part
+    ), m AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY 1
+    )
+    SELECT brand, n_parts, sx AS size_mass, sy AS price_mass_c,
+           (CAST(n_parts AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n_parts AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope_c_per_size
+    FROM m ORDER BY brand
+    """,
+    tags=["regression", "ols", "drill-down", "analytics"],
+)
+def q_part_brand_price_size_ols(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand OLS slope of retail price (cents) on part size — the
+    closed-form least squares (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over exact
+    integer evidence masses, with the division (and its double
+    subexpressions, evaluated in the same order on both engines) as
+    the only floating step. The pricing-structure drill-down beside
+    the corpus-grain OLS trend (docs_ols_trend).
+
+    Scale: one map-side-combinable groupBy(brand) carrying four
+    integer masses — the same cost as a SUM census."""
+    pts = T(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").cast("bigint").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("y"),
+    )
+    m = pts.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return m.select(
+        "brand",
+        "n_parts",
+        F.col("sx").alias("size_mass"),
+        F.col("sy").alias("price_mass_c"),
+        (
+            (
+                F.col("n_parts").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n_parts").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        ).alias("slope_c_per_size"),
+    ).orderBy("brand")
+
+
+@register(
+    "lineitem_month_end_rush",
+    """
+    WITH l AS (
+      SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+             CASE WHEN date_diff('day', CAST(l_shipdate AS DATE),
+                                 last_day(CAST(l_shipdate AS DATE))) <= 2
+                  THEN 1 ELSE 0 END AS rush,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(rush) AS BIGINT) AS n_month_end,
+           CAST((1000 * SUM(rush)) // COUNT(*) AS BIGINT)
+             AS month_end_rate_pm,
+           CAST(SUM(CASE WHEN rush = 1 THEN qty ELSE 0 END) AS BIGINT)
+             AS month_end_qty,
+           CAST(SUM(qty) AS BIGINT) AS total_qty
+    FROM l GROUP BY 1 ORDER BY 1
+    """,
+    tags=["calendar", "rates", "census", "analytics"],
+)
+def q_lineitem_month_end_rush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end shipping rush: per ship month, the share of lines
+    shipped in the month's last three days (a quota-gaming fingerprint
+    auditors look for) — last_day() calendar arithmetic, exact counts
+    and integer quantity masses, per-mille integer division.
+
+    Scale: pure map-side expression work then one combinable groupBy on
+    the month key."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.when(
+            F.datediff(F.last_day("l_shipdate"), F.to_date("l_shipdate"))
+            <= 2,
+            1,
+        )
+        .otherwise(0)
+        .alias("rush"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    agg = li.groupBy("ship_month").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum("rush").cast("bigint").alias("n_month_end"),
+        F.sum(F.when(F.col("rush") == 1, F.col("qty")).otherwise(0))
+        .cast("bigint")
+        .alias("month_end_qty"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+    )
+    return agg.select(
+        "ship_month",
+        "n_lines",
+        "n_month_end",
+        F.expr("(1000 * n_month_end) div n_lines").cast("bigint")
+        .alias("month_end_rate_pm"),
+        "month_end_qty",
+        "total_qty",
+    ).orderBy("ship_month")
+
+
+@register(
+    "docs_char_class_profile",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT)
+             AS n_digits,
+           CAST(SUM(len(regexp_extract_all(text, ' '))) AS BIGINT)
+             AS n_spaces,
+           CAST(SUM(len(regexp_extract_all(text, '[aeiou]'))) AS BIGINT)
+             AS n_vowels,
+           CAST((1000 * SUM(len(regexp_extract_all(text, '[aeiou]'))))
+                // SUM(len(text)) AS BIGINT) AS vowel_rate_pm
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=["LLM-text", "char-class", "census", "analytics"],
+)
+def q_docs_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class census per language: exact digit / space / ASCII
+    vowel counts and the vowel rate per thousand characters — the
+    cheap script/quality fingerprint that catches OCR garbage and
+    numeric boilerplate before tokenization. regexp_count is JVM-side
+    (codegen), counts are exact integers, the rate is integer
+    division.
+
+    Scale: per-row regexp counting inside the scan projection, one
+    combinable groupBy(lang)."""
+    d = T(spark, sf_dir, "documents")
+    digits = F.regexp_count("text", F.lit(r"[0-9]"))
+    spaces = F.regexp_count("text", F.lit(" "))
+    vowels = F.regexp_count("text", F.lit(r"[aeiou]"))
+    agg = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(digits).cast("bigint").alias("n_digits"),
+        F.sum(spaces).cast("bigint").alias("n_spaces"),
+        F.sum(vowels).cast("bigint").alias("n_vowels"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_digits",
+        "n_spaces",
+        "n_vowels",
+        F.expr("(1000 * n_vowels) div n_chars").cast("bigint")
+        .alias("vowel_rate_pm"),
+    ).orderBy("lang")
+
+
+@register(
+    "customer_segment_nation_mix",
+    """
+    WITH per AS (
+      SELECT c_mktsegment AS segment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(SUM(cnt) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(MAX(cnt) AS BIGINT) AS top_nation_count,
+           CAST((1000000 * MAX(cnt)) // SUM(cnt) AS BIGINT)
+             AS top_share_ppm,
+           CAST(SUM(cnt * cnt) AS DOUBLE)
+             / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS hhi
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+    tags=["concentration", "census", "analytics"],
+)
+def q_customer_segment_nation_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Geographic mix per market segment: nations present, the largest
+    nation's customer share (ppm integer division) and the HHI across
+    nations — how geographically concentrated each segment's customer
+    base is. Exact integer counts; HHI's one trailing double division.
+
+    Scale: two stacked combinable aggregations, nothing beyond a
+    5×25 grid after the first."""
+    per = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    agg = per.groupBy("segment").agg(
+        F.sum("cnt").cast("bigint").alias("n_customers"),
+        F.count("*").cast("bigint").alias("n_nations"),
+        F.max("cnt").cast("bigint").alias("top_nation_count"),
+        (
+            F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt").cast("double") * F.sum("cnt").cast("double"))
+        ).alias("hhi"),
+    )
+    return agg.select(
+        "segment",
+        "n_customers",
+        "n_nations",
+        "top_nation_count",
+        F.expr("(1000000 * top_nation_count) div n_customers")
+        .cast("bigint")
+        .alias("top_share_ppm"),
+        "hhi",
+    ).orderBy("segment")
