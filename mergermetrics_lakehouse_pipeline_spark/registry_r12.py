@@ -1399,3 +1399,201 @@ def q_customer_segment_nation_mix(
         .alias("top_share_ppm"),
         "hhi",
     ).orderBy("segment")
+
+
+@register(
+    "events_value_quantiles_by_type_distributed",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(FLOOR(value * 1000) AS BIGINT)) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                    THEN v END) AS p25,
+           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                    THEN v END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                    THEN v END) AS p75,
+           MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                    THEN v END) AS p95
+    FROM q GROUP BY event_type ORDER BY event_type
+    """,
+    tags=["events", "quantiles", "count-collapse", "scale", "analytics"],
+)
+def q_events_value_quantiles_by_type_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT per-type value quantiles (p25/50/75/95 of the
+    FLOOR(value*1000) quantization) by count-collapse rank selection:
+    groupBy (type, v) collapses the stream to distinct quantized
+    values first, the cumulative-count window runs over |distinct
+    values| rows per type, and quantile p = the smallest value whose
+    cumulative count reaches ceil(p·n). The oracle deliberately uses
+    the per-row rank-window formulation, so the engines cross-check
+    independent algorithms (the docs_length_quantiles discipline
+    applied to the events stream).
+
+    Scale: no per-row global or per-type sort — the only window runs
+    over the collapsed distinct-value table; p·n is a multiple of
+    1/20, far from any representability boundary."""
+    e = T(spark, sf_dir, "events").filter("value IS NOT NULL").select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    counts = e.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    cw = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nw = Window.partitionBy("event_type")
+    r = counts.select(
+        "event_type",
+        "v",
+        F.sum("c").over(cw).alias("cum"),
+        F.sum("c").over(nw).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n_events")] + [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(p / 100.0) * F.col("n")),
+                F.col("v"),
+            )
+        ).alias(f"p{p}")
+        for p in (25, 50, 75, 95)
+    ]
+    return r.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+@register(
+    "supplier_name_conformance",
+    """
+    WITH checked AS (
+      SELECT s_nationkey,
+             CASE WHEN s_name = 'Supplier#' ||
+                       lpad(CAST(s_suppkey AS VARCHAR), 9, '0')
+                  THEN 1 ELSE 0 END AS ok
+      FROM supplier
+    )
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(ok) AS BIGINT) AS n_conforming,
+           CAST((1000 * SUM(ok)) // COUNT(*) AS BIGINT) AS conform_rate_pm
+    FROM checked GROUP BY 1 ORDER BY 1
+    """,
+    tags=["conformance", "census", "data-quality", "analytics"],
+)
+def q_supplier_name_conformance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Name-key conformance census: does s_name equal the canonical
+    'Supplier#' + 9-digit zero-padded suppkey (the TPC-H generation
+    invariant)? Per-nation counts and per-mille rate — the
+    cross-column consistency check a data-quality gate runs, in the
+    order_lineitem_conformance style. Pure string equality, exact
+    integer rates.
+
+    Scale: expression-only scan work, one combinable groupBy."""
+    s = T(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        F.when(
+            F.col("s_name")
+            == F.concat(
+                F.lit("Supplier#"),
+                F.lpad(F.col("s_suppkey").cast("string"), 9, "0"),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    agg = s.groupBy(
+        F.col("s_nationkey").cast("bigint").alias("nationkey")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("ok").cast("bigint").alias("n_conforming"),
+    )
+    return agg.select(
+        "nationkey",
+        "n_suppliers",
+        "n_conforming",
+        F.expr("(1000 * n_conforming) div n_suppliers").cast("bigint")
+        .alias("conform_rate_pm"),
+    ).orderBy("nationkey")
+
+
+@register(
+    "emb_label_dim_mass_argmax",
+    """
+    WITH exploded AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ), mass AS (
+      SELECT label, dim, CAST(SUM(q) AS BIGINT) AS q_sum
+      FROM exploded GROUP BY 1, 2
+    ), ranked AS (
+      SELECT label, dim, q_sum,
+             ROW_NUMBER() OVER (
+               PARTITION BY label ORDER BY q_sum DESC, dim) AS rn,
+             CAST(SUM(q_sum) OVER (PARTITION BY label) AS BIGINT)
+               AS total_q_sum
+      FROM mass
+    )
+    SELECT CAST(label AS BIGINT) AS label, dim AS top_dim,
+           q_sum AS top_q_sum, total_q_sum
+    FROM ranked WHERE rn = 1 ORDER BY label
+    """,
+    tags=["LLM-similarity", "argmax", "analytics"],
+)
+def q_emb_label_dim_mass_argmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant embedding dimension per label: quantized per-component
+    masses (FLOOR(x·1000) on DOUBLE-cast floats — the exact
+    cross-engine float discipline), aggregated to the (label, dim)
+    grain, then the argmax dim with a full (mass desc, dim) tie-break.
+    The cluster-fingerprint beside the corpus-grain sign profile
+    (emb_dim_sign_profile).
+
+    Scale: posexplode streams through a combinable groupBy to a
+    |labels|×64 grid; the argmax window runs over that grid only."""
+    e = T(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000).cast("bigint").alias("q"),
+    )
+    mass = exploded.groupBy("label", "dim").agg(
+        F.sum("q").cast("bigint").alias("q_sum")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("q_sum"), "dim")
+    tw = Window.partitionBy("label")
+    ranked = mass.select(
+        "label",
+        "dim",
+        "q_sum",
+        F.row_number().over(w).alias("rn"),
+        F.sum("q_sum").over(tw).cast("bigint").alias("total_q_sum"),
+    )
+    return (
+        ranked.filter("rn = 1")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("dim").alias("top_dim"),
+            F.col("q_sum").alias("top_q_sum"),
+            "total_q_sum",
+        )
+        .orderBy("label")
+    )
