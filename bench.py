@@ -283,6 +283,31 @@ EXTENDED_R11: list[str] = [
     "orders_priority_value_ntile_grid",
 ]
 
+#: Round-12 additions, reported under "extended_r12" — all earlier sets
+#: stay frozen so BENCH_r0N compare like-for-like.
+EXTENDED_R12: list[str] = [
+    "delta_catalog_owned_dml_roundtrip",
+    "events_dwell_deciles_distributed",
+    "docs_lsh_capped_pairs",
+    "collated_group_dedup",
+    "orders_value_gini_by_priority",
+    "customer_nation_order_hhi",
+    "docs_source_dedup_bridge",
+    "events_user_lifecycle_census",
+    "nation_customer_supplier_balance",
+    "orders_weekend_share_by_segment",
+    "part_name_token_topk",
+    "events_hour_user_concentration",
+    "supplier_balance_band_by_region",
+    "part_brand_price_size_ols",
+    "lineitem_month_end_rush",
+    "docs_char_class_profile",
+    "customer_segment_nation_mix",
+    "events_value_quantiles_by_type_distributed",
+    "supplier_name_conformance",
+    "emb_label_dim_mass_argmax",
+]
+
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -332,6 +357,7 @@ def main() -> None:
     extended_r9 = time_set(EXTENDED_R9)
     extended_r10 = time_set(EXTENDED_R10)
     extended_r11 = time_set(EXTENDED_R11)
+    extended_r12 = time_set(EXTENDED_R12)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -358,6 +384,8 @@ def main() -> None:
         "extended_r10_total": round(sum(extended_r10.values()), 3),
         "extended_r11": extended_r11,
         "extended_r11_total": round(sum(extended_r11.values()), 3),
+        "extended_r12": extended_r12,
+        "extended_r12_total": round(sum(extended_r12.values()), 3),
     }
     # Full detail to a file (the driver's stdout tail capture clipped the
     # r3 single-line output, losing the headline total)...
@@ -386,6 +414,7 @@ def main() -> None:
                 "extended_r9_total": full["extended_r9_total"],
                 "extended_r10_total": full["extended_r10_total"],
                 "extended_r11_total": full["extended_r11_total"],
+                "extended_r12_total": full["extended_r12_total"],
                 "detail": "BENCH_LOCAL.json",
             }
         )

@@ -1441,12 +1441,34 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # --- ROUND-11 ROTATION: head = this round's 18 new queries (the
-    # defaultColumns + checkpointProtection Delta increments, the
-    # arithmetic-coded JPEG family closure, and the analytics batch —
-    # all hash-green at sf0.001 AND sf0.01 and on a vanilla session);
-    # the remainder re-verifies prior-round rows at zero risk. ---
-    # round-11 additions (new surface)
+    # --- ROUND-12 ROTATION: head = this round's 20 new queries (the
+    # coordinated-commit DML roundtrip, the distributed decile/quantile
+    # twins, the LSH occupancy guard, collation semantics, and the
+    # analytics batch — all hash-green at sf0.001 AND sf0.01 and on a
+    # vanilla session); the remainder re-verifies prior-round rows at
+    # zero risk. ---
+    # round-12 additions (new surface)
+    "delta_catalog_owned_dml_roundtrip",
+    "events_dwell_deciles_distributed",
+    "docs_lsh_capped_pairs",
+    "collated_group_dedup",
+    "orders_value_gini_by_priority",
+    "customer_nation_order_hhi",
+    "docs_source_dedup_bridge",
+    "events_user_lifecycle_census",
+    "nation_customer_supplier_balance",
+    "orders_weekend_share_by_segment",
+    "part_name_token_topk",
+    "events_hour_user_concentration",
+    "supplier_balance_band_by_region",
+    "part_brand_price_size_ols",
+    "lineitem_month_end_rush",
+    "docs_char_class_profile",
+    "customer_segment_nation_mix",
+    "events_value_quantiles_by_type_distributed",
+    "supplier_name_conformance",
+    "emb_label_dim_mass_argmax",
+    # --- round-11 additions (re-verification) ---
     "delta_default_columns_roundtrip",
     "delta_default_columns_pysource",
     "delta_checkpoint_protection_roundtrip",
