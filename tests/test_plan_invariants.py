@@ -238,6 +238,10 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "emb_semantic_dedup",   # 8-row centroid broadcast (cluster assign)
         "docs_bigram_familiarity",  # 1-row vocab-size broadcast
         "docs_multi_suite_decontamination",  # 3-row suite literal broadcast
+        "events_dwell_deciles_distributed",  # 1-row total + 10-row decile
+        #   spine broadcast over the count-collapsed distinct values
+        "docs_lsh_capped_pairs",  # 1-row clone-text broadcast builds the
+        #   salted degenerate corpus (guard demonstration by design)
         "delta_log_read_roundtrip",  # 1-row time-travel count stitch
         "docs_source_mixture",  # 1-row normalizer-fold broadcast
         # round 6: all 1-row scalar broadcast cross joins (documented)

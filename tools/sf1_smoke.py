@@ -136,7 +136,12 @@ def main() -> None:
         if len(sys.argv) > 3 and sys.argv[3] != "-"
         else tempfile.mkdtemp(prefix="mm_sf1_")
     )
-    set_name = sys.argv[4] if len(sys.argv) > 4 else "HEADLINE"
+    # comma-separated bench set names share ONE build (round 12: the
+    # standing SF1_BENCH_r{N}.json artifact runs HEADLINE + the newest
+    # extended set without rebuilding the 10x tables in between)
+    set_names = (
+        sys.argv[4] if len(sys.argv) > 4 else "HEADLINE"
+    ).split(",")
     spark = get_spark("sf1-smoke")
 
     t0 = time.time()
@@ -164,39 +169,50 @@ def main() -> None:
     qs = registry.queries()
     bench.run_query(qs["topk_global"](spark, out_dir))  # warm codegen
 
-    timings: dict[str, float] = {}
-    drift: dict[str, dict] = {}
-    for name in getattr(bench, set_name):
-        t0 = time.time()
-        df = qs[name](spark, out_dir)
-        bench.run_query(df)
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        fp = None
-        try:
-            df2 = qs[name](spark, out_dir)
-            df2.collect()
-            plan = df2._jdf.queryExecution().executedPlan().toString()
-            fp = fingerprint(plan)
-        except Exception as e:  # noqa: BLE001
-            fp = {"error": str(e)[:80]}
-        if name in baseline and fp != baseline[name]:
-            drift[name] = {"sf0001": baseline[name], "sf1": fp}
-        print(json.dumps({"query": name, "sec": dt}))
+    summaries: dict[str, dict] = {}
+    for set_name in set_names:
+        timings: dict[str, float] = {}
+        drift: dict[str, dict] = {}
+        for name in getattr(bench, set_name):
+            t0 = time.time()
+            df = qs[name](spark, out_dir)
+            bench.run_query(df)
+            dt = round(time.time() - t0, 3)
+            timings[name] = dt
+            fp = None
+            try:
+                df2 = qs[name](spark, out_dir)
+                df2.collect()
+                plan = df2._jdf.queryExecution().executedPlan().toString()
+                fp = fingerprint(plan)
+            except Exception as e:  # noqa: BLE001
+                fp = {"error": str(e)[:80]}
+            if name in baseline and fp != baseline[name]:
+                drift[name] = {"sf0001": baseline[name], "sf1": fp}
+            print(json.dumps({"query": name, "sec": dt}))
 
-    print(
-        json.dumps(
-            {
-                "metric": f"sf1_{set_name.lower()}_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "factor": k,
-                "lineitem_rows": n_li,
-                "queries": timings,
-                "plan_drift": drift,
-            }
-        )
-    )
+        summaries[set_name] = {
+            "metric": f"sf1_{set_name.lower()}_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "factor": k,
+            "lineitem_rows": n_li,
+            "queries": timings,
+            "plan_drift": drift,
+        }
+        print(json.dumps(summaries[set_name]))
+
+    # standing artifact (round 12): $SPARK_GRAFT_SF1_OUT collects every
+    # set's summary so scale ratios get round-over-round comparison
+    # like the sf0.1 bench (SF1_BENCH_r{N}.json)
+    art = os.environ.get("SPARK_GRAFT_SF1_OUT")
+    if art:
+        with open(art, "w") as fh:
+            json.dump(
+                {"factor": k, "lineitem_rows": n_li, "sets": summaries},
+                fh,
+                indent=1,
+            )
     if out_dir.startswith(tempfile.gettempdir()):
         shutil.rmtree(out_dir, ignore_errors=True)
 
