@@ -274,19 +274,26 @@ def minhash_lsh_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
     if max_bucket is not None:
-        # occupancy census first: tiny (one row per distinct bucket),
-        # then split the banded rows by their bucket's size
+        # occupancy census first (one row per distinct bucket), then
+        # split the banded rows by their bucket's size. The census and
+        # star joins are pinned SHUFFLE_HASH: both sides are already
+        # partitioned on (band, band_key) by the groupBy, so the hash
+        # join is the scale-honest plan (the census can be billions of
+        # buckets at 100 TB — never a broadcast candidate) AND the plan
+        # stays deterministic instead of AQE flipping broadcast<->SMJ
+        # around the threshold at small SFs.
         sizes = banded.groupBy("band", "band_key").agg(
             F.count("*").alias("__n")
         )
-        tagged = banded.join(sizes, ["band", "band_key"])
+        tagged = banded.join(sizes.hint("shuffle_hash"),
+                             ["band", "band_key"])
         banded = tagged.filter(F.col("__n") <= max_bucket).drop("__n")
         big = tagged.filter(F.col("__n") > max_bucket).drop("__n")
         hubs = big.groupBy("band", "band_key").agg(
             F.min("doc_id").alias("id_a")
         )
         star = (
-            big.join(hubs, ["band", "band_key"])
+            big.join(hubs.hint("shuffle_hash"), ["band", "band_key"])
             .filter(F.col("doc_id") != F.col("id_a"))
             .select("id_a", F.col("doc_id").alias("id_b"))
         )
