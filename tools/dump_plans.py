@@ -56,6 +56,10 @@ SHOWCASE = {
     "customer_table_profile": "ANALYZE in two passes: 1-row scalar agg + map-side unpivot -> one count shuffle",
     "ivm_join_view_maintenance": "delta-join maintenance: three delta-bounded joins, no full recompute",
     "delta_log_read_roundtrip": "Delta snapshot scan: live-file parquet read with hive partition recovery",
+    # round 12
+    "events_dwell_deciles_distributed": "NTILE reconstructed from the count-collapsed distinct values: single-partition window only AFTER the groupBy collapse; 10-row spine + 1-row total broadcast",
+    "docs_lsh_capped_pairs": "occupancy-guarded LSH: census + star joins pinned shuffle_hash on the co-partitioned band key; no collect_set on oversized buckets",
+    "events_value_quantiles_by_type_distributed": "per-type quantiles by count-collapse rank selection: cumulative window over distinct quantized values, no per-type row sort",
 }
 
 
