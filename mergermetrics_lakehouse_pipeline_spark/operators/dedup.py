@@ -273,6 +273,33 @@ def minhash_lsh_candidates(
     banded = minhash_band_keys(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
+    return capped_bucket_pairs(banded, "doc_id", max_bucket=max_bucket)
+
+
+def capped_bucket_pairs(
+    banded: DataFrame,
+    id_col: str,
+    *,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct pairs (id_a < id_b) sharing >= 1 (band, band_key) bucket,
+    with the round-12 occupancy guard — the generic kernel behind
+    ``minhash_lsh_candidates`` (text MinHash bands) and the embedding
+    sign-LSH near-dup path (operators/similarity.py).
+
+    ``banded`` must have columns (``id_col``, band, band_key). Small
+    buckets (<= ``max_bucket``) expand to complete in-bucket pairs via a
+    sorted ``collect_set`` + array combination projection (one
+    aggregation, no bucket self-join); oversized buckets divert to the
+    distributed hub-star expansion (min id paired with each member —
+    O(k) edges, no array ever materialized). The census and star joins
+    are pinned SHUFFLE_HASH: both sides are already partitioned on
+    (band, band_key), the census can be billions of buckets at 100 TB
+    (never a broadcast candidate), and the pin keeps the plan
+    deterministic instead of AQE flipping broadcast<->SMJ around the
+    threshold at small SFs.
+    """
+    banded = banded.select(F.col(id_col).alias("doc_id"), "band", "band_key")
     if max_bucket is not None:
         # occupancy census first (one row per distinct bucket), then
         # split the banded rows by their bucket's size. The census and

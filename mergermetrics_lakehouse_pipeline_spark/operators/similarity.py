@@ -132,6 +132,118 @@ def embedding_neardup_pairs(
     )
 
 
+def sign_lsh_band_keys(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 4,
+    bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-band random-hyperplane band keys, fully JVM-side — the
+    oracle-checkable twin of ``hyperplane_signatures``'s Arrow kernel.
+
+    Band key b = the ``bits``-character sign string of the vector
+    against planes [b*bits, (b+1)*bits); planes are
+    ``default_rng(seed)`` literals baked into the plan, and each sign
+    is the in-index-order ``dot`` fold (numpy BLAS matmuls reorder
+    float accumulation; the fold here matches SQL engines
+    bit-for-bit, so a DuckDB oracle can replay the exact bucketing —
+    see ``cosine_cluster_assign`` for the same trade on the quantizer).
+
+    Output: (vec_id, band, band_key) — ``bands`` rows per vector, the
+    input shape of ``dedup.capped_bucket_pairs``. Scale: expected
+    bucket occupancy is N / 2^bits per band, so ``bits`` is the knob
+    that keeps buckets constant-sized as the corpus grows (buckets
+    multiply exponentially with planes); the occupancy guard
+    downstream bounds the degenerate tail either way.
+    """
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, bands * bits))
+    v = F.col(vec_col).cast("array<double>")
+
+    def bit(j: int) -> Column:
+        plane = F.array(*[F.lit(float(x)) for x in planes[:, j]])
+        return F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    keys = F.array(
+        *[
+            F.concat(*[bit(b * bits + r) for r in range(bits)])
+            for b in range(bands)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(keys).alias("band", "band_key")
+    )
+
+
+def embedding_capped_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 4,
+    bits: int = 6,
+    seed: int = 42,
+    threshold: float = 0.30,
+    max_bucket: int = 20,
+) -> DataFrame:
+    """Occupancy-guarded sign-LSH embedding near-dup pairs — the
+    100 TB-safe twin of ``embedding_neardup_pairs`` (VERDICT r12
+    next-step #1: the label-bucketed row's per-bucket population grows
+    linearly with the corpus, so its all-pairs join is quadratic; this
+    path is not).
+
+    Pipeline: ``sign_lsh_band_keys`` (JVM sign bits, oracle-replayable)
+    -> ``dedup.capped_bucket_pairs`` (complete in-bucket pairs for
+    buckets <= ``max_bucket``, distributed hub-star edges for oversized
+    ones — O(k) per degenerate bucket, no task ever buffers more than
+    the cap) -> exact cosine confirm on the surviving candidate edges
+    only. Candidate semantics, not threshold-complete: recall at the
+    threshold is governed by (bands, bits) exactly as in multi-table
+    hyperplane LSH (``ann_cosine_topk``); completeness of intra-bucket
+    edges above the cap is traded for the hard per-task bound, the same
+    contract as the text-LSH guard (``docs_lsh_capped_pairs``).
+
+    Output: (id_a, id_b, cosine_sim) — id_a < id_b, cosine rounded to
+    6dp, only pairs with cosine_sim >= ``threshold``.
+    """
+    from .dedup import capped_bucket_pairs
+
+    banded = sign_lsh_band_keys(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+        bands=bands, bits=bits, seed=seed,
+    )
+    pairs = capped_bucket_pairs(banded, "vec_id", max_bucket=max_bucket)
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("n"),
+    )
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("n").alias("n_a")
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def hyperplane_signatures(
     df: DataFrame,
     *,

@@ -1441,7 +1441,13 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
-    # --- ROUND-12 ROTATION: head = this round's 20 new queries (the
+    # --- ROUND-13 ROTATION: head = this round's new queries (the
+    # occupancy-safe embedding near-dup twin, coordinated-commit
+    # streaming/checkpointing, the count-collapse Gini twin, and the
+    # analytics batch — all hash-green at sf0.001 AND sf0.01 and on a
+    # vanilla session); the r12 block follows for re-verification. ---
+    "emb_neardup_capped_pairs",
+    # --- round-12 additions (re-verification): this round's 20 new queries (the
     # coordinated-commit DML roundtrip, the distributed decile/quantile
     # twins, the LSH occupancy guard, collation semantics, and the
     # analytics batch — all hash-green at sf0.001 AND sf0.01 and on a
@@ -1732,6 +1738,7 @@ def _load_extensions() -> None:
         registry_r10,
         registry_r11,
         registry_r12,
+        registry_r13,
         registry_scale,
         registry_sinks,
         registry_tpch,

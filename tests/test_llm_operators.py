@@ -537,6 +537,75 @@ def test_lsh_max_bucket_star_is_subset_and_high_cap_is_exact(spark, sf_dir):
     assert exact == full
 
 
+def test_emb_capped_neardup_degenerate_corpus_bounded(spark):
+    """The embedding twin of the r12 occupancy guard: 10^4 identical
+    vectors share every sign-LSH bucket; with the cap the expansion is
+    the O(k) star around the minimum id per band — n-1 distinct pairs,
+    never the ~5*10^7 all-pairs explosion. All survive the cosine
+    confirm at 1.0 (identical vectors)."""
+    n = 10_000
+    dim = 8
+    vec = F.array(*[F.lit(float(j + 1)) for j in range(dim)])
+    d = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    pairs = sim.embedding_capped_neardup_pairs(
+        d, dim=dim, bands=2, bits=3, threshold=0.5, max_bucket=16
+    )
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 and r.id_b > 0 for r in rows)  # hub = min id
+    assert all(r.cosine_sim == 1.0 for r in rows)
+
+
+def test_emb_capped_neardup_subset_and_high_cap_complete(spark, sf_dir):
+    """Capped output is a subset of the uncapped same-bucket confirm
+    set; a cap no bucket exceeds reproduces it exactly; and every
+    returned pair really is a >= threshold cosine pair (subset of the
+    label-free all-pairs ground truth)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(dim=64, bands=4, bits=6, seed=42, threshold=0.30)
+    capped = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in sim.embedding_capped_neardup_pairs(
+            e, max_bucket=5, **kw
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in sim.embedding_capped_neardup_pairs(
+            e, max_bucket=10**9, **kw
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    exact_cap = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in sim.embedding_capped_neardup_pairs(
+            e, max_bucket=10**6, **kw
+        ).collect()
+    }
+    assert exact_cap == full
+    truth = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in sim.embedding_neardup_pairs(e, threshold=0.30).collect()
+    }
+    assert set(full) <= set(truth)
+    assert all(truth[p] == s for p, s in full.items())  # same 6dp cosine
+
+
+def test_sign_lsh_band_keys_shape_and_determinism(spark, sf_dir):
+    """bands rows per vector, keys are bit strings of the right width,
+    and two independent plans agree bit-for-bit (plane literals +
+    in-order fold are deterministic by construction)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    k1 = sim.sign_lsh_band_keys(e, bands=3, bits=5).collect()
+    k2 = sim.sign_lsh_band_keys(e, bands=3, bits=5).collect()
+    assert sorted(map(tuple, k1)) == sorted(map(tuple, k2))
+    assert len(k1) == 300
+    assert all(len(r.band_key) == 5 and set(r.band_key) <= {"0", "1"} for r in k1)
+    assert {r.band for r in k1} == {0, 1, 2}
+
+
 def test_lsh_max_bucket_preserves_cluster_connectivity(spark):
     """Every duplicate CLUSTER the complete candidate graph connects
     stays connected under the cap — the invariant that makes the star
