@@ -1447,6 +1447,7 @@ DRIVER_PRIORITY: list[str] = [
     # analytics batch — all hash-green at sf0.001 AND sf0.01 and on a
     # vanilla session); the r12 block follows for re-verification. ---
     "emb_neardup_capped_pairs",
+    "delta_catalog_owned_stream_roundtrip",
     # --- round-12 additions (re-verification): this round's 20 new queries (the
     # coordinated-commit DML roundtrip, the distributed decile/quantile
     # twins, the LSH occupancy guard, collation semantics, and the

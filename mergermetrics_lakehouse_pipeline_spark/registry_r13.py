@@ -18,6 +18,9 @@ the text-LSH path earned in round 12.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -148,3 +151,152 @@ def q_emb_neardup_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_EMB_THR,
         max_bucket=_EMB_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta: coordinated-commit streaming + retention (round-13, VERDICT
+# r12 next-step #2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delta_catalog_owned_stream_roundtrip",
+    """
+    WITH tagged AS (
+      SELECT n_regionkey,
+             CASE WHEN n_nationkey < 8 THEN 0
+                  WHEN n_nationkey < 16 THEN 1
+                  ELSE 2 END AS b
+      FROM nation WHERE n_nationkey < 20
+    ),
+    s AS (
+      SELECT n_regionkey,
+             CAST(COUNT(*) AS BIGINT) AS n_nations_streamed,
+             CAST(SUM(b) AS BIGINT) AS version_mass,
+             CAST(MIN(b) AS BIGINT) AS first_seen_batch
+      FROM tagged GROUP BY 1
+    ),
+    a AS (
+      SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_after_retention
+      FROM nation GROUP BY 1
+    )
+    SELECT s.n_regionkey, s.n_nations_streamed, s.version_mass,
+           s.first_seen_batch, a.n_after_retention
+    FROM s JOIN a ON s.n_regionkey = a.n_regionkey
+    """,
+    tags=["S6", "delta", "streaming-source", "catalog-owned", "roundtrip"],
+)
+def q_delta_catalog_owned_stream_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming + retention over a CATALOG-OWNED table, end to end
+    (sources/delta_coordinated.py round 13): create through the
+    coordinator, two coordinated appends (the last ratified commit
+    stays STAGED — a filesystem LIST cannot see it), replay with
+    ``stream_commit_batches_coordinated`` (must consult the catalog
+    and backfill, so all three batches arrive; the protocol-only
+    upgrade commit yields nothing), fold per-region counts + version
+    mass + first-seen batch, then run the retention pipeline —
+    ``write_checkpoint_coordinated`` at the ratified frontier,
+    ``truncate_log_coordinated`` (numbered JSONs removed AND the
+    catalog forgets them, staged copies dropped) — append one more
+    slice PAST the truncation horizon and read the final table back.
+    A source that drops the staged tail, re-emits reorganized bytes,
+    misses a version, or a retention that loses rows or resurrects
+    truncated commits all flip the hash.
+
+    Scale: each batch is a bounded scan of that commit's added files;
+    checkpoint/truncate are O(log) driver metadata; the final read
+    replays checkpoint + post-horizon tail only."""
+    from .sources.delta_coordinated import (
+        FileCommitCoordinator,
+        append_coordinated,
+        create_catalog_owned,
+        read_delta_coordinated,
+        stream_commit_batches_coordinated,
+        truncate_log_coordinated,
+        write_checkpoint_coordinated,
+    )
+
+    base = tempfile.mkdtemp(prefix="mm_co_stream_rt_")
+    root = os.path.join(base, "nation_co")
+    cat = FileCommitCoordinator(os.path.join(base, "catalog"))
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    create_catalog_owned(nation.filter("n_nationkey < 8"), root, cat)
+    append_coordinated(
+        nation.filter("n_nationkey >= 8 and n_nationkey < 16"), root, cat
+    )
+    append_coordinated(
+        nation.filter("n_nationkey >= 16 and n_nationkey < 20"), root, cat
+    )
+    # the last ratified commit must still be staged-only: the stream
+    # consulting the catalog (not a LIST) is the property under test
+    log = os.path.join(root, "_delta_log")
+    if os.path.exists(os.path.join(log, f"{3:020d}.json")):
+        raise RuntimeError("v3 backfilled early — lazy backfill broken")
+
+    folded = None
+    batches = stream_commit_batches_coordinated(spark, root, cat)
+    if [v for v, _ in batches] != [0, 2, 3]:
+        raise RuntimeError(
+            f"expected batches at versions [0, 2, 3], got "
+            f"{[v for v, _ in batches]}"
+        )
+    for i, (_, batch) in enumerate(batches):
+        agg = batch.groupBy("n_regionkey").agg(
+            F.count("*").cast("bigint").alias("n_nations_streamed"),
+            F.sum(F.lit(i)).cast("bigint").alias("version_mass"),
+            F.min(F.lit(i)).cast("bigint").alias("first_seen_batch"),
+        )
+        if folded is None:
+            folded = agg
+        else:
+            prev = folded.select(
+                "n_regionkey",
+                F.col("n_nations_streamed").alias("p_n"),
+                F.col("version_mass").alias("p_vm"),
+                F.col("first_seen_batch").alias("p_fs"),
+            )
+            folded = agg.join(prev, "n_regionkey", "full_outer").select(
+                "n_regionkey",
+                (
+                    F.coalesce("n_nations_streamed", F.lit(0))
+                    + F.coalesce("p_n", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n_nations_streamed"),
+                (
+                    F.coalesce("version_mass", F.lit(0))
+                    + F.coalesce("p_vm", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("version_mass"),
+                F.least(
+                    F.coalesce("first_seen_batch", F.lit(99)),
+                    F.coalesce("p_fs", F.lit(99)),
+                )
+                .cast("bigint")
+                .alias("first_seen_batch"),
+            )
+
+    # retention: checkpoint at the ratified frontier, truncate, and the
+    # catalog must FORGET — then commit past the horizon and read back
+    write_checkpoint_coordinated(spark, root, cat)
+    removed = truncate_log_coordinated(root, cat)
+    if removed != [0, 1, 2, 3]:
+        raise RuntimeError(f"truncate removed {removed}, expected [0..3]")
+    if cat.ratified(_tid(root)) != {}:
+        raise RuntimeError("catalog still remembers truncated commits")
+    append_coordinated(nation.filter("n_nationkey >= 20"), root, cat)
+    after = (
+        read_delta_coordinated(spark, root, cat)
+        .groupBy("n_regionkey")
+        .agg(F.count("*").cast("bigint").alias("n_after_retention"))
+    )
+    return folded.join(after, "n_regionkey")
+
+
+def _tid(root: str) -> str:
+    from .sources.delta_coordinated import _table_id
+
+    return _table_id(root)

@@ -498,3 +498,154 @@ def test_coordinated_dml_refuses_plain_table(spark):
     write_delta(_g(spark, 0, 6), root, mode="overwrite")
     with pytest.raises(DeltaProtocolError, match="not catalog-owned"):
         delete_coordinated(spark, root, cat, "id", 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# streaming + log maintenance through the coordinator (round 13)
+# ---------------------------------------------------------------------------
+
+
+def test_coordinated_stream_sees_ratified_unbackfilled_commits(
+    spark, coord_table
+):
+    """The streaming source must consult the coordinator: the LAST
+    ratified commit has no numbered JSON yet (lazy backfill), and a
+    filesystem LIST would silently stop before it — the staleness bug
+    catalog ownership exists to prevent. The coordinated replay
+    backfills first, so every ratified batch arrives."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        stream_commit_batches_coordinated,
+    )
+
+    root, cat = coord_table
+    append_coordinated(_g(spark, 12, 20), root, cat)
+    append_coordinated(_g(spark, 20, 23), root, cat)
+    log = os.path.join(root, "_delta_log")
+    assert not os.path.exists(os.path.join(log, f"{3:020d}.json"))
+    batches = stream_commit_batches_coordinated(spark, root, cat)
+    got = {v: sorted(r.id for r in df.collect()) for v, df in batches}
+    # v0 create carries rows; v1 (upgrade) is protocol-only and yields
+    # nothing; v2/v3 are the appends — including the unbackfilled tail
+    assert got == {
+        0: list(range(12)),
+        2: list(range(12, 20)),
+        3: list(range(20, 23)),
+    }
+    # offsets compose: resume past the consumed frontier
+    tail = stream_commit_batches_coordinated(spark, root, cat, from_version=3)
+    assert [v for v, _ in tail] == [3]
+
+
+def test_coordinated_stream_rejects_dml_commits(spark, coord_table):
+    """dataChange removes reject exactly as on the filesystem path — a
+    copy-on-write DELETE's rewritten files are not fresh appends."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        delete_coordinated,
+        stream_commit_batches_coordinated,
+    )
+
+    root, cat = coord_table
+    delete_coordinated(spark, root, cat, "id", 0, 5)
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        stream_commit_batches_coordinated(spark, root, cat)
+
+
+def test_coordinated_stream_refuses_plain_table(spark):
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        stream_commit_batches_coordinated,
+    )
+
+    base = tempfile.mkdtemp(prefix="mm_co_stream_")
+    root = os.path.join(base, "t")
+    cat = FileCommitCoordinator(os.path.join(base, "catalog"))
+    write_delta(_g(spark, 0, 6), root, mode="overwrite")
+    with pytest.raises(DeltaProtocolError, match="not catalog-owned"):
+        stream_commit_batches_coordinated(spark, root, cat)
+
+
+def test_coordinated_checkpoint_lands_at_ratified_frontier(
+    spark, coord_table
+):
+    """write_checkpoint_coordinated backfills, checkpoints exactly the
+    frontier version, and the filesystem write_checkpoint stays gated
+    on catalog-owned tables (its snapshot refuses the feature)."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        ratified_frontier,
+        write_checkpoint_coordinated,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        write_checkpoint,
+    )
+
+    root, cat = coord_table
+    append_coordinated(_g(spark, 12, 20), root, cat)
+    append_coordinated(_g(spark, 20, 23), root, cat)
+    with pytest.raises(DeltaProtocolError, match="catalogOwned"):
+        write_checkpoint(spark, root)  # filesystem path stays gated
+    v = write_checkpoint_coordinated(spark, root, cat)
+    assert v == 3 == ratified_frontier(root, cat)
+    log = os.path.join(root, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+
+
+def test_coordinated_truncate_forgets_and_stays_truncated(
+    spark, coord_table
+):
+    """Retention end-to-end: checkpoint at the frontier, truncate the
+    numbered JSONs, and — the coordinated half — the catalog FORGETS
+    the truncated versions and their staged copies are gone, so the
+    next snapshot does NOT faithfully re-backfill what retention just
+    deleted. Replay from the checkpoint alone still serves reads and
+    new appends keep committing past the horizon."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        truncate_log_coordinated,
+        write_checkpoint_coordinated,
+    )
+
+    root, cat = coord_table
+    append_coordinated(_g(spark, 12, 20), root, cat)
+    append_coordinated(_g(spark, 20, 23), root, cat)
+    write_checkpoint_coordinated(spark, root, cat)
+    removed = truncate_log_coordinated(root, cat)
+    assert removed == [0, 1, 2, 3]
+    tid = _table_id(root)
+    assert cat.ratified(tid) == {}  # catalog forgot the covered range
+    staged = _staged_dir(root)
+    assert [n for n in os.listdir(staged) if n.endswith(".json")] == []
+    log = os.path.join(root, "_delta_log")
+    snap = snapshot_coordinated(spark, root, cat)
+    assert snap.version == 3
+    # retention did not undo itself: no numbered JSON re-materialized
+    assert not os.path.exists(os.path.join(log, f"{2:020d}.json"))
+    assert read_delta_coordinated(spark, root, cat).count() == 23
+    v = append_coordinated(_g(spark, 23, 25), root, cat)
+    assert v == 4
+    assert read_delta_coordinated(spark, root, cat).count() == 25
+
+
+def test_coordinated_compaction_backfills_and_bounds_range(
+    spark, coord_table
+):
+    """Minor log compaction over a coordinated range: the staged tail
+    is backfilled so the range reconciles, the compacted file replays
+    (delete the individual JSONs and snapshot still resolves), and a
+    range past the ratified frontier is refused."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        compact_log_coordinated,
+    )
+
+    root, cat = coord_table
+    append_coordinated(_g(spark, 12, 20), root, cat)
+    append_coordinated(_g(spark, 20, 23), root, cat)
+    with pytest.raises(DeltaProtocolError, match="frontier"):
+        compact_log_coordinated(root, cat, 1, 99)
+    path = compact_log_coordinated(root, cat, 1, 3)
+    assert os.path.basename(path) == (
+        f"{1:020d}.{3:020d}.compacted.json"
+    )
+    log = os.path.join(root, "_delta_log")
+    for v in (1, 2, 3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    snap = snapshot_coordinated(spark, root, cat)
+    assert snap.version == 3
+    assert read_delta_coordinated(spark, root, cat).count() == 23
