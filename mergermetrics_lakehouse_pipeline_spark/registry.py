@@ -1448,6 +1448,8 @@ DRIVER_PRIORITY: list[str] = [
     # vanilla session); the r12 block follows for re-verification. ---
     "emb_neardup_capped_pairs",
     "delta_catalog_owned_stream_roundtrip",
+    "orders_value_gini_by_priority_distributed",
+    "customer_percentile_bridge_distributed",
     # --- round-12 additions (re-verification): this round's 20 new queries (the
     # coordinated-commit DML roundtrip, the distributed decile/quantile
     # twins, the LSH occupancy guard, collation semantics, and the

@@ -300,3 +300,233 @@ def _tid(root: str) -> str:
     from .sources.delta_coordinated import _table_id
 
     return _table_id(root)
+
+
+# ---------------------------------------------------------------------------
+# count-collapse twins for the low-cardinality rank windows (round-13,
+# VERDICT r12 next-step #3)
+# ---------------------------------------------------------------------------
+
+#: identical oracle text as orders_value_gini_by_priority
+#: (registry_r12.py) — the twin must reproduce the per-row rank
+#: formula bit-for-bit from collapsed (value, count) arithmetic.
+_GINI_ORACLE = """
+    WITH ranked AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                        o_orderkey
+             ) AS r
+      FROM orders
+    ), agg AS (
+      SELECT priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(v) AS DECIMAL(38,0)) AS s_v,
+             CAST(SUM(CAST(r AS DECIMAL(19,0)) * v) AS DECIMAL(38,0)) AS s_rv
+      FROM ranked GROUP BY 1
+    )
+    SELECT priority, n_orders,
+           CAST(s_v AS BIGINT) AS value_mass_c,
+           (2 * CAST(s_rv AS DOUBLE)
+             - CAST(n_orders + 1 AS DOUBLE) * CAST(s_v AS DOUBLE))
+           / (CAST(n_orders AS DOUBLE) * CAST(s_v AS DOUBLE)) AS gini
+    FROM agg ORDER BY priority
+    """
+
+
+@register(
+    "orders_value_gini_by_priority_distributed",
+    _GINI_ORACLE,
+    tags=["inequality", "gini", "distributed-rank", "count-collapse", "scale"],
+)
+def q_orders_value_gini_by_priority_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The count-collapse twin of `orders_value_gini_by_priority`
+    (registry_r12.py) — SAME oracle, no per-row rank window. The rank
+    formula needs Sigma r*v; ranks inside a tie block (equal cent
+    value) are consecutive and all tied rows share v, so the block
+    contributes v*(cum_lo+cum_hi)*c/2 — Sigma 2rv is exact cum-count
+    arithmetic over the collapsed (priority, value, count) table, and
+    doubling commutes with the final double cast bit-for-bit (scaling
+    by 2 is exact in binary floating point), so the gini double
+    matches the per-row formula exactly.
+
+    Distribution (the r12 decile-twin pattern, two-level): values band
+    into $1000 buckets (band = v DIV 100000 — BOUNDED by the value
+    domain, never by row count), the tiny per-(priority, band) census
+    takes the only coarse prefix window, and the fine prefix window
+    partitions by (priority, band) — thousands of partitions instead
+    of the original row's 5, each collapsed to distinct values. The
+    band census rides a broadcast (value-domain-sized, like the decile
+    spine); band width is the parallelism knob at 100 TB."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    counts = (
+        o.groupBy("priority", "v")
+        .agg(F.count("*").alias("c"))
+        .withColumn("band", F.expr("v DIV 100000"))
+    )
+    band_census = counts.groupBy("priority", "band").agg(
+        F.sum("c").alias("n_band")
+    )
+    wb = Window.partitionBy("priority").orderBy("band")
+    band_off = band_census.select(
+        "priority",
+        "band",
+        (F.sum("n_band").over(wb) - F.col("n_band")).alias("offset"),
+    )
+    wv = Window.partitionBy("priority", "band").orderBy("v")
+    cum = (
+        counts.withColumn("hi_in", F.sum("c").over(wv))
+        .withColumn("lo_in", F.col("hi_in") - F.col("c") + 1)
+        .join(F.broadcast(band_off), ["priority", "band"])
+        .select(
+            "priority",
+            "v",
+            "c",
+            (F.col("offset") + F.col("lo_in")).alias("cum_lo"),
+            (F.col("offset") + F.col("hi_in")).alias("cum_hi"),
+        )
+    )
+    agg = cum.groupBy("priority").agg(
+        F.sum("c").cast("bigint").alias("n_orders"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s_v"),
+        F.sum(
+            F.col("v").cast("decimal(19,0)")
+            * ((F.col("cum_lo") + F.col("cum_hi")) * F.col("c")).cast(
+                "decimal(19,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s_2rv"),
+    )
+    return agg.select(
+        "priority",
+        "n_orders",
+        F.col("s_v").cast("bigint").alias("value_mass_c"),
+        (
+            (
+                F.col("s_2rv").cast("double")
+                - (F.col("n_orders") + 1).cast("double")
+                * F.col("s_v").cast("double")
+            )
+            / (
+                F.col("n_orders").cast("double")
+                * F.col("s_v").cast("double")
+            )
+        ).alias("gini"),
+    ).orderBy("priority")
+
+
+#: identical oracle text as customer_percentile_bridge
+#: (registry_r11.py) — the twin derives every output from counts alone.
+_BRIDGE_ORACLE = """
+    WITH ranked AS (
+      SELECT c_mktsegment AS segment,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n,
+             CAST(NTILE(4) OVER w AS BIGINT) AS q4
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT), c_custkey)
+    ), bridged AS (
+      SELECT segment, q4,
+             CASE WHEN n = 1 THEN CAST(1 AS BIGINT)
+                  ELSE ((rnk - 1) * 4) // (n - 1) + 1 END AS iq
+      FROM ranked
+    ), capped AS (
+      SELECT segment, q4,
+             CASE WHEN iq > 4 THEN 4 ELSE iq END AS iq
+      FROM bridged
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN q4 = iq THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(SUM(q4) AS BIGINT) AS ntile_mass,
+           CAST(SUM(iq) AS BIGINT) AS rank_quartile_mass
+    FROM capped GROUP BY segment ORDER BY segment
+    """
+
+
+@register(
+    "customer_percentile_bridge_distributed",
+    _BRIDGE_ORACLE,
+    tags=["analytics", "ntile", "distributed-rank", "count-collapse", "scale"],
+)
+def q_customer_percentile_bridge_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The count-collapse twin of `customer_percentile_bridge`
+    (registry_r11.py) — SAME oracle, and the window DISAPPEARS
+    entirely: every output is a pure function of each segment's row
+    count. Both quartile definitions assign by RANK POSITION alone,
+    and ranks 1..n are each taken exactly once, so the masses and the
+    agreement count are rank-interval arithmetic:
+
+    - NTILE(4) tile t covers ranks [(t-1)q + min(t-1, rem) + 1,
+      tq + min(t, rem)] (q = n DIV 4, rem = n % 4) — the r12 decile
+      spine formula;
+    - the rank-derived quartile iq = ((r-1)*4) DIV (n-1) + 1 equals t
+      exactly on ranks [ceil((t-1)(n-1)/4) + 1,
+      (t(n-1)-1) DIV 4 + 1], with the t=4 interval extended to n for
+      the cap (iq=5 occurs only at r=n);
+    - n_agree(t) = the overlap of the two intervals.
+
+    The only shuffle left is a map-side-combinable COUNT per segment;
+    the 4-row tile spine rides a bounded broadcast (bnlj_ok). This is
+    the escape hatch the r12 verdict asked to prove for the
+    low-cardinality-partition window family: at 100 TB the original
+    row's 5-partition rank window disappears into a count."""
+    n_seg = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    spine = spark.range(1, 5).select(F.col("id").alias("t"))
+    n, t = F.col("n"), F.col("t")
+    rem = n % 4
+    qd = F.expr("n DIV 4")
+    lo_t = (t - 1) * qd + F.least(t - 1, rem) + 1
+    hi_t = t * qd + F.least(t, rem)
+    # iq interval (n > 1): A_t..B_t in rank terms, t=4 capped to n;
+    # ceil(x/4) = (x+3) DIV 4 for x >= 0 under truncating DIV
+    a_t = F.expr("((t - 1) * (n - 1) + 3) DIV 4") + 1
+    b_t = F.expr("(t * (n - 1) - 1) DIV 4") + 1
+    b_t = F.when(t == 4, n).otherwise(F.least(b_t, n))
+    cells = (
+        n_seg.crossJoin(F.broadcast(spine))
+        .withColumn("tile_n", F.greatest(hi_t - lo_t + 1, F.lit(0)))
+        .withColumn("iq_n", F.greatest(b_t - a_t + 1, F.lit(0)))
+        .withColumn(
+            "agree_n",
+            F.greatest(
+                F.least(hi_t, b_t) - F.greatest(lo_t, a_t) + 1, F.lit(0)
+            ),
+        )
+    )
+    folded = cells.groupBy("segment", "n").agg(
+        F.sum(t * F.col("tile_n")).cast("bigint").alias("ntile_mass"),
+        F.sum(t * F.col("iq_n")).cast("bigint").alias("rank_quartile_mass"),
+        F.sum("agree_n").cast("bigint").alias("n_agree"),
+    )
+    one = F.lit(1).cast("bigint")
+    return folded.select(
+        "segment",
+        F.col("n").alias("n_customers"),
+        F.when(F.col("n") == 1, one).otherwise(F.col("n_agree")).alias(
+            "n_agree"
+        ),
+        F.when(F.col("n") == 1, one).otherwise(F.col("ntile_mass")).alias(
+            "ntile_mass"
+        ),
+        F.when(F.col("n") == 1, one)
+        .otherwise(F.col("rank_quartile_mass"))
+        .alias("rank_quartile_mass"),
+    ).orderBy("segment")

@@ -257,6 +257,8 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         # round 7: 1-row scalar broadcast cross joins (documented)
         "delta_timestamp_travel",  # 1-row head-snapshot count stitch
         "orders_repurchase_hazard",  # 1-row censor-horizon broadcast
+        "customer_percentile_bridge_distributed",  # 4-row tile spine
+        #   broadcast over per-segment counts (window eliminated)
     }
     registry._load_extensions()
 
