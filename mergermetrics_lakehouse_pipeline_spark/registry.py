@@ -1450,6 +1450,18 @@ DRIVER_PRIORITY: list[str] = [
     "delta_catalog_owned_stream_roundtrip",
     "orders_value_gini_by_priority_distributed",
     "customer_percentile_bridge_distributed",
+    "orders_custkey_concentration_by_priority",
+    "lineitem_flag_status_conformance",
+    "orders_status_priority_matrix",
+    "orders_yearly_priority_drift",
+    "lineitem_qty_discount_correlation_by_flag",
+    "customer_nation_segment_skew",
+    "events_burst_run_length_census",
+    "emb_norm_band_census",
+    "events_value_round_number_bias",
+    "docs_source_lang_purity",
+    "customer_balance_parity_bands",
+    "part_size_price_band_matrix",
     # --- round-12 additions (re-verification): this round's 20 new queries (the
     # coordinated-commit DML roundtrip, the distributed decile/quantile
     # twins, the LSH occupancy guard, collation semantics, and the

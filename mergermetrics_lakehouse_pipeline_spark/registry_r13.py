@@ -530,3 +530,755 @@ def q_customer_percentile_bridge_distributed(
         .otherwise(F.col("rank_quartile_mass"))
         .alias("rank_quartile_mass"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Round-13 analytics batch (VERDICT r12 next-step #4): concentration,
+# conformance, drift, and correlation censuses — exact-arithmetic
+# discipline throughout (integer cents, DECIMAL evidence masses, at
+# most one trailing double step per output column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_custkey_concentration_by_priority",
+    """
+    WITH per_cust AS (
+      SELECT o_orderpriority AS priority, o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority,
+           CAST(SUM(cnt) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MAX(cnt) AS BIGINT) AS top_customer_orders,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS hhi_mass,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_share
+    FROM per_cust GROUP BY priority ORDER BY priority
+    """,
+    tags=["analytics", "concentration", "census"],
+)
+def q_orders_custkey_concentration_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer-concentration census per priority class (the per-clerk
+    concentration shape from the verdict's list, on this schema's
+    customer key): order counts, distinct customers, the largest
+    single-customer order count, the raw HHI evidence mass (sum of
+    squared counts — exact BIGINT; the normalizing division belongs to
+    the reader), and the top-customer share as the one trailing double
+    division.
+
+    Scale: two map-side-combinable aggregations, both keyed by hash —
+    (priority, custkey) then priority; no window, no skew pivot."""
+    per_cust = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"), F.col("o_custkey")
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        per_cust.groupBy("priority")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_orders"),
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.max("cnt").cast("bigint").alias("top_customer_orders"),
+            F.sum(F.col("cnt") * F.col("cnt"))
+            .cast("bigint")
+            .alias("hhi_mass"),
+            (
+                F.max("cnt").cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("top_share"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "lineitem_flag_status_conformance",
+    """
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS gross_c,
+           CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(19,0))
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     AS DECIMAL(38,0)) AS BIGINT) AS eff_mass,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["analytics", "conformance", "census"],
+)
+def q_lineitem_flag_status_conformance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Returnflag x linestatus conformance census — the TPC-H Q1 grain
+    re-audited with integer-exact evidence: quantity and gross price
+    as cents, the discount-effective mass as cents x (100 - discount
+    points) in DECIMAL(38,0) (no float multiply anywhere), plus the
+    distinct-order reach of each cell.
+
+    Scale: one hash aggregation at a 6-cell grain; the countDistinct
+    expands to a two-level aggregate Spark plans map-side first."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_c"),
+        "l_orderkey",
+    )
+    return (
+        li.groupBy("returnflag", "linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("qty_c").cast("bigint").alias("qty_c"),
+            F.sum("price_c").cast("bigint").alias("gross_c"),
+            F.sum(
+                F.col("price_c").cast("decimal(19,0)")
+                * (F.lit(100) - F.col("disc_c"))
+            )
+            .cast("decimal(38,0)")
+            .cast("bigint")
+            .alias("eff_mass"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "orders_status_priority_matrix",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_mass_c,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["analytics", "matrix", "census"],
+)
+def q_orders_status_priority_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Status x priority occupancy matrix with integer-cent price mass,
+    distinct-customer reach, and keyspace extremes per cell — the
+    orders-side conformance twin of the flag x status census.
+
+    Scale: one 15-cell hash aggregation, map-side combinable."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_mass_c"),
+            F.min("o_orderkey").cast("bigint").alias("first_key"),
+            F.max("o_orderkey").cast("bigint").alias("last_key"),
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "orders_yearly_priority_drift",
+    """
+    WITH cell AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_mass_c
+      FROM orders GROUP BY 1, 2
+    ), yr AS (
+      SELECT order_year, CAST(SUM(n_orders) AS BIGINT) AS year_total
+      FROM cell GROUP BY 1
+    )
+    SELECT c.order_year, c.priority, c.n_orders, c.price_mass_c,
+           y.year_total,
+           CAST(c.n_orders AS DOUBLE) / CAST(y.year_total AS DOUBLE)
+             AS year_share
+    FROM cell c JOIN yr y ON c.order_year = y.order_year
+    ORDER BY c.order_year, c.priority
+    """,
+    tags=["analytics", "drift", "census"],
+)
+def q_orders_yearly_priority_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Priority-mix drift by order year: per (year, priority) counts and
+    integer-cent mass, stitched with the year totals so the share is
+    one trailing double division. The totals table is YEAR-bounded, so
+    it rides a broadcast instead of a low-cardinality rank window —
+    the same escape hatch the count-collapse twins prove.
+
+    Scale: two hash aggregations + a broadcast join on a spine bounded
+    by the calendar, not the data."""
+    o = T(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    cell = o.groupBy("order_year", "priority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("price_c").cast("bigint").alias("price_mass_c"),
+    )
+    yr = cell.groupBy("order_year").agg(
+        F.sum("n_orders").cast("bigint").alias("year_total")
+    )
+    return (
+        cell.join(F.broadcast(yr), "order_year")
+        .select(
+            "order_year",
+            "priority",
+            "n_orders",
+            "price_mass_c",
+            "year_total",
+            (
+                F.col("n_orders").cast("double")
+                / F.col("year_total").cast("double")
+            ).alias("year_share"),
+        )
+        .orderBy("order_year", "priority")
+    )
+
+
+@register(
+    "lineitem_qty_discount_correlation_by_flag",
+    """
+    WITH x AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qx,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS dy
+      FROM lineitem
+    ), m AS (
+      SELECT returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qx) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(dy) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(qx AS DECIMAL(19,0)) * dy) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(qx AS DECIMAL(19,0)) * qx) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(dy AS DECIMAL(19,0)) * dy) AS DECIMAL(38,0)) AS syy
+      FROM x GROUP BY 1
+    )
+    SELECT returnflag, n,
+           CAST(sx AS BIGINT) AS qty_mass_c,
+           CAST(sy AS BIGINT) AS disc_mass_c,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS qty_disc_corr
+    FROM m ORDER BY returnflag
+    """,
+    tags=["analytics", "correlation", "exact-arithmetic"],
+)
+def q_lineitem_qty_discount_correlation_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson correlation of quantity vs discount per returnflag with
+    ALL five evidence masses exact DECIMAL(38,0) over integer cents
+    (the r12 OLS discipline): the correlation itself is the single
+    trailing double expression, evaluated in the same operation order
+    on both engines — no corr() builtin, whose streaming accumulation
+    is engine-specific.
+
+    Scale: one map-side-combinable aggregation at 3-cell grain."""
+    x = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qx"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("dy"),
+    )
+    m = x.groupBy("returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("qx").cast("decimal(19,0)") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("qx").cast("decimal(19,0)") * F.col("qx"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("dy").cast("decimal(19,0)") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.sqrt(
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * F.sqrt(
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return m.select(
+        "returnflag",
+        "n",
+        F.col("sx").cast("bigint").alias("qty_mass_c"),
+        F.col("sy").cast("bigint").alias("disc_mass_c"),
+        corr.alias("qty_disc_corr"),
+    ).orderBy("returnflag")
+
+
+@register(
+    "customer_nation_segment_skew",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_automobile,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_building,
+           CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_furniture,
+           CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_household,
+           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_machinery,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_mass_c
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    tags=["analytics", "pivot", "census"],
+)
+def q_customer_nation_segment_skew(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation market-segment occupancy as an explicit-values pivot
+    (conditional sums over the five known segments — the plan stays
+    ONE aggregation pass, no two-phase pivot distinct scan) plus the
+    integer-cent balance mass.
+
+    Scale: single hash aggregation at nation grain (25 cells)."""
+    c = T(spark, sf_dir, "customer")
+    segs = {
+        "n_automobile": "AUTOMOBILE",
+        "n_building": "BUILDING",
+        "n_furniture": "FURNITURE",
+        "n_household": "HOUSEHOLD",
+        "n_machinery": "MACHINERY",
+    }
+    return (
+        c.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            *[
+                F.sum(
+                    F.when(F.col("c_mktsegment") == v, 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(k)
+                for k, v in segs.items()
+            ],
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("balance_mass_c"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "events_burst_run_length_census",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id,
+             SUM(CASE WHEN gap_s IS NULL OR gap_s > 3600 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM gaps
+    ), runs AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT CASE WHEN run_len >= 10 THEN 10 ELSE run_len END AS run_band,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS n_events,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM runs GROUP BY 1 ORDER BY 1
+    """,
+    tags=["analytics", "events", "burst", "gaps-and-islands"],
+)
+def q_events_burst_run_length_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Burst-decay profile via gaps-and-islands: consecutive events at
+    most one hour apart form one burst (the testdata's session scale) (the island id is the running count
+    of burst BREAKS per user), bursts collapse to run lengths, and the
+    census reports how run frequency decays with length (capped at
+    10+) — all integer arithmetic on whole-second gaps.
+
+    Scale: both windows partition by user_id (the natural
+    high-cardinality key; no low-cardinality rank partition anywhere),
+    and the two groupBys are map-side combinable."""
+    from .functions.dates import epoch_us
+    from .registry import events_table
+
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        ((epoch_us("ts") - epoch_us(F.lag("ts").over(w))) / F.lit(1000000))
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = gaps.select(
+        "user_id",
+        F.sum(
+            F.when(
+                F.col("gap_s").isNull() | (F.col("gap_s") > 3600), 1
+            ).otherwise(0)
+        )
+        .over(cum)
+        .alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("run_len")
+    )
+    return (
+        runs.groupBy(
+            F.when(F.col("run_len") >= 10, F.lit(10))
+            .otherwise(F.col("run_len"))
+            .cast("bigint")
+            .alias("run_band")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_runs"),
+            F.sum("run_len").cast("bigint").alias("n_events"),
+            F.max("run_len").cast("bigint").alias("longest_run"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("run_band")
+    )
+
+
+@register(
+    "emb_norm_band_census",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS nsq
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(FLOOR(nsq / 8) AS BIGINT) AS norm_band,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(vec_id) AS BIGINT) AS first_vec,
+           CAST(MAX(vec_id) AS BIGINT) AS last_vec,
+           CAST(SUM(CAST(FLOOR(nsq * 1000) AS BIGINT)) AS BIGINT)
+             AS nsq_mass_k
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["analytics", "embeddings", "census", "LLM-sim"],
+)
+def q_emb_norm_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm-band census per label (the verdict's suggested
+    batch item): SQUARED norms — the in-index-order JVM dot fold, so
+    both engines produce bit-identical doubles — banded by FLOOR(nsq/8)
+    and massed through the FLOOR(x*1000) quantizer before any SUM
+    (project float discipline: never sum raw doubles).
+
+    Scale: one scan projection (the fold is per-row, embarrassingly
+    parallel) + one map-side-combinable aggregation at (label, band)
+    grain."""
+    from .operators.similarity import dot
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        dot(F.col("embedding"), F.col("embedding")).alias("nsq"),
+    )
+    return (
+        e.groupBy(
+            "label",
+            F.floor(F.col("nsq") / 8).cast("bigint").alias("norm_band"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("vec_id").cast("bigint").alias("first_vec"),
+            F.max("vec_id").cast("bigint").alias("last_vec"),
+            F.sum(F.floor(F.col("nsq") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("nsq_mass_k"),
+        )
+        .orderBy("label", "norm_band")
+    )
+
+
+@register(
+    "events_value_round_number_bias",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_whole,
+           CAST(SUM(CASE WHEN cents % 100 = 99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_psych_99,
+           CAST(SUM(CASE WHEN cents % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_round_10,
+           CAST(SUM(cents) AS BIGINT) AS cents_mass,
+           CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS whole_share
+    FROM x GROUP BY 1 ORDER BY 1
+    """,
+    tags=["analytics", "events", "census"],
+)
+def q_events_value_round_number_bias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-number bias census per event type: whole-unit values,
+    .99 psychological endings, and $10 multiples as integer-cent
+    remainder classes (both engines use truncated modulo, and values
+    here are non-negative, so remainders agree), one trailing double
+    for the whole-unit share.
+
+    Scale: one scan projection + a 5-cell hash aggregation."""
+    x = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("cents") % 100 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_whole"),
+            F.sum(F.when(F.col("cents") % 100 == 99, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_psych_99"),
+            F.sum(F.when(F.col("cents") % 1000 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_round_10"),
+            F.sum("cents").cast("bigint").alias("cents_mass"),
+            (
+                F.sum(
+                    F.when(F.col("cents") % 100 == 0, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*").cast("double")
+            ).alias("whole_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "docs_source_lang_purity",
+    """
+    WITH cl AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT source,
+             CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM cl GROUP BY 1
+    ), dom AS (
+      SELECT cl.source, MIN(cl.lang) AS dominant_lang
+      FROM cl JOIN tot ON cl.source = tot.source AND cl.cnt = tot.max_cnt
+      GROUP BY 1
+    )
+    SELECT t.source, t.n_docs, t.n_langs, d.dominant_lang,
+           t.max_cnt AS dominant_n,
+           CAST(t.max_cnt AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+             AS dominant_share
+    FROM tot t JOIN dom d ON t.source = d.source
+    ORDER BY t.source
+    """,
+    tags=["analytics", "LLM-text", "census"],
+)
+def q_docs_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity per document source: dominant language chosen
+    by highest count with a deterministic lexicographic-lowest
+    tie-break (a join against the max count + MIN(lang), not an
+    unordered argmax), share as the single trailing division.
+
+    Scale: the (source, lang) census is one map-side-combinable
+    aggregation; the stitches join source-grain aggregates (bounded by
+    the source catalog, broadcastable)."""
+    d = T(spark, sf_dir, "documents")
+    cl = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = cl.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    dom = (
+        cl.join(
+            F.broadcast(tot.select("source", "max_cnt")),
+            ["source"],
+        )
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("source")
+        .agg(F.min("lang").alias("dominant_lang"))
+    )
+    return (
+        tot.join(F.broadcast(dom), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "dominant_lang",
+            F.col("max_cnt").alias("dominant_n"),
+            (
+                F.col("max_cnt").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dominant_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "customer_balance_parity_bands",
+    """
+    WITH x AS (
+      SELECT c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           CAST(SUM(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(SUM(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(SUM(CASE WHEN cents % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_even_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS balance_mass_c
+    FROM x GROUP BY 1 ORDER BY 1
+    """,
+    tags=["analytics", "census", "exact-arithmetic"],
+)
+def q_customer_balance_parity_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Balance sign/parity census per market segment over integer
+    cents. Parity of negative cents: both engines keep the dividend's
+    sign under %, and -1 % 2 is -1 in both — only EXACT zero remainder
+    counts as even, which is the same predicate either way.
+
+    Scale: one scan projection + a 5-cell hash aggregation."""
+    x = T(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        x.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.when(F.col("cents") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+            F.sum(F.when(F.col("cents") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+            F.sum(F.when(F.col("cents") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_positive"),
+            F.sum(F.when(F.col("cents") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_even_cents"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.sum("cents").cast("bigint").alias("balance_mass_c"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "part_size_price_band_matrix",
+    """
+    WITH x AS (
+      SELECT p_partkey, p_brand,
+             CAST(p_size // 10 AS BIGINT) AS size_band,
+             CAST(CAST(ROUND(p_retailprice * 100) AS BIGINT) // 1000
+                  AS BIGINT) AS price_band,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part
+    )
+    SELECT size_band, price_band,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+           CAST(SUM(price_c) AS BIGINT) AS retail_mass_c,
+           CAST(MIN(p_partkey) AS BIGINT) AS first_key,
+           CAST(MAX(p_partkey) AS BIGINT) AS last_key
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["analytics", "matrix", "census"],
+)
+def q_part_size_price_band_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Size-band x price-band occupancy matrix for parts ($10 price
+    bands on integer cents, size decades), with brand diversity and
+    keyspace extremes per cell — all exact integer arithmetic.
+
+    Scale: one hash aggregation over a value-domain-bounded grid."""
+    x = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.expr("CAST(p_size DIV 10 AS BIGINT)").alias("size_band"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+    ).withColumn(
+        "price_band",
+        F.expr("CAST(price_c DIV 1000 AS BIGINT)"),
+    )
+    return (
+        x.groupBy("size_band", "price_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.countDistinct("p_brand").cast("bigint").alias("n_brands"),
+            F.sum("price_c").cast("bigint").alias("retail_mass_c"),
+            F.min("p_partkey").cast("bigint").alias("first_key"),
+            F.max("p_partkey").cast("bigint").alias("last_key"),
+        )
+        .orderBy("size_band", "price_band")
+    )
