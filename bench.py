@@ -308,6 +308,31 @@ EXTENDED_R12: list[str] = [
     "emb_label_dim_mass_argmax",
 ]
 
+#: Round-13 additions, reported under "extended_r13" — all earlier sets
+#: stay frozen so BENCH_r0N compare like-for-like.
+EXTENDED_R13: list[str] = [
+    "emb_neardup_capped_pairs",
+    "delta_catalog_owned_stream_roundtrip",
+    "orders_value_gini_by_priority_distributed",
+    "customer_percentile_bridge_distributed",
+    "orders_custkey_concentration_by_priority",
+    "lineitem_flag_status_conformance",
+    "orders_status_priority_matrix",
+    "orders_yearly_priority_drift",
+    "lineitem_qty_discount_correlation_by_flag",
+    "customer_nation_segment_skew",
+    "events_burst_run_length_census",
+    "emb_norm_band_census",
+    "events_value_round_number_bias",
+    "docs_source_lang_purity",
+    "customer_balance_parity_bands",
+    "part_size_price_band_matrix",
+    "supplier_nation_coverage_census",
+    "docs_length_band_lang_matrix",
+    "lineitem_qty_quartiles_by_flag_distributed",
+    "events_type_hour_matrix",
+]
+
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -358,6 +383,7 @@ def main() -> None:
     extended_r10 = time_set(EXTENDED_R10)
     extended_r11 = time_set(EXTENDED_R11)
     extended_r12 = time_set(EXTENDED_R12)
+    extended_r13 = time_set(EXTENDED_R13)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -386,6 +412,8 @@ def main() -> None:
         "extended_r11_total": round(sum(extended_r11.values()), 3),
         "extended_r12": extended_r12,
         "extended_r12_total": round(sum(extended_r12.values()), 3),
+        "extended_r13": extended_r13,
+        "extended_r13_total": round(sum(extended_r13.values()), 3),
     }
     # Full detail to a file (the driver's stdout tail capture clipped the
     # r3 single-line output, losing the headline total)...
@@ -415,6 +443,7 @@ def main() -> None:
                 "extended_r10_total": full["extended_r10_total"],
                 "extended_r11_total": full["extended_r11_total"],
                 "extended_r12_total": full["extended_r12_total"],
+                "extended_r13_total": full["extended_r13_total"],
                 "detail": "BENCH_LOCAL.json",
             }
         )

@@ -1462,6 +1462,10 @@ DRIVER_PRIORITY: list[str] = [
     "docs_source_lang_purity",
     "customer_balance_parity_bands",
     "part_size_price_band_matrix",
+    "supplier_nation_coverage_census",
+    "docs_length_band_lang_matrix",
+    "lineitem_qty_quartiles_by_flag_distributed",
+    "events_type_hour_matrix",
     # --- round-12 additions (re-verification): this round's 20 new queries (the
     # coordinated-commit DML roundtrip, the distributed decile/quantile
     # twins, the LSH occupancy guard, collation semantics, and the

@@ -1282,3 +1282,216 @@ def q_part_size_price_band_matrix(
         )
         .orderBy("size_band", "price_band")
     )
+
+
+@register(
+    "supplier_nation_coverage_census",
+    """
+    SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
+           ANY_VALUE(n.n_name) AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS balance_mass_c,
+           CAST(MIN(s.s_suppkey) AS BIGINT) AS first_key,
+           CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS negative_share
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["analytics", "census", "broadcast-dim"],
+)
+def q_supplier_nation_coverage_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier coverage census per nation, enriched with the nation
+    name through the classic broadcast-dim join (ANY_VALUE is safe —
+    the name is functionally determined by the group key); integer-cent
+    balance mass and one trailing division for the negative share.
+
+    Scale: fact-side hash aggregation; the 25-row dim broadcasts."""
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("s_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.any_value("n_name").alias("nation_name"),
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("balance_mass_c"),
+            F.min("s_suppkey").cast("bigint").alias("first_key"),
+            (
+                F.sum(
+                    F.when(F.col("s_acctbal") < 0, 1).otherwise(0)
+                ).cast("double")
+                / F.count("*").cast("double")
+            ).alias("negative_share"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "docs_length_band_lang_matrix",
+    """
+    SELECT lang,
+           CAST(n_chars // 500 AS BIGINT) AS len_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS char_mass,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["analytics", "LLM-text", "census"],
+)
+def q_docs_length_band_lang_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document-length band x language occupancy matrix (500-char
+    bands on the stored n_chars column — scan-only arithmetic, no text
+    touched) with char mass and keyspace extremes per cell.
+
+    Scale: one hash aggregation over a value-domain-bounded grid; the
+    text column is pruned at the parquet scan."""
+    d = T(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr("CAST(n_chars DIV 500 AS BIGINT)").alias("len_band"),
+        "n_chars",
+        "doc_id",
+    )
+    return (
+        d.groupBy("lang", "len_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("char_mass"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("lang", "len_band")
+    )
+
+
+@register(
+    "lineitem_qty_quartiles_by_flag_distributed",
+    """
+    WITH counts AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT returnflag, q, c,
+             SUM(c) OVER (PARTITION BY returnflag ORDER BY q
+                          ROWS UNBOUNDED PRECEDING) AS cum_hi,
+             SUM(c) OVER (PARTITION BY returnflag) AS n
+      FROM counts
+    )
+    SELECT returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MIN(CASE WHEN cum_hi >= (n + 3) // 4 THEN q END) AS BIGINT)
+             AS q1_qty,
+           CAST(MIN(CASE WHEN cum_hi >= (n + 1) // 2 THEN q END) AS BIGINT)
+             AS median_qty,
+           CAST(MIN(CASE WHEN cum_hi >= (3 * n + 3) // 4 THEN q END)
+                AS BIGINT) AS q3_qty,
+           CAST(MIN(q) AS BIGINT) AS min_qty,
+           CAST(MAX(q) AS BIGINT) AS max_qty
+    FROM cum GROUP BY returnflag ORDER BY returnflag
+    """,
+    tags=["analytics", "quantiles", "count-collapse", "scale"],
+)
+def q_lineitem_qty_quartiles_by_flag_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact type-1 quartiles of line quantity per returnflag via
+    count-collapse rank selection — quantity's value domain is ~50
+    integers, so the cumulative window runs over AT MOST 50 rows per
+    flag regardless of corpus size (the purest case for the
+    distributed-quantile pattern of events_dwell_deciles_distributed:
+    quantile rank k = ceil(p*n) computed on cum counts, value = the
+    smallest q whose cumulative count reaches k). Both engines run the
+    SAME collapsed construction — the definition is the semantics; no
+    engine quantile builtin with its own interpolation is involved.
+
+    Scale: one map-side-combinable (flag, qty) census, then windows
+    over a value-domain-bounded table; nothing grows with row count."""
+    counts = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.round("l_quantity").cast("bigint").alias("q"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wc = Window.partitionBy("returnflag").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("returnflag")
+    cum = counts.select(
+        "returnflag",
+        "q",
+        F.sum("c").over(wc).alias("cum_hi"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    def at_rank(rank_expr: str, alias: str):
+        return F.min(
+            F.when(F.col("cum_hi") >= F.expr(rank_expr), F.col("q"))
+        ).cast("bigint").alias(alias)
+
+    return (
+        cum.groupBy("returnflag")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            at_rank("(n + 3) DIV 4", "q1_qty"),
+            at_rank("(n + 1) DIV 2", "median_qty"),
+            at_rank("(3 * n + 3) DIV 4", "q3_qty"),
+            F.min("q").cast("bigint").alias("min_qty"),
+            F.max("q").cast("bigint").alias("max_qty"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@register(
+    "events_type_hour_matrix",
+    """
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_utc,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_mass
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["analytics", "events", "matrix", "census"],
+)
+def q_events_type_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event type x UTC hour occupancy matrix with distinct-user reach
+    and integer-cent value mass — the intra-day load shape per type
+    (the hour-grain complement of events_weekday_type_mix).
+
+    Scale: one hash aggregation at a 120-cell grain; countDistinct
+    expands to the standard two-level aggregate."""
+    from .registry import events_table
+
+    e = events_table(spark, sf_dir)
+    return (
+        e.groupBy(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("hour_utc"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents_mass"),
+        )
+        .orderBy("event_type", "hour_utc")
+    )

@@ -202,6 +202,39 @@ def main() -> None:
         }
         print(json.dumps(summaries[set_name]))
 
+    # round-13 trend assert (VERDICT r12 next-step #5): record each
+    # query's 10x ratio (sf1 seconds / idle sf0.1 seconds from
+    # BENCH_LOCAL.json) in the artifact, and when the previous round's
+    # artifact is supplied (SPARK_GRAFT_SF1_PREV) FAIL if any query's
+    # ratio regressed past 1.5x its prior value — the quiet-quadratic
+    # creep detector (emb_neardup_pairs drifted 9.9x -> 15.8x between
+    # r11 and r12 with nobody forced to look).
+    local_path = "/root/repo/BENCH_LOCAL.json"
+    sf01: dict[str, float] = {}
+    if os.path.exists(local_path):
+        local = json.load(open(local_path))
+        for key, val in local.items():
+            if isinstance(val, dict):
+                sf01.update(val)
+    for s in summaries.values():
+        s["ratios_vs_sf01"] = {
+            q: round(t / sf01[q], 2)
+            for q, t in s["queries"].items()
+            if sf01.get(q)
+        }
+    prev_path = os.environ.get("SPARK_GRAFT_SF1_PREV")
+    regressions: dict[str, dict] = {}
+    if prev_path and os.path.exists(prev_path):
+        prev = json.load(open(prev_path))
+        prev_ratios: dict[str, float] = {}
+        for s in prev.get("sets", {}).values():
+            prev_ratios.update(s.get("ratios_vs_sf01", {}))
+        for s in summaries.values():
+            for q, r in s["ratios_vs_sf01"].items():
+                if q in prev_ratios and r > 1.5 * prev_ratios[q]:
+                    regressions[q] = {"prev": prev_ratios[q], "now": r}
+        print(json.dumps({"step": "trend", "regressions": regressions}))
+
     # standing artifact (round 12): $SPARK_GRAFT_SF1_OUT collects every
     # set's summary so scale ratios get round-over-round comparison
     # like the sf0.1 bench (SF1_BENCH_r{N}.json)
@@ -215,6 +248,8 @@ def main() -> None:
             )
     if out_dir.startswith(tempfile.gettempdir()):
         shutil.rmtree(out_dir, ignore_errors=True)
+    if regressions:
+        sys.exit(1)  # scale-ratio regression past 1.5x — fail loudly
 
 
 if __name__ == "__main__":
