@@ -60,6 +60,11 @@ SHOWCASE = {
     "events_dwell_deciles_distributed": "NTILE reconstructed from the count-collapsed distinct values: single-partition window only AFTER the groupBy collapse; 10-row spine + 1-row total broadcast",
     "docs_lsh_capped_pairs": "occupancy-guarded LSH: census + star joins pinned shuffle_hash on the co-partitioned band key; no collect_set on oversized buckets",
     "events_value_quantiles_by_type_distributed": "per-type quantiles by count-collapse rank selection: cumulative window over distinct quantized values, no per-type row sort",
+    # round 13
+    "emb_neardup_capped_pairs": "sign-LSH near-dup: plane-literal sign bits JVM-side, occupancy census + hub-star via pinned shuffle_hash, exact cosine confirm on surviving edges only",
+    "orders_value_gini_by_priority_distributed": "Gini from collapsed tie blocks: two-level banded prefix sum — coarse window over the value-domain-bounded band census (broadcast), fine window partitioned by (priority, band); zero SinglePartition exchanges",
+    "customer_percentile_bridge_distributed": "the rank window ELIMINATED: per-segment counts x 4-row tile spine, every output interval arithmetic",
+    "lineitem_qty_quartiles_by_flag_distributed": "exact quartiles by count-collapse rank selection over the ~50-value quantity domain; windows never grow with row count",
 }
 
 
