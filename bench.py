@@ -331,6 +331,7 @@ EXTENDED_R13: list[str] = [
     "docs_length_band_lang_matrix",
     "lineitem_qty_quartiles_by_flag_distributed",
     "events_type_hour_matrix",
+    "delta_catalog_owned_maintenance_roundtrip",
 ]
 
 

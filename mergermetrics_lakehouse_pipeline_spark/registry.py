@@ -1448,6 +1448,7 @@ DRIVER_PRIORITY: list[str] = [
     # vanilla session); the r12 block follows for re-verification. ---
     "emb_neardup_capped_pairs",
     "delta_catalog_owned_stream_roundtrip",
+    "delta_catalog_owned_maintenance_roundtrip",
     "orders_value_gini_by_priority_distributed",
     "customer_percentile_bridge_distributed",
     "orders_custkey_concentration_by_priority",

@@ -1495,3 +1495,160 @@ def q_events_type_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_utc")
     )
+
+
+@register(
+    "delta_catalog_owned_maintenance_roundtrip",
+    """
+    WITH s AS (
+      SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS nationkey,
+             CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_c
+      FROM supplier
+    ),
+    deleted AS (SELECT * FROM s WHERE s_suppkey BETWEEN 2 AND 37),
+    final AS (SELECT * FROM s WHERE s_suppkey NOT BETWEEN 2 AND 37)
+    SELECT i.nationkey,
+           i.n_inserts,
+           COALESCE(d.n_deletes, 0) AS n_deletes,
+           COALESCE(f.n_final, 0) AS n_final,
+           COALESCE(f.balance_mass_c, 0) AS balance_mass_c
+    FROM (SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_inserts
+          FROM s GROUP BY 1) i
+    LEFT JOIN (SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_deletes
+               FROM deleted GROUP BY 1) d ON i.nationkey = d.nationkey
+    LEFT JOIN (SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_final,
+                      CAST(SUM(bal_c) AS BIGINT) AS balance_mass_c
+               FROM final GROUP BY 1) f ON i.nationkey = f.nationkey
+    ORDER BY i.nationkey
+    """,
+    tags=["S6", "delta", "catalog-owned", "maintenance", "roundtrip"],
+)
+def q_delta_catalog_owned_maintenance_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full MAINTENANCE lifecycle on a catalog-owned table
+    (sources/delta_coordinated.py round 13): create with CDF enabled,
+    two coordinated appends (three file generations), OPTIMIZE through
+    the coordinator (must compact — guard — and commit
+    dataChange:false), a coordinated copy-on-write DELETE (CDF delete
+    rows), then VACUUM through the coordinator — which must backfill
+    first: a filesystem-LIST vacuum would reclaim the staged tail's
+    data files as unreferenced (the catalog-clothing variant of the
+    vacuumProtocolCheck data-destruction mode). The CDF stream replays
+    the whole history (insert + delete change rows; the optimize
+    commit contributes NOTHING), folded per nation and stitched with
+    the post-vacuum final read — counts and integer-cent balance mass.
+    A maintenance step that loses staged files, resurrects deleted
+    rows, or re-emits compacted bytes flips the hash.
+
+    Scale: optimize/vacuum are O(log + selected files) metadata plus
+    one bounded rewrite; each CDF batch is a bounded parquet read."""
+    from .sources.delta_coordinated import (
+        FileCommitCoordinator,
+        append_coordinated,
+        create_catalog_owned,
+        delete_coordinated,
+        optimize_coordinated,
+        read_delta_coordinated,
+        snapshot_coordinated,
+        stream_cdf_batches_coordinated,
+        vacuum_coordinated,
+    )
+
+    base = tempfile.mkdtemp(prefix="mm_co_maint_rt_")
+    root = os.path.join(base, "supplier_co")
+    cat = FileCommitCoordinator(os.path.join(base, "catalog"))
+    s = T(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    third = F.col("s_suppkey") % 3
+    create_catalog_owned(
+        s.filter(third == 0),
+        root,
+        cat,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    append_coordinated(s.filter(third == 1), root, cat)
+    append_coordinated(s.filter(third == 2), root, cat)
+
+    n_before = len(snapshot_coordinated(spark, root, cat).files)
+    optimize_coordinated(spark, root, cat, target_files=1)
+    n_after = len(snapshot_coordinated(spark, root, cat).files)
+    if not n_after < n_before:
+        raise RuntimeError(
+            f"optimize did not compact ({n_before} -> {n_after} files)"
+        )
+    delete_coordinated(spark, root, cat, "s_suppkey", 2, 37)
+
+    changes = None
+    for _v, batch in stream_cdf_batches_coordinated(spark, root, cat):
+        agg = batch.groupBy("nationkey").agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_inserts"),
+            F.sum(
+                F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_deletes"),
+        )
+        if changes is None:
+            changes = agg
+        else:
+            prev = changes.select(
+                "nationkey",
+                F.col("n_inserts").alias("p_i"),
+                F.col("n_deletes").alias("p_d"),
+            )
+            changes = agg.join(prev, "nationkey", "full_outer").select(
+                "nationkey",
+                (
+                    F.coalesce("n_inserts", F.lit(0))
+                    + F.coalesce("p_i", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n_inserts"),
+                (
+                    F.coalesce("n_deletes", F.lit(0))
+                    + F.coalesce("p_d", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n_deletes"),
+            )
+
+    # materialize the fold BEFORE vacuum: the CDF batches lazily read
+    # the historical data files vacuum is about to reclaim (replaying
+    # CDF past the vacuum horizon fails loudly by design — the row
+    # consumes the feed first, exactly as a real pipeline would).
+    # localCheckpoint truncates lineage to the nation-grain aggregate,
+    # so nothing downstream re-reads the vacuumed generations.
+    changes = changes.localCheckpoint(eager=True)
+    removed = vacuum_coordinated(spark, root, cat, retain_last=1)
+    if not removed:
+        raise RuntimeError("vacuum reclaimed nothing after optimize+delete")
+
+    final = (
+        read_delta_coordinated(spark, root, cat)
+        .groupBy("nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_final"),
+            F.sum("bal_c").cast("bigint").alias("balance_mass_c"),
+        )
+    )
+    return (
+        changes.join(final, "nationkey", "left")
+        .select(
+            "nationkey",
+            "n_inserts",
+            "n_deletes",
+            F.coalesce("n_final", F.lit(0)).cast("bigint").alias("n_final"),
+            F.coalesce("balance_mass_c", F.lit(0))
+            .cast("bigint")
+            .alias("balance_mass_c"),
+        )
+        .orderBy("nationkey")
+    )

@@ -75,11 +75,14 @@ from .delta_log import (
     delete_delta,
     delete_rows,
     merge_delta,
+    optimize_delta,
     snapshot,
+    stream_cdf_batches,
     stream_commit_batches,
     truncate_log,
     update_delta,
     update_rows,
+    vacuum_delta,
     write_checkpoint,
     write_delta,
 )
@@ -694,3 +697,65 @@ def compact_log_coordinated(
         )
     backfill(table_path, coordinator, up_to=end_version)
     return compact_log(table_path, start_version, end_version)
+
+
+def stream_cdf_batches_coordinated(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    *,
+    from_version: int = 0,
+) -> list[tuple[int, DataFrame]]:
+    """CDF streaming replay of a catalog-owned table — the DML-capable
+    companion of ``stream_commit_batches_coordinated`` (same
+    backfill-to-frontier contract, same eager materialization under
+    the scoped gate); change frames carry the logical schema plus
+    _change_type and _commit_version, exactly as the filesystem
+    kernel emits them."""
+    snap = snapshot_coordinated(spark, table_path, coordinator)
+    del snap
+    with _allow_reader_features({CATALOG_OWNED_FEATURE}):
+        return list(
+            stream_cdf_batches(spark, table_path, from_version=from_version)
+        )
+
+
+def optimize_coordinated(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    **kwargs: Any,
+) -> int:
+    """OPTIMIZE a catalog-owned table: the filesystem kernel's
+    bin-packing / ZORDER / small-file selection, committed by staged
+    ratification (the kernel's read-files guard flows into the
+    ratification loop, so a concurrent remove of a compacted file
+    aborts and a disjoint blind append rebases — identical conflict
+    semantics to the filesystem path). dataChange:false is preserved,
+    so coordinated streaming replays skip the reorganization."""
+    return _coordinated_dml(
+        spark, table_path, coordinator, optimize_delta, **kwargs
+    )
+
+
+def vacuum_coordinated(
+    spark: SparkSession,
+    table_path: str,
+    coordinator: FileCommitCoordinator,
+    retain_last: int = 1,
+    **kwargs: Any,
+) -> list[str]:
+    """VACUUM a catalog-owned table — with the one extra step that
+    makes it SAFE: backfill every ratified commit first. A vacuum
+    driven by a filesystem LIST of a coordinated table would classify
+    the data files of ratified-but-staged commits as unreferenced by
+    any snapshot and DELETE them — the exact data-destruction mode
+    the vacuumProtocolCheck feature exists to prevent, in catalog
+    clothing. After backfill the numbered log is provably current and
+    the filesystem kernel's retention logic (including its
+    aborted-transaction reclamation, which correctly removes
+    never-ratified staged commits' data files) applies unchanged."""
+    snap = snapshot_coordinated(spark, table_path, coordinator)
+    del snap  # ownership gate + backfill to the ratified frontier
+    with _allow_reader_features({CATALOG_OWNED_FEATURE}):
+        return vacuum_delta(spark, table_path, retain_last, **kwargs)

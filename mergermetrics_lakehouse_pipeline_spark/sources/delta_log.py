@@ -4191,6 +4191,8 @@ def optimize_delta(
     zorder_by: tuple[str, ...] | None = None,
     min_file_size: int | None = None,
     where: str | None = None,
+    snap: DeltaSnapshot | None = None,
+    commit_fn=None,
 ) -> int:
     """OPTIMIZE (bin-packing compaction, optionally ZORDER BY two or
     more columns): rewrite the selected data as ``target_files``
@@ -4224,7 +4226,10 @@ def optimize_delta(
     """
     from ..operators.layout import _ZKEY, zorder_key
 
-    snap = snapshot(spark, table_path)
+    # snap/commit_fn: the same pluggable-commit convention as the DML
+    # front ends (delete_delta etc.) — delta_coordinated routes OPTIMIZE
+    # through staged-ratification by passing both
+    snap = snap or snapshot(spark, table_path)
     rt_enabled = _RT_DOMAIN in snap.domain_metadata
     if zorder_by is not None and snap.partition_columns:
         raise DeltaProtocolError(
@@ -4409,7 +4414,7 @@ def optimize_delta(
         stamp_row_commit_version=rt_enabled,
     )
     guard.ict = _ict_on(snap.configuration)
-    return _commit(table_path, actions, guard, snap.version)
+    return (commit_fn or _commit)(table_path, actions, guard, snap.version)
 
 
 def _matched_files(

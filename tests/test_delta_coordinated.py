@@ -649,3 +649,90 @@ def test_coordinated_compaction_backfills_and_bounds_range(
     snap = snapshot_coordinated(spark, root, cat)
     assert snap.version == 3
     assert read_delta_coordinated(spark, root, cat).count() == 23
+
+
+def test_coordinated_optimize_compacts_and_streams_skip_it(
+    spark, coord_table
+):
+    """OPTIMIZE through the coordinator: fewer live files, identical
+    rows, dataChange:false preserved so the coordinated streaming
+    replay yields NOTHING for the optimize commit; the filesystem
+    optimize stays gated on catalog-owned tables."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        optimize_coordinated,
+        stream_commit_batches_coordinated,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        optimize_delta,
+    )
+
+    root, cat = coord_table
+    append_coordinated(_g(spark, 12, 16), root, cat)
+    append_coordinated(_g(spark, 16, 20), root, cat)
+    n_before = len(snapshot_coordinated(spark, root, cat).files)
+    with pytest.raises(DeltaProtocolError, match="catalogOwned"):
+        optimize_delta(spark, root, target_files=1)
+    v = optimize_coordinated(spark, root, cat, target_files=1)
+    snap = snapshot_coordinated(spark, root, cat)
+    assert snap.version == v
+    assert len(snap.files) < n_before
+    out = read_delta_coordinated(spark, root, cat)
+    assert sorted(r.id for r in out.collect()) == list(range(20))
+    batches = stream_commit_batches_coordinated(spark, root, cat)
+    assert [bv for bv, _ in batches] == [0, 2, 3]  # optimize v4 silent
+
+
+def test_coordinated_vacuum_protects_staged_tail_files(spark, coord_table):
+    """The coordinated-vacuum safety property: a ratified-but-staged
+    commit's data files are INVISIBLE to a filesystem LIST, and a
+    naive vacuum would reclaim them as unreferenced. The coordinated
+    path backfills first, so the staged tail's files survive and the
+    table reads back complete; never-ratified staged garbage is still
+    reclaimed."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        optimize_coordinated,
+        vacuum_coordinated,
+    )
+
+    root, cat = coord_table
+    append_coordinated(_g(spark, 12, 16), root, cat)
+    optimize_coordinated(spark, root, cat, target_files=1)
+    # the LAST ratified commit stays staged-only until something reads
+    append_coordinated(_g(spark, 16, 20), root, cat)
+    log = os.path.join(root, "_delta_log")
+    assert not os.path.exists(os.path.join(log, f"{4:020d}.json"))
+    removed = vacuum_coordinated(spark, root, cat, retain_last=1)
+    assert removed  # the pre-optimize generation is reclaimable
+    out = read_delta_coordinated(spark, root, cat)
+    assert sorted(r.id for r in out.collect()) == list(range(20))
+
+
+def test_coordinated_cdf_stream_carries_dml_changes(spark, coord_table):
+    """CDF streaming through the coordinator: appends arrive as
+    inserts, a coordinated copy-on-write DELETE arrives as delete
+    change rows (from its _change_data files) — the DML-capable
+    stream the append-only source rejects."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        delete_coordinated,
+        stream_cdf_batches_coordinated,
+    )
+
+    del coord_table  # needs its own CDF-enabled table
+    base = tempfile.mkdtemp(prefix="mm_co_cdf_")
+    root = os.path.join(base, "t")
+    cat = FileCommitCoordinator(os.path.join(base, "catalog"))
+    create_catalog_owned(
+        _g(spark, 0, 12),
+        root,
+        cat,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    append_coordinated(_g(spark, 12, 15), root, cat)
+    delete_coordinated(spark, root, cat, "id", 0, 2)
+    batches = stream_cdf_batches_coordinated(spark, root, cat)
+    by_type: dict[str, int] = {}
+    for _v, df in batches:
+        for r in df.collect():
+            by_type[r._change_type] = by_type.get(r._change_type, 0) + 1
+    assert by_type.get("insert", 0) >= 15  # create + append rows
+    assert by_type.get("delete", 0) == 3  # ids 0..2
