@@ -57,7 +57,14 @@ def _sql_emb_capped() -> str:
     the Spark ``dot`` fold bit-for-bit), then the identical
     census/small/big/hub split as ``docs_lsh_capped_pairs``
     (registry_r12.py) and an exact cosine confirm on the surviving
-    edges."""
+    edges.
+
+    NOTE (review round 13): the sized/small/big/hubs/cand skeleton
+    deliberately mirrors registry_r12._sql_lsh_capped — both are
+    FROZEN oracle texts for already-hash-verified rows, kept as
+    independent literals rather than a shared builder; any future
+    change to the guard's split semantics (the <= cap boundary, the
+    hub exclusion) must be applied to BOTH and re-hash-checked."""
     planes = _emb_planes()
 
     def plane_lit(j: int) -> str:
@@ -398,10 +405,15 @@ def q_orders_value_gini_by_priority_distributed(
         F.sum(F.col("v").cast("decimal(19,0)") * F.col("c"))
         .cast("decimal(38,0)")
         .alias("s_v"),
+        # (cum_lo + cum_hi) widens to DECIMAL BEFORE the multiply by c:
+        # at degenerate tie scales (n ~ 1e10 rows, c ~ 5e8 ties) the
+        # bigint product would wrap silently under non-ANSI Spark
+        # (review round 13) — the oracle's DECIMAL product cannot
         F.sum(
             F.col("v").cast("decimal(19,0)")
-            * ((F.col("cum_lo") + F.col("cum_hi")) * F.col("c")).cast(
-                "decimal(19,0)"
+            * (
+                (F.col("cum_lo") + F.col("cum_hi")).cast("decimal(19,0)")
+                * F.col("c")
             )
         )
         .cast("decimal(38,0)")

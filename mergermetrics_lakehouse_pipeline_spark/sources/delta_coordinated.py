@@ -580,15 +580,69 @@ def ratified_frontier(
     """The highest version the catalog has ratified (falls back to the
     latest numbered commit when the coordinator history is empty or
     already forgotten — backfilled versions ARE the frontier then).
-    O(catalog listing) metadata work."""
+    Checkpoint versions count as candidates too: after
+    ``truncate_log_coordinated`` a fully-retained table may have NO
+    numbered JSONs and NO catalog records — its checkpoint alone
+    carries the frontier (review round 13: without it, checkpointing a
+    healthy just-truncated table raised spuriously until the next
+    commit). O(catalog listing) metadata work."""
     from .delta_log import _list_versions
 
     ratified = coordinator.ratified(_table_id(table_path))
-    commits, _ = _list_versions(table_path)
-    candidates = set(ratified) | set(commits)
+    commits, checkpoints = _list_versions(table_path)
+    candidates = set(ratified) | set(commits) | set(checkpoints)
     if not candidates:
         raise DeltaProtocolError(f"no commits at all for {table_path}")
     return max(candidates)
+
+
+def _require_catalog_owned(table_path: str) -> None:
+    """Spark-free ownership gate for the maintenance entry points that
+    never build a snapshot (truncate/compact): the upgrade commit is
+    always a plain filesystem commit, so the numbered log (or, after
+    retention, the checkpoint parquet) always carries the feature
+    stamp. Running coordinated maintenance on a filesystem-owned table
+    would silently side-create catalog state for it — the converse
+    split-brain direction the round-11 review closed for reads/writes
+    (review round 13: truncate/compact had bypassed that gate)."""
+    from .delta_pysource import _log_files_desc, _scan_log
+
+    proto: dict[str, Any] | None = None
+    scanned = _scan_log(table_path)
+    checkpoints = scanned[1]
+    for _v, path in _log_files_desc(table_path, scanned):
+        for action in _parse_log_file(path):
+            if "protocol" in action:
+                proto = action["protocol"]
+                break
+        if proto:
+            break
+    if proto is None and checkpoints:
+        import pyarrow.parquet as pq
+
+        for part in checkpoints[max(checkpoints)]:
+            t = pq.read_table(part)
+            if "protocol" in t.column_names:
+                for p in t.column("protocol").to_pylist():
+                    if p and p.get("minReaderVersion") is not None:
+                        proto = p
+                        break
+            if proto:
+                break
+    if proto is None:
+        raise DeltaProtocolError(
+            f"no protocol action found under {table_path}"
+        )
+    feats = set(proto.get("readerFeatures") or []) | set(
+        proto.get("writerFeatures") or []
+    )
+    if CATALOG_OWNED_FEATURE not in feats:
+        raise DeltaProtocolError(
+            f"{table_path} is not catalog-owned; use the plain "
+            "truncate_log/compact_log path — coordinating maintenance "
+            "on a filesystem-owned table risks split-brain with "
+            "concurrent filesystem writers"
+        )
 
 
 def stream_commit_batches_coordinated(
@@ -660,6 +714,7 @@ def truncate_log_coordinated(
     faithfully re-backfill every truncated version from its staged
     copy — retention would silently undo itself. Returns the removed
     versions."""
+    _require_catalog_owned(table_path)
     removed = truncate_log(table_path)
     if removed:
         tid = _table_id(table_path)
@@ -689,6 +744,7 @@ def compact_log_coordinated(
     and refuse ranges beyond the ratified frontier — the catalog may
     ratify them mid-compaction, and a compacted file must never
     promise versions the catalog still owns exclusively."""
+    _require_catalog_owned(table_path)
     frontier = ratified_frontier(table_path, coordinator)
     if end_version > frontier:
         raise DeltaProtocolError(

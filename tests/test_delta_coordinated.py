@@ -646,8 +646,20 @@ def test_coordinated_compaction_backfills_and_bounds_range(
     log = os.path.join(root, "_delta_log")
     for v in (1, 2, 3):
         os.remove(os.path.join(log, f"{v:020d}.json"))
+    # forget the catalog records and drop the staged copies too —
+    # otherwise backfill faithfully re-materializes the JSONs and the
+    # compacted file is never consulted (the assertion would be
+    # vacuous; review round 13)
+    tid = _table_id(root)
+    staged = _staged_dir(root)
+    cat.forget(tid, 3)
+    for n in list(os.listdir(staged)):
+        if n.endswith(".json"):
+            os.unlink(os.path.join(staged, n))
     snap = snapshot_coordinated(spark, root, cat)
     assert snap.version == 3
+    for v in (1, 2, 3):  # replay resolved from the compacted file alone
+        assert not os.path.exists(os.path.join(log, f"{v:020d}.json"))
     assert read_delta_coordinated(spark, root, cat).count() == 23
 
 
@@ -736,3 +748,48 @@ def test_coordinated_cdf_stream_carries_dml_changes(spark, coord_table):
             by_type[r._change_type] = by_type.get(r._change_type, 0) + 1
     assert by_type.get("insert", 0) >= 15  # create + append rows
     assert by_type.get("delete", 0) == 3  # ids 0..2
+
+
+def test_coordinated_frontier_survives_full_retention(spark, coord_table):
+    """After checkpoint + truncate (no numbered JSONs, no catalog
+    records) the checkpoint alone carries the frontier — a second
+    checkpoint on the healthy just-truncated table must succeed, not
+    raise 'no commits at all' (review round 13)."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        ratified_frontier,
+        truncate_log_coordinated,
+        write_checkpoint_coordinated,
+    )
+
+    root, cat = coord_table
+    append_coordinated(_g(spark, 12, 16), root, cat)
+    write_checkpoint_coordinated(spark, root, cat)
+    truncate_log_coordinated(root, cat)
+    assert ratified_frontier(root, cat) == 2
+    assert write_checkpoint_coordinated(spark, root, cat) == 2
+    v = append_coordinated(_g(spark, 16, 18), root, cat)
+    assert v == 3
+
+
+def test_coordinated_maintenance_refuses_plain_tables(spark):
+    """truncate/compact are gated like every other coordinated entry
+    point: running them on a filesystem-owned table would side-create
+    catalog state for it (review round 13)."""
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_coordinated import (
+        compact_log_coordinated,
+        truncate_log_coordinated,
+    )
+    from mergermetrics_lakehouse_pipeline_spark.sources.delta_log import (
+        write_checkpoint,
+    )
+
+    base = tempfile.mkdtemp(prefix="mm_co_maintplain_")
+    root = os.path.join(base, "t")
+    cat = FileCommitCoordinator(os.path.join(base, "catalog"))
+    write_delta(_g(spark, 0, 6), root, mode="overwrite")
+    write_delta(_g(spark, 6, 9), root, mode="append")
+    write_checkpoint(spark, root)
+    with pytest.raises(DeltaProtocolError, match="not catalog-owned"):
+        truncate_log_coordinated(root, cat)
+    with pytest.raises(DeltaProtocolError, match="not catalog-owned"):
+        compact_log_coordinated(root, cat, 0, 1)

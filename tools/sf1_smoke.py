@@ -227,12 +227,28 @@ def main() -> None:
     if prev_path and os.path.exists(prev_path):
         prev = json.load(open(prev_path))
         prev_ratios: dict[str, float] = {}
+        prev_secs: dict[str, float] = {}
         for s in prev.get("sets", {}).values():
             prev_ratios.update(s.get("ratios_vs_sf01", {}))
+            prev_secs.update(s.get("queries", {}))
         for s in summaries.values():
             for q, r in s["ratios_vs_sf01"].items():
-                if q in prev_ratios and r > 1.5 * prev_ratios[q]:
-                    regressions[q] = {"prev": prev_ratios[q], "now": r}
+                # BOTH conditions (review round 13): the ratio jumped
+                # AND the absolute sf1 time regressed — a ratio whose
+                # denominator merely improved (faster idle sf0.1 run,
+                # quieter machine) is not quadratic creep, and failing
+                # on it would punish sf0.1-only wins
+                if (
+                    q in prev_ratios
+                    and r > 1.5 * prev_ratios[q]
+                    and s["queries"][q] > 1.2 * prev_secs.get(q, 0.0)
+                ):
+                    regressions[q] = {
+                        "prev_ratio": prev_ratios[q],
+                        "now_ratio": r,
+                        "prev_sec": prev_secs.get(q),
+                        "now_sec": s["queries"][q],
+                    }
         print(json.dumps({"step": "trend", "regressions": regressions}))
 
     # standing artifact (round 12): $SPARK_GRAFT_SF1_OUT collects every
