@@ -334,6 +334,26 @@ EXTENDED_R13: list[str] = [
     "delta_catalog_owned_maintenance_roundtrip",
 ]
 
+#: Round-13 continuation batch (sketch toolbox + Hilbert clustering),
+#: reported under "extended_r13b" — all earlier sets stay frozen so
+#: BENCH_r0N compare like-for-like.
+EXTENDED_R13B: list[str] = [
+    "lineitem_hll_distinct_sketch",
+    "orders_hll_monthly_union",
+    "lineitem_kmv_distinct_sketch",
+    "orders_bloom_probe_census",
+    "events_countmin_type_census",
+    "lineitem_hilbert_cluster_key",
+    "events_type_cooccurrence",
+    "orders_partition_key_uniformity",
+    "orders_theta_sketch_overlap",
+    "customer_order_extremes_census",
+    "docs_vocab_overlap_matrix",
+    "events_sliding_hll_distinct_users",
+    "customer_hdr_balance_histogram",
+    "lineitem_range_partition_plan",
+]
+
 
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -385,6 +405,7 @@ def main() -> None:
     extended_r11 = time_set(EXTENDED_R11)
     extended_r12 = time_set(EXTENDED_R12)
     extended_r13 = time_set(EXTENDED_R13)
+    extended_r13b = time_set(EXTENDED_R13B)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -415,6 +436,8 @@ def main() -> None:
         "extended_r12_total": round(sum(extended_r12.values()), 3),
         "extended_r13": extended_r13,
         "extended_r13_total": round(sum(extended_r13.values()), 3),
+        "extended_r13b": extended_r13b,
+        "extended_r13b_total": round(sum(extended_r13b.values()), 3),
     }
     # Full detail to a file (the driver's stdout tail capture clipped the
     # r3 single-line output, losing the headline total)...
@@ -445,6 +468,7 @@ def main() -> None:
                 "extended_r11_total": full["extended_r11_total"],
                 "extended_r12_total": full["extended_r12_total"],
                 "extended_r13_total": full["extended_r13_total"],
+                "extended_r13b_total": full["extended_r13b_total"],
                 "detail": "BENCH_LOCAL.json",
             }
         )

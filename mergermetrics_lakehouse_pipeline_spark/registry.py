@@ -1441,6 +1441,24 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registration order. Keep every name here present in QUERIES — the
 #: ordering asserts on drift.
 DRIVER_PRIORITY: list[str] = [
+    # --- ROUND-13 CONTINUATION: the mergeable-sketch toolbox (HLL /
+    # KMV / Bloom / count-min, every register hash-replayable),
+    # Hilbert clustering, and the census rotation — all hash-green at
+    # sf0.001 AND sf0.01, determinism- and vanilla-gated. ---
+    "lineitem_hll_distinct_sketch",
+    "orders_hll_monthly_union",
+    "lineitem_kmv_distinct_sketch",
+    "orders_bloom_probe_census",
+    "events_countmin_type_census",
+    "lineitem_hilbert_cluster_key",
+    "events_type_cooccurrence",
+    "orders_partition_key_uniformity",
+    "orders_theta_sketch_overlap",
+    "customer_order_extremes_census",
+    "docs_vocab_overlap_matrix",
+    "events_sliding_hll_distinct_users",
+    "customer_hdr_balance_histogram",
+    "lineitem_range_partition_plan",
     # --- ROUND-13 ROTATION: head = this round's new queries (the
     # occupancy-safe embedding near-dup twin, coordinated-commit
     # streaming/checkpointing, the count-collapse Gini twin, and the
@@ -1759,6 +1777,7 @@ def _load_extensions() -> None:
         registry_r11,
         registry_r12,
         registry_r13,
+        registry_r13b,
         registry_scale,
         registry_sinks,
         registry_tpch,

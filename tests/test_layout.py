@@ -96,3 +96,49 @@ def test_zorder_three_columns_skips_all_dims(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(path).collect()}
     want = {tuple(r) for r in li.collect()}
     assert got == want
+
+
+def test_hilbert_fsm_is_a_hilbert_curve(spark):
+    """Exhaustive certification of the PRODUCTION expression: order-8
+    hilbert_col over all 65,536 cells is (a) a bijection onto
+    [0, 65536) and (b) a unit-step walk — every consecutive pair of
+    indices is an edge-adjacent cell. (b) is the locality property that
+    separates Hilbert from Morton: Z-order jumps 2^k cells at quadrant
+    seams, a Hilbert walk never exceeds Manhattan distance 1."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.layout import hilbert_col
+
+    n = 256
+    cells = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+        .select("x", "y", hilbert_col(F.col("x"), F.col("y"), 8).alias("d"))
+        .collect()
+    )
+    pos = {r["d"]: (r["x"], r["y"]) for r in cells}
+    assert len(pos) == n * n
+    assert min(pos) == 0 and max(pos) == n * n - 1
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos[d], pos[d + 1])
+
+
+def test_hilbert_write_narrows_both_dimensions(spark, tmp_path):
+    """hilbert_write mirrors the zorder_write contract: every file gets
+    a bounded min/max footer range in BOTH clustered dimensions."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.layout import (
+        hilbert_write,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    hpath = str(tmp_path / "hilbert")
+    hilbert_write(li, hpath, xcol="l_partkey", ycol="l_suppkey", n_files=8)
+
+    assert spark.read.parquet(hpath).count() == li.count()
+    hx = _avg_file_range_frac(spark, hpath, "l_partkey")
+    hy = _avg_file_range_frac(spark, hpath, "l_suppkey")
+    assert hx < 0.75 and hy < 0.75, (hx, hy)

@@ -259,6 +259,16 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "orders_repurchase_hazard",  # 1-row censor-horizon broadcast
         "customer_percentile_bridge_distributed",  # 4-row tile spine
         #   broadcast over per-segment counts (window eliminated)
+        # round 13b: sketch summary stitches — the sketch rows return
+        # (census x 1-row estimate x 1-row exact) by design
+        "lineitem_hll_distinct_sketch",  # 1-row estimate + 1-row exact stitch
+        "lineitem_kmv_distinct_sketch",  # 1-row estimate + 1-row exact stitch
+        "events_type_cooccurrence",  # 1-row total-users broadcast (lift)
+        "orders_theta_sketch_overlap",  # 1-row matches x kth x exact stitch
+        "docs_vocab_overlap_matrix",  # source-catalog pair spine (|sources|^2
+        #   bounded by the source catalog, not data)
+        "lineitem_range_partition_plan",  # 7-row boundary spine + 1-row
+        #   total broadcasts over the count-collapsed value domain
     }
     registry._load_extensions()
 

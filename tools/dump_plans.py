@@ -65,6 +65,15 @@ SHOWCASE = {
     "orders_value_gini_by_priority_distributed": "Gini from collapsed tie blocks: two-level banded prefix sum — coarse window over the value-domain-bounded band census (broadcast), fine window partitioned by (priority, band); zero SinglePartition exchanges",
     "customer_percentile_bridge_distributed": "the rank window ELIMINATED: per-segment counts x 4-row tile spine, every output interval arithmetic",
     "lineitem_qty_quartiles_by_flag_distributed": "exact quartiles by count-collapse rank selection over the ~50-value quantity domain; windows never grow with row count",
+    # round 13 continuation (sketch toolbox)
+    "lineitem_hll_distinct_sketch": "HLL: codegen register math, <=256-key groupBy with map-side partial MAX (MAX is the sketch merge), constant-size after the collapse",
+    "orders_bloom_probe_census": "Bloom probe as array-literal codegen projection — zero join, zero shuffle on the probe path; the filter built by one bit_or groupBy (bit_or is the Bloom merge)",
+    "lineitem_hilbert_cluster_key": "Hilbert orientation-FSM key inside one WholeStageCodegen span; only non-scan work is TakeOrderedAndProject 100",
+    "orders_theta_sketch_overlap": "KMV set algebra: two distinct-collapses + TakeOrderedAndProject feed 64-row sketch arithmetic; exact truth rides one groupBy",
+    "orders_partition_key_uniformity": "three candidate keys graded in ONE exploded scan; census collapses to keys x 64 buckets with map-side partials",
+    "docs_vocab_overlap_matrix": "per-source bottom-k via WindowGroupLimit below the exchange; pair unions re-ranked over 2k-row partitions; estimates 64-number arithmetic",
+    "events_sliding_hll_distinct_users": "sliding distinct by register merge: days x 256 registers shuffle, never 7x raw user ids",
+    "lineitem_range_partition_plan": "exact RangePartitioner: single-partition window only AFTER the count collapse; boundaries a 7-row spine; assignment a broadcast array filter",
 }
 
 
