@@ -352,6 +352,9 @@ EXTENDED_R13B: list[str] = [
     "events_sliding_hll_distinct_users",
     "customer_hdr_balance_histogram",
     "lineitem_range_partition_plan",
+    "lineitem_ams_f2_sketch",
+    "orders_lineitem_join_size_sketch",
+    "lineitem_hash_sample_calibration",
 ]
 
 

@@ -1459,6 +1459,9 @@ DRIVER_PRIORITY: list[str] = [
     "events_sliding_hll_distinct_users",
     "customer_hdr_balance_histogram",
     "lineitem_range_partition_plan",
+    "lineitem_ams_f2_sketch",
+    "orders_lineitem_join_size_sketch",
+    "lineitem_hash_sample_calibration",
     # --- ROUND-13 ROTATION: head = this round's new queries (the
     # occupancy-safe embedding near-dup twin, coordinated-commit
     # streaming/checkpointing, the count-collapse Gini twin, and the

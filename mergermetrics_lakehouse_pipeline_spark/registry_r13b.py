@@ -1667,3 +1667,336 @@ def q_lineitem_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("load_ppm_of_ideal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (F2) sketch: self-join size, the join planner's statistic
+# ---------------------------------------------------------------------------
+
+#: 9 independent +/-1 sign hashes; the F2 estimate is the MEDIAN of the
+#: squared counters (median beats mean for the standard AMS variance
+#: bound, and "5th smallest of 9 integers" is exactly computable).
+_AMS_D = 9
+
+
+def _sql_ams_f2() -> str:
+    h = _h60_duck("'ams' || CAST(j AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)")
+    return f"""
+    WITH ex AS (
+      SELECT l_partkey, CAST(range AS INT) AS j FROM lineitem, range({_AMS_D})
+    ),
+    counters AS (
+      SELECT j, CAST(SUM(CASE WHEN ({h} & 1) = 1 THEN 1 ELSE -1 END)
+                     AS BIGINT) AS counter
+      FROM ex GROUP BY 1
+    ),
+    ests AS (
+      SELECT j, counter,
+             CAST(counter AS DECIMAL(19,0)) * CAST(counter AS DECIMAL(19,0))
+               AS est
+      FROM counters
+    ),
+    med AS (
+      SELECT CAST(est AS BIGINT) AS f2_estimate FROM (
+        SELECT est, row_number() OVER (ORDER BY est, j) AS rk FROM ests
+      ) WHERE rk = {(_AMS_D + 1) // 2}
+    ),
+    exact AS (
+      SELECT CAST(SUM(CAST(cnt AS DECIMAL(19,0))
+                      * CAST(cnt AS DECIMAL(19,0))) AS BIGINT)
+               AS f2_exact
+      FROM (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1)
+    )
+    SELECT e.j, e.counter, CAST(e.est AS BIGINT) AS est_j,
+           med.f2_estimate, exact.f2_exact,
+           (ABS(med.f2_estimate - exact.f2_exact) * 1000000)
+             // exact.f2_exact AS err_ppm
+    FROM ests e, med, exact
+    """
+
+
+@register(
+    "lineitem_ams_f2_sketch",
+    _sql_ams_f2(),
+    tags=["A4", "A7", "scale", "sketch"],
+)
+def q_lineitem_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch: F2 = sum of squared key frequencies of
+    l_partkey — the SELF-JOIN SIZE, the statistic a join planner needs
+    before committing to a shuffle strategy. Nine +/-1 sign-hash
+    counters (each a plain conditional SUM — map-side combinable: + is
+    the AMS merge), estimate = median of the squared counters (the 5th
+    smallest of 9 integers — exactly computable, no expectation math),
+    exact F2 and the integer-ppm error beside it.
+
+    Scale: per-row work is one hash bit per sign function; the sketch
+    is 9 integers regardless of data; squares and the exact F2 go
+    through DECIMAL(19,0)^2 -> DECIMAL(38,0) (counters reach 1e12 at
+    100 TB and their squares wrap any BIGINT). Completes the moment
+    family: F0 = HLL/KMV, F1 = COUNT, F2 = AMS."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey")
+    ex = li.select(
+        "l_partkey",
+        F.explode(F.array(*[F.lit(j) for j in range(_AMS_D)])).alias("j"),
+    )
+    h = F.expr(
+        _h60_spark("concat('ams', CAST(j AS STRING), '|', CAST(l_partkey AS STRING))")
+    )
+    sign = F.when(h.bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    counters = ex.groupBy("j").agg(F.sum(sign).cast("long").alias("counter"))
+    ests = counters.select(
+        "j",
+        "counter",
+        (
+            F.col("counter").cast("decimal(19,0)")
+            * F.col("counter").cast("decimal(19,0)")
+        ).alias("est"),
+    )
+    rk = F.row_number().over(Window.orderBy("est", "j"))
+    med = (
+        ests.withColumn("rk", rk)
+        .filter(F.col("rk") == (_AMS_D + 1) // 2)
+        .select(F.col("est").cast("long").alias("f2_estimate"))
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(19,0)")
+                * F.col("cnt").cast("decimal(19,0)")
+            )
+            .cast("long")
+            .alias("f2_exact")
+        )
+    )
+    return (
+        ests.select("j", "counter", F.col("est").cast("long").alias("est_j"))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(exact))
+        .withColumn(
+            "err_ppm",
+            F.expr("(ABS(f2_estimate - f2_exact) * 1000000) div f2_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min dot product: two-sided join-size estimation
+# ---------------------------------------------------------------------------
+
+_JS_D, _JS_W = 3, 64
+
+
+def _sql_join_size_sketch() -> str:
+    def cell(key: str) -> str:
+        h = _h60_duck(f"'js' || CAST(j AS VARCHAR) || '|' || CAST({key} AS VARCHAR)")
+        return f"{h} % {_JS_W}"
+
+    return f"""
+    WITH a AS (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    b AS (
+      SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05
+    ),
+    ca AS (
+      SELECT j, {cell('o_orderkey')} AS c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a, (SELECT CAST(range AS INT) AS j FROM range({_JS_D}))
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT j, {cell('l_orderkey')} AS c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b, (SELECT CAST(range AS INT) AS j FROM range({_JS_D}))
+      GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT ca.j,
+             CAST(SUM(CAST(ca.n AS DECIMAL(19,0)) * CAST(cb.n AS DECIMAL(19,0)))
+                  AS BIGINT) AS est_j
+      FROM ca JOIN cb ON ca.j = cb.j AND ca.c = cb.c
+      GROUP BY 1
+    ),
+    best AS (SELECT MIN(est_j) AS join_size_est FROM dots),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS join_size_exact
+      FROM a JOIN b ON a.o_orderkey = b.l_orderkey
+    )
+    SELECT d.j, d.est_j, best.join_size_est, exact.join_size_exact,
+           ((best.join_size_est - exact.join_size_exact) * 1000000)
+             // exact.join_size_exact AS overcount_ppm
+    FROM dots d, best, exact
+    """
+
+
+@register(
+    "orders_lineitem_join_size_sketch",
+    _sql_join_size_sketch(),
+    tags=["J2", "A7", "scale", "sketch"],
+)
+def q_orders_lineitem_join_size_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sided join-size estimation by count-min dot product: sketch
+    urgent orders and discounted lineitems separately (3x64 counters
+    each), estimate |A JOIN B| as the per-row dot product minimized
+    over depth, and grade against the exact join count. The estimate is
+    structurally an overcount (collisions only add), so overcount_ppm
+    >= 0 is part of the verified data.
+
+    Scale: THE pre-shuffle cardinality question ("can the join output
+    fit / which side to broadcast") answered from two fixed-size
+    sketches built in one groupBy each — the sides never meet until the
+    planner has the number. Products in DECIMAL (counts reach 1e12 at
+    100 TB; their products wrap BIGINT). The exact join rides along
+    only to grade the sketch."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    b = li.filter(F.col("l_discount") >= 0.05).select("l_orderkey")
+    js = F.explode(F.array(*[F.lit(j) for j in range(_JS_D)])).alias("j")
+
+    def cells(df: DataFrame, key: str) -> DataFrame:
+        c = F.expr(
+            _h60_spark(f"concat('js', CAST(j AS STRING), '|', CAST({key} AS STRING))")
+            + f" % {_JS_W}"
+        )
+        return (
+            df.select(key, js)
+            .select("j", c.alias("c"))
+            .groupBy("j", "c")
+            .agg(F.count("*").alias("n"))
+        )
+
+    ca, cb = cells(a, "o_orderkey"), cells(b, "l_orderkey")
+    dots = (
+        ca.join(cb.withColumnsRenamed({"n": "nb"}), ["j", "c"])
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.col("n").cast("decimal(19,0)") * F.col("nb").cast("decimal(19,0)")
+            )
+            .cast("long")
+            .alias("est_j")
+        )
+    )
+    best = dots.agg(F.min("est_j").alias("join_size_est"))
+    exact = a.join(b, a.o_orderkey == b.l_orderkey).agg(
+        F.count("*").cast("long").alias("join_size_exact")
+    )
+    return (
+        dots.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(exact))
+        .withColumn(
+            "overcount_ppm",
+            F.expr(
+                "((join_size_est - join_size_exact) * 1000000)"
+                " div join_size_exact"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash-sample calibration (approximate query processing)
+# ---------------------------------------------------------------------------
+
+_SMP_MOD = 64
+
+
+def _sql_sample_calibration() -> str:
+    h = _h60_duck(
+        "'smp|' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    )
+    return f"""
+        WITH flagged AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+             (CAST(CONCAT('0x', substr(md5('smp|' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 64 = 0) AS picked
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS exact_rows,
+             CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+             CAST(SUM(qty_c) AS BIGINT) AS exact_qty_cents,
+             CAST(SUM(CASE WHEN picked THEN qty_c ELSE 0 END) AS BIGINT)
+               AS sampled_qty_cents
+      FROM flagged GROUP BY 1
+    )
+    SELECT l_returnflag, n_sampled, exact_rows,
+           n_sampled * 64 AS est_rows,
+           (ABS(n_sampled * 64 - exact_rows) * 1000000)
+             // exact_rows AS row_err_ppm,
+           sampled_qty_cents * 64 AS est_qty_cents,
+           exact_qty_cents,
+           (ABS(sampled_qty_cents * 64 - exact_qty_cents) * 1000000)
+             // exact_qty_cents AS qty_err_ppm
+    FROM g
+    """
+
+
+@register(
+    "lineitem_hash_sample_calibration",
+    _sql_sample_calibration(),
+    tags=["A1", "A7", "scale", "sketch"],
+)
+def q_lineitem_hash_sample_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate query processing, calibrated: a deterministic 1/64
+    hash sample (salted md5 of the row key — stable under re-runs and
+    re-partitioning, unlike TABLESAMPLE/rand()) scaled up against the
+    exact per-flag row counts and quantity masses, with integer-ppm
+    errors IN the hash-checked result. This is the honest form of
+    sample-accelerated dashboards: the sample definition is part of the
+    data contract, and its calibration is regression-tested like any
+    operator.
+
+    Scale: the sample predicate is a codegen hash test in the scan
+    projection; one aggregation computes sampled and exact sides
+    together (conditional aggregates, no second scan). Quantities recover to
+    exact integer cents (the repo-wide float discipline); every number
+    in the row is BIGINT arithmetic — zero float anywhere."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        (
+            F.expr(
+                _h60_spark(
+                    "concat('smp|', CAST(l_orderkey AS STRING), ':',"
+                    " CAST(l_linenumber AS STRING))"
+                )
+                + f" % {_SMP_MOD}"
+            )
+            == 0
+        ).alias("picked"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("exact_rows"),
+        F.sum(F.when(F.col("picked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+        F.sum("qty_c").cast("long").alias("exact_qty_cents"),
+        F.sum(F.when(F.col("picked"), F.col("qty_c")).otherwise(0))
+        .cast("long")
+        .alias("sampled_qty_cents"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_sampled",
+        "exact_rows",
+        (F.col("n_sampled") * _SMP_MOD).alias("est_rows"),
+        F.expr(
+            f"(ABS(n_sampled * {_SMP_MOD} - exact_rows) * 1000000)"
+            " div exact_rows"
+        ).alias("row_err_ppm"),
+        (F.col("sampled_qty_cents") * _SMP_MOD).alias("est_qty_cents"),
+        "exact_qty_cents",
+        F.expr(
+            f"(ABS(sampled_qty_cents * {_SMP_MOD} - exact_qty_cents)"
+            " * 1000000) div exact_qty_cents"
+        ).alias("qty_err_ppm"),
+    )

@@ -269,6 +269,8 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         #   bounded by the source catalog, not data)
         "lineitem_range_partition_plan",  # 7-row boundary spine + 1-row
         #   total broadcasts over the count-collapsed value domain
+        "lineitem_ams_f2_sketch",  # 1-row median + 1-row exact-F2 stitch
+        "orders_lineitem_join_size_sketch",  # 1-row min-est + 1-row exact
     }
     registry._load_extensions()
 

@@ -190,6 +190,59 @@ def test_range_partition_plan_is_balanced_and_complete(spark):
     assert max(r["load_ppm_of_ideal"] for r in rows) < 2_000_000
 
 
+def test_countmin_join_size_never_undercounts(spark):
+    """The dot-product estimate is structurally an overcount: every
+    per-depth dot product >= the true join size, so the min is too."""
+    from mergermetrics_lakehouse_pipeline_spark.registry_r13b import (
+        q_orders_lineitem_join_size_sketch,
+    )
+
+    rows = q_orders_lineitem_join_size_sketch(spark, SF_DIR).collect()
+    assert rows
+    exact = rows[0]["join_size_exact"]
+    for r in rows:
+        assert r["est_j"] >= exact, r
+    assert rows[0]["overcount_ppm"] >= 0
+
+
+def test_ams_sketch_merges_additively(spark):
+    """AMS counters built on two disjoint halves must sum to the
+    whole-table counters (+ is the AMS merge operator)."""
+    from pyspark.sql import functions as SF
+
+    from mergermetrics_lakehouse_pipeline_spark.registry_r13b import (
+        _AMS_D,
+        _h60_spark,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_orderkey"
+    )
+
+    def counters(df):
+        ex = df.select(
+            "l_partkey",
+            SF.explode(SF.array(*[SF.lit(j) for j in range(_AMS_D)])).alias("j"),
+        )
+        h = SF.expr(
+            _h60_spark(
+                "concat('ams', CAST(j AS STRING), '|', CAST(l_partkey AS STRING))"
+            )
+        )
+        sign = SF.when(h.bitwiseAND(SF.lit(1)) == 1, 1).otherwise(-1)
+        return {
+            r["j"]: r["c"]
+            for r in ex.groupBy("j")
+            .agg(SF.sum(sign).cast("long").alias("c"))
+            .collect()
+        }
+
+    whole = counters(li)
+    lo = counters(li.filter(SF.col("l_orderkey") % 2 == 0))
+    hi = counters(li.filter(SF.col("l_orderkey") % 2 == 1))
+    assert {j: lo.get(j, 0) + hi.get(j, 0) for j in whole} == whole
+
+
 def test_vocab_overlap_estimates_track_exact(spark):
     """Across 190 source pairs the sketch Jaccard must correlate with
     the exact Jaccard: mean absolute error under 0.25 (k=32 gives

@@ -74,6 +74,9 @@ SHOWCASE = {
     "docs_vocab_overlap_matrix": "per-source bottom-k via WindowGroupLimit below the exchange; pair unions re-ranked over 2k-row partitions; estimates 64-number arithmetic",
     "events_sliding_hll_distinct_users": "sliding distinct by register merge: days x 256 registers shuffle, never 7x raw user ids",
     "lineitem_range_partition_plan": "exact RangePartitioner: single-partition window only AFTER the count collapse; boundaries a 7-row spine; assignment a broadcast array filter",
+    "lineitem_ams_f2_sketch": "F2/self-join size: nine sign-hash counters from ONE conditional-sum groupBy; median = rank pick over 9 rows",
+    "orders_lineitem_join_size_sketch": "join size from two independent count-min sketches: sides meet only as 3x64 counter tables",
+    "lineitem_hash_sample_calibration": "sample predicate as codegen hash test; sampled+exact sides in ONE conditional aggregation pass",
 }
 
 
