@@ -355,6 +355,8 @@ EXTENDED_R13B: list[str] = [
     "lineitem_ams_f2_sketch",
     "orders_lineitem_join_size_sketch",
     "lineitem_hash_sample_calibration",
+    "orders_grouping_id_matrix",
+    "delta_hll_sketch_state_roundtrip",
 ]
 
 

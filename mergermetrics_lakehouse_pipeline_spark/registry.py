@@ -1462,6 +1462,8 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_ams_f2_sketch",
     "orders_lineitem_join_size_sketch",
     "lineitem_hash_sample_calibration",
+    "orders_grouping_id_matrix",
+    "delta_hll_sketch_state_roundtrip",
     # --- ROUND-13 ROTATION: head = this round's new queries (the
     # occupancy-safe embedding near-dup twin, coordinated-commit
     # streaming/checkpointing, the count-collapse Gini twin, and the

@@ -1,9 +1,15 @@
 """Round-13 continuation surface: the mergeable-sketch toolbox
-(HyperLogLog, KMV, Bloom, count-min — each hash-replayable EXACTLY in
-the DuckDB oracle, because every register/counter is integer
-arithmetic over md5-derived hashes with at most one trailing IEEE
-division), Hilbert-curve clustering (the locality-preserving twin of
-operators/layout.py zorder_key), and this batch's census rotation.
+(HyperLogLog with in-query merge / sliding windows / Delta-persisted
+state, KMV with Theta-style set algebra and a shard-overlap matrix,
+Bloom, count-min frequencies + join-size dot product, AMS F2,
+HDR-histogram medians — each hash-replayable EXACTLY in the DuckDB
+oracle, because every register/counter is integer arithmetic over
+md5-derived hashes with at most one trailing IEEE division),
+Hilbert-curve clustering (the locality-preserving twin of
+operators/layout.py zorder_key), scale diagnostics (exact
+range-partition planning, partition-key uniformity, calibrated hash
+sampling), and SQL-surface census rows (nth_value/cume_dist,
+grouping_id, type co-occurrence).
 
 Why sketches as first-class oracle rows: at 100 TB the ONLY honest
 shapes for distinct-count / membership / frequency questions are
@@ -1999,4 +2005,211 @@ def q_lineitem_hash_sample_calibration(
             f"(ABS(sampled_qty_cents * {_SMP_MOD} - exact_qty_cents)"
             " * 1000000) div exact_qty_cents"
         ).alias("qty_err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping_id / GROUPING() surface (CUBE with a genuinely-NULL dimension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_grouping_id_matrix",
+    """
+    WITH o AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_totalprice >= 200000 THEN 'JUMBO'
+                  WHEN o_totalprice >= 100000 THEN 'LARGE'
+                  ELSE NULL END AS band,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderpriority, band,
+           CAST(GROUPING(o_orderpriority, band) AS BIGINT) AS gid,
+           CAST(GROUPING(band) AS BIGINT) AS band_is_subtotal,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS price_cents
+    FROM o GROUP BY CUBE (o_orderpriority, band)
+    """,
+    tags=["A1", "A7", "cube"],
+)
+def q_orders_grouping_id_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id()/GROUPING() surface coverage — the one CUBE
+    mechanism the earlier cube/rollup rows never exercised: the band
+    dimension is GENUINELY NULL for small orders, so a plain CUBE
+    output cannot distinguish "subtotal over all bands" from "the NULL
+    band's own group". grouping_id (bitmask over both dimensions, MSB =
+    leftmost, pinned cross-engine by the oracle) and GROUPING(band)
+    disambiguate; masses in exact integer cents.
+
+    Scale: CUBE expands grouping sets map-side before ONE exchange —
+    same shape as cube_segment_priority; the gid columns are free
+    metadata on the aggregation."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") >= 200000, "JUMBO")
+        .when(F.col("o_totalprice") >= 100000, "LARGE")
+        .otherwise(F.lit(None))
+        .alias("band"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        o.cube("o_orderpriority", "band")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.grouping("band").cast("long").alias("band_is_subtotal"),
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("long").alias("price_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "band",
+            "gid",
+            "band_is_subtotal",
+            "n_orders",
+            "price_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta-persisted sketch state: HLL registers as a MERGE-maintained table
+# ---------------------------------------------------------------------------
+
+
+def _sql_delta_sketch_state() -> str:
+    h = _h60_duck("'hlls|' || CAST(o_custkey AS VARCHAR)")
+    return f"""
+    WITH r AS (
+      SELECT year(o_orderdate) AS y,
+             {h} & 255 AS register,
+             CASE WHEN ({h} >> 8) = 0 THEN {_HLL_RMAX}
+                  ELSE {_HLL_RMAX} - length(bin({h} >> 8)) END AS rho,
+             o_custkey
+      FROM orders
+    ),
+    final_regs AS (
+      SELECT register, MAX(rho) AS m_val FROM r GROUP BY 1
+    ),
+    v0_regs AS (
+      SELECT register FROM r WHERE y <= 1994 GROUP BY 1
+    ),
+    est AS (
+      SELECT ROUND({_HLL_NUM!r}
+                   / CAST(SUM(1::BIGINT << ({_HLL_RMAX} - m_val))
+                          + ({_HLL_M} - COUNT(*))
+                            * {2**_HLL_RMAX}::BIGINT AS DOUBLE),
+                   4) AS hll_estimate,
+             CAST(COUNT(*) AS BIGINT) AS final_registers
+      FROM final_regs
+    )
+    SELECT CAST(2 AS BIGINT) AS final_version,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v0_regs) AS v0_registers,
+           est.final_registers, est.hll_estimate,
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+             AS exact_distinct
+    FROM est
+    """
+
+
+@register(
+    "delta_hll_sketch_state_roundtrip",
+    _sql_delta_sketch_state(),
+    tags=["S6", "J5", "delta", "sketch", "roundtrip"],
+)
+def q_delta_hll_sketch_state_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketches as LAKEHOUSE STATE: HLL registers for o_custkey live in
+    a Delta table and are maintained by MERGE as order-year batches
+    arrive — the incremental-analytics shape where daily distinct
+    counts update a 256-row table instead of rescanning history. Three
+    commits (create + two MERGEs whose sources are pre-resolved to
+    greatest(state, batch) — update-all MERGE then lands the max);
+    the row returns the final log version, the register count TIME
+    TRAVELLED back to v0 (proving the state history is queryable), the
+    final register count, the estimate, and the exact distinct. The
+    oracle replays everything from the pristine table: MAX is
+    associative, so merged-state-over-batches == one-pass registers —
+    any MERGE that drops or double-applies a batch flips the hash.
+
+    Scale: each maintenance commit touches a <=256-row state table
+    (file-count bounded); the raw scan happens once per batch, exactly
+    as a streaming foreachBatch would (parity pinned in
+    tests/test_sketches.py). Composes the two round-13 families:
+    the sketch toolbox and the Delta protocol engine."""
+    import tempfile
+
+    from .sources.delta_log import merge_delta, read_delta, write_delta
+
+    root = tempfile.mkdtemp(prefix="mm_hll_state_") + "/sketch_delta"
+    o = T(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), "o_custkey"
+    )
+    h = F.expr(_h60_spark("concat('hlls|', CAST(o_custkey AS STRING))"))
+    rest = F.shiftright(h, 8)
+    rho = (
+        F.when(rest == 0, F.lit(_HLL_RMAX))
+        .otherwise(F.lit(_HLL_RMAX) - F.length(F.conv(rest, 10, 2)))
+        .cast("int")
+    )
+    rows = o.select(
+        "y", h.bitwiseAND(F.lit(255)).alias("register"), rho.alias("rho")
+    )
+
+    def regs(pred: str) -> DataFrame:
+        return (
+            rows.filter(pred)
+            .groupBy("register")
+            .agg(F.max("rho").alias("m_val"))
+        )
+
+    write_delta(regs("y <= 1994"), root, mode="overwrite")
+    for pred in ("y >= 1995 and y <= 1996", "y >= 1997"):
+        batch = regs(pred)
+        cur = read_delta(spark, root).select(
+            F.col("register").alias("c_register"), F.col("m_val").alias("c_m")
+        )
+        resolved = (
+            batch.join(cur, batch.register == cur.c_register, "left")
+            .select(
+                "register",
+                F.greatest(
+                    F.col("m_val"), F.coalesce(F.col("c_m"), F.lit(0))
+                ).alias("m_val"),
+            )
+        )
+        merge_delta(spark, root, resolved, "register")
+
+    final = read_delta(spark, root)
+    v0 = read_delta(spark, root, version=0)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - m_val)")
+    est = final.agg(
+        F.round(
+            F.lit(_HLL_NUM)
+            / (
+                F.sum(term)
+                + (F.lit(_HLL_M) - F.count("*")) * F.lit(2**_HLL_RMAX)
+            ).cast("double"),
+            4,
+        ).alias("hll_estimate"),
+        F.count("*").cast("long").alias("final_registers"),
+    )
+    v0n = v0.agg(F.count("*").cast("long").alias("v0_registers"))
+    exact = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    from .sources.delta_log import snapshot
+
+    ver = snapshot(spark, root).version
+    return (
+        est.crossJoin(F.broadcast(v0n))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(int(ver)).cast("long").alias("final_version"),
+            "v0_registers",
+            "final_registers",
+            "hll_estimate",
+            "exact_distinct",
+        )
     )

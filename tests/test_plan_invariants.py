@@ -271,6 +271,8 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         #   total broadcasts over the count-collapsed value domain
         "lineitem_ams_f2_sketch",  # 1-row median + 1-row exact-F2 stitch
         "orders_lineitem_join_size_sketch",  # 1-row min-est + 1-row exact
+        "delta_hll_sketch_state_roundtrip",  # 1-row estimate x v0 x exact
+        #   stitch over the <=256-row state table
     }
     registry._load_extensions()
 

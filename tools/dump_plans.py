@@ -77,6 +77,7 @@ SHOWCASE = {
     "lineitem_ams_f2_sketch": "F2/self-join size: nine sign-hash counters from ONE conditional-sum groupBy; median = rank pick over 9 rows",
     "orders_lineitem_join_size_sketch": "join size from two independent count-min sketches: sides meet only as 3x64 counter tables",
     "lineitem_hash_sample_calibration": "sample predicate as codegen hash test; sampled+exact sides in ONE conditional aggregation pass",
+    "delta_hll_sketch_state_roundtrip": "sketch state in Delta: per-batch MERGE touches a <=256-row table; raw data scanned once per batch, history time-travelable",
 }
 
 
