@@ -357,6 +357,7 @@ EXTENDED_R13B: list[str] = [
     "lineitem_hash_sample_calibration",
     "orders_grouping_id_matrix",
     "delta_hll_sketch_state_roundtrip",
+    "orders_priority_bitmap_index",
 ]
 
 

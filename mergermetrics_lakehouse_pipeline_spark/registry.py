@@ -1464,6 +1464,7 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_hash_sample_calibration",
     "orders_grouping_id_matrix",
     "delta_hll_sketch_state_roundtrip",
+    "orders_priority_bitmap_index",
     # --- ROUND-13 ROTATION: head = this round's new queries (the
     # occupancy-safe embedding near-dup twin, coordinated-commit
     # streaming/checkpointing, the count-collapse Gini twin, and the

@@ -2213,3 +2213,134 @@ def q_delta_hll_sketch_state_roundtrip(
             "exact_distinct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bitmap-index intersections: bit_and/bit_or/bit_count set algebra
+# ---------------------------------------------------------------------------
+
+#: same 64-word x 62-usable-bit geometry as the Bloom row (bits 62/63
+#: never set, so signed-BIGINT bitwise ops agree cross-engine).
+_BIX_WORDS, _BIX_BITS = 64, 62
+_BIX_M = _BIX_WORDS * _BIX_BITS
+
+
+def _sql_bitmap_index() -> str:
+    h = _h60_duck("'bix|' || CAST(o_orderkey AS VARCHAR)")
+    return f"""
+    WITH b AS (
+      SELECT o_orderpriority AS pri, {h} % {_BIX_M} AS p FROM orders
+    ),
+    sparse AS (
+      SELECT pri, p // {_BIX_BITS} AS wi,
+             bit_or(1::BIGINT << CAST(p % {_BIX_BITS} AS INT)) AS w
+      FROM b GROUP BY 1, 2
+    ),
+    words AS (
+      -- densify to the full word domain: a word held by only one side
+      -- must still contribute its bits to the pair's union
+      SELECT s.pri, g.wi, COALESCE(sp.w, 0) AS w
+      FROM (SELECT DISTINCT pri FROM b) s
+      CROSS JOIN (SELECT CAST(range AS BIGINT) AS wi
+                  FROM range({_BIX_WORDS})) g
+      LEFT JOIN sparse sp ON sp.pri = s.pri AND sp.wi = g.wi
+    ),
+    pop AS (
+      SELECT pri, CAST(SUM(bit_count(w)) AS BIGINT) AS buckets FROM words
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.pri AS pri_a, b.pri AS pri_b,
+             CAST(SUM(bit_count(a.w & b.w)) AS BIGINT) AS buckets_both,
+             CAST(SUM(bit_count(a.w | b.w)) AS BIGINT) AS buckets_either
+      FROM words a JOIN words b ON a.wi = b.wi AND a.pri < b.pri
+      GROUP BY 1, 2
+    )
+    SELECT p.pri_a, p.pri_b, pa.buckets AS buckets_a, pb.buckets AS buckets_b,
+           p.buckets_both, p.buckets_either,
+           (p.buckets_both * 1000000) // p.buckets_either AS overlap_ppm
+    FROM pairs p
+    JOIN pop pa ON pa.pri = p.pri_a
+    JOIN pop pb ON pb.pri = p.pri_b
+    """
+
+
+@register(
+    "orders_priority_bitmap_index",
+    _sql_bitmap_index(),
+    tags=["A7", "P10", "scale", "sketch"],
+)
+def q_orders_priority_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra — the OLAP accelerator made explicit:
+    each priority's orderkey population compresses to a 64-word bucket
+    bitmap (bit_or groupBy — bit_or IS the bitmap merge), and every
+    pairwise co-occupancy / union question is answered by
+    bit_count(a & b) / bit_count(a | b) over co-located words, never by
+    touching rows again. This is how bitmap indexes serve multi-predicate
+    COUNT queries at 100 TB: fixed-size per predicate value, CPU-cheap
+    word-wise AND/OR, results exact at bucket grain.
+
+    Scale: bitmap build is one groupBy with map-side combine; the
+    pairwise pass joins two 64-row-per-value tables on the word index
+    (priority-pair fan-out bounded by the 5-value catalog). Bits 62/63
+    stay clear so signed-BIGINT semantics agree cross-engine; the
+    overlap ratio is integer ppm — zero float in the row."""
+    o = T(spark, sf_dir, "orders")
+    p = F.expr(
+        _h60_spark("concat('bix|', CAST(o_orderkey AS STRING))") + f" % {_BIX_M}"
+    )
+    b = o.select(F.col("o_orderpriority").alias("pri"), p.alias("p"))
+    sparse = b.groupBy(
+        "pri", F.expr(f"p div {_BIX_BITS}").alias("wi")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {_BIX_BITS} AS INT)))"
+        ).alias("w")
+    )
+    # densify to the full word domain (|priorities| x 64 rows, bounded):
+    # a word held by only one side must still contribute to the union
+    spine = b.select("pri").distinct().crossJoin(
+        F.broadcast(spark.range(_BIX_WORDS).select(F.col("id").alias("wi")))
+    )
+    words = spine.join(F.broadcast(sparse), ["pri", "wi"], "left").select(
+        "pri", "wi", F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("w")
+    )
+    pop = words.groupBy("pri").agg(
+        F.sum(F.bit_count("w")).cast("long").alias("buckets")
+    )
+    wa = words.select(
+        F.col("pri").alias("pri_a"), "wi", F.col("w").alias("wa")
+    )
+    wb = words.select(
+        F.col("pri").alias("pri_b"), "wi", F.col("w").alias("wb")
+    )
+    pairs = (
+        wa.join(wb, "wi")
+        .filter(F.col("pri_a") < F.col("pri_b"))
+        .groupBy("pri_a", "pri_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("long")
+            .alias("buckets_both"),
+            F.sum(F.bit_count(F.col("wa").bitwiseOR(F.col("wb"))))
+            .cast("long")
+            .alias("buckets_either"),
+        )
+    )
+    pa = pop.select(F.col("pri").alias("pri_a"), F.col("buckets").alias("buckets_a"))
+    pb = pop.select(F.col("pri").alias("pri_b"), F.col("buckets").alias("buckets_b"))
+    return (
+        pairs.join(F.broadcast(pa), "pri_a")
+        .join(F.broadcast(pb), "pri_b")
+        .select(
+            "pri_a",
+            "pri_b",
+            "buckets_a",
+            "buckets_b",
+            "buckets_both",
+            "buckets_either",
+            F.expr("(buckets_both * 1000000) div buckets_either").alias(
+                "overlap_ppm"
+            ),
+        )
+    )

@@ -273,6 +273,8 @@ def test_no_query_plans_nested_loop_or_python_udf(spark, sf_dir):
         "orders_lineitem_join_size_sketch",  # 1-row min-est + 1-row exact
         "delta_hll_sketch_state_roundtrip",  # 1-row estimate x v0 x exact
         #   stitch over the <=256-row state table
+        "orders_priority_bitmap_index",  # priority-catalog x 64-word
+        #   densification spine (bounded by geometry, not data)
     }
     registry._load_extensions()
 

@@ -243,6 +243,74 @@ def test_ams_sketch_merges_additively(spark):
     assert {j: lo.get(j, 0) + hi.get(j, 0) for j in whole} == whole
 
 
+def test_streaming_countmin_cells_merge_additively(spark, tmp_path):
+    """Count-min maintenance under Structured Streaming: cell counts
+    folded batch-by-batch (+ is the CM merge) must equal the one-pass
+    sketch — the frequency twin of the HLL register parity test."""
+    from mergermetrics_lakehouse_pipeline_spark.registry_r13b import _h60_spark
+
+    src = str(tmp_path / "events4")
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    def cells(df):
+        ex = df.select(
+            "event_type",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        c = F.expr(
+            _h60_spark("concat('cm', CAST(j AS STRING), '|', event_type)") + " % 8"
+        )
+        return {
+            (r["j"], r["c"]): r["n"]
+            for r in ex.select("j", c.alias("c"))
+            .groupBy("j", "c")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    store: dict[tuple, int] = {}
+
+    def fold(batch_df, _bid):
+        for k, n in cells(batch_df).items():
+            store[k] = store.get(k, 0) + n
+
+    schema = spark.read.parquet(src).schema
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+        .awaitTermination(120)
+    )
+    assert store == cells(spark.read.parquet(src))
+
+
+def test_bitmap_index_algebra_is_consistent(spark):
+    """Bitmap set identities on every priority pair: |A∩B| + |A∪B| =
+    |A| + |B|, intersections bounded by the smaller side."""
+    from mergermetrics_lakehouse_pipeline_spark.registry_r13b import (
+        q_orders_priority_bitmap_index,
+    )
+
+    rows = q_orders_priority_bitmap_index(spark, SF_DIR).collect()
+    assert len(rows) == 10  # 5 priorities -> C(5,2) pairs
+    for r in rows:
+        assert (
+            r["buckets_both"] + r["buckets_either"]
+            == r["buckets_a"] + r["buckets_b"]
+        ), r
+        assert r["buckets_both"] <= min(r["buckets_a"], r["buckets_b"]), r
+
+
 def test_vocab_overlap_estimates_track_exact(spark):
     """Across 190 source pairs the sketch Jaccard must correlate with
     the exact Jaccard: mean absolute error under 0.25 (k=32 gives
