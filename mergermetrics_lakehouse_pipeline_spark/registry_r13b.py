@@ -2315,7 +2315,10 @@ def q_orders_priority_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("pri").alias("pri_b"), "wi", F.col("w").alias("wb")
     )
     pairs = (
-        wa.join(wb, "wi")
+        # wb is |priorities| x 64 rows by construction — pin the
+        # broadcast so AQE stats at different SFs can't flip the
+        # strategy (observed: a 10x run re-planned this join)
+        wa.join(F.broadcast(wb), "wi")
         .filter(F.col("pri_a") < F.col("pri_b"))
         .groupBy("pri_a", "pri_b")
         .agg(
