@@ -125,6 +125,30 @@ def test_hilbert_fsm_is_a_hilbert_curve(spark):
         assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos[d], pos[d + 1])
 
 
+def test_hilbert_fsm_holds_at_other_orders(spark):
+    """The FSM generalizes: bijectivity + unit-step adjacency must hold
+    at every curve order, not just the shipped order 8 (a table typo
+    that happens to work at one depth would fail at another)."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.layout import hilbert_col
+
+    for order in (2, 4, 6):
+        n = 1 << order
+        cells = (
+            spark.range(n * n)
+            .select(
+                (F.col("id") % n).alias("x"),
+                (F.col("id") / n).cast("long").alias("y"),
+            )
+            .select("x", "y", hilbert_col(F.col("x"), F.col("y"), order).alias("d"))
+            .collect()
+        )
+        pos = {r["d"]: (r["x"], r["y"]) for r in cells}
+        assert len(pos) == n * n and min(pos) == 0 and max(pos) == n * n - 1
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, (order, d)
+
+
 def test_hilbert_write_narrows_both_dimensions(spark, tmp_path):
     """hilbert_write mirrors the zorder_write contract: every file gets
     a bounded min/max footer range in BOTH clustered dimensions."""
