@@ -51,6 +51,18 @@ HEADLINE = [
     "cube_segment_priority",
 ]
 
+#: Scale-honest headline (round 14, VERDICT r13 next-step #1): identical
+#: to HEADLINE except the one documented bounded-bucket-contract row
+#: `emb_neardup_pairs` (quadratic within label buckets — 43% of the SF1
+#: V1 total at 17x per 10x data) is swapped for its occupancy-safe
+#: same-semantics twin `emb_neardup_capped_pairs` (1.86x per 10x). V1
+#: stays frozen and reported for round-over-round continuity; V2 is the
+#: set whose 10x ratio actually measures the engine's scale posture.
+HEADLINE_V2 = [
+    "emb_neardup_capped_pairs" if q == "emb_neardup_pairs" else q
+    for q in HEADLINE
+]
+
 #: Round-2 flagships, timed identically but reported under "extended" so
 #: the primary metric stays comparable with BENCH_r01's 26-query set.
 EXTENDED = [
@@ -400,6 +412,7 @@ def main() -> None:
         return out
 
     timings = time_set(HEADLINE)
+    headline_v2 = time_set(HEADLINE_V2)
     extended = time_set(EXTENDED)
     extended_r3 = time_set(EXTENDED_R3)
     extended_r4 = time_set(EXTENDED_R4)
@@ -420,6 +433,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs": runs,
+        "headline_v2": headline_v2,
+        "headline_v2_total": round(sum(headline_v2.values()), 3),
         "extended": extended,
         "extended_total": round(sum(extended.values()), 3),
         "extended_r3": extended_r3,
@@ -463,6 +478,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs": runs,
+                "headline_v2_total": full["headline_v2_total"],
                 "extended_total": full["extended_total"],
                 "extended_r3_total": full["extended_r3_total"],
                 "extended_r4_total": full["extended_r4_total"],

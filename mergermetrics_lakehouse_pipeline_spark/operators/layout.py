@@ -162,7 +162,13 @@ def hilbert_key(df: DataFrame, xcol: str, ycol: str, order: int = 8) -> DataFram
 
 
 def hilbert_write(
-    df: DataFrame, path: str, *, xcol: str, ycol: str, n_files: int
+    df: DataFrame,
+    path: str,
+    *,
+    xcol: str,
+    ycol: str,
+    n_files: int,
+    order: int = 8,
 ) -> None:
     """Rewrite ``df`` as ``n_files`` parquet files clustered along the
     Hilbert curve on (xcol, ycol): like zorder_write, every file gets a
@@ -170,8 +176,10 @@ def hilbert_write(
     locality gives tighter per-file bounding boxes than Morton at the
     same file count (no seam jumps splitting a file across distant
     regions). This is the published layout behind Databricks liquid
-    clustering's curve choice."""
-    keyed = hilbert_key(df, xcol, ycol)
+    clustering's curve choice. ``order`` tunes cell granularity
+    (2^order cells per axis), forwarded to hilbert_key like
+    hilbert_col exposes it (ADVICE r13 #4)."""
+    keyed = hilbert_key(df, xcol, ycol, order=order)
     (
         keyed.repartitionByRange(n_files, F.col(_HKEY))
         .sortWithinPartitions(_HKEY)

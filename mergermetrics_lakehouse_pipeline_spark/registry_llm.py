@@ -13,6 +13,7 @@ recall/property tests instead.
 
 from __future__ import annotations
 
+from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2054,7 +2055,7 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_batch = F.col("doc_id") % 10 == 0
 
     # --- index build (once per corpus, not per ingest) ---
-    root = tempfile.mkdtemp(prefix="mm_dedup_index_")
+    root = scratch_dir(prefix="mm_dedup_index_")
     index_docs = d.filter(~is_batch)
     write_version(
         dd.minhash_band_keys(
@@ -2292,7 +2293,7 @@ def q_docs_dedup_index_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_b1 = F.col("doc_id") % 10 == 0
     in_b2 = F.col("doc_id") % 10 == 5
 
-    root = tempfile.mkdtemp(prefix="mm_dedup_evo_")
+    root = scratch_dir(prefix="mm_dedup_evo_")
     bands_root, keys_root = f"{root}/bands", f"{root}/keys"
     index0 = d.filter(~in_b1 & ~in_b2)
     write_version(
@@ -2467,7 +2468,7 @@ def q_docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % 8
     )
-    root = tempfile.mkdtemp(prefix="mm_shards_")
+    root = scratch_dir(prefix="mm_shards_")
     d.withColumn("shard", shard).write.partitionBy("shard").mode(
         "overwrite"
     ).parquet(root)

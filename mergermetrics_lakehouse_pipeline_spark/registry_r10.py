@@ -24,6 +24,7 @@ import glob
 import os
 import tempfile
 
+from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -229,7 +230,7 @@ def q_delta_type_widening_roundtrip(
 
     from .sources.delta_log import read_delta, snapshot, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_tw_rt_") + "/li_widen"
+    root = scratch_dir(prefix="mm_tw_rt_") + "/li_widen"
     li = (
         T(spark, sf_dir, "lineitem")
         .filter("l_orderkey <= 2000 AND l_linenumber = 1")
@@ -321,7 +322,7 @@ def q_delta_type_widening_pysource(
     )
     from pyspark.sql.datasource import GreaterThan
 
-    root = tempfile.mkdtemp(prefix="mm_tw_ps_") + "/li_widen_ps"
+    root = scratch_dir(prefix="mm_tw_ps_") + "/li_widen_ps"
     li = (
         T(spark, sf_dir, "lineitem")
         .filter("l_orderkey <= 1500 AND l_linenumber <= 2")
@@ -414,7 +415,7 @@ def q_delta_log_compaction_roundtrip(
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_compact_rt_") + "/orders_compact"
+    root = scratch_dir(prefix="mm_compact_rt_") + "/orders_compact"
     o = (
         T(spark, sf_dir, "orders")
         .filter("o_orderkey <= 4000")
@@ -1124,7 +1125,7 @@ def q_delta_vacuum_protocol_roundtrip(
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_vac_rt_") + "/orders_vac"
+    root = scratch_dir(prefix="mm_vac_rt_") + "/orders_vac"
     o = (
         T(spark, sf_dir, "orders")
         .filter("o_orderkey <= 3000")
@@ -1321,7 +1322,7 @@ def q_delta_version_checksum_roundtrip(
         write_version_checksum,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_crc_rt_") + "/cust_crc"
+    root = scratch_dir(prefix="mm_crc_rt_") + "/cust_crc"
     c = (
         T(spark, sf_dir, "customer")
         .filter("c_custkey <= 2400")

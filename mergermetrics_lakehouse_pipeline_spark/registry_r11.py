@@ -22,6 +22,7 @@ import glob
 import os
 import tempfile
 
+from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -45,7 +46,7 @@ def _build_defaults_table(spark: SparkSession, sf_dir: str, limit: int) -> str:
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_cd_rt_") + "/cust_defaults"
+    root = scratch_dir(prefix="mm_cd_rt_") + "/cust_defaults"
     c = (
         T(spark, sf_dir, "customer")
         .filter(f"c_custkey <= {limit}")
@@ -255,7 +256,7 @@ def q_delta_checkpoint_protection_roundtrip(
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_cp_rt_") + "/orders_cp"
+    root = scratch_dir(prefix="mm_cp_rt_") + "/orders_cp"
     o = (
         T(spark, sf_dir, "orders")
         .filter("o_orderkey <= 20000")
@@ -1362,7 +1363,7 @@ def q_delta_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     results)."""
     from .sources.delta_log import read_delta, snapshot, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_vt_rt_") + "/events_variant"
+    root = scratch_dir(prefix="mm_vt_rt_") + "/events_variant"
     e = T(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -1453,7 +1454,7 @@ def q_delta_catalog_owned_roundtrip(
     from .sources.delta_log import DeltaProtocolError
     from .sources.delta_log import read_delta as _fs_read
 
-    base = tempfile.mkdtemp(prefix="mm_co_rt_")
+    base = scratch_dir(prefix="mm_co_rt_")
     root = os.path.join(base, "orders_owned")
     cat = FileCommitCoordinator(os.path.join(base, "catalog"))
     o = T(spark, sf_dir, "orders").select(

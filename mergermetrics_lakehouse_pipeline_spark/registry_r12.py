@@ -23,6 +23,7 @@ import os
 import tempfile
 import uuid
 
+from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -167,7 +168,7 @@ def q_delta_catalog_owned_dml_roundtrip(
     )
     from .sources.delta_log import ConcurrentModificationError
 
-    base_dir = tempfile.mkdtemp(prefix="mm_co_dml_")
+    base_dir = scratch_dir(prefix="mm_co_dml_")
     root = os.path.join(base_dir, "orders_owned")
     cat = FileCommitCoordinator(os.path.join(base_dir, "catalog"))
 

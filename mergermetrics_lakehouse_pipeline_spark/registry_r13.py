@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -225,7 +226,7 @@ def q_delta_catalog_owned_stream_roundtrip(
         write_checkpoint_coordinated,
     )
 
-    base = tempfile.mkdtemp(prefix="mm_co_stream_rt_")
+    base = scratch_dir(prefix="mm_co_stream_rt_")
     root = os.path.join(base, "nation_co")
     cat = FileCommitCoordinator(os.path.join(base, "catalog"))
     nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
@@ -1567,7 +1568,7 @@ def q_delta_catalog_owned_maintenance_roundtrip(
         vacuum_coordinated,
     )
 
-    base = tempfile.mkdtemp(prefix="mm_co_maint_rt_")
+    base = scratch_dir(prefix="mm_co_maint_rt_")
     root = os.path.join(base, "supplier_co")
     cat = FileCommitCoordinator(os.path.join(base, "catalog"))
     s = T(spark, sf_dir, "supplier").select(

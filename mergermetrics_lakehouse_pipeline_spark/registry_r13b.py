@@ -27,6 +27,7 @@ surface for the scales where exact countDistinct stops being a plan.
 
 from __future__ import annotations
 
+from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -722,13 +723,13 @@ def q_events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Theta-style KMV set algebra: cross-shard overlap without a join
 # ---------------------------------------------------------------------------
 
-#: (k-1) * 2^54 — the KMV estimate numerator with the intersection
-#: scaling 1/k folded into the exponent (2^60 / 64 = 2^54), so the
-#: intersection estimate is ONE division: matches * this / h_k. The
-#: DECIMAL(20,0) product keeps matches * 63 * 2^54 exact past BIGINT.
+#: Sketch capacity. The estimators derive k_eff = COUNT(*) of the union
+#: sample at runtime (ADVICE r13: hardcoding (k-1)=63 and /64 is
+#: mathematically invalid when a side has fewer than 64 distinct keys);
+#: when k_eff < K the sample IS the union, so the estimates collapse to
+#: the exact sample counts — the standard KMV small-set branch.
 _THETA_K = 64
-_THETA_UNION_NUM = float((_THETA_K - 1) * 2**60)
-_THETA_INTER_SCALE = (_THETA_K - 1) * 2**54
+_THETA_H60 = float(2**60)
 
 
 def _sql_theta_overlap() -> str:
@@ -749,7 +750,10 @@ def _sql_theta_overlap() -> str:
       FROM u64
       WHERE h IN (SELECT h FROM a64) AND h IN (SELECT h FROM b64)
     ),
-    uk AS (SELECT MAX(h) AS union_kth FROM u64),
+    uk AS (
+      SELECT MAX(h) AS union_kth, CAST(COUNT(*) AS BIGINT) AS k_eff
+      FROM u64
+    ),
     ex AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
              CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
@@ -766,12 +770,20 @@ def _sql_theta_overlap() -> str:
     )
     SELECT m.matches,
            uk.union_kth,
-           (m.matches * 1000000) // {_THETA_K} AS jaccard_ppm,
-           ROUND({_THETA_UNION_NUM!r} / CAST(uk.union_kth AS DOUBLE), 4)
-             AS union_est,
-           ROUND(CAST(CAST(m.matches AS DECIMAL(20,0))
-                      * {_THETA_INTER_SCALE} AS DOUBLE)
-                 / CAST(uk.union_kth AS DOUBLE), 4) AS inter_est,
+           uk.k_eff,
+           (m.matches * 1000000) // uk.k_eff AS jaccard_ppm,
+           CASE WHEN uk.k_eff < {_THETA_K}
+                THEN CAST(uk.k_eff AS DOUBLE)
+                ELSE ROUND(CAST(uk.k_eff - 1 AS DOUBLE) * {_THETA_H60!r}
+                           / CAST(uk.union_kth AS DOUBLE), 4)
+           END AS union_est,
+           CASE WHEN uk.k_eff < {_THETA_K}
+                THEN CAST(m.matches AS DOUBLE)
+                ELSE ROUND(CAST(m.matches AS DOUBLE)
+                           * CAST(uk.k_eff - 1 AS DOUBLE) * {_THETA_H60!r}
+                           / (CAST(uk.k_eff AS DOUBLE)
+                              * CAST(uk.union_kth AS DOUBLE)), 4)
+           END AS inter_est,
            ex.exact_union, ex.exact_inter
     FROM m, uk, ex
     """
@@ -789,9 +801,12 @@ def q_orders_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     = bottom-k(bottom-k(A) ∪ bottom-k(B))), intersection = the
     union-sample members found in both sketches (exact membership: any
     union-sample hash is <= both sets' k-th minimum, so sketch
-    membership equals set membership). Jaccard is integer ppm; the two
-    estimates are each ONE IEEE division; exact union/intersection ride
-    along for honesty.
+    membership equals set membership). k_eff = |union sample| is
+    derived at runtime (ADVICE r13 #2 — hardcoded 63//64 was invalid
+    for degenerate inputs); when k_eff < K the sample IS the union and
+    the estimates collapse to the exact sample counts, the standard KMV
+    small-set branch. Jaccard is integer ppm; exact union/intersection
+    ride along for honesty.
 
     Scale: THE cross-shard dedup-planning primitive — "how much do
     corpus shards A and B overlap?" answered from two 64-number
@@ -813,7 +828,10 @@ def q_orders_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(b64.withColumnRenamed("h", "hb")), F.col("h") == F.col("hb"), "left_semi")
         .agg(F.count("*").cast("long").alias("matches"))
     )
-    uk = u64.agg(F.max("h").alias("union_kth"))
+    uk = u64.agg(
+        F.max("h").alias("union_kth"),
+        F.count("*").cast("long").alias("k_eff"),
+    )
     keys = o.filter(F.year("o_orderdate").isin(1995, 1996)).select(
         "o_custkey", F.year("o_orderdate").alias("y")
     )
@@ -835,18 +853,36 @@ def q_orders_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "matches",
             "union_kth",
-            F.expr(f"(matches * 1000000) div {_THETA_K}").alias("jaccard_ppm"),
-            F.round(
-                F.lit(_THETA_UNION_NUM) / F.col("union_kth").cast("double"), 4
-            ).alias("union_est"),
-            F.round(
-                (
-                    F.col("matches").cast("decimal(20,0)")
-                    * F.lit(_THETA_INTER_SCALE).cast("decimal(20,0)")
-                ).cast("double")
-                / F.col("union_kth").cast("double"),
-                4,
-            ).alias("inter_est"),
+            "k_eff",
+            F.expr("(matches * 1000000) div k_eff").alias("jaccard_ppm"),
+            F.when(
+                F.col("k_eff") < _THETA_K, F.col("k_eff").cast("double")
+            )
+            .otherwise(
+                F.round(
+                    (F.col("k_eff") - 1).cast("double")
+                    * F.lit(_THETA_H60)
+                    / F.col("union_kth").cast("double"),
+                    4,
+                )
+            )
+            .alias("union_est"),
+            F.when(
+                F.col("k_eff") < _THETA_K, F.col("matches").cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.col("matches").cast("double")
+                    * (F.col("k_eff") - 1).cast("double")
+                    * F.lit(_THETA_H60)
+                    / (
+                        F.col("k_eff").cast("double")
+                        * F.col("union_kth").cast("double")
+                    ),
+                    4,
+                )
+            )
+            .alias("inter_est"),
             "exact_union",
             "exact_inter",
         )
@@ -1703,21 +1739,22 @@ def _sql_ams_f2() -> str:
       FROM counters
     ),
     med AS (
-      SELECT CAST(est AS BIGINT) AS f2_estimate FROM (
+      SELECT CAST(est AS DOUBLE) AS f2_estimate FROM (
         SELECT est, row_number() OVER (ORDER BY est, j) AS rk FROM ests
       ) WHERE rk = {(_AMS_D + 1) // 2}
     ),
     exact AS (
-      SELECT CAST(SUM(CAST(cnt AS DECIMAL(19,0))
-                      * CAST(cnt AS DECIMAL(19,0))) AS BIGINT)
+      SELECT CAST(CAST(SUM(CAST(cnt AS DECIMAL(19,0))
+                           * CAST(cnt AS DECIMAL(19,0)))
+                       AS DECIMAL(38,0)) AS DOUBLE)
                AS f2_exact
       FROM (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM lineitem GROUP BY 1)
     )
-    SELECT e.j, e.counter, CAST(e.est AS BIGINT) AS est_j,
+    SELECT e.j, e.counter, CAST(e.est AS DOUBLE) AS est_j,
            med.f2_estimate, exact.f2_exact,
-           (ABS(med.f2_estimate - exact.f2_exact) * 1000000)
-             // exact.f2_exact AS err_ppm
+           CAST(FLOOR(ABS(med.f2_estimate - exact.f2_exact) * 1000000.0
+                      / exact.f2_exact) AS BIGINT) AS err_ppm
     FROM ests e, med, exact
     """
 
@@ -1763,7 +1800,7 @@ def q_lineitem_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         ests.withColumn("rk", rk)
         .filter(F.col("rk") == (_AMS_D + 1) // 2)
-        .select(F.col("est").cast("long").alias("f2_estimate"))
+        .select(F.col("est").cast("double").alias("f2_estimate"))
     )
     exact = (
         li.groupBy("l_partkey")
@@ -1773,17 +1810,29 @@ def q_lineitem_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").cast("decimal(19,0)")
                 * F.col("cnt").cast("decimal(19,0)")
             )
-            .cast("long")
+            .cast("decimal(38,0)")
+            .cast("double")
             .alias("f2_exact")
         )
     )
+    # ACCUMULATION is exact DECIMAL(38,0) (counters reach 1e12 at
+    # 100 TB and their squares wrap any BIGINT); the OUTPUT renders the
+    # exact accumulator as DOUBLE (ADVICE r13 #1: the former BIGINT
+    # output cast would itself wrap to null at that scale — a double
+    # loses ulps past 2^53 but never nulls, and both engines render the
+    # same round-to-nearest value). err_ppm is pure IEEE arithmetic.
     return (
-        ests.select("j", "counter", F.col("est").cast("long").alias("est_j"))
+        ests.select(
+            "j", "counter", F.col("est").cast("double").alias("est_j")
+        )
         .crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(exact))
         .withColumn(
             "err_ppm",
-            F.expr("(ABS(f2_estimate - f2_exact) * 1000000) div f2_exact"),
+            F.expr(
+                "CAST(FLOOR(ABS(f2_estimate - f2_exact) * 1000000.0"
+                " / f2_exact) AS BIGINT)"
+            ),
         )
     )
 
@@ -2142,7 +2191,7 @@ def q_delta_hll_sketch_state_roundtrip(
 
     from .sources.delta_log import merge_delta, read_delta, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_hll_state_") + "/sketch_delta"
+    root = scratch_dir(prefix="mm_hll_state_") + "/sketch_delta"
     o = T(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("y"), "o_custkey"
     )

@@ -25,6 +25,7 @@ import os
 import tempfile
 import threading
 
+from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -78,7 +79,7 @@ def q_delta_column_mapping_write_roundtrip(
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_dcmw_rt_") + "/supplier_cm"
+    root = scratch_dir(prefix="mm_dcmw_rt_") + "/supplier_cm"
     sup = T(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
@@ -146,7 +147,7 @@ def q_delta_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     commitInfo lines — O(commits) metadata, zero data reads."""
     from .sources.delta_log import read_delta, version_at_timestamp, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dts_rt_") + "/orders_ts"
+    root = scratch_dir(prefix="mm_dts_rt_") + "/orders_ts"
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("price")
     )
@@ -219,7 +220,7 @@ def q_delta_dv_executor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     the side files."""
     from .sources.delta_log import delete_delta_dv, read_delta, snapshot, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_ddvx_rt_") + "/lineitem_dv"
+    root = scratch_dir(prefix="mm_ddvx_rt_") + "/lineitem_dv"
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
     )
@@ -282,7 +283,7 @@ def q_delta_checkpoint_tombstone_replay(
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_dtomb_rt_") + "/orders_ckpt"
+    root = scratch_dir(prefix="mm_dtomb_rt_") + "/orders_ckpt"
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double")
     )
@@ -339,7 +340,7 @@ def q_delta_pysource_pruned_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         register_delta_source,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_dpsp_rt_") + "/orders_pylog"
+    root = scratch_dir(prefix="mm_dpsp_rt_") + "/orders_pylog"
     # pruning key: o_orderdate as yyyymmdd BIGINT — the ORDER DATE span
     # (1992-1998) is scale-factor-invariant, so a >= 1997 cut always
     # prunes most of the 6 range files regardless of sf
@@ -426,7 +427,7 @@ def q_delta_scd2_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream."""
     from .sources.delta_log import delete_rows, read_cdf, update_rows, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dscd2_rt_") + "/cust_scd2"
+    root = scratch_dir(prefix="mm_dscd2_rt_") + "/cust_scd2"
     base = (
         T(spark, sf_dir, "customer")
         .filter("c_custkey <= 600")
@@ -537,7 +538,7 @@ def q_delta_merge_concurrent_rebase(spark: SparkSession, sf_dir: str) -> DataFra
     re-runs only touched-file discovery, never a full-table rewrite."""
     from .sources.delta_log import ConcurrentModificationError, merge_delta, read_delta, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dmcc_rt_") + "/part_merge"
+    root = scratch_dir(prefix="mm_dmcc_rt_") + "/part_merge"
     part = T(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", F.col("p_retailprice").cast("double").alias("price")
     )
@@ -1306,7 +1307,7 @@ def q_delta_column_mapping_id_roundtrip(
 
     from .sources.delta_log import delete_rows, read_delta, snapshot, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dcmi_rt_") + "/part_id"
+    root = scratch_dir(prefix="mm_dcmi_rt_") + "/part_id"
     part = T(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", F.col("p_retailprice").cast("double").alias("price")
     )
@@ -1390,7 +1391,7 @@ def q_delta_merge_composite_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched-file surgery."""
     from .sources.delta_log import merge_delta, read_delta, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dmcs_rt_") + "/orders_sync"
+    root = scratch_dir(prefix="mm_dmcs_rt_") + "/orders_sync"
     base = T(spark, sf_dir, "orders").select(
         F.floor(F.col("o_orderkey") / F.lit(1000.0)).cast("long").alias("k1"),
         (F.col("o_orderkey") % 1000).alias("k2"),
@@ -1468,7 +1469,7 @@ def q_delta_generated_columns_roundtrip(
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_dgen_rt_") + "/orders_gen"
+    root = scratch_dir(prefix="mm_dgen_rt_") + "/orders_gen"
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
     )
@@ -1543,7 +1544,7 @@ def q_delta_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta,
     )
 
-    base = tempfile.mkdtemp(prefix="mm_dclone_rt_")
+    base = scratch_dir(prefix="mm_dclone_rt_")
     src, dst = base + "/src", base + "/clone"
     cust = T(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double")
@@ -1605,7 +1606,7 @@ def q_delta_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rewrite cost is O(small-file bytes), never O(table)."""
     from .sources.delta_log import optimize_delta, read_delta, snapshot, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dopt_rt_") + "/orders_opt"
+    root = scratch_dir(prefix="mm_dopt_rt_") + "/orders_opt"
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
     )

@@ -23,6 +23,7 @@ oracle is *exact* (the scale machinery tunes cost, never results):
 
 from __future__ import annotations
 
+from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -295,7 +296,7 @@ def q_skew_aqe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in keys.items():
         spark.conf.set(k, v)
     try:
-        tmp = tempfile.mkdtemp(prefix="mm_aqe_skew_")
+        tmp = scratch_dir(prefix="mm_aqe_skew_")
         agg.write.mode("overwrite").parquet(tmp)
     finally:
         for k, v in prev.items():
@@ -618,7 +619,7 @@ def build_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dpp_partition_prune_roundtrip (shared with the plan test)."""
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="mm_dpp_")
+    base = scratch_dir(prefix="mm_dpp_")
     root, dim_root = f"{base}/orders_by_month", f"{base}/month_dim"
     o = T(spark, sf_dir, "orders").withColumn(
         "month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")

@@ -25,6 +25,7 @@ import tempfile
 import threading
 import uuid
 
+from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,7 +68,7 @@ def q_sink_modes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pristine ``nation`` table, so a row lost or mangled by any write mode
     flips the hash."""
     tag = uuid.uuid4().hex[:8]
-    root = tempfile.mkdtemp(prefix="mm_sink_rt_")
+    root = scratch_dir(prefix="mm_sink_rt_")
     nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
 
     tbl = f"rt_sink_{tag}"
@@ -124,7 +125,7 @@ def q_copy_into_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes from the pristine ``supplier`` table, so a row dropped or
     re-typed anywhere in the CSV->cast->append cycle flips the hash."""
     tag = uuid.uuid4().hex[:8]
-    root = tempfile.mkdtemp(prefix="mm_copy_rt_")
+    root = scratch_dir(prefix="mm_copy_rt_")
     landing, processed = f"{root}/landing", f"{root}/processed"
     cols = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
     supplier = T(spark, sf_dir, "supplier").select(*cols)
@@ -180,7 +181,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar pushdown properties of parquet (predicate pushdown +
     column pruning) so the engine's scan discipline carries over to
     ORC lakes unchanged."""
-    root = tempfile.mkdtemp(prefix="mm_orc_rt_")
+    root = scratch_dir(prefix="mm_orc_rt_")
     path = f"{root}/supplier_orc"
     T(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
     s = spark.read.orc(path)
@@ -230,7 +231,7 @@ def q_ddl_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       broadcast-joined to customer; the oracle rebuilds it with VALUES.
     """
     tag = uuid.uuid4().hex[:8]
-    root = tempfile.mkdtemp(prefix="mm_ddl_rt_")
+    root = scratch_dir(prefix="mm_ddl_rt_")
 
     nation = T(spark, sf_dir, "nation")
     nation.coalesce(1).write.option("header", True).csv(f"{root}/landing")
@@ -299,7 +300,7 @@ def q_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dml import delete_from_table, update_table
 
     tag = uuid.uuid4().hex[:8]
-    root = tempfile.mkdtemp(prefix="mm_dml_rt_")
+    root = scratch_dir(prefix="mm_dml_rt_")
     tbl = f"rt_dml_{tag}"
     write_table(T(spark, sf_dir, "customer"), tbl, "overwrite", path=f"{root}/tbl")
     delete_from_table(spark, tbl, "c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 0")
@@ -668,7 +669,7 @@ def q_streaming_distinct_fold_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
     # file streams need a landing DIRECTORY; stage events as 4 files so
     # maxFilesPerTrigger=1 forces multiple micro-batches (per-batch
     # folding, not one big fold)
-    landing = tempfile.mkdtemp(prefix="mm_events_landing_")
+    landing = scratch_dir(prefix="mm_events_landing_")
     spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
         "overwrite"
     ).parquet(landing)
@@ -678,7 +679,7 @@ def q_streaming_distinct_fold_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
             state_table=state,
             keys=["event_type"],
             id_col="user_id",
-            checkpoint_dir=tempfile.mkdtemp(prefix="mm_ckpt_distinct_"),
+            checkpoint_dir=scratch_dir(prefix="mm_ckpt_distinct_"),
         )
     return distinct_from_state(spark.table(state), keys=["event_type"])
 
@@ -716,14 +717,14 @@ def q_streaming_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFra
     from .streaming.jobs import read_events_stream
     from .streaming.stateful import streaming_heavy_hitters
 
-    landing = tempfile.mkdtemp(prefix="mm_hh_landing_")
+    landing = scratch_dir(prefix="mm_hh_landing_")
     events_table(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(landing)
-    out = tempfile.mkdtemp(prefix="mm_hh_out_")
+    out = scratch_dir(prefix="mm_hh_out_")
     q = (
         streaming_heavy_hitters(read_events_stream(spark, landing), k=1 << 15)
         .writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mm_hh_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="mm_hh_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -818,16 +819,16 @@ def q_streaming_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup wrongly drops, flips the hash."""
     from .streaming.jobs import read_events_stream, run_available_now, streaming_dedup
 
-    landing = tempfile.mkdtemp(prefix="mm_dedup_landing_")
+    landing = scratch_dir(prefix="mm_dedup_landing_")
     e = events_table(spark, sf_dir).coalesce(1)
     e.write.mode("overwrite").parquet(landing)
     e.write.mode("append").parquet(landing)  # the re-delivery
-    out = tempfile.mkdtemp(prefix="mm_dedup_out_")
+    out = scratch_dir(prefix="mm_dedup_out_")
     q = (
         streaming_dedup(read_events_stream(spark, landing))
         .writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mm_dedup_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="mm_dedup_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -870,14 +871,14 @@ def q_streaming_attribution_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     bug that drops a buffered row flips the hash."""
     from .streaming.jobs import read_events_stream, streaming_attribution_join
 
-    landing = tempfile.mkdtemp(prefix="mm_attr_landing_")
+    landing = scratch_dir(prefix="mm_attr_landing_")
     events_table(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(landing)
-    out = tempfile.mkdtemp(prefix="mm_attr_out_")
+    out = scratch_dir(prefix="mm_attr_out_")
     q = (
         streaming_attribution_join(read_events_stream(spark, landing))
         .writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mm_attr_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="mm_attr_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -911,7 +912,7 @@ def q_vacuum_versions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus per-directory removes, O(versions), no Spark job, no data read."""
     from .sources.catalog import read_version, vacuum_versions, write_version
 
-    root = tempfile.mkdtemp(prefix="mm_vacuum_rt_") + "/nation_versions"
+    root = scratch_dir(prefix="mm_vacuum_rt_") + "/nation_versions"
     nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_version(nation, root)  # v1
     write_version(
@@ -986,17 +987,17 @@ def q_streaming_sessionization_roundtrip(spark: SparkSession, sf_dir: str) -> Da
     from .streaming.jobs import read_events_stream
     from .streaming.stateful import streaming_sessionize
 
-    landing = tempfile.mkdtemp(prefix="mm_sess_landing_")
+    landing = scratch_dir(prefix="mm_sess_landing_")
     # single landing file => one micro-batch: the cross-batch ordering
     # contract (time-ordered landing files) is the multi-batch pytest's
     # job; the driver row checks the state-machine semantics end-to-end
     events_table(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(landing)
-    out = tempfile.mkdtemp(prefix="mm_sess_out_")
+    out = scratch_dir(prefix="mm_sess_out_")
     q = (
         streaming_sessionize(read_events_stream(spark, landing))
         .writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mm_sess_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="mm_sess_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1093,7 +1094,7 @@ def q_time_travel_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cdc import snapshot_diff
     from .sources.catalog import read_version, write_version
 
-    root = tempfile.mkdtemp(prefix="mm_tt_rt_") + "/nation_versions"
+    root = scratch_dir(prefix="mm_tt_rt_") + "/nation_versions"
     nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     write_version(nation, root)
     v2 = nation.filter(F.col("n_nationkey") % 7 != 3).select(
@@ -1205,7 +1206,7 @@ def q_delta_log_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle on n_regionkey."""
     from .sources.delta_log import read_delta, write_checkpoint, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_delta_rt_") + "/nation_delta"
+    root = scratch_dir(prefix="mm_delta_rt_") + "/nation_delta"
     nation = T(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -1281,7 +1282,7 @@ def q_delta_cdf_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     log."""
     from .sources.delta_log import read_delta, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_cdf_rt_") + "/cust_delta"
+    root = scratch_dir(prefix="mm_cdf_rt_") + "/cust_delta"
     cust = T(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").cast("double").alias("bal")
     )
@@ -1424,7 +1425,7 @@ def q_delta_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.merge import merge_dataframes
     from .sources.delta_log import read_delta, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dmerge_rt_") + "/nation_delta"
+    root = scratch_dir(prefix="mm_dmerge_rt_") + "/nation_delta"
     nation = T(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -1477,7 +1478,7 @@ def q_delta_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme."""
     from .sources.delta_log import read_delta_pruned, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_skip_rt_") + "/li_delta"
+    root = scratch_dir(prefix="mm_skip_rt_") + "/li_delta"
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
@@ -1542,7 +1543,7 @@ def q_delta_lifecycle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_dlc_rt_") + "/li_delta"
+    root = scratch_dir(prefix="mm_dlc_rt_") + "/li_delta"
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
@@ -1617,7 +1618,7 @@ def q_delta_stream_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     the fold is one aggregation per batch at region grain."""
     from .sources.delta_log import optimize_delta, stream_commit_batches, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dstream_rt_") + "/nation_delta"
+    root = scratch_dir(prefix="mm_dstream_rt_") + "/nation_delta"
     nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     write_delta(nation.filter("n_nationkey < 8"), root, mode="overwrite")
     write_delta(
@@ -1709,11 +1710,11 @@ def q_streaming_threshold_alerts_roundtrip(
     from .streaming.jobs import read_events_stream
     from .streaming.stateful import streaming_threshold_alerts
 
-    landing = tempfile.mkdtemp(prefix="mm_alert_landing_")
+    landing = scratch_dir(prefix="mm_alert_landing_")
     events_table(spark, sf_dir).orderBy("ts", "event_id").coalesce(
         1
     ).write.mode("overwrite").parquet(landing)
-    out = tempfile.mkdtemp(prefix="mm_alert_out_")
+    out = scratch_dir(prefix="mm_alert_out_")
     q = (
         streaming_threshold_alerts(
             read_events_stream(spark, landing),
@@ -1723,7 +1724,7 @@ def q_streaming_threshold_alerts_roundtrip(
         )
         .writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mm_alert_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="mm_alert_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1772,7 +1773,7 @@ def q_delta_concurrent_writers_roundtrip(
     writer's data path is an independent distributed parquet write."""
     from .sources.delta_log import read_delta, snapshot, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dconc_rt_") + "/cust_delta"
+    root = scratch_dir(prefix="mm_dconc_rt_") + "/cust_delta"
     cust = T(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
@@ -1859,7 +1860,7 @@ def q_delta_cdf_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_dcdfs_rt_") + "/cust_delta"
+    root = scratch_dir(prefix="mm_dcdfs_rt_") + "/cust_delta"
     cust = T(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").cast("double").alias("bal")
     )
@@ -1947,7 +1948,7 @@ def q_delta_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: mapping is pure metadata; the scan/prune path is unchanged."""
     from .sources.delta_log import read_delta, read_delta_pruned
 
-    root = tempfile.mkdtemp(prefix="mm_dcm_rt_") + "/nation_cm"
+    root = scratch_dir(prefix="mm_dcm_rt_") + "/nation_cm"
     nation = T(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -2072,7 +2073,7 @@ def q_delta_deletion_vectors_roundtrip(
     on (file, row_index)."""
     from .sources.delta_log import delete_delta_dv, read_delta, snapshot, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_ddv_rt_") + "/orders_delta"
+    root = scratch_dir(prefix="mm_ddv_rt_") + "/orders_delta"
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -2141,7 +2142,7 @@ def q_delta_checkpoint_truncate_replay(
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_dckpt_rt_") + "/supp_delta"
+    root = scratch_dir(prefix="mm_dckpt_rt_") + "/supp_delta"
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     write_delta(s.filter("s_suppkey % 3 = 0"), root, mode="overwrite")  # v0
     write_delta(s.filter("s_suppkey % 3 = 1"), root, mode="append")  # v1
@@ -2199,7 +2200,7 @@ def q_delta_cdf_bloom_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bloomjoin import bloom_semi_join
     from .sources.delta_log import delete_delta, read_cdf, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dcbj_rt_") + "/orders_delta"
+    root = scratch_dir(prefix="mm_dcbj_rt_") + "/orders_delta"
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     write_delta(
         o.filter("o_custkey % 5 < 4"),
@@ -2257,7 +2258,7 @@ def q_delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed scans."""
     from .sources.delta_log import delete_delta, read_delta, restore_delta, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_drestore_rt_") + "/part_delta"
+    root = scratch_dir(prefix="mm_drestore_rt_") + "/part_delta"
     p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     write_delta(
         p.filter("p_partkey % 10 < 6").repartitionByRange(4, "p_partkey"),
@@ -2322,7 +2323,7 @@ def q_ivm_cdf_retraction_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta,
     )
 
-    root = tempfile.mkdtemp(prefix="mm_ivmcdf_rt_") + "/orders_delta"
+    root = scratch_dir(prefix="mm_ivmcdf_rt_") + "/orders_delta"
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -2413,7 +2414,7 @@ def q_delta_pysource_stream_roundtrip(
     from .sources.delta_log import write_delta
 
     register_delta_source(spark)
-    root = tempfile.mkdtemp(prefix="mm_dpys_rt_") + "/cust_delta"
+    root = scratch_dir(prefix="mm_dpys_rt_") + "/cust_delta"
     cust = T(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
@@ -2497,7 +2498,7 @@ def q_delta_merge_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain; CDF adds one delta-bounded write."""
     from .sources.delta_log import merge_delta, read_cdf, read_delta, snapshot, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dmcdf_rt_") + "/orders_delta"
+    root = scratch_dir(prefix="mm_dmcdf_rt_") + "/orders_delta"
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
     )
@@ -2582,7 +2583,7 @@ def q_delta_where_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by files actually containing matches."""
     from .sources.delta_log import delete_rows, read_delta, update_rows, write_delta
 
-    root = tempfile.mkdtemp(prefix="mm_dwdml_rt_") + "/orders_delta"
+    root = scratch_dir(prefix="mm_dwdml_rt_") + "/orders_delta"
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
