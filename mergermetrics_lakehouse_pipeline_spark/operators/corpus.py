@@ -562,9 +562,14 @@ def bpe_merges(
     (step, left_sym, right_sym, merged, pair_count).
     """
     from ..functions import text as tx
+    from ..parallel import fan_out
 
+    # round 14 (guide §2.2): fan the corpus out before the token
+    # explode so the one corpus-sized pass parallelizes (no-op on
+    # split inputs)
     words = (
-        docs.select(F.explode(tx.tokens(text_col)).alias("w"))
+        fan_out(docs.select(F.col(text_col)))
+        .select(F.explode(tx.tokens(text_col)).alias("w"))
         .filter((F.length("w") > 0) & ~F.col("w").contains(BPE_SEP))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("freq"))
@@ -579,9 +584,9 @@ def bpe_merges(
             BPE_SEP,
         ).alias("syms"),
     ).cache()
-    vocab.count()
 
     merges: list[dict] = []
+    cached = [vocab]  # every cached generation; unpersisted at exit
     for step in range(n_merges):
         arr = F.split("syms", BPE_SEP)
         idx = F.when(
@@ -628,11 +633,17 @@ def bpe_merges(
                 ),
             ).otherwise(F.concat(acc, F.lit(BPE_SEP), x)),
         )
-        new_vocab = vocab.select("freq", merged_syms.alias("syms")).cache()
-        new_vocab.count()
-        vocab.unpersist()
-        vocab = new_vocab
-    vocab.unpersist()
+        # round 14 (guide §1 job-count): no eager count() per round —
+        # the NEXT round's argmax job materializes new_vocab's cache on
+        # first use while the parent generation is still cached (so the
+        # fold recomputes from the parent's blocks, never from the
+        # corpus). This halves the per-round job count; every
+        # generation stays cached until the loop ends (each holds only
+        # the distinct-word table — KBs, not data-sized).
+        vocab = vocab.select("freq", merged_syms.alias("syms")).cache()
+        cached.append(vocab)
+    for c in cached:
+        c.unpersist()
     return merges
 
 

@@ -89,7 +89,13 @@ def minhash_band_keys(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    shingled = df.select(
+    # round 14 (guide §2.2): fan the doc rows out BEFORE the shingle
+    # explode — the explode multiplies rows and each shingle pays
+    # ``num_hashes`` md5s, so a single-row-group scan otherwise runs
+    # the whole hashing pipeline on one core. No-op on split inputs.
+    from ..parallel import fan_out
+
+    shingled = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles_fast(text_col, shingle_n)).alias("s"),
     )

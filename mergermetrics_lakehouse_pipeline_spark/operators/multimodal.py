@@ -629,6 +629,14 @@ def extract_features(
     touched when a caller explicitly asks, and the change is deliberate
     and visible to later pandas-UDF operators in the session."""
 
+    # round 14 (guide §2.2/§4): the decode kernels are per-row Python —
+    # fan the media rows out so mapInPandas runs one task per core
+    # instead of the single task a one-row-group upstream scans as
+    # (no-op on split inputs).
+    from ..parallel import fan_out
+
+    media = fan_out(media)
+
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -766,7 +774,12 @@ def synthesize_decodable_media(docs: DataFrame) -> DataFrame:
     GIF89a for odd (round 6) — so the per-row decoder routing runs
     against driver testdata across three real formats, not only against
     unit-test fixtures."""
-    base = synthesize_media_from_documents(docs)
+    from ..parallel import fan_out
+
+    # round 14: payload synthesis is per-row Python (PNG/GIF/WAV
+    # container building) — fan out ahead of the mapInPandas so it
+    # parallelizes (guide §2.2; no-op on split inputs)
+    base = fan_out(synthesize_media_from_documents(docs))
 
     def _img_batches(batches):
         for pdf in batches:

@@ -45,7 +45,23 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    salted = skewed.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+    # round 14 (guide §2.5 / SPARK-38388): the salt is DETERMINISTIC —
+    # xxhash64 over the whole row (seeded) instead of rand(). A rand()
+    # salt re-draws on task retry, so a fetch failure that re-runs part
+    # of the map stage can duplicate or lose rows; a row-hash salt
+    # reproduces the same assignment on every retry. It also keeps the
+    # projection deterministic, so Catalyst may still push filters
+    # through it. Hot keys spread exactly as before provided their rows
+    # differ in ANY column (byte-identical duplicate rows share a salt —
+    # for those, dedup-first is the right tool, not salting). The join
+    # result is salt-assignment-independent either way.
+    salted = skewed.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.lit(seed), *[F.col(c) for c in skewed.columns]),
+            F.lit(salt),
+        ).cast("int"),
+    )
     replicated = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -32,6 +32,7 @@ from .functions.cleaning import (
     surrogate_key,
 )
 from .functions.dates import build_dim_date
+from .parallel import fan_out
 
 
 def _defensive_confs(spark: SparkSession) -> None:
@@ -54,6 +55,8 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata parquet table (S1/S7 analogue)."""
     _defensive_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,8 +354,15 @@ def q_join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_star_join_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way star LEFT JOIN + derived amount — the reference's denormalized
     BI view (denormalise_table_query_fmcg.txt:36-49) on the testdata star.
-    Dim sides broadcast; one shuffle total (the final group-by)."""
-    li = T(spark, sf_dir, "lineitem")
+    Dim sides broadcast; one shuffle total (the final group-by).
+    Round 14: the fact side fans out after its narrow projection — the
+    single-row-group scan otherwise runs all 4 joins + the partial
+    aggregation on one core (guide §2.2; no-op on split inputs)."""
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+    )
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
@@ -398,8 +408,16 @@ def q_star_join_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fact_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The core daily->monthly fact rollup (parity:
     1_full_load_fact.py:214-227) — TPC-H Q1-shaped. Partial aggregation is
-    map-side automatic; one shuffle on the group keys."""
-    li = T(spark, sf_dir, "lineitem")
+    map-side automatic; one shuffle on the group keys. Round 14: the
+    scan fans out so the decimal casts + partial aggregation run on all
+    cores instead of the one task a single-row-group file scans as
+    (guide §2.2; no-op on split inputs)."""
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select(
+            "l_shipdate", "l_returnflag", "l_linestatus",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+    )
     return (
         li.groupBy(
             iso_date(F.date_trunc("month", "l_shipdate"), "month_start"),
@@ -507,8 +525,14 @@ def q_dedupe_keyed_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kpi_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard KPI pack: revenue, quantity, unique customers, ASP
     (parity: README.md:196-200). countDistinct is exact here; the engine
-    also exposes approx_count_distinct for 100TB dashboards."""
-    li = T(spark, sf_dir, "lineitem")
+    also exposes approx_count_distinct for 100TB dashboards. Round 14:
+    the fact side fans out after its narrow projection (guide §2.2;
+    no-op on split inputs)."""
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+    )
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     rev = F.sum(REVENUE())
@@ -822,8 +846,11 @@ def q_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-date parser incl. weekday-prefix strip, 1_full_load_fact.py:111-125).
     Dates are formatted 4 ways keyed on o_orderkey%4, then re-parsed with
     the engine's ordered try_to_date coalesce; parsed_date must equal
-    true_date for every row."""
-    o = T(spark, sf_dir, "orders")
+    true_date for every row. Round 14: fans out — the 4-format
+    date_format/try_to_date chain is per-row-expensive and otherwise
+    runs on the single task a one-row-group file scans as (guide §2.2;
+    no-op on split inputs)."""
+    o = fan_out(T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"))
     d = F.col("o_orderdate")
     raw = (
         F.when(d.isNull(), F.lit(None))
@@ -925,8 +952,14 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over segment x priority (engine extra per SURVEY §2.4 —
-    dashboards slice market x channel x division in one pass)."""
-    o = T(spark, sf_dir, "orders")
+    dashboards slice market x channel x division in one pass).
+    Round 14: fact side fans out (guide §2.2; no-op on split inputs) —
+    CUBE expands every row 4x map-side before the exchange."""
+    o = fan_out(
+        T(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+    )
     c = T(spark, sf_dir, "customer")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -1423,8 +1456,10 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join for any salt, which is exactly what the oracle checks."""
     from .operators.skew import salted_join
 
-    li = T(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
     )
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     joined = salted_join(li, o, on="o_orderkey", how="inner", salt=8)

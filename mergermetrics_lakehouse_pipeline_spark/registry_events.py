@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import events as ev
+from .parallel import fan_out
 from .registry import T, events_table, register
 
 _TS_FMT = "%Y-%m-%d %H:%M:%S"
@@ -1246,7 +1247,11 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-side parse + one partial-agg shuffle on
     (event_type, day); count_distinct(user_id) rides the same shuffle."""
-    e = events_table(spark, sf_dir)
+    e = fan_out(
+        events_table(spark, sf_dir).select(
+            "user_id", "event_type", "value", "ts"
+        )
+    )
     payloads = e.select(
         F.to_json(
             F.struct(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from .functions import text as tx
 from .operators import dedup as dd
 from .operators import similarity as sim
+from .parallel import fan_out
 from .registry import T, register
 
 # ---------------------------------------------------------------------------
@@ -98,8 +99,10 @@ def _sql_minhash_lsh_cte() -> str:
 def q_docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex), punctuation ratio,
     stopword ratio, composite quality score — corpus-hygiene statistics,
-    all JVM expressions."""
-    d = T(spark, sf_dir, "documents")
+    all JVM expressions. Round 14: fans out — every stat is a
+    per-row regex pass, serialized on the single task a one-row-group
+    scan plans as (guide §2.2; no-op on split inputs)."""
+    d = fan_out(T(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
@@ -306,7 +309,7 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline. Query side broadcast; dot product fully JVM-side
     (zip_with + aggregate in double)."""
     e = T(spark, sf_dir, "embeddings")
-    return sim.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return sim.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
 @register(
@@ -324,8 +327,10 @@ def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by label so the
     pair space stays bounded (the 100 TB-safe shape: compare only within
     buckets)."""
-    e = T(spark, sf_dir, "embeddings")
-    return sim.embedding_neardup_pairs(e, threshold=0.30, bucket_col="label")
+    e = fan_out(T(spark, sf_dir, "embeddings"))
+    return sim.embedding_neardup_pairs(
+        e, threshold=0.30, bucket_col="label", dim=64
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -454,7 +459,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_llm_operators.py::test_ivf_recall_vs_bruteforce)."""
     e = T(spark, sf_dir, "embeddings")
     return sim.ivf_cosine_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4, dim=64
     )
 
 
@@ -471,7 +476,8 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-wide dot (tests/test_llm_operators.py::test_pq_recall_vs_bruteforce)."""
     e = T(spark, sf_dir, "embeddings")
     return sim.pq_cosine_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, n_sub=8, k_sub=32, n_iter=3, rerank=12
+        e, e.filter(F.col("vec_id") < 10), k=5, n_sub=8, k_sub=32, n_iter=3,
+        rerank=12, dim=64,
     )
 
 
@@ -503,7 +509,7 @@ def q_emb_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     return sim.pq_cosine_topk(
         e, e.filter(F.col("vec_id") < 10), k=5, n_sub=8, k_sub=32, n_iter=1,
-        rerank_all=True,
+        rerank_all=True, dim=64,
     )
 
 
@@ -517,7 +523,7 @@ def q_emb_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, not just the approximate setting."""
     e = T(spark, sf_dir, "embeddings")
     return sim.ivf_cosine_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=16
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=16, dim=64
     )
 
 
@@ -1323,7 +1329,9 @@ def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup as dd
 
     e = T(spark, sf_dir, "embeddings")
-    pairs = sim.embedding_neardup_pairs(e, threshold=0.30, bucket_col="label")
+    pairs = sim.embedding_neardup_pairs(
+        fan_out(e), threshold=0.30, bucket_col="label", dim=64
+    )
     return dd.connected_components_star(
         e.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
     )
@@ -2196,7 +2204,7 @@ def q_emb_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
-    return sim.cosine_cluster_assign(e, cents)
+    return sim.cosine_cluster_assign(e, cents, dim=64)
 
 
 _SQL_JACCARD_CONFIRM = """
@@ -2544,7 +2552,7 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
-    return sim.semantic_dedup(e, cents, threshold=0.30)
+    return sim.semantic_dedup(e, cents, threshold=0.30, dim=64)
 
 
 def _sql_bpe_ctes(n_merges: int) -> str:

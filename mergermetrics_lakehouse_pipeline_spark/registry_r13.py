@@ -148,8 +148,9 @@ def q_emb_neardup_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant as the corpus grows); the cap bounds the degenerate tail;
     candidate volume is O(bands x N) once buckets exceed the cap."""
     from .operators import similarity as sim
+    from .parallel import fan_out
 
-    e = T(spark, sf_dir, "embeddings")
+    e = fan_out(T(spark, sf_dir, "embeddings"))
     return sim.embedding_capped_neardup_pairs(
         e,
         dim=_EMB_DIM,
@@ -1033,7 +1034,7 @@ def q_emb_norm_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("label").cast("bigint").alias("label"),
-        dot(F.col("embedding"), F.col("embedding")).alias("nsq"),
+        dot(F.col("embedding"), F.col("embedding"), _EMB_DIM).alias("nsq"),
     )
     return (
         e.groupBy(

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .functions.text import tokens
 from .operators.layout import hilbert_col
+from .parallel import fan_out
 from .registry import T, events_table, register
 
 
@@ -135,7 +136,7 @@ def q_lineitem_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     rescanning — see orders_hll_monthly_union for the merge proven
     in-query. Parity: engine extension (reference counts distincts
     exactly at notebook scale)."""
-    li = T(spark, sf_dir, "lineitem").select("l_partkey")
+    li = fan_out(T(spark, sf_dir, "lineitem").select("l_partkey"))
     regs = (
         _hll_rows(li, "l_partkey", "hll|")
         .groupBy("register")
@@ -316,7 +317,7 @@ def q_lineitem_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     distinct hashes with map-side partials) -> TakeOrderedAndProject 64
     (per-partition top-k, driver merges 64 x partitions values, no
     global sort). The 64-row rank window is bounded by construction."""
-    li = T(spark, sf_dir, "lineitem")
+    li = T(spark, sf_dir, "lineitem").select("l_partkey")
     h = F.expr(_h60_spark("concat('kmv|', CAST(l_partkey AS STRING))"))
     bottom = li.select(h.alias("h")).distinct().orderBy("h").limit(_KMV_K)
     ranked = bottom.select(
@@ -446,7 +447,10 @@ def q_orders_bloom_probe_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.array(
         *[F.lit(words.get(i, 0)).cast("long") for i in range(_BL_WORDS)]
     )
-    probe = li.select("l_orderkey").withColumn("_words", arr)
+    # round 14: the probe side computes 3 md5s per lineitem row — fan
+    # out so it doesn't run on the single task a one-row-group scan
+    # plans as (guide §2.2; no-op on split inputs)
+    probe = fan_out(li.select("l_orderkey")).withColumn("_words", arr)
     hit_cols = []
     for j in range(_BL_J):
         p = F.expr(
@@ -532,7 +536,7 @@ def q_events_countmin_type_census(spark: SparkSession, sf_dir: str) -> DataFrame
     join the type census against the 24-cell table broadcast. Heavy
     hitters at 100 TB = this exact shape with w sized to memory, never
     a per-key exact count."""
-    e = T(spark, sf_dir, "events").select("event_type")
+    e = fan_out(T(spark, sf_dir, "events").select("event_type"))
     js = F.explode(F.array(*[F.lit(j) for j in range(_CM_D)])).alias("j")
     cell = F.expr(
         _h60_spark("concat('cm', CAST(j AS STRING), '|', event_type)") + f" % {_CM_W}"
@@ -624,12 +628,12 @@ def q_lineitem_hilbert_cluster_key(spark: SparkSession, sf_dir: str) -> DataFram
     unrolled expression linear in curve order — see
     operators/layout.py hilbert_col), and the query's only non-scan
     work is TakeOrderedAndProject 100."""
-    li = T(spark, sf_dir, "lineitem").select(
+    li = (T(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
         (F.col("l_partkey") % 256).cast("long").alias("cell_x"),
         (F.col("l_suppkey") % 256).cast("long").alias("cell_y"),
-    )
+    ))
     keyed = li.withColumn(
         "hilbert_key", hilbert_col(F.col("cell_x"), F.col("cell_y"), 8)
     )
@@ -1778,16 +1782,32 @@ def q_lineitem_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DECIMAL(19,0)^2 -> DECIMAL(38,0) (counters reach 1e12 at
     100 TB and their squares wrap any BIGINT). Completes the moment
     family: F0 = HLL/KMV, F1 = COUNT, F2 = AMS."""
-    li = T(spark, sf_dir, "lineitem").select("l_partkey")
-    ex = li.select(
-        "l_partkey",
-        F.explode(F.array(*[F.lit(j) for j in range(_AMS_D)])).alias("j"),
+    li = fan_out(T(spark, sf_dir, "lineitem").select("l_partkey"))
+    # round 14 (guide §2.3/§2.4): the 9 sign counters come from ONE
+    # conditional-sum pass — the previous explode(array(0..8)) pushed
+    # 9x the rows through a hashpartitioning exchange to compute the
+    # same 9 md5s per input row; here each row evaluates its 9 sign
+    # hashes in a single codegen projection and the global aggregate
+    # ships 9 longs per task. Identical grouping, identical md5 inputs
+    # (j is a literal in the concat), bit-identical counters.
+    def sign(j: int) -> F.Column:
+        h = F.expr(
+            _h60_spark(f"concat('ams', '{j}', '|', CAST(l_partkey AS STRING))")
+        )
+        return F.when(h.bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    wide = li.agg(
+        *[F.sum(sign(j)).cast("long").alias(f"c{j}") for j in range(_AMS_D)]
     )
-    h = F.expr(
-        _h60_spark("concat('ams', CAST(j AS STRING), '|', CAST(l_partkey AS STRING))")
-    )
-    sign = F.when(h.bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-    counters = ex.groupBy("j").agg(F.sum(sign).cast("long").alias("counter"))
+    counters = wide.select(
+        F.expr(
+            "stack("
+            + str(_AMS_D)
+            + ", "
+            + ", ".join(f"{j}, c{j}" for j in range(_AMS_D))
+            + ") AS (j, counter)"
+        )
+    ).select(F.col("j").cast("int").alias("j"), "counter")
     ests = counters.select(
         "j",
         "counter",
@@ -1908,8 +1928,12 @@ def q_orders_lineitem_join_size_sketch(
     only to grade the sketch."""
     o = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
-    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
-    b = li.filter(F.col("l_discount") >= 0.05).select("l_orderkey")
+    a = fan_out(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    )
+    b = fan_out(
+        li.filter(F.col("l_discount") >= 0.05).select("l_orderkey")
+    )
     js = F.explode(F.array(*[F.lit(j) for j in range(_JS_D)])).alias("j")
 
     def cells(df: DataFrame, key: str) -> DataFrame:

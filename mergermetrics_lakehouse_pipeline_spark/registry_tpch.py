@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .parallel import fan_out
 from .registry import REVENUE, SQL_REVENUE, T, iso_date, register, sql_dsum
 
 
@@ -514,7 +515,11 @@ def q_returnflag_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one aggregation pass, map-side combinable, five extra decimal
     sums per group — the same pattern as the closed-form OLS operator."""
-    li = T(spark, sf_dir, "lineitem")
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+    )
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),

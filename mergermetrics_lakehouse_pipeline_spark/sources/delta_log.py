@@ -946,7 +946,16 @@ def _raw_reader(
     name-matched would silently miss foreign-named id-mode files).
     A file missing a column's id NULL-fills it (schema evolution); a
     file with no ids at all raises loudly rather than matching wrong
-    columns."""
+    columns.
+
+    Round 14 (guide §1/§6): every branch sets an EXPLICIT read schema
+    derived from the snapshot — the transaction log is the schema
+    authority in the Delta protocol, and ``mergeSchema`` (the old
+    default branch) additionally ran a distributed footer-merge job at
+    plan time for every read of every table. The explicit physical
+    schema NULL-fills absent columns and ignores dropped ones exactly
+    as the merged footprint did (the log schema is a superset of every
+    live file's live columns), while skipping that per-read job."""
     reader = spark.read.option("mergeSchema", "true")
     if snap.partition_columns:
         reader = reader.option("basePath", base_path or table_path)
@@ -964,6 +973,20 @@ def _raw_reader(
         # (the feature's read contract). Missing columns still
         # NULL-fill; partition columns resolve from hive paths.
         _check_type_changes(snap.schema)
+        schema = StructType(
+            [
+                StructField(snap.physical(f.name), f.dataType, True)
+                for f in snap.schema.fields
+            ]
+            + list(extra_fields)
+        )
+        reader = reader.schema(schema)
+    else:
+        # name-mode tables: the log schema under physical names is the
+        # exact read schema (absent columns NULL-fill per file; columns
+        # dropped from the log are ignored even when old files still
+        # carry them — same result the footer merge + logical reorder
+        # produced, minus its plan-time job)
         schema = StructType(
             [
                 StructField(snap.physical(f.name), f.dataType, True)
