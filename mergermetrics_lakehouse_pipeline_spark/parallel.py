@@ -15,11 +15,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: minimum parallelism deficit (target / input partitions) before the
+#: repartition pays: below this the shuffle of the full input costs
+#: more than the extra cores recover (measured on the 10x FK-replicated
+#: dataset: inputs arriving as ~10 one-row-group files made a 10 -> 32
+#: fan-out a net LOSS for cheap-per-row aggregations — fact rollup
+#: 2.5s -> 3.9s — while the 1 -> 32 case wins 1.5-4x across the md5/
+#: decode-heavy queries). 4x keeps the single-task rescue and stays
+#: quiet on already-mostly-parallel inputs.
+MIN_DEFICIT = 4
+
+
 def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Round-robin-repartition a compute-heavy narrow pipeline up to the
-    session's default parallelism; NO-OP when the input already has at
-    least that many partitions (guide §2.2/§6: the single-row-group
-    scan cannot split, so per-row compute above it serializes).
+    session's default parallelism; NO-OP unless the input has a >= 4x
+    parallelism deficit (guide §2.2/§6: the single-row-group scan
+    cannot split, so per-row compute above it serializes — that is the
+    case this rescues; an input already running on a quarter of the
+    cores or more keeps its layout, because the full-input shuffle
+    costs more than the remaining cores recover).
 
     Round-robin repartition is retry-safe (sort-before-repartition,
     SPARK-23207) and involves no ``rand()`` key (guide §2.5 hazard).
@@ -31,6 +45,6 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     never changes what a query computes.
     """
     target = parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if df.rdd.getNumPartitions() * MIN_DEFICIT > target:
         return df
     return df.repartition(target)

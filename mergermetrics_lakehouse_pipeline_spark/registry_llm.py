@@ -309,7 +309,7 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline. Query side broadcast; dot product fully JVM-side
     (zip_with + aggregate in double)."""
     e = T(spark, sf_dir, "embeddings")
-    return sim.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
+    return sim.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
 @register(
@@ -328,9 +328,7 @@ def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space stays bounded (the 100 TB-safe shape: compare only within
     buckets)."""
     e = fan_out(T(spark, sf_dir, "embeddings"))
-    return sim.embedding_neardup_pairs(
-        e, threshold=0.30, bucket_col="label", dim=64
-    )
+    return sim.embedding_neardup_pairs(e, threshold=0.30, bucket_col="label")
 
 
 # ---------------------------------------------------------------------------
@@ -459,7 +457,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_llm_operators.py::test_ivf_recall_vs_bruteforce)."""
     e = T(spark, sf_dir, "embeddings")
     return sim.ivf_cosine_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4, dim=64
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
     )
 
 
@@ -476,8 +474,7 @@ def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-wide dot (tests/test_llm_operators.py::test_pq_recall_vs_bruteforce)."""
     e = T(spark, sf_dir, "embeddings")
     return sim.pq_cosine_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, n_sub=8, k_sub=32, n_iter=3,
-        rerank=12, dim=64,
+        e, e.filter(F.col("vec_id") < 10), k=5, n_sub=8, k_sub=32, n_iter=3, rerank=12
     )
 
 
@@ -509,7 +506,7 @@ def q_emb_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     return sim.pq_cosine_topk(
         e, e.filter(F.col("vec_id") < 10), k=5, n_sub=8, k_sub=32, n_iter=1,
-        rerank_all=True, dim=64,
+        rerank_all=True,
     )
 
 
@@ -523,7 +520,7 @@ def q_emb_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, not just the approximate setting."""
     e = T(spark, sf_dir, "embeddings")
     return sim.ivf_cosine_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=16, dim=64
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=16
     )
 
 
@@ -1330,7 +1327,7 @@ def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     pairs = sim.embedding_neardup_pairs(
-        fan_out(e), threshold=0.30, bucket_col="label", dim=64
+        fan_out(e), threshold=0.30, bucket_col="label"
     )
     return dd.connected_components_star(
         e.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
@@ -2204,7 +2201,7 @@ def q_emb_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
-    return sim.cosine_cluster_assign(e, cents, dim=64)
+    return sim.cosine_cluster_assign(e, cents)
 
 
 _SQL_JACCARD_CONFIRM = """
@@ -2552,7 +2549,7 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
     )
-    return sim.semantic_dedup(e, cents, threshold=0.30, dim=64)
+    return sim.semantic_dedup(e, cents, threshold=0.30)
 
 
 def _sql_bpe_ctes(n_merges: int) -> str:

@@ -1034,7 +1034,7 @@ def q_emb_norm_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("label").cast("bigint").alias("label"),
-        dot(F.col("embedding"), F.col("embedding"), _EMB_DIM).alias("nsq"),
+        dot(F.col("embedding"), F.col("embedding")).alias("nsq"),
     )
     return (
         e.groupBy(

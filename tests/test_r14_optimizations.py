@@ -5,54 +5,8 @@ equivalence directly (the oracle sweep pins it end-to-end)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-import pytest
 
-from mergermetrics_lakehouse_pipeline_spark.operators import similarity as sim
 from mergermetrics_lakehouse_pipeline_spark.parallel import fan_out
-
-
-def _fold_dot(a, b):
-    """The pre-r14 interpreted fold, kept verbatim as the reference."""
-    return F.aggregate(
-        F.zip_with(
-            a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def test_unrolled_dot_bit_identical_to_fold(spark, sf_dir):
-    """dot(dim=64) must reproduce the interpreted fold EXACTLY (same
-    IEEE ops in the same order) on the real embeddings table — the
-    oracle hashes depend on these doubles to the last ulp."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    both = e.select(
-        sim.dot(F.col("embedding"), F.col("embedding"), 64).alias("u"),
-        _fold_dot(F.col("embedding"), F.col("embedding")).alias("f"),
-    )
-    bad = both.filter(F.col("u") != F.col("f")).count()
-    assert bad == 0
-
-
-def test_unrolled_dot_toy_vectors_exact(spark):
-    """Hand vectors incl. negatives, zeros and magnitude spread: the
-    unrolled expression equals the fold bit-for-bit."""
-    rows = [
-        ([1.0, 2.0, 3.0, 4.0], [4.0, 3.0, 2.0, 1.0]),
-        ([-0.0, 0.0, -1.5, 2.25], [1e300, -1e-300, 3.5, -2.0]),
-        ([0.1, 0.2, 0.3, 0.4], [0.4, 0.3, 0.2, 0.1]),
-    ]
-    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
-    out = df.select(
-        sim.dot(F.col("a"), F.col("b"), 4).alias("u"),
-        _fold_dot(F.col("a"), F.col("b")).alias("f"),
-    ).collect()
-    for r in out:
-        # compare raw IEEE bit patterns, not approximate equality
-        import struct
-
-        assert struct.pack("<d", r.u) == struct.pack("<d", r.f)
 
 
 def test_fan_out_noop_when_already_parallel(spark):
