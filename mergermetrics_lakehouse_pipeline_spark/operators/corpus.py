@@ -586,7 +586,26 @@ def bpe_merges(
     ).cache()
 
     merges: list[dict] = []
-    cached = [vocab]  # every cached generation; unpersisted at exit
+    #: live cached generations, oldest first — capped at 2 (round 15,
+    #: guide §5: don't lean on LRU eviction; at corpus scale each
+    #: generation is a distinct-word table, and n_merges of them is
+    #: real executor storage pressure). try/finally so an exception
+    #: mid-loop cannot leak the cached generations for the session.
+    cached = [vocab]
+    try:
+        _bpe_merge_loop(vocab, n_merges, merges, cached)
+    finally:
+        for c in cached:
+            c.unpersist()
+    return merges
+
+
+def _bpe_merge_loop(
+    vocab: DataFrame,
+    n_merges: int,
+    merges: list[dict],
+    cached: list[DataFrame],
+) -> None:
     for step in range(n_merges):
         arr = F.split("syms", BPE_SEP)
         idx = F.when(
@@ -609,6 +628,13 @@ def bpe_merges(
         )
         if not top:
             break
+        # the argmax collect above MATERIALIZED this generation's cache
+        # (orderBy+limit is a full pass), so every OLDER generation's
+        # blocks can no longer be read — unpersist down to the current
+        # one, capping live caches at 2 across the loop body (this
+        # generation + the child cached below).
+        while len(cached) > 1:
+            cached.pop(0).unpersist()
         l, r, cnt = top[0].l, top[0].r, top[0].cnt
         m = l + r
         merges.append(
@@ -637,14 +663,9 @@ def bpe_merges(
         # the NEXT round's argmax job materializes new_vocab's cache on
         # first use while the parent generation is still cached (so the
         # fold recomputes from the parent's blocks, never from the
-        # corpus). This halves the per-round job count; every
-        # generation stays cached until the loop ends (each holds only
-        # the distinct-word table — KBs, not data-sized).
+        # corpus). This halves the per-round job count.
         vocab = vocab.select("freq", merged_syms.alias("syms")).cache()
         cached.append(vocab)
-    for c in cached:
-        c.unpersist()
-    return merges
 
 
 def bigram_familiarity(

@@ -25,6 +25,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+
+def _contains_map(dt: DataType) -> bool:
+    """True when MapType appears anywhere in the type tree — xxhash64
+    rejects maps at any nesting depth (unordered entries have no
+    canonical hash)."""
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    return False
 
 
 def salted_join(
@@ -52,13 +66,23 @@ def salted_join(
     # reproduces the same assignment on every retry. It also keeps the
     # projection deterministic, so Catalyst may still push filters
     # through it. Hot keys spread exactly as before provided their rows
-    # differ in ANY column (byte-identical duplicate rows share a salt —
-    # for those, dedup-first is the right tool, not salting). The join
+    # differ in ANY hashable (non-map) column — byte-identical duplicate
+    # rows, or rows differing only inside a map column, share a salt;
+    # for those, dedup-first is the right tool, not salting. The join
     # result is salt-assignment-independent either way.
+    # Spark disallows hash expressions over MapType (ADVICE r14 #1), so
+    # map-typed columns are excluded from the salt input — the salt only
+    # needs to SPREAD rows, not identify them, and the join keys (always
+    # hashable: joins reject maps too) are always included.
+    hashable = [
+        c
+        for c, f in zip(skewed.columns, skewed.schema.fields)
+        if not _contains_map(f.dataType)
+    ]
     salted = skewed.withColumn(
         "__salt",
         F.pmod(
-            F.xxhash64(F.lit(seed), *[F.col(c) for c in skewed.columns]),
+            F.xxhash64(F.lit(seed), *[F.col(c) for c in hashable]),
             F.lit(salt),
         ).cast("int"),
     )

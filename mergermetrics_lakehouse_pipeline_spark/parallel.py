@@ -37,6 +37,12 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
 
     Round-robin repartition is retry-safe (sort-before-repartition,
     SPARK-23207) and involves no ``rand()`` key (guide §2.5 hazard).
+    Two documented limits (ADVICE r14 #3): the partition-count probe
+    (``df.rdd``) converts the physical plan to an RDD at call time —
+    cheap above a file scan, a real planning cost above pandas-UDF
+    stages, so apply near the scan; and the sort-before-repartition
+    rejects unorderable (map-typed) columns, so inputs carrying maps
+    must project them away first (every current call site is map-free).
     Catalyst pushes filters and column pruning through Repartition, so
     scan pushdown is unaffected — still, apply AFTER the narrowest
     projection so the exchange carries only needed columns (§2.3).

@@ -1807,7 +1807,14 @@ def q_lineitem_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ", ".join(f"{j}, c{j}" for j in range(_AMS_D))
             + ") AS (j, counter)"
         )
-    ).select(F.col("j").cast("int").alias("j"), "counter")
+    ).select(F.col("j").cast("int").alias("j"), "counter").where(
+        # empty-input shape parity (ADVICE r14 #4): a global agg over
+        # zero rows yields one all-NULL row, so stack() would emit 9
+        # NULL counters where the old groupBy formulation emitted zero
+        # rows; on any non-empty input every counter is non-NULL, so
+        # this filter is a no-op there.
+        F.col("counter").isNotNull()
+    )
     ests = counters.select(
         "j",
         "counter",

@@ -29,7 +29,6 @@ from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .parallel import fan_out
 from .registry import T, dsum, register, sql_dsum
 
 # ---------------------------------------------------------------------------

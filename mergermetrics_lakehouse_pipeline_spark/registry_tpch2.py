@@ -36,7 +36,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .parallel import fan_out
 from .registry import REVENUE, SQL_REVENUE, T, iso_date, register, sql_dsum
 
 

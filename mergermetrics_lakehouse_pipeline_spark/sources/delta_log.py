@@ -248,8 +248,12 @@ def _eval_default(
     python value; raises at the DDL — not at first write — when the
     expression references columns or cannot cast."""
     try:
+        # a one-row LOCAL relation (guide §1 job count, round 15): the
+        # old createDataFrame([(0,)]) route planned an RDD-backed frame
+        # whose first() cost 4 Spark jobs per evaluated default; SELECT
+        # over OneRowRelation folds to a local plan (one tiny job)
         row = (
-            spark.createDataFrame([(0,)], "__mm_no_columns__ int")
+            spark.sql("SELECT 1 AS __mm_no_columns__")
             .select(F.expr(sql_expr).cast(dtype).alias("v"))
             .first()
         )
@@ -593,60 +597,82 @@ def _apply_action(snap: DeltaSnapshot, action: dict[str, Any]) -> None:
             snap.domain_metadata[d["domain"]] = d
 
 
-def _read_checkpoint(
-    spark: SparkSession, snap: DeltaSnapshot, ckpt_files: list[str]
-) -> None:
+def _pa_value_to_action(value: Any, pa_type) -> Any:
+    """One pyarrow ``to_pylist`` value converted to the dict shape the
+    old JVM read path produced via ``to_json`` + ``json.loads``:
+    null-valued struct fields are DROPPED (``to_json`` omits nulls —
+    consumers probe with ``"baseRowId" not in a`` / ``a.get(...)``),
+    struct values become plain dicts, and map values (foreign writers
+    store partitionValues as MAP<string,string>) become dicts keyed by
+    the map keys."""
+    import pyarrow as pa
+
+    if value is None:
+        return None
+    if pa.types.is_struct(pa_type):
+        out = {}
+        for f in pa_type:
+            v = _pa_value_to_action(value.get(f.name), f.type)
+            if v is not None:
+                out[f.name] = v
+        return out or None
+    if pa.types.is_map(pa_type):
+        return {k: v for k, v in value}
+    if pa.types.is_list(pa_type) or pa.types.is_large_list(pa_type):
+        return [_pa_value_to_action(x, pa_type.value_type) for x in value]
+    return value
+
+
+def _checkpoint_actions(table, col: str):
+    """Yield action dicts of one action column from a loaded pyarrow
+    checkpoint table (skipping rows where that column is null)."""
+    if col not in table.column_names:
+        return
+    pa_type = table.schema.field(col).type
+    for v in table.column(col).to_pylist():
+        a = _pa_value_to_action(v, pa_type)
+        if a:
+            yield a
+
+
+def _read_checkpoint(snap: DeltaSnapshot, ckpt_files: list[str]) -> None:
     """Fold a checkpoint (one action per row, struct columns
     add/remove/metaData/protocol; one or many parquet parts) into the
-    snapshot. Read JVM-side, collected as JSON rows — checkpoint size
-    is O(live files). V2 checkpoints (reader-writer feature
-    ``v2Checkpoint``): the named file is a MANIFEST holding
-    protocol/metaData/txn/domainMetadata plus ``sidecar`` actions; the
-    file actions (add/remove) live in the referenced sidecar parquet
-    under ``_delta_log/_sidecars/`` and are folded from there."""
-    df = spark.read.option("mergeSchema", "true").parquet(*ckpt_files)
+    snapshot. Round 15 (guide §1/§5): read DRIVER-side via pyarrow —
+    the old JVM path ran a footer-inference job plus one collect job
+    per action column (4-7 Spark jobs per snapshot-with-checkpoint);
+    the state is O(live files) driver metadata either way, so the
+    distributed read bought nothing but scheduling overhead. V2
+    checkpoints (reader-writer feature ``v2Checkpoint``): the named
+    file is a MANIFEST holding protocol/metaData/txn/domainMetadata
+    plus ``sidecar`` actions; the file actions (add/remove) live in the
+    referenced sidecar parquet under ``_delta_log/_sidecars/`` and are
+    folded from there."""
+    import pyarrow.parquet as pq
+
+    tables = [pq.read_table(p) for p in ckpt_files]
+    log_dir = os.path.dirname(ckpt_files[0])
     sidecars: list[str] = []
-    if "sidecar" in df.columns:
-        log_dir = os.path.dirname(ckpt_files[0])
-        sidecars = [
-            os.path.join(log_dir, _SIDECAR_DIR, r.p)
-            for r in df.filter(F.col("sidecar.path").isNotNull())
-            .select(F.col("sidecar.path").alias("p"))
-            .collect()
-        ]
-        missing = [p for p in sidecars if not os.path.exists(p)]
-        if missing:
-            raise DeltaProtocolError(
-                f"v2 checkpoint references missing sidecars {missing}"
-            )
+    for t in tables:
+        for sc in _checkpoint_actions(t, "sidecar"):
+            if sc.get("path"):
+                sidecars.append(os.path.join(log_dir, _SIDECAR_DIR, sc["path"]))
+    missing = [p for p in sidecars if not os.path.exists(p)]
+    if missing:
+        raise DeltaProtocolError(
+            f"v2 checkpoint references missing sidecars {missing}"
+        )
+    # same fold order as the old per-column collects: table-level
+    # actions first, then files, then txn/domain state
     for col in ("protocol", "metaData", "add", "remove", "txn", "domainMetadata"):
-        if col not in df.columns:
-            continue
-        probe = (
-            f"{col}.path" if col in ("add", "remove")
-            else f"{col}.appId" if col == "txn"
-            else f"{col}.domain" if col == "domainMetadata"
-            else col
-        )
-        rows = (
-            df.filter(F.col(probe).isNotNull())
-            .select(F.to_json(col).alias("j"))
-            .collect()
-        )
-        for row in rows:
-            _apply_action(snap, {col: json.loads(row.j)})
-    if sidecars:
-        sdf = spark.read.option("mergeSchema", "true").parquet(*sidecars)
+        for t in tables:
+            for a in _checkpoint_actions(t, col):
+                _apply_action(snap, {col: a})
+    for part in sidecars:
+        t = pq.read_table(part)
         for col in ("add", "remove"):
-            if col not in sdf.columns:
-                continue
-            rows = (
-                sdf.filter(F.col(f"{col}.path").isNotNull())
-                .select(F.to_json(col).alias("j"))
-                .collect()
-            )
-            for row in rows:
-                _apply_action(snap, {col: json.loads(row.j)})
+            for a in _checkpoint_actions(t, col):
+                _apply_action(snap, {col: a})
 
 
 def snapshot(
@@ -672,7 +698,7 @@ def snapshot(
     ckpt_used: int | None = None
     if usable_ckpts:
         ckpt_used = max(usable_ckpts)
-        _read_checkpoint(spark, snap, checkpoints[ckpt_used])
+        _read_checkpoint(snap, checkpoints[ckpt_used])
         start = ckpt_used + 1
     prot_v: int | None = None  # lazy: only read when a commit is missing
     v = start
@@ -1036,6 +1062,13 @@ def _probe_missing_columns(
             if miss:
                 yield rel, miss
 
+    # round 15 (guide §1 job count): below 64 files the footer reads are
+    # microseconds each — do them in the driver instead of paying a full
+    # parallelize+collect job per scan of a defaults-bearing table. The
+    # distributed path stays for large tables (a million-file table
+    # probes across the executors).
+    if len(pairs) <= 64:
+        return dict(probe(pairs))
     n_slices = max(1, min(len(pairs), 64))
     return dict(
         spark.sparkContext.parallelize(pairs, n_slices)
@@ -2660,20 +2693,83 @@ def clone_delta(spark: SparkSession, src_path: str, dst_path: str) -> int:
     return _commit(dst_path, actions, guard, -1)
 
 
+def _strip_empty_json(v: Any) -> Any:
+    """Drop None values and empty dicts recursively — the same pruning
+    Spark's JSON schema inference applied to the old write path (an
+    always-empty object column never materialized in the checkpoint
+    parquet), so the round-trip shape is unchanged."""
+    if isinstance(v, dict):
+        out = {
+            k: sv
+            for k, sv in ((k, _strip_empty_json(sv)) for k, sv in v.items())
+            if sv is not None
+        }
+        return out or None
+    if isinstance(v, list):
+        return [_strip_empty_json(x) for x in v]
+    return v
+
+
+def _infer_pa_type(values: list):
+    """Unified pyarrow type for JSON-shaped action values — merges dict
+    keys across ALL rows (``pa.Table.from_pylist`` alone infers from the
+    first row, silently dropping the other action columns). int+float
+    mixes promote to float64; bool checks precede int (bool is an int
+    subclass)."""
+    import pyarrow as pa
+
+    if all(isinstance(v, dict) for v in values):
+        keys: dict[str, list] = {}
+        for v in values:
+            for k, sv in v.items():
+                if sv is not None:
+                    keys.setdefault(k, []).append(sv)
+        return pa.struct(
+            [pa.field(k, _infer_pa_type(vs)) for k, vs in keys.items()]
+        )
+    if all(isinstance(v, list) for v in values):
+        elems = [x for v in values for x in v if x is not None]
+        return pa.list_(_infer_pa_type(elems) if elems else pa.string())
+    if all(isinstance(v, bool) for v in values):
+        return pa.bool_()
+    if all(isinstance(v, int) for v in values):
+        return pa.int64()
+    if all(isinstance(v, (int, float)) for v in values):
+        return pa.float64()
+    if all(isinstance(v, str) for v in values):
+        return pa.string()
+    raise DeltaProtocolError(
+        f"cannot serialize mixed-type action values {values[:3]!r}"
+    )
+
+
 def _write_action_parquet(
-    spark: SparkSession, log_dir: str, rows: list[dict], n_parts: int
+    log_dir: str, rows: list[dict], n_parts: int
 ) -> tuple[str, list[str]]:
     """Serialize action rows (one struct column per action type) to
-    ``n_parts`` parquet files in a temp dir; returns (tmp_dir, files)."""
-    jdf = spark.read.json(
-        spark.sparkContext.parallelize([json.dumps(r) for r in rows], 1)
-    )
+    ``n_parts`` parquet files in a temp dir; returns (tmp_dir, files).
+    Round 15 (guide §1/§5): written DRIVER-side via pyarrow — the old
+    path ran a JSON-inference job plus a repartition+write job for what
+    is O(live files) driver metadata already held in memory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    clean = [_strip_empty_json(r) or {} for r in rows]
+    schema = pa.schema(list(_infer_pa_type(clean)))
+    table = pa.Table.from_pylist(clean, schema=schema)
     tmp = os.path.join(log_dir, f"_ckpt_tmp_{uuid.uuid4().hex}")
-    jdf.repartition(max(1, n_parts)).write.mode("overwrite").parquet(tmp)
-    part_files = sorted(
-        n for n in os.listdir(tmp)
-        if n.endswith(".parquet") and not n.startswith((".", "_"))
-    )
+    os.makedirs(tmp, exist_ok=True)
+    n = max(1, n_parts)
+    part_files = []
+    for i in range(n):
+        # round-robin row assignment (any assignment is protocol-valid;
+        # readers fold every part) — empty tail parts keep the schema,
+        # matching the old repartition(n) behavior when rows < parts
+        idx = list(range(i, table.num_rows, n))
+        part = table.take(idx) if idx else table.slice(0, 0)
+        name = f"part-{i:05d}.parquet"
+        pq.write_table(part, os.path.join(tmp, name))
+        part_files.append(name)
     return tmp, part_files
 
 
@@ -2733,7 +2829,7 @@ def write_checkpoint(
     table_rows, file_rows = _checkpoint_state_rows(snap)
     rows = table_rows + file_rows
     log_dir = _log_path(table_path)
-    tmp, part_files = _write_action_parquet(spark, log_dir, rows, parts or 1)
+    tmp, part_files = _write_action_parquet(log_dir, rows, parts or 1)
     if parts is None:
         os.replace(
             os.path.join(tmp, part_files[0]),
@@ -2977,7 +3073,7 @@ def write_checkpoint_v2(
     now_ms = int(time.time() * 1000)
     if file_rows:
         tmp, parts = _write_action_parquet(
-            spark, log_dir, file_rows, min(sidecar_parts, len(file_rows))
+            log_dir, file_rows, min(sidecar_parts, len(file_rows))
         )
         for pf in parts:
             name = f"{uuid.uuid4().hex}.parquet"
@@ -2997,7 +3093,7 @@ def write_checkpoint_v2(
         + [{"checkpointMetadata": {"version": snap.version}}]
         + [{"sidecar": s} for s in sidecars]
     )
-    tmp, parts = _write_action_parquet(spark, log_dir, manifest_rows, 1)
+    tmp, parts = _write_action_parquet(log_dir, manifest_rows, 1)
     manifest = f"{snap.version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
     os.replace(os.path.join(tmp, parts[0]), os.path.join(log_dir, manifest))
     shutil.rmtree(tmp, ignore_errors=True)

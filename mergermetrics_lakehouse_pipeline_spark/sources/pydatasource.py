@@ -103,7 +103,25 @@ class SynthEventsReader(DataSourceReader):
         return [_SynthPartition(p * n, (p + 1) * n) for p in range(self.n_partitions)]
 
     def read(self, partition: _SynthPartition):
-        return synth_rows(partition.start, partition.end, self.event_type)
+        # round 15 (guide §4): yield ONE Arrow record batch per
+        # partition instead of per-row tuples — the Python DataSource
+        # API passes RecordBatches through Arrow directly, skipping the
+        # per-row pickle + row-to-columnar conversion that dominated the
+        # tuple path (the md5 arithmetic itself is unchanged).
+        import pyarrow as pa
+
+        rows = list(synth_rows(partition.start, partition.end, self.event_type))
+        cols = list(zip(*rows)) if rows else ([], [], [], [], [])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], type=pa.int64()),
+                pa.array(cols[1], type=pa.timestamp("us")),
+                pa.array(cols[2], type=pa.int64()),
+                pa.array(cols[3], type=pa.string()),
+                pa.array(cols[4], type=pa.float64()),
+            ],
+            names=["event_id", "ts", "user_id", "event_type", "value"],
+        )
 
 
 class SynthEventsStreamReader(SimpleDataSourceStreamReader):
