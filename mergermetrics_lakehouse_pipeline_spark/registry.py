@@ -411,7 +411,11 @@ def q_fact_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side automatic; one shuffle on the group keys. Round 14: the
     scan fans out so the decimal casts + partial aggregation run on all
     cores instead of the one task a single-row-group file scans as
-    (guide §2.2; no-op on split inputs)."""
+    (guide §2.2; no-op on split inputs). Round 15 (VERDICT r14
+    next-step #2): fan_out KEPT after a quiet interleaved A/B — it won
+    all 4 min-of-5 pairs here (1.35/1.43/1.61/1.45s with vs
+    1.91/1.47/2.08/1.82s without) and the 8-core ratio is normal
+    (1.22); the driver's one-run 0.84x read as noise against that."""
     li = fan_out(
         T(spark, sf_dir, "lineitem").select(
             "l_shipdate", "l_returnflag", "l_linestatus",
@@ -953,12 +957,15 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over segment x priority (engine extra per SURVEY §2.4 —
     dashboards slice market x channel x division in one pass).
-    Round 14: fact side fans out (guide §2.2; no-op on split inputs) —
-    CUBE expands every row 4x map-side before the exchange."""
-    o = fan_out(
-        T(spark, sf_dir, "orders").select(
-            "o_custkey", "o_orderpriority", "o_totalprice"
-        )
+    Round 15 (VERDICT r14 next-step #2): the round-14 fan_out REVERTED —
+    the driver measured it regressing (0.661->0.730s) with an inverted
+    8-core ratio (0.85: 32 cores slower than 8, the added round-robin
+    exchange costs more than the cheap-per-row CUBE recovers), and the
+    quiet local A/B is a wash (min-of-5 x2: 0.77/0.67 with vs 0.71/0.82
+    without). The narrow projection (the pure-win half of the r14
+    change) stays."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
     )
     c = T(spark, sf_dir, "customer")
     return (
@@ -1452,8 +1459,16 @@ def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted equi-join (operators/skew.py): the skewed probe side gets a
-    random salt, the build side is replicated — same result as the plain
-    join for any salt, which is exactly what the oracle checks."""
+    deterministic salt, the build side is replicated — same result as the
+    plain join for any salt, which is exactly what the oracle checks.
+
+    Round 15 (VERDICT r14 next-step #8): the operator now supports
+    ``salt="auto"`` (measured hot-key distribution -> factor, see
+    operators/skew.py:measured_salt). This DEMO row keeps the constant:
+    the measured distribution of l_orderkey is uniform (max multiplicity
+    7 of 600k rows -> derived salt 1, i.e. "don't salt"), so auto here
+    would stop demonstrating the salted plan shape while paying a full
+    diagnostic pass (measured: 1.55s -> 2.62s min-of-3)."""
     from .operators.skew import salted_join
 
     li = fan_out(

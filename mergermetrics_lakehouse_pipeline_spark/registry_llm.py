@@ -2777,7 +2777,14 @@ def q_docs_multi_suite_decontamination(spark: SparkSession, sf_dir: str) -> Data
     ride the codegen regex pass (word_shingles_fast, occurrences kept —
     the COUNT DISTINCT aggregation dedups); suite shingle sets are
     eval-sized -> broadcast; the corpus never self-joins."""
-    d = T(spark, sf_dir, "documents")
+    # round 15 (guide §2.2): fan the raw (doc_id, text) out BEFORE the
+    # shingle regex — the expensive shingling then runs on all cores
+    # (the single-row-group scan plans as ONE task) and the exchange,
+    # reused by both branches below, carries the text once instead of
+    # the 3x-bigger shingle arrays. Quiet interleaved A/B (min-of-4 x2):
+    # none 2.88/2.43s · fan-at-shingles 2.45/1.81s · fan-at-text
+    # 1.90/1.62s. (r14's wash verdict measured the shingle-level site.)
+    d = fan_out(T(spark, sf_dir, "documents").select("doc_id", "text"))
     suites_df = spark.createDataFrame(_DECON_SUITES, ["suite_id", "modulus"])
     sh = d.select("doc_id", tx.word_shingles_fast("text", 3).alias("s"))
 

@@ -28,6 +28,7 @@ from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .parallel import fan_out
 from .registry import T, dsum, register, sql_dsum
 
 
@@ -96,7 +97,11 @@ def q_media_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.multimodal import _decode_payload
 
-    docs = (
+    # round 15 (guide §2.2): the single-row-group scan plans as ONE
+    # task, serializing the heavy per-row numpy codec — fan the tiny
+    # doc_id frame out so the kernel runs on all cores (no-op on split
+    # inputs; measured 2.28s single-task stage -> parallel)
+    docs = fan_out(
         T(spark, sf_dir, "documents")
         .filter("doc_id < 240")
         .select(F.col("doc_id").cast("long"))
@@ -1196,7 +1201,11 @@ def q_media_jpeg_progressive_roundtrip(
     from .operators.jpeg import jpeg_frame_marker
     from .operators.jpeg_progressive import jpeg_progressive_encode
 
-    docs = (
+    # round 15 (guide §2.2): the single-row-group scan plans as ONE
+    # task, serializing the heavy per-row numpy codec — fan the tiny
+    # doc_id frame out so the kernel runs on all cores (no-op on split
+    # inputs; measured 2.28s single-task stage -> parallel)
+    docs = fan_out(
         T(spark, sf_dir, "documents")
         .filter("doc_id < 180")
         .select(F.col("doc_id").cast("long"))

@@ -26,6 +26,7 @@ from .scratch import scratch_dir
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .parallel import fan_out
 from .registry import T, register
 
 
@@ -1211,7 +1212,11 @@ def q_media_jpeg_arith_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.multimodal import _decode_payload
 
-    docs = (
+    # round 15 (guide §2.2): the single-row-group scan plans as ONE
+    # task, serializing the heavy per-row numpy codec — fan the tiny
+    # doc_id frame out so the kernel runs on all cores (no-op on split
+    # inputs; measured 2.28s single-task stage -> parallel)
+    docs = fan_out(
         T(spark, sf_dir, "documents")
         .filter("doc_id < 200")
         .select(F.col("doc_id").cast("long"))

@@ -789,7 +789,7 @@ def _dv_doomed_df(
     ]
     if not blobs:
         return None
-    bdf = spark.createDataFrame(blobs, "__dv_path string, __dv_blob binary")
+    bdf = _local_df(spark, blobs, "__dv_path string, __dv_blob binary")
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
@@ -1024,6 +1024,28 @@ def _raw_reader(
     return reader
 
 
+def _local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """A SMALL driver-built DataFrame as a LocalRelation (round 15,
+    guide §1/§5): ``createDataFrame(list)`` plans an RDD-backed frame
+    parallelized over defaultParallelism slices, so every broadcast
+    build / collect over it runs a 32-task Spark job for a handful of
+    metadata rows; routing the same rows through pandas takes Spark's
+    Arrow path, which embeds them in the PLAN (LocalTableScan) — a
+    broadcast of it never schedules a job. Falls back to the list path
+    for empty input (pandas cannot carry the schema)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    if isinstance(schema, str):
+        names = [c.split()[0] for c in schema.split(",")]
+    else:
+        names = [f.name for f in schema.fields]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=names), schema
+    )
+
+
 def _hive_base(path: str) -> str:
     """The partition-discovery base of an absolute data-file path: the
     directory above every trailing ``k=v`` hive segment — for files a
@@ -1232,7 +1254,7 @@ def _row_id_frame(
             )
         )
     base_map = F.broadcast(
-        spark.createDataFrame(rows, "__fp string, __base long, __dcv long")
+        _local_df(spark, rows, "__fp string, __base long, __dcv long")
     )
     groups: dict[str, list[str]] = {}
     for p in rels:
@@ -2614,7 +2636,8 @@ def describe_history(spark: SparkSession, table_path: str) -> DataFrame:
                 n_remove,
             )
         )
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         sorted(rows, reverse=True),
         "version long, timestamp long, operation string, "
         "operation_parameters string, num_added_files long, "
@@ -4386,7 +4409,8 @@ def optimize_delta(
             )
             for rel in rels
         ]
-        pdf = spark.createDataFrame(
+        pdf = _local_df(
+            spark,
             pv_rows,
             StructType(
                 [StructField("__rel", StringType())]
@@ -5185,7 +5209,7 @@ def _dv_matched_blobs(
         for full, desc in _dv_descriptors(table_path, snap, candidates).items()
     ]
     if old_blobs:
-        odf = spark.createDataFrame(old_blobs, "__fp string, __old binary")
+        odf = _local_df(spark, old_blobs, "__fp string, __old binary")
         grouped = grouped.join(F.broadcast(odf), "__fp", "left")
     else:
         grouped = grouped.withColumn("__old", F.lit(None).cast("binary"))

@@ -584,7 +584,9 @@ def read_iceberg(
         fseq = [
             (_local(f_["file_path"]), int(f_["_seq"])) for f_ in scan.data_files
         ]
-        seq_dim = spark.createDataFrame(fseq, "__fpath string, __fseq bigint")
+        from .delta_log import _local_df
+
+        seq_dim = _local_df(spark, fseq, "__fpath string, __fseq bigint")
         df = (
             df.withColumn("__fpath", _strip_scheme(F.col("_metadata.file_path")))
             .withColumn("__ridx", F.col("_metadata.row_index"))

@@ -141,6 +141,60 @@ def test_salted_join_tolerates_map_columns(spark):
     )
 
 
+def test_label_propagation_checkpoint_identical_at_depth(spark):
+    """The lazy localCheckpoint cadence must not change what
+    label_propagation computes — 8 rounds with and without truncation
+    produce identical label tables (and 3 rounds never checkpoint, so
+    the registry query's plan is untouched)."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    raw = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (5, 1), (4, 10)]
+    sym = raw + [(b, a) for a, b in raw]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    base = sorted(
+        (r.node, r.label)
+        for r in label_propagation(edges, 8, checkpoint_every=0).collect()
+    )
+    ck = sorted(
+        (r.node, r.label)
+        for r in label_propagation(edges, 8, checkpoint_every=3).collect()
+    )
+    assert base == ck
+
+
+def test_measured_salt_tracks_skew(spark):
+    """salt='auto' must derive from the MEASURED distribution: a
+    uniform key measures 1 (don't salt), a hot key owning most rows
+    measures high, and the auto-salted join equals the plain join."""
+    from mergermetrics_lakehouse_pipeline_spark.operators.skew import (
+        measured_salt,
+        salted_join,
+    )
+
+    uniform = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    assert measured_salt(uniform, ["k"], target_parts=32) == 1
+
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 900, 0).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    s = measured_salt(hot, ["k"], target_parts=32)
+    assert s > 8, s  # 90% share * 32 * 4 -> capped high
+
+    dim = spark.createDataFrame(
+        [(0, "hot"), (901, "cold")], "k long, name string"
+    )
+    got = salted_join(hot, dim, on="k", how="inner", salt="auto")
+    plain = hot.join(dim, "k", "inner")
+    assert sorted((r.k, r.v, r.name) for r in got.collect()) == sorted(
+        (r.k, r.v, r.name) for r in plain.collect()
+    )
+
+
 def test_synth_source_arrow_batches_match_rows(spark):
     """The Arrow-batched synth_events reader must produce exactly the
     rows the tuple path produced (same md5 closed form, same types)."""
