@@ -4993,21 +4993,19 @@ def merge_delta(
     try:
         # ONE source pass yields the duplicate-key guard AND the lead-key
         # bounds (VERDICT r6 next-step #3: the dup-check and min/max
-        # previously cost separate scans): group by key, then fold the
-        # per-key counts into (max multiplicity, lo, hi) — a
-        # partial-aggregating shuffle on the key the semi-join below
-        # shuffles on anyway.
-        stats = (
-            src.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .agg(
-                F.max("__n").alias("max_dup"),
-                F.min(keys[0]).alias("lo"),
-                F.max(keys[0]).alias("hi"),
-            )
-            .first()
-        )
-        if stats["max_dup"] is not None and stats["max_dup"] > 1:
+        # previously cost separate scans). Round 15 (guide §2.4): the
+        # guard is expressed as count(*) vs count_distinct(struct(keys))
+        # — duplicates exist iff the two differ — which is ONE global
+        # aggregate (partial map-side distinct) instead of the previous
+        # groupBy-then-agg's two chained shuffles; one fewer
+        # stage/job per MERGE, same rejection condition.
+        stats = src.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.struct(*keys)).alias("n_keys"),
+            F.min(keys[0]).alias("lo"),
+            F.max(keys[0]).alias("hi"),
+        ).first()
+        if stats["n_rows"] > stats["n_keys"]:
             raise DeltaProtocolError(
                 "MERGE source has duplicate keys — a target row would match "
                 "more than one source row (ambiguous, rejected as Delta does)"
@@ -5015,7 +5013,12 @@ def merge_delta(
         lo, hi = stats["lo"], stats["hi"]
         if lo is None and when_not_matched_by_source is None:
             return snap.version, 0  # empty source: nothing to merge
-        src_keys = src.select(*keys).distinct()
+        # no .distinct(): the guard above just PROVED the source keys
+        # unique (n_rows == n_keys or we raised), so the dedup was a
+        # no-op costing a full exchange before every semi/anti-join
+        # consumer below (guide §2.4 "a distinct on data that is
+        # already unique")
+        src_keys = src.select(*keys)
         if when_not_matched_by_source is None:
             # touched-file discovery, Delta's own MERGE algorithm: semi-join
             # the table scan against the source keys and collect the
