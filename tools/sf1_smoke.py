@@ -131,10 +131,9 @@ def build_sf1(spark, sf_dir: str, k: int, out_dir: str) -> None:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    auto_dir = not (len(sys.argv) > 3 and sys.argv[3] != "-")
     out_dir = (
-        sys.argv[3]
-        if len(sys.argv) > 3 and sys.argv[3] != "-"
-        else tempfile.mkdtemp(prefix="mm_sf1_")
+        tempfile.mkdtemp(prefix="mm_sf1_") if auto_dir else sys.argv[3]
     )
     # comma-separated bench set names share ONE build (round 12: the
     # standing SF1_BENCH_r{N}.json artifact runs HEADLINE + the newest
@@ -276,7 +275,9 @@ def main() -> None:
                 fh,
                 indent=1,
             )
-    if out_dir.startswith(tempfile.gettempdir()):
+    # only reclaim the dir THIS run created — an explicit out_dir is the
+    # caller's (the 8-vs-32-core ratio runs share one build)
+    if auto_dir:
         shutil.rmtree(out_dir, ignore_errors=True)
     if regressions:
         sys.exit(1)  # scale-ratio regression past 1.5x — fail loudly
